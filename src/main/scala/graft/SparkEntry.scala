@@ -1,13 +1,45 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the full operator inventory: core declared-SQL surface
+  * (analytics.CoreQueries), join/window/set-op surface
+  * (analytics.JoinQueries), ingest parse (sources.AlphaVantage), keyed
+  * upsert (operators.Upsert), dedup + similarity + multimodal extensions
+  * (operators.*), text analysis (functions.TextAnalysis) and streaming
+  * (streaming.EventStream). Every SQL-expressible query has a DuckDB
+  * oracle with identical column aliases.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    analytics.JoinQueries.joinAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    analytics.CoreQueries.queries ++
+      analytics.JoinQueries.queries ++
+      sources.AlphaVantage.queries ++
+      operators.Upsert.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.Multimodal.queries ++
+      functions.TextAnalysis.queries ++
+      streaming.EventStream.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    analytics.CoreQueries.oracles ++
+      analytics.JoinQueries.oracles ++
+      sources.AlphaVantage.oracles ++
+      operators.Upsert.oracles ++
+      operators.Dedup.oracles ++
+      operators.Similarity.oracles ++
+      operators.Multimodal.oracles ++
+      functions.TextAnalysis.oracles ++
+      streaming.EventStream.oracles
 }

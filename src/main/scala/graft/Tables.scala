@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Table access + shared helpers.
+  *
+  * Loads the driver-generated TPC-H-ish corpus (`/root/repo/TESTDATA.md`):
+  * one parquet file per table under the scale-factor directory. Reads are
+  * plain parquet scans so Catalyst pushes filters/pruning into the scan
+  * (verified via .explain: PushedFilters / ReadSchema).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is nanosecond parquet, which Spark rejects (or reads as
+    // Long with the legacy flag). Read ns as Long and convert to a
+    // microsecond timestamp; truncation cannot move a value across the
+    // whole-second boundaries all downstream logic uses, so results
+    // stay oracle-equivalent (DuckDB keeps full ns).
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every table as a temp view so spark.sql(...) works too. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  // ---------------------------------------------------------------------
+  // Deterministic aggregation helpers.
+  //
+  // The correctness gate hash-compares Spark output against a DuckDB
+  // oracle. Floating-point SUM is order-dependent, and both engines
+  // parallelize aggregation, so `sum(double)` is not reproducible
+  // bit-for-bit. All money-like columns in the corpus carry <=2 decimal
+  // digits, so we cast to exact DECIMAL *before* arithmetic: decimal
+  // addition is associative, making the aggregate order-independent and
+  // identical across engines. The final cast back to double is exact
+  // enough (single rounding) and matches the oracle SQL, which applies
+  // the same casts. At 100 TB this costs one extra cast per row inside
+  // whole-stage codegen -- negligible vs. the shuffle it feeds.
+  // ---------------------------------------------------------------------
+
+  /** Exact decimal for money-ish doubles (2-dec inputs, 4-dec headroom). */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Order-independent sum of a money-like double column. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Order-independent average of a money-like double column. */
+  def davg(c: Column): Column =
+    (sum(dec(c)) / count(c)).cast("double")
+}

@@ -1,0 +1,153 @@
+package graft.analytics
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's declared ad-hoc SQL surface (SURVEY.md §2.4/§2.5/§2.3),
+  * re-targeted at the driver corpus. Each query has a DuckDB oracle in
+  * [[oracles]]; column names/aliases match the SQL exactly (the driver
+  * sorts columns by name before hashing).
+  *
+  * Reference provenance (behavior, not code):
+  *  - A1 count+max per group: reference/README.md:202-204, Makefile:101
+  *  - A2 count/min/max summary: reference/README.md:314-321
+  *  - A3 filtered two-key group count: reference/README.md:217-220
+  *  - A4 freshness (age of max ts): reference/README.md:222-226
+  *  - T1 top-k by recency: reference/README.md:206-208
+  *  - T2 grouped + global sort: reference/Makefile:101,222
+  *  - P10 time-range retention filter: reference/README.md:296-297
+  *  - P11 SELECT 1 probe: reference/Makefile:136
+  *
+  * Scale notes: every aggregate here is algebraic (partial+final map-side
+  * combine), sorts are either TakeOrderedAndProject (T1) or after
+  * aggregation (tiny), and filters/pruning push into the parquet scan.
+  */
+object CoreQueries {
+
+  /** A1: hash agg — count + max per group. */
+  def recordsPerGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), max("l_shipdate").as("max_shipdate"))
+
+  /** A2: multi-agg summary — count/min/max per group. */
+  def summaryStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        min("o_orderdate").as("min_date"),
+        max("o_orderdate").as("max_date"))
+
+  /** A3: time-filtered two-key group count (pipeline-health analog).
+    * The ts >= literal predicate is pushed into the parquet scan. */
+  def recentByGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .filter(col("ts") >= expr("TIMESTAMP '2024-01-15 00:00:00'"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** A4: freshness — age of newest row per group vs a fixed anchor.
+    * events.ts is nanosecond parquet; Spark truncates to micros while
+    * DuckDB keeps ns, so outputs are second-truncated / date-diffed to
+    * stay engine-independent. */
+  def freshness(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(date_trunc("second", max("ts")).as("max_ts_s"),
+        datediff(lit("2024-06-01").cast("date"), max(col("ts")).cast("date"))
+          .cast("long").as("age_days"))
+
+  /** T1: top-k by recency (TakeOrderedAndProject — no global sort).
+    * o_orderkey breaks o_orderdate ties deterministically. */
+  def topRecent(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+      .limit(10)
+
+  /** T2: grouped count + global sort. */
+  def groupSorted(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment")
+
+  /** P11: trivial connectivity probe. */
+  def healthProbe(spark: SparkSession, dir: String): DataFrame =
+    spark.sql("SELECT CAST(1 AS BIGINT) AS ok")
+
+  /** P10/M4: retention — keep rows newer than anchor - 15 days; summary
+    * per group (delete = anti-filter of this predicate). */
+  def retentionFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .filter(col("ts") >=
+        expr("TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 15 DAY"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        date_trunc("second", min("ts")).as("min_ts_s"))
+
+  /** P3-P8 scalar-function surface: trim/upper/concat/substr/coalesce/
+    * casts/conditionals — row-level, fully codegen'd. */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        upper(trim(col("lang"))).as("lang_up"),
+        concat(col("source"), lit(":"), col("lang")).as("src_lang"),
+        substring(col("text"), 1, 20).as("head20"),
+        col("n_chars").cast("double").as("n_chars_d"),
+        coalesce(nullif(col("lang"), lit("en")), lit("EN")).as("lang_coal"),
+        when(col("n_chars") > 300, lit("long"))
+          .otherwise(lit("short")).as("size_class"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "core_records_per_group" -> recordsPerGroup _,
+    "core_summary_stats" -> summaryStats _,
+    "core_recent_by_group" -> recentByGroup _,
+    "core_freshness" -> freshness _,
+    "core_top_recent" -> topRecent _,
+    "core_group_sorted" -> groupSorted _,
+    "core_health_probe" -> healthProbe _,
+    "core_retention_filter" -> retentionFilter _,
+    "core_scalar_funcs" -> scalarFuncs _)
+
+  val oracles: Map[String, String] = Map(
+    "core_records_per_group" ->
+      """SELECT l_returnflag, count(*) AS cnt, max(l_shipdate) AS max_shipdate
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "core_summary_stats" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "core_recent_by_group" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type""".stripMargin,
+    "core_freshness" ->
+      """SELECT event_type,
+        |  CAST(date_trunc('second', max(ts)) AS TIMESTAMP) AS max_ts_s,
+        |  CAST(date_diff('day', CAST(max(ts) AS DATE), DATE '2024-06-01') AS BIGINT) AS age_days
+        |FROM events GROUP BY event_type""".stripMargin,
+    "core_top_recent" ->
+      """SELECT * FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10""".stripMargin,
+    "core_group_sorted" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "core_health_probe" -> "SELECT CAST(1 AS BIGINT) AS ok",
+    "core_retention_filter" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS min_ts_s
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 15 DAY
+        |GROUP BY event_type""".stripMargin,
+    "core_scalar_funcs" ->
+      """SELECT doc_id,
+        |  upper(trim(lang)) AS lang_up,
+        |  source || ':' || lang AS src_lang,
+        |  substring(text, 1, 20) AS head20,
+        |  CAST(n_chars AS DOUBLE) AS n_chars_d,
+        |  coalesce(nullif(lang, 'en'), 'EN') AS lang_coal,
+        |  CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS size_class
+        |FROM documents""".stripMargin)
+}

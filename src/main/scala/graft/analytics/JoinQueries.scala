@@ -1,0 +1,227 @@
+package graft.analytics
+
+import graft.Tables
+import graft.Tables.{dec, dsum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join / window / set-op surface. The reference itself has no joins
+  * (SURVEY.md §2.6) — its only key-matching semantics is the upsert merge —
+  * but the harness star-schema exercises Spark's built-in joins, and the
+  * engine's query layer exposes them as first-class operators.
+  *
+  * Scale design:
+  *  - dimension joins (region/nation/customer at TPC-H ratios) are
+  *    broadcast explicitly — no shuffle of the fact side;
+  *  - fact-fact joins shuffle on the join key once and reuse it;
+  *  - money aggregates use exact-decimal terms (see Tables.dsum) so the
+  *    result is independent of partial-aggregation order — required for
+  *    oracle hash-parity and a good idea at 1000 executors anyway;
+  *  - windows partition by high-cardinality keys (customer, user) so no
+  *    single partition holds more than one key's rows.
+  */
+object JoinQueries {
+
+  /** Fact-fact-dim join + grouped revenue (decimal-exact). */
+  def joinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Broadcast star: region -> nation -> customer rollup. */
+  def broadcastDim(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.load(spark, dir, "region")
+    val n = Tables.load(spark, dir, "nation")
+    val c = Tables.load(spark, dir, "customer")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("acctbal_sum"))
+  }
+
+  /** Left-semi join (EXISTS): customers holding at least one urgent order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no urgent order. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Left-outer join preserving customers with zero orders. */
+  def outerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+  }
+
+  /** Distinct aggregation: exact distinct suppliers/parts per line status. */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"))
+
+  /** Window top-1 per key: each customer's highest-value order. */
+  def windowTopn(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+  }
+
+  /** Running (prefix) sum per user over event time — decimal-exact so the
+    * result doesn't depend on the engine's windowed-sum association. */
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .withColumn("run_total", sum(dec(col("value"))).over(w).cast("double"))
+      .select("event_id", "user_id", "run_total")
+  }
+
+  /** Set operations: UNION (distinct) / INTERSECT / EXCEPT cardinalities
+    * over two derived key sets. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val urgent = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k"))
+    def cnt(df: DataFrame, op: String): DataFrame =
+      df.agg(count(lit(1)).as("cnt")).select(lit(op).as("op"), col("cnt"))
+    cnt(building.union(urgent).distinct(), "union")
+      .union(cnt(building.intersect(urgent), "intersect"))
+      .union(cnt(building.except(urgent), "except"))
+  }
+
+  /** Tumbling 1-hour window over event time (batch form of the M5
+    * streaming aggregation; same result as EventStream's streaming run). */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
+
+  /** Range predicate + date-part rollup: yearly revenue 1996-1998. */
+  def yearlyRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1998-12-31").cast("timestamp")))
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_agg" -> joinAgg _,
+    "join_broadcast_dim" -> broadcastDim _,
+    "join_semi" -> semiJoin _,
+    "join_anti" -> antiJoin _,
+    "join_outer" -> outerJoin _,
+    "agg_distinct" -> aggDistinct _,
+    "window_topn" -> windowTopn _,
+    "window_running_sum" -> runningSum _,
+    "setops_counts" -> setOps _,
+    "window_tumbling" -> tumblingWindow _,
+    "yearly_revenue" -> yearlyRevenue _)
+
+  val oracles: Map[String, String] = Map(
+    "join_agg" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |           * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "join_broadcast_dim" ->
+      """SELECT r_name, count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS acctbal_sum
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "join_semi" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin,
+    "join_anti" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin,
+    "join_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_linestatus,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC) = 1""".stripMargin,
+    "window_running_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS run_total
+        |FROM events""".stripMargin,
+    "setops_counts" ->
+      """WITH b AS (SELECT c_custkey AS k FROM customer
+        |           WHERE c_mktsegment = 'BUILDING'),
+        |     u AS (SELECT o_custkey AS k FROM orders
+        |           WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'union' AS op, count(*) AS cnt
+        |  FROM (SELECT k FROM b UNION SELECT k FROM u)
+        |UNION ALL
+        |SELECT 'intersect' AS op, count(*) AS cnt
+        |  FROM (SELECT k FROM b INTERSECT SELECT k FROM u)
+        |UNION ALL
+        |SELECT 'except' AS op, count(*) AS cnt
+        |  FROM (SELECT k FROM b EXCEPT SELECT k FROM u)""".stripMargin,
+    "window_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "yearly_revenue" ->
+      """SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |           * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                     AND TIMESTAMP '1998-12-31 00:00:00'
+        |GROUP BY 1""".stripMargin)
+}

@@ -1,0 +1,142 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines over `documents`
+  * (mandated extension surface, BASELINE.json north_star): token stats,
+  * quality scoring, language-ID heuristic, and document fingerprinting.
+  *
+  * All four are pure per-row column expressions built from higher-order
+  * functions (`transform`/`filter`/`aggregate` over `split` arrays) — no
+  * UDFs, no shuffles, fully parallel at any scale; each runs in a single
+  * WholeStageCodegen pass over the scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (single-space corpus; a BPE-ish regex
+    * variant is `split(text, "\\s+|(?=\\p{Punct})")` for real corpora). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  // Small per-language stopword lists for the language-ID heuristic.
+  val stopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val stopEs: Seq[String] = Seq("el", "la", "de", "y", "que", "en", "un")
+  val stopDe: Seq[String] = Seq("der", "die", "das", "und", "zu", "ist", "ein")
+  val stopFr: Seq[String] = Seq("le", "la", "de", "et", "un", "est", "que")
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast("long")
+
+  /** Token counting: total tokens, distinct tokens, chars. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct"),
+      length(col("text")).cast("long").as("n_chars_calc"))
+  }
+
+  /** Quality scoring: stopword ratio, mean token length, size class —
+    * the length/punct/stopword family of pretraining-data filters. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val stopCnt = hits(t, stopEn)
+    val charSum = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      stopCnt.as("stop_cnt"),
+      (stopCnt.cast("double") / nTok.cast("double")).as("stop_ratio"),
+      (charSum.cast("double") / nTok.cast("double")).as("mean_tok_len"),
+      when(nTok >= 40 && stopCnt > 0, "keep").otherwise("drop")
+        .as("quality_class"))
+  }
+
+  /** Language-ID: stopword-hit argmax with fixed tie priority
+    * en > es > de > fr, else 'und'. Deterministic by construction. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val (en, es, de, fr) =
+      (hits(t, stopEn), hits(t, stopEs), hits(t, stopDe), hits(t, stopFr))
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"), col("lang").as("lang_label"),
+      en.as("s_en"), es.as("s_es"), de.as("s_de"), fr.as("s_fr"),
+      when(en + es + de + fr === 0, "und")
+        .when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr").as("pred_lang"))
+  }
+
+  /** Per-token rolling-hash term, shared by fingerprint and MinHash:
+    * len(tok)*7 + ascii(first char), as BIGINT. */
+  def tokenTerm(x: Column): Column =
+    (length(x) * lit(7) + ascii(substring(x, 1, 1))).cast("long")
+
+  /** Document fingerprinting: order-sensitive polynomial rolling hash
+    * over the token stream, mod 1e9+7 (content-defined identity that is
+    * cheap to compare/cluster at 100 TB). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val fp = aggregate(transform(t, tokenTerm _), lit(0L),
+      (acc, term) => (acc * 31 + term) % 1000000007L)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), fp.as("fingerprint"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> textStats _,
+    "text_quality" -> textQuality _,
+    "text_langid" -> langId _,
+    "text_fingerprint" -> fingerprint _)
+
+  private def sqlHits(l: Seq[String]): String =
+    l.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(toks, x -> x IN ${sqlHits(stopEn)})) AS BIGINT) AS stop_cnt,
+         |  CAST(len(list_filter(toks, x -> x IN ${sqlHits(stopEn)})) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+         |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) AS mean_tok_len,
+         |  CASE WHEN len(toks) >= 40
+         |        AND len(list_filter(toks, x -> x IN ${sqlHits(stopEn)})) > 0
+         |       THEN 'keep' ELSE 'drop' END AS quality_class
+         |FROM t""".stripMargin,
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(toks, x -> x IN ${sqlHits(stopEn)})) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(toks, x -> x IN ${sqlHits(stopEs)})) AS BIGINT) AS s_es,
+         |  CAST(len(list_filter(toks, x -> x IN ${sqlHits(stopDe)})) AS BIGINT) AS s_de,
+         |  CAST(len(list_filter(toks, x -> x IN ${sqlHits(stopFr)})) AS BIGINT) AS s_fr
+         |FROM t)
+         |SELECT doc_id, lang AS lang_label, s_en, s_es, s_de, s_fr,
+         |  CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
+         |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de'
+         |       ELSE 'fr' END AS pred_lang
+        |FROM s""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(str_split(text, ' '),
+        |        x -> CAST(length(x) * 7 + ascii(x[1]) AS BIGINT))),
+        |    (acc, term) -> (acc * 31 + term) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin)
+}

