@@ -53,27 +53,34 @@ object Dedup {
     22222L, 33333L, 44444L, 55555L, 66666L, 77777L,
     88888L, 99999L, 10101L, 20202L)
 
-  /** 16-perm MinHash signature column over a shingle-array column. */
-  def minhashSig(grams: Column): Column = {
-    val aArr = array(permA.map(lit): _*)
-    val bArr = array(permB.map(lit): _*)
-    transform(sequence(lit(0), lit(numPerms - 1)), i =>
-      array_min(transform(grams, g =>
-        pmod(element_at(aArr, i + 1) * pmod(xxhash64(g), lit(P2))
-          + element_at(bArr, i + 1), lit(P)))))
+  /** MinHash signature as 16 columns m0..m15, computed by exploding
+    * shingles and running 16 codegen'd `min` aggregates over one shared
+    * per-shingle hash. (A higher-order-function formulation is
+    * CodegenFallback — interpreted — and was ~10x slower; the explode +
+    * hash-aggregate shape is also exactly what scales: map-side partial
+    * mins, one small shuffle keyed by doc_id.) */
+  def minhashSigs(docs: DataFrame): DataFrame = {
+    val h = pmod(xxhash64(col("g")), lit(P2))
+    docs.filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("g"))
+      .withColumn("h", h)
+      .groupBy("doc_id")
+      .agg(
+        min(pmod(lit(permA.head) * col("h") + lit(permB.head), lit(P))).as("m0"),
+        (1 until numPerms).map(i =>
+          min(pmod(lit(permA(i)) * col("h") + lit(permB(i)), lit(P)))
+            .as(s"m$i")): _*)
   }
 
   /** (doc_id, band_id, bucket) — LSH banding of the MinHash signature;
     * near-dup candidates are rows sharing (band_id, bucket). */
   def minhashBands(docs: DataFrame): DataFrame = {
-    val sig = minhashSig(shingles(tokens(col("text"))))
-    docs.filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), sig.as("sig"))
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(numPerms / bandRows - 1)),
-          b => struct(b.as("band_id"),
-            xxhash64(b, slice(col("sig"), b * bandRows + 1, lit(bandRows)))
-              .as("bucket")))).as("bb"))
+    val bands = (0 until numPerms / bandRows).map { b =>
+      val cols = (b * bandRows until (b + 1) * bandRows).map(i => col(s"m$i"))
+      struct(lit(b).as("band_id"), xxhash64(cols: _*).as("bucket"))
+    }
+    minhashSigs(docs)
+      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band_id"), col("bb.bucket"))
   }
 
@@ -99,19 +106,24 @@ object Dedup {
 
   /** 48-bit SimHash over tokens: bit k is the sign of the sum of
     * (+1/-1) votes from bit k of each token's xxhash64. 48 bits keeps
-    * the packing arithmetic overflow-free under ANSI mode. */
-  def simhash(t: Column): Column = {
-    val bits: Seq[Column] = (0 until 48).map { k =>
-      when(aggregate(t, lit(0L), (acc, tok) =>
-        acc + shiftright(xxhash64(tok), k).bitwiseAND(lit(1L)) * 2 - 1)
-        > 0, lit(1L)).otherwise(lit(0L))
-    }
-    bits.foldLeft(lit(0L))((acc, b) => acc * 2 + b)
+    * the packing arithmetic overflow-free under ANSI mode. Same
+    * explode + hash-aggregate shape as MinHash: one xxhash64 per token,
+    * 48 codegen'd sums, map-side partials, doc_id-keyed shuffle. */
+  def simhashSigs(docs: DataFrame): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 48).map(k =>
+      sum(shiftright(col("h"), k).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$k"))
+    val packed = (0 until 48)
+      .map(k => when(col(s"v$k") > 0, lit(1L)).otherwise(lit(0L)))
+      .reduceLeft((acc, b) => acc * 2 + b)
+    exploded.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), packed.as("simhash48"))
   }
 
   def simhashQuery(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), simhash(tokens(col("text"))).as("simhash48"))
+    simhashSigs(Tables.load(spark, dir, "documents"))
 
   /** Hamming distance between two packed simhash columns. */
   def hamming(a: Column, b: Column): Column =

