@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 64-token doc; near-dup differs in ONE token (trigram jaccard ~0.9,
+  // which 4 bands x 4 rows detects with p ~0.99 and these fixed
+  // permutations detect deterministically), plus an unrelated doc.
+  val base: String = (1 to 64).map(i => s"tok$i").mkString(" ")
+  val near: String = (1 to 64).map(i => if (i == 60) "CHANGED" else s"tok$i")
+    .mkString(" ")
+  val other: String = (1 to 64).map(i => s"other$i").mkString(" ")
+
+  def docs = Seq(
+    (0L, base), (1L, base), // exact dups
+    (2L, near),
+    (3L, other)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest doc_id per identical text") {
+    val out = Dedup.exactDedup(spark, SparkTestSession.sf)
+    // corpus has no exact dups: every group has cnt == 1
+    assert(out.filter($"cnt" =!= 1).isEmpty)
+    // planted dups collapse
+    val planted = docs.groupBy(sha2($"text", 256).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("cnt"))
+    assert(planted.filter($"cnt" === 2 && $"keep_id" === 0).count() == 1)
+  }
+
+  test("minhash LSH finds exact and near duplicates as candidates") {
+    val cands = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)), "exact dup pair must be a candidate")
+    assert(cands.contains((0L, 2L)) || cands.contains((1L, 2L)),
+      "near dup should share at least one band")
+    assert(!cands.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val sig = Dedup.simhashSigs(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(1L))
+    val h02 = java.lang.Long.bitCount(sig(0L) ^ sig(2L))
+    val h03 = java.lang.Long.bitCount(sig(0L) ^ sig(3L))
+    assert(h02 < h03, s"near-dup hamming $h02 should be < unrelated $h03")
+    assert(h02 <= 12)
+  }
+
+  test("exact trigram jaccard on corpus is within (0, 1] and symmetric keys ordered") {
+    val out = Dedup.jaccardExact(spark, SparkTestSession.sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Similarity
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("knn_brute matches a hand-computed nearest neighbor") {
+    // brute-force in Scala over the same parquet
+    val e = Tables.load(spark, SparkTestSession.sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q0 = e.find(_._1 == 0L).get._2
+    val expected = e.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q0, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+
+    val got = Similarity.knnBrute(spark, SparkTestSession.sf)
+      .filter("query_id = 0").orderBy("rn")
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == expected)
+  }
+
+  test("embed_neardup emits ordered pairs above threshold only") {
+    val rows = Similarity.embedNearDup(spark, SparkTestSession.sf).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("knn_ivf returns ranked neighbors for every query it covers") {
+    val rows = Similarity.knnIvf(spark, SparkTestSession.sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 3))
+  }
+}

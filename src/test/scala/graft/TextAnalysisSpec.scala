@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.TextAnalysis
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("token stats: n_tokens/n_distinct/n_chars agree with Scala") {
+    val docs = Tables.load(spark, SparkTestSession.sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.textStats(spark, SparkTestSession.sf).collect()
+    got.take(50).foreach { r =>
+      val t = docs(r.getLong(0)).split(" ", -1)
+      assert(r.getLong(1) == t.length)
+      assert(r.getLong(2) == t.distinct.length)
+      assert(r.getLong(3) == docs(r.getLong(0)).length)
+    }
+  }
+
+  test("quality: ratios bounded and class consistent") {
+    val rows = TextAnalysis.textQuality(spark, SparkTestSession.sf).collect()
+    rows.foreach { r =>
+      val ratio = r.getDouble(3)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      val keep = r.getString(5) == "keep"
+      assert(keep == (r.getLong(1) >= 40 && r.getLong(2) > 0))
+    }
+  }
+
+  test("langid: prediction always one of the supported tags") {
+    val rows = TextAnalysis.langId(spark, SparkTestSession.sf).collect()
+    val tags = Set("en", "es", "de", "fr", "und")
+    assert(rows.forall(r => tags.contains(r.getString(6))))
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    import spark.implicits._
+    val a = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
+      .toDF("doc_id", "text").createOrReplaceTempView("tmp_fp")
+    val fps = TextAnalysis.fingerprint(spark, SparkTestSession.sf)
+    // corpus-level: rerun equals itself
+    val x = fps.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val y = fps.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(x == y)
+  }
+}
