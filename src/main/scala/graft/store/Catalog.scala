@@ -1,0 +1,119 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog bootstrap + snapshot + retention (SURVEY.md K2/K3/M4/A5/S4).
+  *
+  * The reference creates `stock_data` via DDL as the first DAG task
+  * (reference/dags/stock_data_pipeline.py:23-41) and documents two
+  * operational tables (`stock_metadata`, `pipeline_logs`,
+  * reference/README.md:127-134) that its smoke test asserts exist
+  * (reference/Makefile:138); we create all three. DECIMAL(15,4) price
+  * columns and the composite (symbol, timestamp) key are kept as
+  * declared. Tables are plain managed parquet tables — at scale they'd
+  * be date-partitioned (see Upsert.writePartitioned).
+  */
+object Catalog {
+
+  val tableNames: Seq[String] = Seq("stock_data", "stock_metadata", "pipeline_logs")
+
+  /** Explicit external-table root: the driver recreates the Spark
+    * session (and its in-memory catalog) every round, so managed-table
+    * locations would orphan. External LOCATIONs re-attach cleanly. */
+  def warehouse: String =
+    sys.env.getOrElse("GRAFT_WAREHOUSE", "/root/repo/data/warehouse")
+
+  val stockDataDdl: String =
+    """CREATE TABLE IF NOT EXISTS stock_data (
+      |  symbol STRING NOT NULL,
+      |  timestamp TIMESTAMP NOT NULL,
+      |  open_price DECIMAL(15,4),
+      |  high_price DECIMAL(15,4),
+      |  low_price DECIMAL(15,4),
+      |  close_price DECIMAL(15,4),
+      |  volume BIGINT,
+      |  last_refreshed TIMESTAMP,
+      |  time_zone STRING,
+      |  created_at TIMESTAMP
+      |) USING PARQUET LOCATION '${warehouse}/stock_data'""".stripMargin
+      .replace("${warehouse}", warehouse)
+
+  val stockMetadataDdl: String =
+    """CREATE TABLE IF NOT EXISTS stock_metadata (
+      |  symbol STRING NOT NULL,
+      |  last_updated TIMESTAMP,
+      |  last_fetch_success BOOLEAN,
+      |  error_message STRING,
+      |  total_records BIGINT
+      |) USING PARQUET LOCATION '${warehouse}/stock_metadata'""".stripMargin
+      .replace("${warehouse}", warehouse)
+
+  val pipelineLogsDdl: String =
+    """CREATE TABLE IF NOT EXISTS pipeline_logs (
+      |  dag_id STRING,
+      |  task_id STRING,
+      |  execution_date TIMESTAMP,
+      |  status STRING,
+      |  duration DOUBLE,
+      |  error_message STRING,
+      |  records_processed BIGINT,
+      |  created_at TIMESTAMP
+      |) USING PARQUET LOCATION '${warehouse}/pipeline_logs'""".stripMargin
+      .replace("${warehouse}", warehouse)
+
+  /** O1 first stage: DDL before any ingest. Idempotent. */
+  def bootstrap(spark: SparkSession): Unit =
+    Seq(stockDataDdl, stockMetadataDdl, pipelineLogsDdl).foreach(spark.sql(_))
+
+  /** S4/A5: catalog existence check over the three expected tables. */
+  def tablesPresent(spark: SparkSession): DataFrame = {
+    bootstrap(spark)
+    val present = tableNames.filter(spark.catalog.tableExists)
+    import spark.implicits._
+    present.sorted.toDF("table_name")
+  }
+
+  /** K3: full-table snapshot (the pg_dump analog) and restore. */
+  def snapshot(spark: SparkSession, table: String, path: String): Unit =
+    spark.table(table).write.mode("overwrite").parquet(path)
+
+  def restore(spark: SparkSession, path: String, table: String): Unit =
+    spark.read.parquet(path).write.mode("overwrite").insertInto(table)
+
+  /** M4/P10: retention — delete stock rows older than `days` and log
+    * rows older than 30 days, by anti-filter rewrite (the scalable
+    * form: with date-partitioned storage this prunes to expired
+    * partitions only). Returns rows deleted per table. */
+  def applyRetention(spark: SparkSession, now: java.sql.Timestamp,
+      dataDays: Int = 365, logDays: Int = 30): Map[String, Long] = {
+    def sweep(table: String, tsCol: String, days: Int): Long = {
+      val cutoff = new java.sql.Timestamp(
+        now.getTime - days.toLong * 24 * 3600 * 1000)
+      val all = spark.table(table)
+      val kept = all.filter(col(tsCol) >= lit(cutoff))
+      val deleted = all.count() - kept.count()
+      if (deleted > 0) {
+        // stage surviving rows before overwriting the table being read
+        // (never collects to the driver; at scale this is a partition-
+        // pruned rewrite of expired date partitions only)
+        val staging = java.nio.file.Files
+          .createTempDirectory(s"graft_retention_$table").toString
+        kept.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").insertInto(table)
+      }
+      deleted
+    }
+    Map(
+      "stock_data" -> sweep("stock_data", "timestamp", dataDays),
+      "pipeline_logs" -> sweep("pipeline_logs", "created_at", logDays))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_tables" -> ((s, _) => tablesPresent(s)))
+
+  val oracles: Map[String, String] = Map(
+    "catalog_tables" ->
+      """SELECT * FROM (VALUES ('pipeline_logs'), ('stock_data'),
+        | ('stock_metadata')) AS t(table_name)""".stripMargin)
+}
