@@ -29,6 +29,25 @@ object Tables {
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Events with a time filter applied on the RAW nanosecond column,
+    * before the micros conversion. Filtering after the conversion
+    * defeats parquet predicate pushdown (the converted column is an
+    * expression, not a scan column); this form pushes a plain
+    * `ts >= <ns>` range onto the bigint column, so row groups outside
+    * the window are skipped at the scan — the difference between
+    * reading a retention window and reading 100 TB. Semantically
+    * identical to filtering on the full-precision ns value (which is
+    * exactly what the DuckDB oracle does). */
+  def eventsFrom(spark: SparkSession, dir: String, cutoffUtc: String): DataFrame = {
+    val i = java.time.LocalDateTime.parse(cutoffUtc.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC)
+    val cutoffNs = i.getEpochSecond * 1000000000L + i.getNano
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("ts") >= lit(cutoffNs))
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
   /** Register every table as a temp view so spark.sql(...) works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -40,10 +40,9 @@ object CoreQueries {
         max("o_orderdate").as("max_date"))
 
   /** A3: time-filtered two-key group count (pipeline-health analog).
-    * The ts >= literal predicate is pushed into the parquet scan. */
+    * The predicate is pushed onto the raw ns column at the scan. */
   def recentByGroup(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
-      .filter(col("ts") >= expr("TIMESTAMP '2024-01-15 00:00:00'"))
+    Tables.eventsFrom(spark, dir, "2024-01-15 00:00:00")
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"))
 
@@ -79,9 +78,7 @@ object CoreQueries {
   /** P10/M4: retention — keep rows newer than anchor - 15 days; summary
     * per group (delete = anti-filter of this predicate). */
   def retentionFilter(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
-      .filter(col("ts") >=
-        expr("TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 15 DAY"))
+    Tables.eventsFrom(spark, dir, "2024-01-17 00:00:00") // anchor - 15 days
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"),
         date_trunc("second", min("ts")).as("min_ts_s"))
