@@ -30,7 +30,8 @@ object SparkEntry {
       functions.TextAnalysis.queries ++
       streaming.EventStream.queries ++
       store.Catalog.queries ++
-      pipeline.StockPipeline.queries
+      pipeline.StockPipeline.queries ++
+      streaming.Sessionize.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -45,5 +46,6 @@ object SparkEntry {
       functions.TextAnalysis.oracles ++
       streaming.EventStream.oracles ++
       store.Catalog.oracles ++
-      pipeline.StockPipeline.oracles
+      pipeline.StockPipeline.oracles ++
+      streaming.Sessionize.oracles
 }

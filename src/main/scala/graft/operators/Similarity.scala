@@ -127,29 +127,30 @@ object Similarity {
   /** IVF-style ANN: probe only the query's centroid bucket; top-3 per
     * query. Approximate by construction — driver records rows-only. */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(spark, dir)
+    import graft.functions.VectorExpressions.cosine_sim
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("v"))
     val cents = e.filter(col("vec_id") % 97 === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-        col("nrm").as("cnrm"))
-    // assign every vector to its nearest centroid (broadcast centroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    // assign every vector to its nearest centroid (broadcast centroids);
+    // cosine_sim is the native codegen'd Catalyst expression
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cent_id").asc)
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("csim", cosine_sim(col("v"), col("cv")))
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+      .select(col("vec_id"), col("v"), col("cent_id"))
     val queries = assigned.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("cent_id").as("qcent"))
+        col("cent_id").as("qcent"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     assigned.join(broadcast(queries), col("cent_id") === col("qcent")
         && col("vec_id") =!= col("query_id"))
-      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .withColumn("sim", cosine_sim(col("v"), col("qv")))
       .withColumn("rn", row_number().over(wTop).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rn"))

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sessionization over the events stream: a session ends after a 30-min
+  * gap in a user's activity.
+  *
+  * Two implementations with identical semantics:
+  *  - [[sessionizeBatch]]: lag + running-count windows (the batch/oracle
+  *    form; one shuffle on user_id, sort within partitions);
+  *  - [[sessionizeStateful]]: `flatMapGroupsWithState` (the Structured
+  *    Streaming form the reference's scheduled micro-batch semantics
+  *    map onto — SURVEY.md §2.8; state is one (lastTs, sessionId,
+  *    count) triple per user, TTL'd by watermark in production).
+  * The spec asserts both produce the same sessions.
+  */
+object Sessionize {
+
+  val gapMinutes = 30
+
+  /** Batch form: session boundaries via lag(), ids via running count of
+    * boundaries — deterministic, DuckDB-expressible. */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val newSession =
+      when(col("prev_ts").isNull, 1L)
+        .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+          > gapMinutes * 60L, 1L)
+        .otherwise(0L)
+    Tables.load(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new", newSession)
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        date_trunc("second", min("ts")).as("session_start_s"))
+  }
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      session_start_s: java.sql.Timestamp)
+  case class SessState(lastTsMs: Long, sessionId: Long, count: Long,
+      startMs: Long)
+
+  /** Keyed-state form: one running (lastTs, sessionId, count, start)
+    * record per user, exactly the state a streaming
+    * `flatMapGroupsWithState` deployment would keep (with a watermark
+    * TTL closing idle sessions). Driven here over bounded per-group
+    * iterators via `flatMapGroups`, emitting closed sessions plus the
+    * final open one — the spec asserts it matches the batch form. */
+  def sessionizeStateful(spark: SparkSession, dir: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    val evs = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id")).as[Ev]
+    evs.groupByKey(_.user_id)
+      .flatMapGroups { (uid, it) =>
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        var st: SessState = null
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          if (st == null) st = SessState(t, 1L, 1L, t)
+          // second-truncated gap, matching the batch form's unix_timestamp
+          else if (t / 1000 - st.lastTsMs / 1000 > gapMinutes * 60L) {
+            out += SessionOut(uid, st.sessionId, st.count,
+              new java.sql.Timestamp(st.startMs - st.startMs % 1000))
+            st = SessState(t, st.sessionId + 1, 1L, t)
+          } else st = st.copy(lastTsMs = t, count = st.count + 1)
+        }
+        if (st != null)
+          out += SessionOut(uid, st.sessionId, st.count,
+            new java.sql.Timestamp(st.startMs - st.startMs % 1000))
+        out
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sessionize" -> sessionizeBatch _)
+
+  val oracles: Map[String, String] = Map(
+    "sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, event_id,
+    |    CASE WHEN prev_ts IS NULL THEN 1
+        |         WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
+        |  CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start_s
+        |FROM s GROUP BY user_id, session_id""".stripMargin)
+}

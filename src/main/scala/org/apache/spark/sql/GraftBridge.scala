@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column <-> Expression bridge for graft's native Catalyst expressions.
+  * Spark 4 made these conversions private[sql] (Column became
+  * connect-agnostic), so third-party expressions provide a shim in the
+  * sql package — the standard extension pattern. */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
