@@ -24,11 +24,28 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct word-trigram shingles of the token array (docs here always
-    * have >= 3 tokens; callers filter otherwise). */
+    * have >= 3 tokens; callers filter otherwise). Column form — used
+    * where the array shape is needed; the row form below is the fast
+    * path for exploded pipelines. */
   def shingles(t: Column): Column = array_distinct(
     transform(sequence(lit(0), size(t) - 3),
       i => concat_ws(" ",
         element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+
+  /** Trigram shingles as rows (doc_id, g) — NOT distinct. posexplode +
+    * lead() windows keep generation fully codegen'd (the array-transform
+    * form runs interpreted); docs with < 3 tokens yield no rows. One
+    * doc_id-keyed sort, no lambda evaluation. */
+  def shingleRows(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("g"))
+  }
 
   /** Exact dedup: content-hash groupBy; keeps the smallest doc_id per
     * identical text (deterministic survivor). */
@@ -60,10 +77,9 @@ object Dedup {
     * hash-aggregate shape is also exactly what scales: map-side partial
     * mins, one small shuffle keyed by doc_id.) */
   def minhashSigs(docs: DataFrame): DataFrame = {
-    val h = pmod(xxhash64(col("g")), lit(P2))
-    docs.filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("g"))
-      .withColumn("h", h)
+    // duplicates don't affect a min, so shingle rows need no distinct
+    shingleRows(docs)
+      .withColumn("h", pmod(xxhash64(col("g")), lit(P2)))
       .groupBy("doc_id")
       .agg(
         min(pmod(lit(permA.head) * col("h") + lit(permB.head), lit(P))).as("m0"),
@@ -136,12 +152,10 @@ object Dedup {
     * |A∪B| = |A|+|B|-|A∩B|. Output: all intersecting pairs with their
     * similarity. This is the verifier used behind LSH candidates. */
   def jaccardExact(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val sample = Tables.load(spark, dir, "documents")
       .filter(col("doc_id") % 7 === 0)
-      .filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), shingles(tokens(col("text"))).as("grams"))
-    val sizes = docs.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
-    val tok = docs.select(col("doc_id"), explode(col("grams")).as("g"))
+    val tok = shingleRows(sample).distinct()
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = tok.alias("a")
       .join(tok.alias("b"), col("a.g") === col("b.g")
         && col("a.doc_id") < col("b.doc_id"))
