@@ -13,6 +13,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb one-time session cost (codegen compiler, parquet footer
+    // reads, broadcast machinery) so per-query numbers measure the
+    // queries, not JVM warmup
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      SparkEntry.queries.get("core_records_per_group")
+        .foreach(_(spark, sfDir).count())
+      // from_json/to_timestamp machinery has its own first-touch cost
+      SparkEntry.queries.get("ingest_parse").foreach(_(spark, sfDir).count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

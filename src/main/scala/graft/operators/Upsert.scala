@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Keyed upsert (K1) — the reference's `INSERT ... ON CONFLICT (symbol,
@@ -33,17 +32,23 @@ object Upsert {
   def upsert(current: DataFrame, batch: DataFrame, keys: Seq[String],
       preserve: Seq[String] = Nil): DataFrame = {
     val cols = current.columns.toSeq
+    val updateCols = cols.filterNot(c => keys.contains(c) || preserve.contains(c))
     val tagged = current.withColumn("_writer", lit(0))
       .unionByName(batch.select(cols.map(col): _*).withColumn("_writer", lit(1)))
-    val keyCols = keys.map(col)
-    val newestFirst = Window.partitionBy(keyCols: _*).orderBy(col("_writer").desc)
-    val oldestFirst = Window.partitionBy(keyCols: _*).orderBy(col("_writer").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val preserved = preserve.foldLeft(
-      tagged.withColumn("_rn", row_number().over(newestFirst))) {
-      (df, c) => df.withColumn(c, first(col(c)).over(oldestFirst))
-    }
-    preserved.filter(col("_rn") === 1).select(cols.map(col): _*)
+    // One hash aggregation, no sort: the newest writer's update columns
+    // via max_by over a struct, the first writer's preserve columns via
+    // min_by. Partial aggregation collapses duplicate keys map-side, so
+    // the shuffle carries at most one row per (partition, key) — the
+    // cheapest possible merge shape.
+    val aggs =
+      max_by(struct(updateCols.map(col): _*), col("_writer")).as("_u") +:
+        preserve.map(c => min_by(col(c), col("_writer")).as(c))
+    tagged.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(cols.map {
+        case c if updateCols.contains(c) => col(s"_u.$c").as(c)
+        case c => col(c)
+      }: _*)
   }
 
   /** Write the merged table as date-partitioned parquet with dynamic
