@@ -31,7 +31,8 @@ object SparkEntry {
       streaming.EventStream.queries ++
       store.Catalog.queries ++
       pipeline.StockPipeline.queries ++
-      streaming.Sessionize.queries
+      streaming.Sessionize.queries ++
+      operators.SkewJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -47,5 +48,6 @@ object SparkEntry {
       streaming.EventStream.oracles ++
       store.Catalog.oracles ++
       pipeline.StockPipeline.oracles ++
-      streaming.Sessionize.oracles
+      streaming.Sessionize.oracles ++
+      operators.SkewJoin.oracles
 }
