@@ -32,7 +32,9 @@ object SparkEntry {
       store.Catalog.queries ++
       pipeline.StockPipeline.queries ++
       streaming.Sessionize.queries ++
-      operators.SkewJoin.queries
+      operators.SkewJoin.queries ++
+      operators.AsofJoin.queries ++
+      analytics.OlapQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -49,5 +51,7 @@ object SparkEntry {
       store.Catalog.oracles ++
       pipeline.StockPipeline.oracles ++
       streaming.Sessionize.oracles ++
-      operators.SkewJoin.oracles
+      operators.SkewJoin.oracles ++
+      operators.AsofJoin.oracles ++
+      analytics.OlapQueries.oracles
 }

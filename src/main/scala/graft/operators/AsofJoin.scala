@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each right-side row, the latest left-side row with
+  * ts <= right.ts within the same key. The canonical time-series
+  * operator (quote-to-trade matching in the reference's stock domain;
+  * here: each purchase event matched to the user's most recent prior
+  * view event).
+  *
+  * Implementation is the merge-scan form, not a range join: union both
+  * sides tagged, sort within each user by (ts, side), and carry the
+  * last seen left row forward with `last(_, ignoreNulls)` over an
+  * unbounded-preceding window. One shuffle on the key, one sort, zero
+  * pair explosion — this is the shape that survives 100 TB, unlike a
+  * `ts BETWEEN` self-join whose intermediate is quadratic in events
+  * per key. (DuckDB expresses the same operator natively as ASOF JOIN,
+  * which is the oracle.)
+  */
+object AsofJoin {
+
+  /** Generic form: left/right must share `key`; both need `ts`.
+    * Emits right rows with the as-of matched left columns (nullable). */
+  def asof(left: DataFrame, right: DataFrame, key: String,
+      leftCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("_side", lit(0))
+      .withColumn("_l", struct(leftCols.map(col): _*))
+    val r = right.withColumn("_side", lit(1))
+      .withColumn("_l", lit(null).cast(l.schema("_l").dataType))
+    val commonCols = r.columns.toSeq
+    val unioned = l.select(commonCols.map(col): _*).unionByName(r)
+    // left rows sort before right rows on ties, so an exactly-equal ts
+    // matches (ASOF's <= semantics)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_match", last(col("_l"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side", "_l")
+  }
+
+  /** Gate query: purchases matched to the user's latest prior view. */
+  def purchaseToView(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    asof(views, purchases, "user_id", Seq("ts", "event_id"))
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("_match.event_id").as("view_id"),
+        (unix_timestamp(col("ts"))
+          - unix_timestamp(col("_match.ts"))).as("gap_s"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> purchaseToView _)
+
+  val oracles: Map[String, String] = Map(
+    "asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  v.event_id AS view_id,
+        |  CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_s
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin)
+}

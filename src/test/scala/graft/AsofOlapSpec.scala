@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.AsofJoin
+import graft.analytics.OlapQueries
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsofOlapSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("asof matches latest left row at or before each right ts") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val views = Seq(
+      (1L, t("2024-01-01 10:00:00"), 100L),
+      (1L, t("2024-01-01 11:00:00"), 101L),
+      (2L, t("2024-01-01 12:00:00"), 200L))
+      .toDF("user_id", "ts", "event_id")
+    val purchases = Seq(
+      (1L, t("2024-01-01 10:30:00"), 900L), // -> view 100
+      (1L, t("2024-01-01 11:00:00"), 901L), // equal ts -> view 101
+      (2L, t("2024-01-01 09:00:00"), 902L), // no prior view -> null
+      (3L, t("2024-01-01 09:00:00"), 903L)) // user with no views -> null
+      .toDF("user_id", "ts", "event_id")
+    val out = AsofJoin.asof(views, purchases, "user_id", Seq("ts", "event_id"))
+      .selectExpr("event_id", "_match.event_id AS view_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(900L -> 100L, 901L -> 101L, 902L -> -1L, 903L -> -1L))
+  }
+
+  test("approx_count_distinct stays within the configured error bound") {
+    val rows = OlapQueries.approxDistinct(spark, SparkTestSession.sf).collect()
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("rollup emits leaf, subtotal, and grand-total levels") {
+    val out = OlapQueries.rollupRevenue(spark, SparkTestSession.sf).collect()
+    assert(out.count(r => r.getString(0) == "ALL" && r.getString(1) == "ALL") == 1)
+    val leafCnt = out.filter(r =>
+      r.getString(0) != "ALL" && r.getString(1) != "ALL").map(_.getLong(3)).sum
+    val total = out.find(r =>
+      r.getString(0) == "ALL" && r.getString(1) == "ALL").get.getLong(3)
+    assert(leafCnt == total)
+  }
+}
