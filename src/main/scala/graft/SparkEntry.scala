@@ -34,7 +34,8 @@ object SparkEntry {
       streaming.Sessionize.queries ++
       operators.SkewJoin.queries ++
       operators.AsofJoin.queries ++
-      analytics.OlapQueries.queries
+      analytics.OlapQueries.queries ++
+      store.Bucketing.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -53,5 +54,6 @@ object SparkEntry {
       streaming.Sessionize.oracles ++
       operators.SkewJoin.oracles ++
       operators.AsofJoin.oracles ++
-      analytics.OlapQueries.oracles
+      analytics.OlapQueries.oracles ++
+      store.Bucketing.oracles
 }

@@ -1,0 +1,83 @@
+package graft.store
+
+import graft.Tables
+import graft.Tables.dec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located join (scale pattern): pre-hash-partition both
+  * fact tables on the join key at write time so the join needs NO
+  * exchange at read time — the killer optimization for repeated
+  * fact-fact joins at 100 TB, where a single lineitem⋈orders shuffle
+  * can dominate a workload. Buckets also feed bucket-pruned point
+  * lookups.
+  *
+  * Bucket metadata lives in the session catalog, so the DDL (which
+  * re-attaches the existing LOCATION) runs idempotently every session;
+  * the data itself is written once per scale factor.
+  */
+object Bucketing {
+
+  val Buckets = 8
+
+  private def sfTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Create (or re-attach) bucketed copies of lineitem/orders for this
+    * scale factor, populating them on first use. */
+  def bootstrap(spark: SparkSession, dir: String): (String, String) = {
+    val tag = sfTag(dir)
+    val (liT, oT) = (s"lineitem_b_$tag", s"orders_b_$tag")
+    val loc = s"${Catalog.warehouse}/bucketed/$tag"
+    def ddl(name: String, srcCols: String, key: String, src: String): Unit = {
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $name ($srcCols)
+           |USING PARQUET
+           |CLUSTERED BY ($key) INTO $Buckets BUCKETS
+           |LOCATION '$loc/$name'""".stripMargin)
+      if (spark.table(name).isEmpty) {
+        Tables.load(spark, dir, src)
+          .write.mode("overwrite").insertInto(name)
+      }
+    }
+    ddl(liT,
+      """l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,
+        |l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE,
+        |l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING,
+        |l_linestatus STRING, l_shipdate TIMESTAMP_NTZ""".stripMargin,
+      "l_orderkey", "lineitem")
+    ddl(oT,
+      """o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        |o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ,
+        |o_orderpriority STRING""".stripMargin,
+      "o_orderkey", "orders")
+    (liT, oT)
+  }
+
+  /** Gate query: revenue by order status via the bucketed join — the
+    * plan has no Exchange on either join side (asserted by the spec);
+    * result is identical to the plain-parquet join oracle. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (liT, oT) = bootstrap(spark, dir)
+    spark.table(liT)
+      .join(spark.table(oT),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bucketed" -> bucketedJoin _)
+
+  val oracles: Map[String, String] = Map(
+    "join_bucketed" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |           * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin)
+}
