@@ -35,6 +35,7 @@ object SparkEntry {
       operators.SkewJoin.queries ++
       operators.AsofJoin.queries ++
       analytics.OlapQueries.queries ++
+      analytics.FunctionQueries.queries ++
       store.Bucketing.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -55,5 +56,6 @@ object SparkEntry {
       operators.SkewJoin.oracles ++
       operators.AsofJoin.oracles ++
       analytics.OlapQueries.oracles ++
+      analytics.FunctionQueries.oracles ++
       store.Bucketing.oracles
 }
