@@ -87,11 +87,25 @@ object TextAnalysis {
       .select(col("doc_id"), fp.as("fingerprint"))
   }
 
+  /** Corpus term frequencies: explode tokens -> hash-agg counts ->
+    * top-25 by (count desc, term). The generator-shaped (UDTF-like)
+    * operator from SURVEY.md §2.10: term expansion is `explode` of a
+    * split array, aggregation is map-side-partial counts, and the
+    * top-k is a TakeOrderedAndProject — no global sort. */
+  def termFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("term"))
+      .limit(25)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats _,
     "text_quality" -> textQuality _,
     "text_langid" -> langId _,
-    "text_fingerprint" -> fingerprint _)
+    "text_fingerprint" -> fingerprint _,
+    "text_terms" -> termFreq _)
 
   private def sqlHits(l: Seq[String]): String =
     l.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -131,6 +145,10 @@ object TextAnalysis {
          |       WHEN s_de >= s_fr THEN 'de'
          |       ELSE 'fr' END AS pred_lang
         |FROM s""".stripMargin,
+    "text_terms" ->
+      """SELECT term, count(*) AS cnt
+        |FROM (SELECT unnest(str_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 25""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(
