@@ -71,9 +71,69 @@ object Multimodal {
       .select(col("asset_id"), col("width"), col("height"),
         explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
 
+  // --- feature extraction + similarity composition ----------------------
+
+  /** Deterministic fake featurizer: 16-bucket byte histogram, L1
+    * normalized — stands in for an image/audio embedding model. Real
+    * deployments swap this function; the pipeline shape (binary column
+    * in, fixed-width vector out, per-partition batching) is the real
+    * contract. */
+  def featurizeStub(payload: Array[Byte]): Array[Double] = {
+    val h = new Array[Double](16)
+    var i = 0
+    while (i < payload.length) { h((payload(i) & 0xff) / 16) += 1.0; i += 1 }
+    val n = math.max(payload.length, 1).toDouble
+    var j = 0
+    while (j < 16) { h(j) /= n; j += 1 }
+    h
+  }
+
+  case class AssetFeature(asset_id: Long, kind: String, feature: Array[Double])
+
+  /** Decode->featurize stage: same mapPartitions batch shape as
+    * decodeAll (model handle initialized once per partition). */
+  def featurize(assets: Dataset[Asset]): Dataset[AssetFeature] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      // per-partition featurizer/model init would go here
+      batch.map(a => AssetFeature(a.asset_id, a.kind, featurizeStub(a.payload)))
+    }
+  }
+
+  /** End-to-end multimodal search: payload -> feature vector -> top-3
+    * most-similar assets of the same kind for the first 5 assets of
+    * each kind. Composes the multimodal plumbing with the ANN kernel
+    * (Similarity.pairSims). Approximate feature space -> rows-only. */
+  def featureKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = featurize(assets(spark, dir))
+      .map { f =>
+        var s = 0.0; var i = 0
+        while (i < f.feature.length) { s += f.feature(i) * f.feature(i); i += 1 }
+        (f.asset_id, f.kind, f.feature, math.sqrt(s))
+      }.toDF("id", "kind", "v", "n")
+    val vecs = feats.select(col("id"), col("v"), col("n"))
+      .as[Similarity.Vec]
+    val probes = feats.filter(col("id") < 15)
+      .select(col("id"), col("v"), col("n")).as[Similarity.Vec].collect()
+    val kinds = feats.select(col("id").as("a_id"), col("kind"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("sim").desc, col("a").asc)
+    Similarity.pairSims(vecs, probes, (c, q) => c != q, minSim = -2.0)
+      .join(kinds, col("a") === col("a_id"))
+      .join(kinds.select(col("a_id").as("b_id"), col("kind").as("qkind")),
+        col("b") === col("b_id"))
+      .filter(col("kind") === col("qkind"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("b").as("query_asset"), col("a").as("similar_asset"),
+        col("kind"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> metaQuery _,
-    "multimodal_frames" -> frameSample _)
+    "multimodal_frames" -> frameSample _,
+    "multimodal_feature_knn" -> featureKnn _)
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" ->
