@@ -36,6 +36,7 @@ object SparkEntry {
       operators.AsofJoin.queries ++
       analytics.OlapQueries.queries ++
       analytics.FunctionQueries.queries ++
+      functions.TopK.queries ++
       store.Bucketing.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -57,5 +58,6 @@ object SparkEntry {
       operators.AsofJoin.oracles ++
       analytics.OlapQueries.oracles ++
       analytics.FunctionQueries.oracles ++
+      functions.TopK.oracles ++
       store.Bucketing.oracles
 }
