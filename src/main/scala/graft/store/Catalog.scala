@@ -81,6 +81,25 @@ object Catalog {
   def restore(spark: SparkSession, path: String, table: String): Unit =
     spark.read.parquet(path).write.mode("overwrite").insertInto(table)
 
+  /** K3 extension (reference README's export roadmap): export any
+    * DataFrame as parquet/orc/csv/json. Parquet/ORC are the columnar
+    * scale paths (splittable, predicate pushdown, min/max skipping);
+    * CSV/JSON exist for interchange. */
+  def export(df: org.apache.spark.sql.DataFrame, path: String,
+      format: String): Unit = {
+    val w = df.write.mode("overwrite").format(format)
+    (if (format == "csv") w.option("header", "true") else w).save(path)
+  }
+
+  /** Read an export back with an explicit schema (never inferSchema —
+    * SURVEY.md §1.3: the engine's schemas are declared, and inference
+    * would re-scan 100 TB to guess what we already know). */
+  def importAs(spark: SparkSession, path: String, format: String,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
+    val r = spark.read.format(format).schema(schema)
+    (if (format == "csv") r.option("header", "true") else r).load(path)
+  }
+
   /** M4/P10: retention — delete stock rows older than `days` and log
     * rows older than 30 days, by anti-filter rewrite (the scalable
     * form: with date-partitioned storage this prunes to expired
