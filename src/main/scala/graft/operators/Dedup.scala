@@ -102,15 +102,31 @@ object Dedup {
 
   /** Candidate near-dup pairs from LSH buckets (da < db), deduplicated
     * across bands. The shuffle key is the bucket, so co-bucketed docs
-    * meet on one executor without an all-pairs join. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
+    * meet on one executor without an all-pairs join.
+    *
+    * Skew guard: a bucket holding n docs would emit n^2/2 pairs — a
+    * duplicate flood (millions of identical boilerplate pages) melts
+    * one reducer. Buckets larger than `cap` switch to a star pattern
+    * (every member pairs with the bucket's min doc_id only): O(n)
+    * pairs that keep the duplicate cluster connected for
+    * union-find/grouping downstream, which is all dedup needs. */
+  def minhashCandidates(docs: DataFrame, cap: Int = 1024): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_id"), col("bucket"))
     val b = minhashBands(docs)
-    val l = b.select(col("band_id"), col("bucket"), col("doc_id").as("da"))
-    val r = b.select(col("band_id").as("band_id2"), col("bucket").as("bucket2"),
-      col("doc_id").as("db"))
-    l.join(r, l("band_id") === r("band_id2") && l("bucket") === r("bucket2")
+      .withColumn("bcnt", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("doc_id")).over(w))
+    val small = b.filter(col("bcnt") <= cap)
+    val l = small.select(col("band_id"), col("bucket"), col("doc_id").as("da"))
+    val r = small.select(col("band_id").as("band_id2"),
+      col("bucket").as("bucket2"), col("doc_id").as("db"))
+    val allPairs = l.join(r,
+      l("band_id") === r("band_id2") && l("bucket") === r("bucket2")
         && l("da") < r("db"))
-      .select("da", "db").distinct()
+      .select("da", "db")
+    val starPairs = b.filter(col("bcnt") > cap && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("da"), col("doc_id").as("db"))
+    allPairs.union(starPairs).distinct()
   }
 
   /** Gate query: band buckets for every doc (deterministic, non-empty;

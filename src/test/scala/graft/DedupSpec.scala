@@ -52,6 +52,19 @@ class DedupSpec extends AnyFunSuite {
     assert(h02 <= 12)
   }
 
+  test("oversized LSH buckets fall back to O(n) star pairing") {
+    import org.apache.spark.sql.functions._
+    // 40 identical docs land in the same buckets in every band
+    val flood = spark.range(40)
+      .select(col("id").as("doc_id"), lit(base).as("text"))
+    val pairs = graft.operators.Dedup.minhashCandidates(flood, cap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // star pattern: every doc pairs with doc 0 only -> 39 pairs,
+    // not 40*39/2 = 780
+    assert(pairs.length == 39, s"got ${pairs.length}")
+    assert(pairs.forall(_._1 == 0L))
+  }
+
   test("exact trigram jaccard on corpus is within (0, 1] and symmetric keys ordered") {
     val out = Dedup.jaccardExact(spark, SparkTestSession.sf).collect()
     assert(out.nonEmpty)
