@@ -59,11 +59,60 @@ object OlapQueries {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  /** Moment statistics made order-independent: n, sum, mean, and
+    * population variance derived from exact decimal power sums (sum x,
+    * sum x^2) — the trick that makes ANY moment-based statistic
+    * reproducible under parallel partial aggregation. Direct
+    * `stddev`/`var_pop` on doubles would be run-to-run nondeterministic
+    * at high parallelism. */
+  def momentStats(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("o_totalprice"))
+    // square exactly in a narrow decimal: money values fit
+    // DECIMAL(12,2), whose square DECIMAL(25,4) stays within 38 digits
+    // in both engines (squaring DECIMAL(18,4) overflows DuckDB, and
+    // squaring in double rounds differently per engine)
+    val d12 = col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(12, 2))
+    val x2 = d12 * d12
+    // output the exact sufficient statistics plus the single-division
+    // mean: compound double expressions (e.g. s2/n - mean^2) differ by
+    // a few ulps across engines, so derived variance lives in the spec
+    // with a tolerance, not in the hash-compared output
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sum_x"),
+        // sum of squares has ~19 significant digits: decimal->double
+        // loses ulps engine-dependently and integer rounding modes
+        // differ (HALF_UP vs half-even), so ship the exact decimal as
+        // its canonical fixed-scale string
+        sum(x2).cast(org.apache.spark.sql.types.DecimalType(38, 4))
+          .cast("string").as("sum_x2_s"))
+      .select(col("o_orderpriority"), col("n"), col("sum_x"), col("sum_x2_s"),
+        (col("sum_x") / col("n")).as("mean"))
+  }
+
+  /** Array-function surface over the embeddings vectors. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first"),
+        element_at(col("embedding"), -1).cast("double").as("last"),
+        // scalar through slice: array-typed outputs hash-compare
+        // unreliably across engines' text formats
+        element_at(slice(col("embedding"), 1, 3), 3).cast("double")
+          .as("slice3_last"),
+        col("label").cast("long").as("label_l"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_rollup" -> rollupRevenue _,
     "agg_pivot" -> pivotStatus _,
     "agg_percentiles" -> percentiles _,
-    "agg_approx_distinct" -> approxDistinct _)
+    "agg_approx_distinct" -> approxDistinct _,
+    "agg_moments" -> momentStats _,
+    "func_array" -> arrayFuncs _)
 
   val oracles: Map[String, String] = Map(
     "agg_rollup" ->
@@ -83,6 +132,24 @@ object OlapQueries {
       """SELECT o_orderpriority,
         |  quantile_cont(o_totalprice, 0.5) AS p50,
         |  quantile_cont(o_totalprice, 0.9) AS p90
-        |FROM orders GROUP BY o_orderpriority""".stripMargin)
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "agg_moments" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_x,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+        |             * CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,4))
+        |         AS VARCHAR) AS sum_x2_s
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n, sum_x, sum_x2_s, sum_x / n AS mean
+        |FROM s""".stripMargin,
+    "func_array" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first,
+        |  CAST(embedding[-1] AS DOUBLE) AS last,
+        |  CAST(embedding[1:3][3] AS DOUBLE) AS slice3_last,
+        |  CAST(label AS BIGINT) AS label_l
+        |FROM embeddings""".stripMargin)
     // agg_approx_distinct: sketch-based — rows-only.
 }
