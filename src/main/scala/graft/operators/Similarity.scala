@@ -116,12 +116,37 @@ object Similarity {
         round(col("sim"), 4).as("sim_r4"))
   }
 
-  /** Near-duplicate pairs by embedding cosine >= 0.4 (a < b). */
+  /** Near-duplicate pairs by embedding cosine >= 0.4 (a < b).
+    *
+    * Blocked all-pairs scan: probes are broadcast in bounded blocks
+    * (never the whole corpus at once), the corpus side streams from
+    * the scan each pass — the blocked-GEMM shape. Peak driver/executor
+    * broadcast memory is O(blockSize * dim), independent of corpus
+    * size; passes scale linearly with corpus/blockSize. Block ranges
+    * are id-based so each block collect is a pruned filter, not a full
+    * materialization. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val ds = vecDs(spark, dir)
-    val all = ds.collect()
-    pairSims(ds, all, (a, b) => a < b, minSim = 0.4)
-      .select(col("a"), col("b"))
+    allPairsBlocked(ds, minSim = 0.4).select(col("a"), col("b"))
+  }
+
+  /** All-pairs (a < b) similarity via bounded probe blocks. */
+  def allPairsBlocked(ds: Dataset[Vec], minSim: Double,
+      blockSize: Int = 1024): Dataset[PairSim] = {
+    import org.apache.spark.sql.functions.{max => smax, min => smin}
+    val spark = ds.sparkSession
+    val bounds = ds.agg(smin(col("id")), smax(col("id"))).collect()(0)
+    if (bounds.isNullAt(0)) return spark.emptyDataset[PairSim](
+      org.apache.spark.sql.Encoders.product[PairSim])
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val blocks = (lo to hi by blockSize.toLong).map(s =>
+      (s, math.min(s + blockSize - 1, hi)))
+    blocks.map { case (s, e) =>
+      val probes = ds.filter(col("id") >= s && col("id") <= e).collect()
+      // corpus rows only pair upward into the block (a < b), so the
+      // corpus side can skip everything past the block's end
+      pairSims(ds.filter(col("id") < e), probes, (a, b) => a < b, minSim)
+    }.reduce(_ union _)
   }
 
   /** IVF-style ANN: probe only the query's centroid bucket; top-3 per
