@@ -28,6 +28,33 @@ object OlapQueries {
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
         col("revenue"), col("cnt"))
 
+  /** CUBE: all grouping-set combinations of (returnflag, linestatus). */
+  def cubeCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("cnt"))
+
+  /** RANGE window frame over event time: each order's trailing-30-day
+    * spend per customer (peers by value, not row position; exact
+    * decimal sum keeps it engine-independent). */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // order by epoch seconds: numeric range frames are portable across
+    // engines (timestamp-ordered ranges need engine-specific intervals)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-30L * 86400L, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_custkey") < 200)
+      .withColumn("trailing_30d",
+        sum(dec(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("trailing_30d"))
+  }
+
   /** PIVOT: per-priority order counts spread across status columns
     * (expressed as conditional aggregation for the oracle). */
   def pivotStatus(spark: SparkSession, dir: String): DataFrame =
@@ -112,6 +139,8 @@ object OlapQueries {
     "agg_percentiles" -> percentiles _,
     "agg_approx_distinct" -> approxDistinct _,
     "agg_moments" -> momentStats _,
+    "agg_cube" -> cubeCounts _,
+    "window_range_frame" -> rangeFrame _,
     "func_array" -> arrayFuncs _)
 
   val oracles: Map[String, String] = Map(
@@ -143,6 +172,19 @@ object OlapQueries {
         |  FROM orders GROUP BY o_orderpriority)
         |SELECT o_orderpriority, n, sum_x, sum_x2_s, sum_x / n AS mean
         |FROM s""".stripMargin,
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_30d
+        |FROM orders WHERE o_custkey < 200""".stripMargin,
     "func_array" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
