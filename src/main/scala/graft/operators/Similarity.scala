@@ -149,24 +149,46 @@ object Similarity {
     }.reduce(_ union _)
   }
 
-  /** IVF-style ANN: probe only the query's centroid bucket; top-3 per
-    * query. Approximate by construction — driver records rows-only. */
+  /** Number of IVF coarse centroids — FIXED, corpus-independent, so
+    * assignment work is O(n*k) and the centroid broadcast is O(k*dim)
+    * no matter how large the corpus grows. */
+  val ivfK = 64
+
+  /** IVF-style ANN: every vector is assigned to its nearest coarse
+    * centroid; a query probes only its own centroid's bucket; top-3 per
+    * query. Centroids are a deterministic fixed-k sample — vectors with
+    * the k smallest values of an LCG permutation of vec_id — standing in
+    * for offline k-means (which at scale is its own batch job; the
+    * assignment/probing dataflow here is unchanged by how centroids are
+    * chosen). Assignment is MAP-SIDE ONLY: the k centroids are collected
+    * (bounded: k rows) and unrolled into k codegen'd `cosine_sim`
+    * expressions + an `array_max` argmax, so no row blowup and no
+    * shuffle; the only shuffles are the bucket-probe join and the tiny
+    * per-query top-3 window. Deterministic end-to-end (sequential
+    * left-to-right float accumulation both here and in the DuckDB
+    * oracle), so the gate hash-checks despite being "approximate" w.r.t.
+    * true nearest neighbors. */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorExpressions.cosine_sim
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asD(col("embedding")).as("v"))
-    val cents = e.filter(col("vec_id") % 97 === 0)
+    val cents = e
+      .withColumn("r",
+        pmod(col("vec_id") * lit(1103515245L) + lit(12345L), lit(2147483648L)))
+      .orderBy(col("r"), col("vec_id")).limit(ivfK)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    // assign every vector to its nearest centroid (broadcast centroids);
-    // cosine_sim is the native codegen'd Catalyst expression
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cent_id").asc)
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine_sim(col("v"), col("cv")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id"))
+      .collect() // k rows — bounded and corpus-independent
+    // argmax over k unrolled codegen'd cosine exprs; struct max is
+    // lexicographic, so (csim, -cent_id) breaks ties to the smallest id
+    val simStructs = cents.map { r =>
+      val cid = r.getLong(0)
+      val cv = r.getSeq[Double](1)
+      struct(cosine_sim(col("v"), typedlit(cv)).as("csim"),
+        lit(-cid).as("ncid"))
+    }
+    val assigned = e
+      .withColumn("best", array_max(array(simStructs.toIndexedSeq: _*)))
+      .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cent_id"))
     val queries = assigned.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("cent_id").as("qcent"))
@@ -178,13 +200,24 @@ object Similarity {
       .withColumn("sim", cosine_sim(col("v"), col("qv")))
       .withColumn("rn", row_number().over(wTop).cast("long"))
       .filter(col("rn") <= 3)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rn"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rn"),
+        round(col("sim"), 4).as("sim_r4"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> knnBrute _,
     "embed_neardup" -> embedNearDup _,
     "knn_ivf" -> knnIvf _)
+
+  /** DuckDB cosine with the same left-to-right accumulation order as
+    * [[CosineSimilarity]]/[[pairSims]] — bit-identical doubles, so
+    * unrounded sims can drive ORDER BY in the oracle. */
+  private def cosSql(a: String, b: String): String = {
+    def fold(x: String, y: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range($Dim), i -> $x[i+1] * $y[i+1])), (p,q) -> p+q)"
+    s"(${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)})))"
+  }
 
   val oracles: Map[String, String] = Map(
     "knn_brute" ->
@@ -204,6 +237,29 @@ object Similarity {
       """SELECT a.vec_id AS a, b.vec_id AS b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin)
-    // knn_ivf: approximate — rows-only.
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+    "knn_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         |      ORDER BY (vec_id * 1103515245 + 12345) % 2147483648, vec_id
+         |      LIMIT $ivfK),
+         |a0 AS (SELECT e.vec_id, e.v, c.cent_id,
+         |         ${cosSql("e.v", "c.cv")} AS csim
+         |       FROM e CROSS JOIN c),
+         |assigned AS (
+         |  SELECT vec_id, v, cent_id FROM (
+         |    SELECT vec_id, v, cent_id, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS crn
+         |    FROM a0) WHERE crn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv, cent_id AS qcent
+         |      FROM assigned WHERE vec_id < 20),
+         |cand AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+         |           ${cosSql("a.v", "q.qv")} AS sim
+         |         FROM assigned a
+         |         JOIN q ON a.cent_id = q.qcent AND a.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, rn, round(sim, 4) AS sim_r4 FROM (
+         |  SELECT query_id, neighbor_id, sim, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
+         |      AS BIGINT) AS rn
+         |  FROM cand) WHERE rn <= 3""".stripMargin)
 }

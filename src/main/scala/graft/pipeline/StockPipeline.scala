@@ -25,18 +25,25 @@ class StockPipeline(
     now: () => java.sql.Timestamp = () =>
       new java.sql.Timestamp(System.currentTimeMillis()),
     retries: Int = 3,
-    retryDelayMs: Long = 0L) {
+    retryDelayMs: Long = 0L,
+    sleeper: Long => Unit = Thread.sleep) {
 
   import spark.implicits._
 
-  /** O2: bounded retry around a fallible step. */
+  /** O2: bounded retry with exponential backoff (reference
+    * README.md:379 documents doubling delays between attempts):
+    * attempt k sleeps retryDelayMs * 2^k before retrying. */
   def retry[T](attempts: Int)(f: => Option[T]): Option[T] = {
     var left = attempts
+    var delay = retryDelayMs
     var out: Option[T] = None
     while (out.isEmpty && left > 0) {
       out = f
       left -= 1
-      if (out.isEmpty && left > 0 && retryDelayMs > 0) Thread.sleep(retryDelayMs)
+      if (out.isEmpty && left > 0 && delay > 0) {
+        sleeper(delay)
+        delay *= 2
+      }
     }
     out
   }

@@ -111,7 +111,10 @@ object Catalog {
         now.getTime - days.toLong * 24 * 3600 * 1000)
       val all = spark.table(table)
       val kept = all.filter(col(tsCol) >= lit(cutoff))
-      val deleted = all.count() - kept.count()
+      // single counting scan: total and survivors in one agg
+      val cnts = all.agg(count(lit(1)),
+        count(when(col(tsCol) >= lit(cutoff), 1))).collect()(0)
+      val deleted = cnts.getLong(0) - cnts.getLong(1)
       if (deleted > 0) {
         // stage surviving rows before overwriting the table being read
         // (never collects to the driver; at scale this is a partition-

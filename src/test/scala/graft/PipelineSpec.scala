@@ -79,6 +79,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(waits.nonEmpty && waits.forall(_ <= 50L))
   }
 
+  test("retry backs off exponentially between attempts") {
+    val waits = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    val p = new StockPipeline(spark, _ => None, retries = 4,
+      retryDelayMs = 100L, sleeper = waits += _)
+    val out = p.retry(4) { calls += 1; None }
+    assert(out.isEmpty && calls == 4)
+    assert(waits.toSeq == Seq(100L, 200L, 400L)) // doubling, none after last
+  }
+
   test("failed transport returns None after retries; run continues") {
     val p = new StockPipeline(spark, _ => None, retries = 3)
     val (bars, results) = p.ingest(Seq("ZZZ"))

@@ -38,4 +38,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 3))
   }
+
+  test("knn_ivf recall vs brute-force top-3 clears the floor") {
+    // top-3 exact neighbors per query from the brute-force gate query
+    val brute = Similarity.knnBrute(spark, SparkTestSession.sf)
+      .filter("rn <= 3").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = Similarity.knnIvf(spark, SparkTestSession.sf).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.map { case (q, exact) =>
+      ivf.get(q).map(got => (got & exact).size.toDouble / exact.size)
+        .getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // single-probe IVF with k=64 coarse cells trades recall for a
+    // ~1/64 scan fraction; the floor pins that the bucketing isn't
+    // degenerate (0 would mean queries land in empty/wrong cells)
+    assert(mean >= 0.25, s"mean ivf recall $mean")
+  }
 }
