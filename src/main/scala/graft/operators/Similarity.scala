@@ -118,35 +118,79 @@ object Similarity {
 
   /** Near-duplicate pairs by embedding cosine >= 0.4 (a < b).
     *
-    * Blocked all-pairs scan: probes are broadcast in bounded blocks
-    * (never the whole corpus at once), the corpus side streams from
-    * the scan each pass — the blocked-GEMM shape. Peak driver/executor
-    * broadcast memory is O(blockSize * dim), independent of corpus
-    * size; passes scale linearly with corpus/blockSize. Block ranges
-    * are id-based so each block collect is a pruned filter, not a full
-    * materialization. */
+    * EXACT, as a single distributed job (no driver loop): the triangle
+    * block-join below. Why not LSH here: this corpus's pair-similarity
+    * distribution is continuous through the 0.4 threshold (pairs exist
+    * at 0.3999 and 0.4010 at every SF), and the per-hyperplane
+    * collision probability at sim 0.4 is only 1 - acos(0.4)/pi = 0.63
+    * — no banding scheme can prune meaningfully AND recall a 0.401
+    * pair with certainty. A threshold inside the bulk of the
+    * distribution makes exact all-pairs inherently O(n^2); the job of
+    * the engine is to make that quadratic work embarrassingly parallel
+    * rather than pretend it away. When near-dups ARE separated from
+    * the bulk (real dup corpora, sim >= 0.85), [[embedNearDupLsh]] is
+    * the sub-quadratic scale path. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val ds = vecDs(spark, dir)
-    allPairsBlocked(ds, minSim = 0.4).select(col("a"), col("b"))
+    allPairsTriangle(ds, minSim = 0.4).select(col("a"), col("b"))
   }
 
-  /** All-pairs (a < b) similarity via bounded probe blocks. */
-  def allPairsBlocked(ds: Dataset[Vec], minSim: Double,
-      blockSize: Int = 1024): Dataset[PairSim] = {
-    import org.apache.spark.sql.functions.{max => smax, min => smin}
+  /** All-pairs (a < b) similarity as ONE bucket-keyed shuffle: the
+    * triangle block-join. Vectors are hashed into G groups; each
+    * unordered group pair (i, j), i <= j, is a work unit; a vector in
+    * group x is replicated to the G units {sorted(x, y) : y < G}. One
+    * exchange keyed by the group pair (shuffle volume O(n*G) rows),
+    * then every unit runs the primitive-array kernel over its two
+    * blocks — G*(G+1)/2 independent tasks, each holding 2n/G vectors.
+    * G tunes the memory/replication trade: at 1000 executors pick
+    * G ~ sqrt(2 * cores) so every core gets a unit and blocks stay
+    * bounded. Same sequential per-pair accumulation as [[pairSims]],
+    * so results are bit-equal to the SQL form and the DuckDB oracle. */
+  def allPairsTriangle(ds: Dataset[Vec], minSim: Double,
+      groups: Int = 8): Dataset[PairSim] = {
     val spark = ds.sparkSession
-    val bounds = ds.agg(smin(col("id")), smax(col("id"))).collect()(0)
-    if (bounds.isNullAt(0)) return spark.emptyDataset[PairSim](
-      org.apache.spark.sql.Encoders.product[PairSim])
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val blocks = (lo to hi by blockSize.toLong).map(s =>
-      (s, math.min(s + blockSize - 1, hi)))
-    blocks.map { case (s, e) =>
-      val probes = ds.filter(col("id") >= s && col("id") <= e).collect()
-      // corpus rows only pair upward into the block (a < b), so the
-      // corpus side can skip everything past the block's end
-      pairSims(ds.filter(col("id") < e), probes, (a, b) => a < b, minSim)
-    }.reduce(_ union _)
+    import spark.implicits._
+    val g = groups
+    ds.flatMap { v =>
+      val x = ((v.id % g) + g) % g
+      (0 until g).map { y =>
+        (math.min(x, y.toLong), math.max(x, y.toLong), v)
+      }
+    }
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Vec)]) =>
+        val (i, j) = key
+        val members = it.map(_._3).toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[PairSim]
+        def emit(u: Vec, w: Vec): Unit = {
+          var dot = 0.0
+          var d = 0
+          val uv = u.v; val wv = w.v
+          while (d < uv.length) { dot += uv(d) * wv(d); d += 1 }
+          val sim = dot / (u.n * w.n)
+          if (sim >= minSim)
+            out += (if (u.id < w.id) PairSim(u.id, w.id, sim)
+                    else PairSim(w.id, u.id, sim))
+        }
+        if (i == j) {
+          var a = 0
+          while (a < members.length) {
+            var b = a + 1
+            while (b < members.length) { emit(members(a), members(b)); b += 1 }
+            a += 1
+          }
+        } else {
+          val bi = members.filter(v => ((v.id % g) + g) % g == i)
+          val bj = members.filter(v => ((v.id % g) + g) % g == j)
+          var a = 0
+          while (a < bi.length) {
+            var b = 0
+            while (b < bj.length) { emit(bi(a), bj(b)); b += 1 }
+            a += 1
+          }
+        }
+        out
+      }
   }
 
   /** Number of IVF coarse centroids — FIXED, corpus-independent, so
@@ -204,9 +248,72 @@ object Similarity {
         round(col("sim"), 4).as("sim_r4"))
   }
 
+  // --- SRP-LSH near-dup (the sub-quadratic scale path) -------------------
+
+  /** Signed-random-projection banding: `lshBands` bands of `lshBits`
+    * sign bits each. Sub-quadratic pruning needs the per-hyperplane
+    * collision probability p = 1 - theta/pi to be high for true pairs:
+    * at sim 0.9, p = 0.86 and 8-bit bands prune hard; at sim 0.4,
+    * p = 0.63 and ANY banding either misses pairs or keeps buckets
+    * near-full — so production tunes (bits, bands) to the dup-sim
+    * regime. (3, 8) here keeps recall ~0.9 at the gate's 0.4 threshold
+    * while exercising the full band-bucket-join machinery. */
+  val lshBands = 8
+  val lshBits = 3
+
+  /** Deterministic hyperplane component h(k, i): an LCG/Weyl sequence
+    * over the flat index, centered on zero. Production would use a
+    * proper hash (xxhash64); the LCG is integer-exact in both Spark and
+    * DuckDB, which is what makes the LSH gate hash-checkable. */
+  def hyper(k: Int, i: Int): Double =
+    ((1103515245L * (k * Dim + i) + 12345L) % 2147483648L - 1073741824L).toDouble
+
+  /** Near-dup candidates via SRP-LSH banding, verified exactly: sign
+    * bits from `lshBands * lshBits` hyperplane dots (codegen'd unrolled
+    * sums — no HOF, no UDF), banded like [[Dedup.minhashBands]]; the
+    * only data-dependent shuffle is the (band, bucket)-keyed candidate
+    * join, then candidates are verified with the native `cosine_sim`
+    * expression at the same 0.4 threshold as [[embedNearDup]]. Output
+    * is a deterministic subset of the exact pairs (recall asserted in
+    * SimilaritySpec; misses are pairs whose signatures never collide —
+    * the tunable LSH trade). */
+  def embedNearDupLsh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions.{cosine_sim, dot_product}
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("v"))
+    // loop-codegen'd dot against a literal hyperplane (an unrolled
+    // per-element sum at 24 hyperplanes x 64 dims overflows Janino's
+    // method limit and de-optimizes the whole projection)
+    def sign(k: Int): Column = {
+      val h = (0 until Dim).map(i => hyper(k, i))
+      when(dot_product(col("v"), typedlit(h)) > 0, 1).otherwise(0)
+    }
+    val bandStructs = (0 until lshBands).map { b =>
+      val bucket = (0 until lshBits).map(bit =>
+        sign(b * lshBits + bit) * lit(1 << (lshBits - 1 - bit)))
+        .reduceLeft(_ + _)
+      struct(lit(b).as("band_id"), bucket.as("bucket"))
+    }
+    val bands = e
+      .select(col("vec_id"), explode(array(bandStructs.toIndexedSeq: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band_id"), col("bb.bucket"))
+    val cand = bands.alias("x").join(bands.alias("y"),
+        col("x.band_id") === col("y.band_id")
+          && col("x.bucket") === col("y.bucket")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("a"), col("v").as("va")), "a")
+      .join(e.select(col("vec_id").as("b"), col("v").as("vb")), "b")
+      .filter(cosine_sim(col("va"), col("vb")) >= 0.4)
+      .select(col("a"), col("b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> knnBrute _,
     "embed_neardup" -> embedNearDup _,
+    "embed_neardup_lsh" -> embedNearDupLsh _,
     "knn_ivf" -> knnIvf _)
 
   /** DuckDB cosine with the same left-to-right accumulation order as
@@ -238,6 +345,34 @@ object Similarity {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+    "embed_neardup_lsh" -> {
+      val weights = (0 until lshBits).map(bit =>
+        s"WHEN ${bit} THEN ${1 << (lshBits - 1 - bit)}").mkString(" ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bits AS (
+         |  SELECT e.vec_id, k.band, k.bit,
+         |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range($Dim), i -> e.v[i+1] *
+         |        CAST((1103515245*((k.band*$lshBits + k.bit)*$Dim + i) + 12345)
+         |             % 2147483648 - 1073741824 AS DOUBLE))),
+         |      (p,q) -> p+q) > 0
+         |    THEN 1 ELSE 0 END AS s
+         |  FROM e CROSS JOIN (
+         |    SELECT b.range AS band, t.range AS bit
+         |    FROM range($lshBands) b CROSS JOIN range($lshBits) t) k),
+         |buckets AS (
+         |  SELECT vec_id, band,
+         |    sum(s * CASE bit $weights END) AS bucket
+         |  FROM bits GROUP BY vec_id, band),
+         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.bucket = y.bucket
+         |   AND x.vec_id < y.vec_id)
+         |SELECT cand.a, cand.b FROM cand
+         |JOIN e ea ON ea.vec_id = cand.a
+         |JOIN e eb ON eb.vec_id = cand.b
+         |WHERE ${cosSql("ea.v", "eb.v")} >= 0.4""".stripMargin
+    },
     "knn_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |c AS (SELECT vec_id AS cent_id, v AS cv FROM e

@@ -39,6 +39,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 3))
   }
 
+  test("embed_neardup_lsh is a subset of exact pairs with recall above floor") {
+    val exact = Similarity.embedNearDup(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embedNearDupLsh(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH emitted a pair below the exact threshold")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    // (3 bits, 8 bands) at sim 0.4: expected recall ~0.9 (p = 0.63/bit)
+    assert(recall >= 0.6, s"lsh recall $recall")
+  }
+
   test("knn_ivf recall vs brute-force top-3 clears the floor") {
     // top-3 exact neighbors per query from the brute-force gate query
     val brute = Similarity.knnBrute(spark, SparkTestSession.sf)

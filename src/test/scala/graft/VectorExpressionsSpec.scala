@@ -27,6 +27,24 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(scanned.filter("s > 0.999").count() > 0)
   }
 
+  test("dot_product matches sequential fold and stays in codegen") {
+    // against a literal hyperplane, over a parquet scan (the LSH shape)
+    val h = (0 until 64).map(i => graft.operators.Similarity.hyper(0, i))
+    val scanned = Tables.load(spark, SparkTestSession.sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .select(col("vec_id"),
+        VectorExpressions.dot_product(col("v"), typedlit(h)).as("d"))
+    val planLine = scanned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("dot_product")).get
+    assert(planLine.trim.startsWith("*"), s"not codegen'd: $planLine")
+    val row0 = Tables.load(spark, SparkTestSession.sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .filter("vec_id = 0").collect()(0).getSeq[Double](1)
+    var exp = 0.0
+    (0 until 64).foreach(i => exp += row0(i) * h(i))
+    assert(scanned.filter("vec_id = 0").collect()(0).getDouble(1) == exp)
+  }
+
   test("cosine_sim is registered and usable from SQL") {
     VectorExpressions.register(spark)
     val r = spark.sql(
