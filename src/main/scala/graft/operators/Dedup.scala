@@ -60,8 +60,26 @@ object Dedup {
   // < 2^31 and shingle hashes reduced mod P2 < 2^31, so a*h+b < 2^62).
   private val P = 2147483647L // 2^31 - 1
   private val P2 = 2000000011L
+  private val P3 = 2147483629L // second prime: upper 24 simhash bits
   val numPerms = 16
   val bandRows = 4
+
+  /** Chars hashed by the oracle-reproducible rolling hash (zero-padded;
+    * longer strings truncate — it's a hash, collisions are fine). */
+  val polyWidth = 24
+
+  /** Polynomial rolling hash of the first `polyWidth` chars, reduced
+    * mod `m` at every step (values stay < 2^31: integer-exact in both
+    * Spark and DuckDB's list_reduce). Unrolled fixed-width fold, so it
+    * stays inside whole-stage codegen — an `aggregate` HOF over the
+    * char array would run interpreted (CodegenFallback). This is the
+    * gate-reproducible alternative to xxhash64, which DuckDB lacks;
+    * production keeps xxhash64 (better mixed, one native op) via the
+    * `reproducible = false` default on the sketch builders. */
+  def charPolyHash(c: Column, mult: Long, m: Long): Column =
+    (1 to polyWidth).foldLeft(lit(0L)) { (acc, i) =>
+      pmod(acc * lit(mult) + ascii(substring(c, i, 1)).cast("long"), lit(m))
+    }
   private val permA = Seq(1103515245L, 1103527591L, 1229782938L, 1301100263L,
     141421356L, 1618033988L, 1732050807L, 2045893137L,
     223606797L, 244948974L, 264575131L, 282842712L,
@@ -76,10 +94,13 @@ object Dedup {
     * CodegenFallback — interpreted — and was ~10x slower; the explode +
     * hash-aggregate shape is also exactly what scales: map-side partial
     * mins, one small shuffle keyed by doc_id.) */
-  def minhashSigs(docs: DataFrame): DataFrame = {
+  def minhashSigs(docs: DataFrame, reproducible: Boolean = false): DataFrame = {
+    val shingleHash =
+      if (reproducible) charPolyHash(col("g"), 31L, P2)
+      else pmod(xxhash64(col("g")), lit(P2))
     // duplicates don't affect a min, so shingle rows need no distinct
     shingleRows(docs)
-      .withColumn("h", pmod(xxhash64(col("g")), lit(P2)))
+      .withColumn("h", shingleHash)
       .groupBy("doc_id")
       .agg(
         min(pmod(lit(permA.head) * col("h") + lit(permB.head), lit(P))).as("m0"),
@@ -89,13 +110,17 @@ object Dedup {
   }
 
   /** (doc_id, band_id, bucket) — LSH banding of the MinHash signature;
-    * near-dup candidates are rows sharing (band_id, bucket). */
-  def minhashBands(docs: DataFrame): DataFrame = {
+    * near-dup candidates are rows sharing (band_id, bucket). The bucket
+    * is an integer Horner combine of the band's minhashes (the inputs
+    * are already hashes, so no re-mixing is needed; max value ~2^46,
+    * overflow-free, and bit-reproducible in the DuckDB oracle). */
+  def minhashBands(docs: DataFrame, reproducible: Boolean = false): DataFrame = {
     val bands = (0 until numPerms / bandRows).map { b =>
       val cols = (b * bandRows until (b + 1) * bandRows).map(i => col(s"m$i"))
-      struct(lit(b).as("band_id"), xxhash64(cols: _*).as("bucket"))
+      val bucket = cols.reduceLeft((acc, m) => acc * 31 + m)
+      struct(lit(b).as("band_id"), bucket.as("bucket"))
     }
-    minhashSigs(docs)
+    minhashSigs(docs, reproducible)
       .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band_id"), col("bb.bucket"))
   }
@@ -129,33 +154,47 @@ object Dedup {
     allPairs.union(starPairs).distinct()
   }
 
-  /** Gate query: band buckets for every doc (deterministic, non-empty;
-    * pair extraction is exercised by the spec with planted dups). */
+  /** Gate query: band buckets for every doc with the DuckDB-reproducible
+    * shingle hash (hash-checked oracle); pair extraction is exercised by
+    * the spec with planted dups on the production xxhash64 path. */
   def minhashQuery(spark: SparkSession, dir: String): DataFrame =
-    minhashBands(Tables.load(spark, dir, "documents"))
+    minhashBands(Tables.load(spark, dir, "documents"), reproducible = true)
 
   // --- SimHash -----------------------------------------------------------
 
   /** 48-bit SimHash over tokens: bit k is the sign of the sum of
-    * (+1/-1) votes from bit k of each token's xxhash64. 48 bits keeps
+    * (+1/-1) votes from bit k of each token's hash. 48 bits keeps
     * the packing arithmetic overflow-free under ANSI mode. Same
-    * explode + hash-aggregate shape as MinHash: one xxhash64 per token,
-    * 48 codegen'd sums, map-side partials, doc_id-keyed shuffle. */
-  def simhashSigs(docs: DataFrame): DataFrame = {
+    * explode + hash-aggregate shape as MinHash: one hash per token,
+    * 48 codegen'd sums, map-side partials, doc_id-keyed shuffle.
+    * Token-hash bits come from two 31-bit words (lower 24 bits of
+    * each feed bits 0..23 / 24..47): xxhash64-derived in production,
+    * or two independent rolling hashes on the reproducible gate path. */
+  def simhashSigs(docs: DataFrame, reproducible: Boolean = false): DataFrame = {
     val exploded = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 48).map(k =>
-      sum(shiftright(col("h"), k).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$k"))
+    val hashed =
+      if (reproducible)
+        exploded
+          .withColumn("h1", charPolyHash(col("tok"), 31L, P2))
+          .withColumn("h2", charPolyHash(col("tok"), 37L, P3))
+      else
+        exploded
+          .withColumn("h1", xxhash64(col("tok")))
+          .withColumn("h2", shiftright(xxhash64(col("tok")), 24))
+    def bit(k: Int): Column =
+      if (k < 24) shiftright(col("h1"), k).bitwiseAND(lit(1L))
+      else shiftright(col("h2"), k - 24).bitwiseAND(lit(1L))
+    val votes = (0 until 48).map(k => sum(bit(k) * 2 - 1).as(s"v$k"))
     val packed = (0 until 48)
       .map(k => when(col(s"v$k") > 0, lit(1L)).otherwise(lit(0L)))
       .reduceLeft((acc, b) => acc * 2 + b)
-    exploded.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), packed.as("simhash48"))
   }
 
   def simhashQuery(spark: SparkSession, dir: String): DataFrame =
-    simhashSigs(Tables.load(spark, dir, "documents"))
+    simhashSigs(Tables.load(spark, dir, "documents"), reproducible = true)
 
   /** Hamming distance between two packed simhash columns. */
   def hamming(a: Column, b: Column): Column =
@@ -192,13 +231,56 @@ object Dedup {
     "dedup_simhash" -> simhashQuery _,
     "dedup_jaccard_exact" -> jaccardExact _)
 
+  /** DuckDB rendering of [[charPolyHash]] — same zero-padded fixed-width
+    * fold, integer-exact. */
+  private def polySql(s: String, mult: Long, m: Long): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range($polyWidth), " +
+      s"i -> CAST(ascii($s[CAST(i+1 AS INTEGER)]) AS BIGINT))), " +
+      s"(acc,c) -> (acc*$mult + c) % $m)"
+
+  private def minhashOracle: String = {
+    val mins = (0 until numPerms)
+      .map(i => s"min((${permA(i)}*h + ${permB(i)}) % $P) AS m$i")
+      .mkString(",\n    ")
+    val bands = (0 until numPerms / bandRows).map { b =>
+      val horner = (b * bandRows until (b + 1) * bandRows)
+        .map(i => s"m$i").reduceLeft((acc, m) => s"($acc*31 + $m)")
+      s"SELECT doc_id, $b AS band_id, $horner AS bucket FROM s"
+    }.mkString("\nUNION ALL ")
+    s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
+       |  WHERE len(str_split(text, ' ')) >= 3),
+       |g AS (SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+       |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g FROM d),
+       |h AS (SELECT doc_id, ${polySql("g", 31L, P2)} AS h FROM g),
+       |s AS (SELECT doc_id,
+       |    $mins
+       |  FROM h GROUP BY doc_id)
+       |$bands""".stripMargin
+  }
+
+  private def simhashOracle: String =
+    s"""WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, ${polySql("tok", 31L, P2)} AS h1,
+       |         ${polySql("tok", 37L, P3)} AS h2 FROM t),
+       |v AS (SELECT doc_id, k.range AS k,
+       |    sum(((CASE WHEN k.range < 24 THEN h1 >> CAST(k.range AS INTEGER)
+       |          ELSE h2 >> CAST(k.range - 24 AS INTEGER) END) & 1) * 2 - 1)
+       |      AS vote
+       |  FROM h CROSS JOIN range(48) k GROUP BY doc_id, k.range)
+       |SELECT doc_id, CAST(sum(CASE WHEN vote > 0
+       |    THEN CAST(1 AS BIGINT) << CAST(47 - k AS INTEGER)
+       |    ELSE 0 END) AS BIGINT) AS simhash48
+       |FROM v GROUP BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash,
         |  min(doc_id) AS keep_id, count(*) AS cnt
         |FROM documents GROUP BY sha256(text)""".stripMargin,
-    // dedup_minhash_bands / dedup_simhash: xxhash64-based — not
-    // reproducible in DuckDB; driver records rows-only checks.
+    "dedup_minhash_bands" -> minhashOracle,
+    "dedup_simhash" -> simhashOracle,
     "dedup_jaccard_exact" ->
       """WITH d AS (
         |  SELECT doc_id, str_split(text, ' ') AS t FROM documents

@@ -127,7 +127,7 @@ object Multimodal {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("b").as("query_asset"), col("a").as("similar_asset"),
-        col("kind"), col("rn"))
+        col("kind"), col("rn"), round(col("sim"), 4).as("sim_r4"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -147,6 +147,34 @@ object Multimodal {
         |       THEN octet_length(encode(text)) % 5 + 2 ELSE 1 END AS BIGINT)
         |    AS n_frames
         |FROM documents""".stripMargin,
+    // The featurizer is DuckDB-expressible because the corpus is pure
+    // ASCII (verified across SFs): the payload's byte histogram equals
+    // the text's char histogram. Same sequential-fold cosine as the
+    // pairSims kernel -> bit-identical sims -> hash-checked gate.
+    "multimodal_feature_knn" -> {
+      def fold16(x: String, y: String) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range(16), i -> $x[i+1] * $y[i+1])), (p,q) -> p+q)"
+      def cos16(a: String, b: String) =
+        s"(${fold16(a, b)} / (sqrt(${fold16(a, a)}) * sqrt(${fold16(b, b)})))"
+      s"""WITH f AS (SELECT doc_id AS id,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    list_transform(range(16), b ->
+         |      CAST(len(list_filter(string_split_regex(text, ''),
+         |        c -> ascii(c) // 16 = b)) AS DOUBLE)
+         |      / CAST(greatest(length(text), 1) AS DOUBLE)) AS v
+         |  FROM documents),
+         |cand AS (SELECT q.id AS query_asset, a.id AS similar_asset, a.kind,
+         |    ${cos16("a.v", "q.v")} AS sim
+         |  FROM f a JOIN f q ON a.kind = q.kind AND q.id < 15 AND a.id <> q.id)
+         |SELECT query_asset, similar_asset, kind, rn,
+         |  round(sim, 4) AS sim_r4 FROM (
+         |  SELECT query_asset, similar_asset, kind, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_asset
+         |      ORDER BY sim DESC, similar_asset ASC) AS BIGINT) AS rn
+         |  FROM cand) WHERE rn <= 3""".stripMargin
+    },
     "multimodal_frames" ->
       """WITH m AS (
         |  SELECT doc_id AS asset_id,
