@@ -105,6 +105,36 @@ object JoinQueries {
       .select("event_id", "user_id", "run_total")
   }
 
+  /** [[runningSum]] with time-bucketed chunking for pathological keys:
+    * a single user with billions of events would pin one task in the
+    * naive form (the window partitions by user_id alone). Here the sort
+    * -heavy prefix sum runs within (user_id, day) chunks; a per-chunk
+    * carry-in — the cumulative sum of *previous chunks' totals*, one row
+    * per (user, day) — is added back. The per-user sequential work drops
+    * from O(events) to O(days), and decimal arithmetic is associative,
+    * so the result is bit-identical to the naive form (same oracle). */
+  def runningSumChunked(spark: SparkSession, dir: String): DataFrame =
+    runningSumChunkedDf(Tables.load(spark, dir, "events"))
+
+  def runningSumChunkedDf(events: DataFrame): DataFrame = {
+    val ev = events.withColumn("bucket", date_trunc("day", col("ts")))
+    val wLocal = Window.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ev.withColumn("local_run", sum(dec(col("value"))).over(wLocal))
+    val wCarry = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = ev.groupBy(col("user_id"), col("bucket"))
+      .agg(sum(dec(col("value"))).as("btot"))
+      .withColumn("carry", sum(col("btot")).over(wCarry))
+      .select(col("user_id").as("cu"), col("bucket").as("cb"), col("carry"))
+    local.join(carry,
+        local("user_id") === col("cu") && local("bucket") === col("cb"))
+      .withColumn("run_total",
+        (col("local_run") + coalesce(col("carry"), lit(0))).cast("double"))
+      .select("event_id", "user_id", "run_total")
+  }
+
   /** Set operations: UNION (distinct) / INTERSECT / EXCEPT cardinalities
     * over two derived key sets. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
@@ -147,6 +177,7 @@ object JoinQueries {
     "agg_distinct" -> aggDistinct _,
     "window_topn" -> windowTopn _,
     "window_running_sum" -> runningSum _,
+    "window_running_sum_chunked" -> runningSumChunked _,
     "setops_counts" -> setOps _,
     "window_tumbling" -> tumblingWindow _,
     "yearly_revenue" -> yearlyRevenue _)
@@ -192,6 +223,14 @@ object JoinQueries {
         |QUALIFY row_number() OVER (PARTITION BY o_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey ASC) = 1""".stripMargin,
     "window_running_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS run_total
+        |FROM events""".stripMargin,
+    // chunked form is decimal-exact-equal to the naive prefix sum
+    "window_running_sum_chunked" ->
       """SELECT event_id, user_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id

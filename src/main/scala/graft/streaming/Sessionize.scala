@@ -23,7 +23,10 @@ object Sessionize {
 
   /** Batch form: session boundaries via lag(), ids via running count of
     * boundaries — deterministic, DuckDB-expressible. */
-  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame =
+    sessionizeBatchDf(Tables.load(spark, dir, "events"))
+
+  def sessionizeBatchDf(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val newSession =
@@ -31,7 +34,7 @@ object Sessionize {
         .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
           > gapMinutes * 60L, 1L)
         .otherwise(0L)
-    Tables.load(spark, dir, "events")
+    events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("is_new", newSession)
       .withColumn("session_id",
@@ -79,10 +82,81 @@ object Sessionize {
       }
   }
 
+  /** [[sessionizeBatch]] with time-bucketed chunking for pathological
+    * keys: the event-level sort runs within (user_id, day) chunks, so a
+    * user with billions of events no longer pins one task. Sessions are
+    * built locally per chunk, then only *local-session summaries* (one
+    * row per session, at most O(sessions) << O(events) for a hot key,
+    * and the heavy sort is already paid) cross chunks: the first local
+    * session of a chunk merges backward iff its first event is within
+    * the gap of the previous chunk's last event — exactly the
+    * consecutive-event test the naive form applies, so output is
+    * identical (shared oracle). */
+  def sessionizeChunked(spark: SparkSession, dir: String): DataFrame =
+    sessionizeChunkedDf(Tables.load(spark, dir, "events"))
+
+  def sessionizeChunkedDf(events: DataFrame): DataFrame = {
+    val ev = events.withColumn("bucket", date_trunc("day", col("ts")))
+    val byChunk = Window.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(col("ts"), col("event_id"))
+    val newLocal =
+      when(col("prev_ts").isNull, 1L)
+        .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+          > gapMinutes * 60L, 1L)
+        .otherwise(0L)
+    // phase 1: local sessions within each (user, day) chunk
+    val locals = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byChunk))
+      .withColumn("is_new", newLocal)
+      .withColumn("ls_id",
+        sum(col("is_new")).over(byChunk.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "bucket", "ls_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("first_ts"), max("ts").as("last_ts"))
+    // phase 2: stitch across chunks over session summaries only
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("bucket"), col("ls_id"))
+    val startsNew =
+      when(col("prev_end").isNull, 1L)
+        .when(col("ls_id") > 1, 1L) // born from a real in-chunk gap
+        .when(unix_timestamp(col("first_ts")) - unix_timestamp(col("prev_end"))
+          > gapMinutes * 60L, 1L)
+        .otherwise(0L)
+    locals
+      .withColumn("prev_end", lag(col("last_ts"), 1).over(byUser))
+      .withColumn("starts_new", startsNew)
+      .withColumn("session_id",
+        sum(col("starts_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(sum(col("n_events")).as("n_events"),
+        date_trunc("second", min("first_ts")).as("session_start_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sessionize" -> sessionizeBatch _)
+    "sessionize" -> sessionizeBatch _,
+    "sessionize_chunked" -> sessionizeChunked _)
 
   val oracles: Map[String, String] = Map(
+    "sessionize_chunked" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL THEN 1
+        |         WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
+        |  CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start_s
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
     "sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id,

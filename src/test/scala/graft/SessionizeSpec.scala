@@ -15,6 +15,24 @@ class SessionizeSpec extends AnyFunSuite {
       && stateful.exceptAll(batch).isEmpty)
   }
 
+  test("chunked sessionization equals the naive form, incl. a hot key") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 23:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // hot user 1: a dense run that CROSSES the midnight chunk boundary
+    // (so the first local session of day 2 must merge backward), then a
+    // real gap, then another session spanning two more midnights; plus
+    // a normal user
+    val hot = (0 until 5000).map(i => (1L, ts(i / 50), 1000L + i)) ++ // 100 min dense
+      Seq((1L, ts(200), 9001L), (1L, ts(220), 9002L)) ++              // gap -> new
+      (0 until 3000).map(i => (1L, ts(1400 + i), 9100L + i)) ++       // 50h continuous
+      Seq((2L, ts(0), 1L), (2L, ts(2000), 2L))
+    val ev = hot.toDF("user_id", "ts", "event_id")
+    val naive = Sessionize.sessionizeBatchDf(ev)
+    val chunked = Sessionize.sessionizeChunkedDf(ev)
+    assert(naive.exceptAll(chunked).isEmpty && chunked.exceptAll(naive).isEmpty)
+  }
+
   test("session gap semantics: > 30 minutes starts a new session") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
