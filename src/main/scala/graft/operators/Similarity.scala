@@ -230,9 +230,12 @@ object Similarity {
       struct(cosine_sim(col("v"), typedlit(cv)).as("csim"),
         lit(-cid).as("ncid"))
     }
+    // both the probe branch and the corpus branch read the assignment;
+    // cache it so the k-expression argmax (and its codegen) runs once
     val assigned = e
       .withColumn("best", array_max(array(simStructs.toIndexedSeq: _*)))
       .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cent_id"))
+      .cache()
     val queries = assigned.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("cent_id").as("qcent"))

@@ -161,6 +161,47 @@ class StockPipeline(
   }
 }
 
+/** M1 cadence driver + failure notification: the reference schedules the
+  * DAG at a fixed interval (reference/dags/stock_data_pipeline.py:47,
+  * `schedule_interval=timedelta(hours=1)`) with
+  * `email_on_failure=True` (:17). The loop is fixed-rate (sleep =
+  * interval minus run duration), a failed run emits a durable
+  * notification record and the loop continues — combined with M2
+  * (latest-only fetch) there is no catchup backlog to replay. The
+  * email/webhook transport is deployment config; the engine's
+  * responsibility is emitting the failure event durably
+  * (`pipeline_logs.task_id = 'notify_failure'`). */
+class Scheduler(
+    spark: SparkSession,
+    pipeline: StockPipeline,
+    intervalMs: Long = 3600000L,
+    now: () => Long = System.currentTimeMillis,
+    sleeper: Long => Unit = Thread.sleep) {
+
+  /** Run `runs` fixed-rate iterations; returns per-run success. */
+  def run(symbols: Seq[String], runs: Int): Seq[Boolean] =
+    (1 to runs).map { _ =>
+      val t0 = now()
+      val ok =
+        try { pipeline.runOnce(symbols).collect(); true }
+        catch { case e: Exception => notifyFailure(e); false }
+      val elapsed = now() - t0
+      if (elapsed < intervalMs) sleeper(intervalMs - elapsed)
+      ok
+    }
+
+  def notifyFailure(e: Throwable): Unit = {
+    import spark.implicits._
+    graft.store.Catalog.bootstrap(spark) // the run may have died pre-DDL
+    val ts = new java.sql.Timestamp(now())
+    Seq(("stock_data_pipeline", "notify_failure", ts, "failed", 0.0,
+      Option(e.getMessage).getOrElse(e.getClass.getName).take(500), 0L, ts))
+      .toDF("dag_id", "task_id", "execution_date", "status", "duration",
+        "error_message", "records_processed", "created_at")
+      .write.mode("append").insertInto("pipeline_logs")
+  }
+}
+
 object StockPipeline {
 
   case class SymbolResult(symbol: String, success: Boolean, records: Long)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.StockPipeline
+import graft.pipeline.{Scheduler, StockPipeline}
 import graft.sources.AlphaVantageClient
 import graft.store.Catalog
 import org.scalatest.funsuite.AnyFunSuite
@@ -87,6 +87,27 @@ class PipelineSpec extends AnyFunSuite {
     val out = p.retry(4) { calls += 1; None }
     assert(out.isEmpty && calls == 4)
     assert(waits.toSeq == Seq(100L, 200L, 400L)) // doubling, none after last
+  }
+
+  test("scheduler runs fixed-rate and notifies durably on failure") {
+    val waits = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var clock = 0L
+    // each now() call advances 1s, so every "run" appears to take time
+    def now(): Long = { clock += 1000L; clock }
+    val boom = new StockPipeline(spark,
+      _ => throw new RuntimeException("transport down"))
+    val sched = new Scheduler(spark, boom, intervalMs = 60000L,
+      now = now _, sleeper = waits += _)
+    val logs0 = spark.table("pipeline_logs")
+      .filter("task_id = 'notify_failure'").count()
+    val results = sched.run(Seq("AAPL"), runs = 2)
+    assert(results == Seq(false, false))
+    // fixed-rate: sleep = interval - elapsed, elapsed > 0 via fake clock
+    assert(waits.size == 2 && waits.forall(w => w > 0 && w < 60000L))
+    val notes = spark.table("pipeline_logs")
+      .filter("task_id = 'notify_failure'")
+    assert(notes.count() == logs0 + 2)
+    assert(notes.filter("error_message LIKE '%transport down%'").count() >= 2)
   }
 
   test("failed transport returns None after retries; run continues") {
