@@ -52,6 +52,48 @@ class DedupSpec extends AnyFunSuite {
     assert(h02 <= 12)
   }
 
+  test("reproducible char-poly hash matches a reference fold (oracle parity)") {
+    import spark.implicits._
+    // reference implementation of the zero-padded fixed-width fold the
+    // DuckDB oracle expresses via list_reduce
+    def ref(s: String, mult: Long, m: Long): Long = {
+      var acc = 0L
+      (0 until Dedup.polyWidth).foreach { i =>
+        val c = if (i < s.length) s.charAt(i).toLong else 0L
+        acc = (acc * mult + c) % m
+      }
+      acc
+    }
+    val samples = Seq("", "a", "hello world", "the quick brown fox",
+      "x" * 30 /* > polyWidth: truncates */, "Zy 9!", "caf test")
+    val got = samples.toDF("tok")
+      .select(Dedup.charPolyHash(org.apache.spark.sql.functions.col("tok"),
+        31L, 2000000011L).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == samples.map(ref(_, 31L, 2000000011L)))
+  }
+
+  test("reproducible minhash/simhash gates agree with production on dup detection") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup
+      (3L, "totally different content words here now okay fine"))
+      .toDF("doc_id", "text")
+    // identical docs must share ALL band buckets on both hash paths
+    for (repro <- Seq(true, false)) {
+      val bands = Dedup.minhashBands(docs, reproducible = repro)
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getInt(1), r.getLong(2))).toSet).toMap
+      assert(bands(1L) == bands(2L), s"repro=$repro")
+      assert((bands(1L) & bands(3L)).isEmpty, s"repro=$repro")
+      val sh = Dedup.simhashSigs(docs, reproducible = repro)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sh(1L) == sh(2L), s"repro=$repro")
+      assert(sh(1L) != sh(3L), s"repro=$repro")
+    }
+  }
+
   test("oversized LSH buckets fall back to O(n) star pairing") {
     import org.apache.spark.sql.functions._
     // 40 identical docs land in the same buckets in every band

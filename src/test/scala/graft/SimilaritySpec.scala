@@ -33,6 +33,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("embed_neardup plans as ONE bucket-keyed shuffle (no driver loop)") {
+    // executedPlan (post-EnsureRequirements): exactly one hash exchange —
+    // the group-pair-keyed one; sparkPlan would show none yet
+    val plan = Similarity.embedNearDup(spark, SparkTestSession.sf)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$plan")
+  }
+
+  test("triangle block-join equals brute-force all-pairs for any group count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 120).map { i =>
+      val v = Array.fill(8)(rnd.nextDouble() - 0.5)
+      var s = 0.0; v.foreach(x => s += x * x)
+      Similarity.Vec(i.toLong, v, math.sqrt(s))
+    }
+    def cos(a: Similarity.Vec, b: Similarity.Vec): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.v.length) { d += a.v(i) * b.v(i); i += 1 }
+      d / (a.n * b.n)
+    }
+    val expected = (for {
+      a <- vecs; b <- vecs if a.id < b.id
+      s = cos(a, b) if s >= 0.3
+    } yield (a.id, b.id)).toSet
+    val ds = spark.createDataset(vecs)
+    // G spanning degenerate (1 = single task) through G > distinct groups
+    for (g <- Seq(1, 3, 8, 50)) {
+      val got = Similarity.allPairsTriangle(ds, minSim = 0.3, groups = g)
+        .collect().map(p => (p.a, p.b)).toSet
+      assert(got == expected, s"groups=$g")
+    }
+  }
+
   test("knn_ivf returns ranked neighbors for every query it covers") {
     val rows = Similarity.knnIvf(spark, SparkTestSession.sf).collect()
     assert(rows.nonEmpty)
