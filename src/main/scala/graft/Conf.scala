@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-level tuning knobs (SCALE.md "bucket-count knobs" gap):
+  * read from `spark.conf` with engine defaults, so a deployment tunes
+  * task sizing without code changes — e.g.
+  * `--conf spark.graft.neardup.groups=64` on a large cluster.
+  *
+  * Every knob here is OUTPUT-INVARIANT: it moves work between tasks
+  * (task memory, replication factor, bucket layout) but never changes
+  * query results — which is why gate queries can read them freely.
+  * Quality-affecting parameters (LSH bits/bands, IVF k, minhash perms)
+  * are deliberately NOT conf-driven: the DuckDB oracles are generated
+  * from their compile-time values, and changing them is a semantic
+  * choice, not a tuning one.
+  */
+object Conf {
+
+  /** Triangle block-join group count G: G*(G+1)/2 tasks, each holding
+    * 2n/G vectors. Raise on a cluster so blocks fit executor memory. */
+  val NeardupGroups = "spark.graft.neardup.groups"
+
+  /** LSH bucket size above which pair emission falls back to O(n) star
+    * pairing (duplicate-flood guard). */
+  val DedupBucketCap = "spark.graft.dedup.bucketCap"
+
+  /** Bucket count for the CLUSTERED BY join tables; at 100 TB size so
+    * each bucket file lands at ~128-512 MB. Changing it creates a new
+    * table generation (the count is part of the table name) because
+    * bucket metadata is baked into the persisted layout. */
+  val BucketCount = "spark.graft.bucketing.buckets"
+
+  def int(spark: SparkSession, key: String, default: Int): Int =
+    spark.conf.getOption(key).map(_.trim.toInt).getOrElse(default)
+}

@@ -135,13 +135,15 @@ object Dedup {
     * (every member pairs with the bucket's min doc_id only): O(n)
     * pairs that keep the duplicate cluster connected for
     * union-find/grouping downstream, which is all dedup needs. */
-  def minhashCandidates(docs: DataFrame, cap: Int = 1024): DataFrame = {
+  def minhashCandidates(docs: DataFrame, cap: Int = -1): DataFrame = {
+    val effCap = if (cap > 0) cap
+      else graft.Conf.int(docs.sparkSession, graft.Conf.DedupBucketCap, 1024)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_id"), col("bucket"))
     val b = minhashBands(docs)
       .withColumn("bcnt", count(lit(1)).over(w))
       .withColumn("bmin", min(col("doc_id")).over(w))
-    val small = b.filter(col("bcnt") <= cap)
+    val small = b.filter(col("bcnt") <= effCap)
     val l = small.select(col("band_id"), col("bucket"), col("doc_id").as("da"))
     val r = small.select(col("band_id").as("band_id2"),
       col("bucket").as("bucket2"), col("doc_id").as("db"))
@@ -149,7 +151,7 @@ object Dedup {
       l("band_id") === r("band_id2") && l("bucket") === r("bucket2")
         && l("da") < r("db"))
       .select("da", "db")
-    val starPairs = b.filter(col("bcnt") > cap && col("doc_id") =!= col("bmin"))
+    val starPairs = b.filter(col("bcnt") > effCap && col("doc_id") =!= col("bmin"))
       .select(col("bmin").as("da"), col("doc_id").as("db"))
     allPairs.union(starPairs).distinct()
   }

@@ -132,7 +132,9 @@ object Similarity {
     * the sub-quadratic scale path. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val ds = vecDs(spark, dir)
-    allPairsTriangle(ds, minSim = 0.4).select(col("a"), col("b"))
+    allPairsTriangle(ds, minSim = 0.4,
+      groups = graft.Conf.int(spark, graft.Conf.NeardupGroups, 8))
+      .select(col("a"), col("b"))
   }
 
   /** All-pairs (a < b) similarity as ONE bucket-keyed shuffle: the

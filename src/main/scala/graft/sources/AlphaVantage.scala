@@ -71,9 +71,14 @@ object AlphaVantage {
     val (highOk, highV) = num("2. high")
     val (lowOk, lowV) = num("3. low")
     val (closeOk, closeV) = num("4. close")
+    // volume is int-strict like the reference's int(volume_str): a
+    // non-integral string (e.g. "123.5") poisons the row rather than
+    // truncating; missing defaults to 0. Integral-format check is a
+    // regex because the non-ANSI string->bigint cast is lenient.
     val volRaw = col("bar").getField("5. volume")
-    val volOk = volRaw.isNull || volRaw.cast("double").isNotNull
-    val volV = coalesce(volRaw.cast("double").cast("long"), lit(0L))
+    val volIntegral = volRaw.rlike("^[+-]?[0-9]+$")
+    val volOk = volRaw.isNull || volIntegral
+    val volV = coalesce(when(volIntegral, volRaw.cast("long")), lit(0L))
 
     parsed
       .withColumn("timestamp",

@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Bucketing {
 
+  /** Local-mode default; `spark.graft.bucketing.buckets` overrides (at
+    * 100 TB size for ~128-512 MB per bucket file). The count is part of
+    * the table name/location: bucket metadata is baked into the
+    * persisted layout, so a different count is a new table generation,
+    * never a silent re-attach with the wrong layout. */
   val Buckets = 8
 
   private def sfTag(dir: String): String =
@@ -26,14 +31,15 @@ object Bucketing {
   /** Create (or re-attach) bucketed copies of lineitem/orders for this
     * scale factor, populating them on first use. */
   def bootstrap(spark: SparkSession, dir: String): (String, String) = {
-    val tag = sfTag(dir)
+    val buckets = graft.Conf.int(spark, graft.Conf.BucketCount, Buckets)
+    val tag = s"${sfTag(dir)}_$buckets"
     val (liT, oT) = (s"lineitem_b_$tag", s"orders_b_$tag")
     val loc = s"${Catalog.warehouse}/bucketed/$tag"
     def ddl(name: String, srcCols: String, key: String, src: String): Unit = {
       spark.sql(
         s"""CREATE TABLE IF NOT EXISTS $name ($srcCols)
            |USING PARQUET
-           |CLUSTERED BY ($key) INTO $Buckets BUCKETS
+           |CLUSTERED BY ($key) INTO $buckets BUCKETS
            |LOCATION '$loc/$name'""".stripMargin)
       if (spark.table(name).isEmpty) {
         Tables.load(spark, dir, src)

@@ -34,6 +34,24 @@ class IngestSpec extends AnyFunSuite {
     assert(aapl15.getDouble(2) == 224.0)
   }
 
+  test("volume is int-strict: non-integral string drops the row (reference int())") {
+    import spark.implicits._
+    val payload =
+      """{"Meta Data": {"3. Last Refreshed": "2025-09-12 16:00:00",
+        |  "5. Time Zone": "US/Eastern"},
+        | "Time Series (60min)": {
+        |  "2025-09-12 16:00:00": {"1. open": "1.0", "2. high": "2.0",
+        |    "3. low": "0.5", "4. close": "1.5", "5. volume": "123.5"},
+        |  "2025-09-12 15:00:00": {"1. open": "1.0", "2. high": "2.0",
+        |    "3. low": "0.5", "4. close": "1.5", "5. volume": "124"}}}"""
+        .stripMargin
+    val out = AlphaVantage.parseBars(spark,
+      Seq(("VOLT", payload)).toDF("symbol", "payload")).collect()
+    // "123.5" would pass int-via-double truncation but must be dropped,
+    // exactly like the reference's int("123.5") raising
+    assert(out.length == 1 && out(0).getLong(6) == 124L)
+  }
+
   test("payload metadata attached to every row; coded '5. Time Zone' key wins") {
     val aapl = rows.filter(_.getString(0) == "AAPL")
     assert(aapl.forall(_.getString(8) == "US/Eastern"))

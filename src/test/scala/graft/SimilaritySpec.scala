@@ -68,6 +68,17 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("neardup group-count knob is output-invariant") {
+    val dflt = Similarity.embedNearDup(spark, SparkTestSession.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set(Conf.NeardupGroups, "3")
+    try {
+      val tuned = Similarity.embedNearDup(spark, SparkTestSession.sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(tuned == dflt)
+    } finally spark.conf.unset(Conf.NeardupGroups)
+  }
+
   test("knn_ivf returns ranked neighbors for every query it covers") {
     val rows = Similarity.knnIvf(spark, SparkTestSession.sf).collect()
     assert(rows.nonEmpty)
