@@ -135,12 +135,13 @@ object Dedup {
     * (every member pairs with the bucket's min doc_id only): O(n)
     * pairs that keep the duplicate cluster connected for
     * union-find/grouping downstream, which is all dedup needs. */
-  def minhashCandidates(docs: DataFrame, cap: Int = -1): DataFrame = {
+  def minhashCandidates(docs: DataFrame, cap: Int = -1,
+      reproducible: Boolean = false): DataFrame = {
     val effCap = if (cap > 0) cap
       else graft.Conf.int(docs.sparkSession, graft.Conf.DedupBucketCap, 1024)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_id"), col("bucket"))
-    val b = minhashBands(docs)
+    val b = minhashBands(docs, reproducible)
       .withColumn("bcnt", count(lit(1)).over(w))
       .withColumn("bmin", min(col("doc_id")).over(w))
     val small = b.filter(col("bcnt") <= effCap)
@@ -161,6 +162,61 @@ object Dedup {
     * the spec with planted dups on the production xxhash64 path. */
   def minhashQuery(spark: SparkSession, dir: String): DataFrame =
     minhashBands(Tables.load(spark, dir, "documents"), reproducible = true)
+
+  // --- Duplicate clustering (connected components) -----------------------
+
+  /** Connected components over candidate duplicate pairs: every node
+    * gets the smallest doc_id reachable through the pair graph as its
+    * cluster id — the survivor/keep-list step that turns pairwise LSH
+    * candidates into actionable dedup groups.
+    *
+    * Hash-min label propagation: each round, every node takes the min
+    * of its own and its neighbors' labels — a join + hash-agg pair per
+    * round, all distributed, with a driver-side convergence test on a
+    * count (O(1) result; the label frame itself never leaves executors).
+    * Rounds needed = graph diameter; duplicate clusters are near-cliques
+    * (diameter 1-2 from shared bands), so this converges in 2-3 rounds.
+    * For adversarial long-chain graphs production would switch to the
+    * large-star/small-star alternation (O(log n) rounds, same join+agg
+    * building blocks). The fixpoint — min reachable id — is independent
+    * of iteration schedule, hence deterministic and oracle-checkable. */
+  def dupClusters(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("da").as("u"), col("db").as("v"))
+      .union(pairs.select(col("db").as("u"), col("da").as("v")))
+      .distinct().cache()
+    var labels = nodes.select(col("doc_id").as("node"))
+      .withColumn("label", col("node")).cache()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = edges.join(labels, col("v") === col("node"))
+        .groupBy(col("u")).agg(min("label").as("nlabel"))
+      val next = labels.join(nbrMin, col("node") === col("u"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .cache()
+      val changed = next.alias("n")
+        .join(labels.alias("p"), col("n.node") === col("p.node"))
+        .filter(col("n.label") =!= col("p.label")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Gate query: cluster id for every document from reproducible-hash
+    * LSH candidates (uncapped here so the DuckDB edge set is identical;
+    * observed bucket sizes are single-digit at every SF). */
+  def clustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    dupClusters(docs.select(col("doc_id")),
+      minhashCandidates(docs, cap = Int.MaxValue, reproducible = true))
+  }
 
   // --- SimHash -----------------------------------------------------------
 
@@ -231,7 +287,8 @@ object Dedup {
     "dedup_exact" -> exactDedup _,
     "dedup_minhash_bands" -> minhashQuery _,
     "dedup_simhash" -> simhashQuery _,
-    "dedup_jaccard_exact" -> jaccardExact _)
+    "dedup_jaccard_exact" -> jaccardExact _,
+    "dedup_clusters" -> clustersQuery _)
 
   /** DuckDB rendering of [[charPolyHash]] — same zero-padded fixed-width
     * fold, integer-exact. */
@@ -241,25 +298,33 @@ object Dedup {
       s"i -> CAST(ascii($s[CAST(i+1 AS INTEGER)]) AS BIGINT))), " +
       s"(acc,c) -> (acc*$mult + c) % $m)"
 
-  private def minhashOracle: String = {
+  /** The minhash computation as a flat CTE list + band-union tail, so
+    * callers can splice it into larger WITH lists (DuckDB 1.0 loses
+    * inner-WITH scope when a nested WITH sits inside a recursive CTE
+    * list member). */
+  private def minhashCtes: String = {
     val mins = (0 until numPerms)
       .map(i => s"min((${permA(i)}*h + ${permB(i)}) % $P) AS m$i")
       .mkString(",\n    ")
-    val bands = (0 until numPerms / bandRows).map { b =>
-      val horner = (b * bandRows until (b + 1) * bandRows)
-        .map(i => s"m$i").reduceLeft((acc, m) => s"($acc*31 + $m)")
-      s"SELECT doc_id, $b AS band_id, $horner AS bucket FROM s"
-    }.mkString("\nUNION ALL ")
-    s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    s"""d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
        |  WHERE len(str_split(text, ' ')) >= 3),
        |g AS (SELECT doc_id, unnest(list_transform(range(len(t) - 2),
        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g FROM d),
        |h AS (SELECT doc_id, ${polySql("g", 31L, P2)} AS h FROM g),
        |s AS (SELECT doc_id,
        |    $mins
-       |  FROM h GROUP BY doc_id)
-       |$bands""".stripMargin
+       |  FROM h GROUP BY doc_id)""".stripMargin
   }
+
+  private def minhashBandsUnion: String =
+    (0 until numPerms / bandRows).map { b =>
+      val horner = (b * bandRows until (b + 1) * bandRows)
+        .map(i => s"m$i").reduceLeft((acc, m) => s"($acc*31 + $m)")
+      s"SELECT doc_id, $b AS band_id, $horner AS bucket FROM s"
+    }.mkString("\nUNION ALL ")
+
+  private def minhashOracle: String =
+    s"WITH $minhashCtes\n$minhashBandsUnion"
 
   private def simhashOracle: String =
     s"""WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
@@ -276,7 +341,28 @@ object Dedup {
        |    ELSE 0 END) AS BIGINT) AS simhash48
        |FROM v GROUP BY doc_id""".stripMargin
 
+  /** Recursive-CTE oracle for [[clustersQuery]]: transitive closure of
+    * the (identical, uncapped) candidate edge set, then min reachable
+    * id per node — the same fixpoint hash-min propagation computes. */
+  private def clustersOracle: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |bands AS (
+       |$minhashBandsUnion
+       |),
+       |pairs AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |  FROM bands x JOIN bands y
+       |    ON x.band_id = y.band_id AND x.bucket = y.bucket
+       |   AND x.doc_id < y.doc_id),
+       |edges AS (SELECT da AS u, db AS v FROM pairs
+       |          UNION SELECT db, da FROM pairs),
+       |reach(n, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.n = e.v)
+       |SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> clustersOracle,
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash,
         |  min(doc_id) AS keep_id, count(*) AS cnt

@@ -60,38 +60,42 @@ object EventStream {
     * themselves are never flushed (no fourth batch) and are filtered by
     * the far-future cutoff anyway. Output therefore equals the batch
     * tumbling aggregation — the oracle is shared. */
-  def streamTumblingAppend(spark: SparkSession, dir: String): DataFrame = {
+  /** Stage DataFrames as one parquet file each in a fresh directory with
+    * strictly ascending modification times, so a file streaming source
+    * with `maxFilesPerTrigger=1` replays them as ordered micro-batches
+    * (the source processes oldest mtime first). */
+  private def stageReplay(frames: Seq[DataFrame]): String = {
     import java.nio.file.{Files, StandardCopyOption}
-    val batch = Tables.load(spark, dir, "events")
-      .select(col("ts"), col("event_type"), col("value"))
-    val work = Files.createTempDirectory("graft_stream_append")
+    val work = Files.createTempDirectory("graft_stream_replay")
     val staging = work.resolve("input")
     Files.createDirectories(staging)
-    def writeOne(df: DataFrame, sub: String, name: String, mtime: Long): Unit = {
-      val tmp = work.resolve(sub).toString
+    val t0 = System.currentTimeMillis() - 600000L
+    frames.zipWithIndex.foreach { case (df, i) =>
+      val tmp = work.resolve(s"w$i").toString
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.startsWith("part-")
           && f.getName.endsWith(".parquet")).get
-      val dest = staging.resolve(name)
+      val dest = staging.resolve(f"b$i%02d.parquet")
       Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
-      dest.toFile.setLastModified(mtime)
+      dest.toFile.setLastModified(t0 + i * 60000L)
     }
+    staging.toString
+  }
+
+  def streamTumblingAppend(spark: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.load(spark, dir, "events")
+      .select(col("ts"), col("event_type"), col("value"))
     import spark.implicits._
-    val t0 = System.currentTimeMillis() - 600000L
-    writeOne(batch, "w0", "a_events.parquet", t0)
-    writeOne(
-      Seq((java.sql.Timestamp.valueOf("2200-01-01 00:00:00"), "sentinel", 0.0))
-        .toDF("ts", "event_type", "value"),
-      "w1", "b_sentinel1.parquet", t0 + 60000L)
-    writeOne(
-      Seq((java.sql.Timestamp.valueOf("2200-01-02 00:00:00"), "sentinel", 0.0))
-        .toDF("ts", "event_type", "value"),
-      "w2", "c_sentinel2.parquet", t0 + 120000L)
+    def sentinel(ts: String) =
+      Seq((java.sql.Timestamp.valueOf(ts), "sentinel", 0.0))
+        .toDF("ts", "event_type", "value")
+    val staging = stageReplay(Seq(batch,
+      sentinel("2200-01-01 00:00:00"), sentinel("2200-01-02 00:00:00")))
     val stream = spark.readStream
       .schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(staging.toString)
+      .parquet(staging)
       .withWatermark("ts", "1 second")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
@@ -113,9 +117,46 @@ object EventStream {
     } finally q.stop()
   }
 
+  /** Cross-batch streaming dedup: the corpus is replayed TWICE (one file
+    * per micro-batch), so every second-batch row is a duplicate arriving
+    * from a different trigger; `dropDuplicatesWithinWatermark` keys
+    * per-event state that drops them all, because the 90-day horizon
+    * exceeds the corpus' 30-day span (at production scale the horizon is
+    * the allowed-lateness bound and state TTLs out behind the
+    * watermark — eviction behavior is spec-covered in StreamingSpec).
+    * Output is therefore exactly the distinct corpus: the oracle is a
+    * plain scan of `events`. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+    val staging = stageReplay(Seq(batch, batch))
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+      .withWatermark("ts", "90 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts_s"), col("value"))
+    val name = "graft_stream_dedup"
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table(name).cache()
+      out.count()
+      out
+    } finally q.stop()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> streamTumbling _,
-    "stream_tumbling_append" -> streamTumblingAppend _)
+    "stream_tumbling_append" -> streamTumblingAppend _,
+    "stream_dedup" -> streamDedup _)
 
   private val tumblingSql =
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
@@ -127,5 +168,10 @@ object EventStream {
     "stream_tumbling" -> tumblingSql,
     // append mode flushes every real window (see harness above), so the
     // oracle is the same batch aggregation
-    "stream_tumbling_append" -> tumblingSql)
+    "stream_tumbling_append" -> tumblingSql,
+    // a doubled replay deduplicates back to exactly the distinct corpus
+    "stream_dedup" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, value
+        |FROM events""".stripMargin)
 }

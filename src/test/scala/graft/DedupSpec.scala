@@ -94,6 +94,18 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dup clustering propagates min id across multi-hop chains") {
+    import spark.implicits._
+    // chain 10-11-12, pair 20-21, singletons 30/31: transitive closure
+    // must pull 12 down to cluster 10 even though (10,12) is no pair
+    val nodes = Seq(10L, 11L, 12L, 20L, 21L, 30L, 31L).toDF("doc_id")
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("da", "db")
+    val got = Dedup.dupClusters(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 31L))
+  }
+
   test("oversized LSH buckets fall back to O(n) star pairing") {
     import org.apache.spark.sql.functions._
     // 40 identical docs land in the same buckets in every band
