@@ -34,6 +34,7 @@ object SparkEntry {
       streaming.Sessionize.queries ++
       operators.SkewJoin.queries ++
       operators.AsofJoin.queries ++
+      operators.RangeJoin.queries ++
       analytics.OlapQueries.queries ++
       analytics.FunctionQueries.queries ++
       functions.TopK.queries ++
@@ -56,6 +57,7 @@ object SparkEntry {
       streaming.Sessionize.oracles ++
       operators.SkewJoin.oracles ++
       operators.AsofJoin.oracles ++
+      operators.RangeJoin.oracles ++
       analytics.OlapQueries.oracles ++
       analytics.FunctionQueries.oracles ++
       functions.TopK.oracles ++
