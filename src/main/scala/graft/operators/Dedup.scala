@@ -192,14 +192,15 @@ object Dedup {
     while (!done && iter < maxIter) {
       val nbrMin = edges.join(labels, col("v") === col("node"))
         .groupBy(col("u")).agg(min("label").as("nlabel"))
+      // change detection rides along in the same projection — no extra
+      // join against the previous labels
       val next = labels.join(nbrMin, col("node") === col("u"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
+            .as("label"),
+          (col("nlabel") < col("label")).as("chg"))
         .cache()
-      val changed = next.alias("n")
-        .join(labels.alias("p"), col("n.node") === col("p.node"))
-        .filter(col("n.label") =!= col("p.label")).limit(1).count()
+      val changed = next.filter(col("chg")).limit(1).count()
       labels.unpersist()
       labels = next
       done = changed == 0

@@ -153,10 +153,48 @@ object EventStream {
     } finally q.stop()
   }
 
+  /** Streaming keyed upsert (M3 in streaming form): version 1 of every
+    * key and version 2 of a subset replay as separate micro-batches; a
+    * complete-mode max-of-struct aggregation holds last-writer-wins
+    * state per key, so the final snapshot equals the batch upsert of
+    * the union. LWW-as-algebraic-aggregate is the point: late or
+    * duplicate data folds into state without reprocessing, the same
+    * single-exchange shape as the batch `Upsert.upsert` merge. */
+  def streamUpsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.load(spark, dir, "events")
+      .select(col("event_id"), lit(1L).as("version"), col("value"))
+    val v2 = v1.filter(col("event_id") % 3 === 0)
+      .withColumn("version", lit(2L))
+      .withColumn("value", col("value") + 1.0)
+    val staging = stageReplay(Seq(v1, v2))
+    val stream = spark.readStream
+      .schema(v1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+      .groupBy("event_id")
+      .agg(max(struct(col("version"), col("value"))).as("latest"),
+        count(lit(1)).as("n_versions"))
+      .select(col("event_id"), col("latest.version").as("version"),
+        col("latest.value").as("value"), col("n_versions"))
+    val name = "graft_stream_upsert"
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table(name).cache()
+      out.count()
+      out
+    } finally q.stop()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> streamTumbling _,
     "stream_tumbling_append" -> streamTumblingAppend _,
-    "stream_dedup" -> streamDedup _)
+    "stream_dedup" -> streamDedup _,
+    "stream_upsert_latest" -> streamUpsertLatest _)
 
   private val tumblingSql =
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
@@ -173,5 +211,15 @@ object EventStream {
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type,
         |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, value
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    // LWW state snapshot == batch upsert of the unioned versions
+    "stream_upsert_latest" ->
+      """WITH v1 AS (SELECT event_id, CAST(1 AS BIGINT) AS version, value
+        |            FROM events),
+        |v2 AS (SELECT event_id, CAST(2 AS BIGINT) AS version, value + 1.0
+        |       FROM events WHERE event_id % 3 = 0),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT event_id, max(version) AS version,
+        |  arg_max(value, version) AS value, count(*) AS n_versions
+        |FROM u GROUP BY event_id""".stripMargin)
 }
