@@ -190,11 +190,52 @@ object EventStream {
     } finally q.stop()
   }
 
+  /** Static dimension for stream enrichment: event_type -> engagement
+    * class. A literal table so the gate is deterministic; in production
+    * this is any slowly-changing dim the stream joins against. */
+  val typeDim: Seq[(String, String)] = Seq(
+    ("click", "interactive"), ("purchase", "interactive"),
+    ("signup", "interactive"), ("view", "passive"), ("error", "ops"))
+
+  /** Stream-static join: each micro-batch of the streaming fact is
+    * enriched against a static dimension (planned as a broadcast hash
+    * join inside every trigger — the standard production shape for
+    * dimension lookup on a stream; the static side re-resolves per
+    * batch, so a dim refresh is picked up without restarting the
+    * query), then aggregated per enrichment class in complete mode.
+    * Deterministic: the final snapshot equals the batch join+agg. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val batch = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+    val staging = stageReplay(Seq(batch))
+    val dim = typeDim.toDF("event_type", "engagement")
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .parquet(staging)
+      .join(broadcast(dim), "event_type")
+      .groupBy("engagement")
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
+    val name = "graft_stream_static"
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table(name).cache()
+      out.count()
+      out
+    } finally q.stop()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> streamTumbling _,
     "stream_tumbling_append" -> streamTumblingAppend _,
     "stream_dedup" -> streamDedup _,
-    "stream_upsert_latest" -> streamUpsertLatest _)
+    "stream_upsert_latest" -> streamUpsertLatest _,
+    "stream_static_join" -> streamStaticJoin _)
 
   private val tumblingSql =
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
@@ -212,6 +253,17 @@ object EventStream {
       """SELECT event_id, user_id, event_type,
         |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, value
         |FROM events""".stripMargin,
+    // stream-static enrichment snapshot == the batch join+agg
+    "stream_static_join" ->
+      """SELECT CASE WHEN event_type IN ('click','purchase','signup')
+        |         THEN 'interactive'
+        |       WHEN event_type = 'view' THEN 'passive'
+        |       ELSE 'ops' END AS engagement,
+        |  count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+        |FROM events
+        |WHERE event_type IN ('click','purchase','signup','view','error')
+        |GROUP BY 1""".stripMargin,
     // LWW state snapshot == batch upsert of the unioned versions
     "stream_upsert_latest" ->
       """WITH v1 AS (SELECT event_id, CAST(1 AS BIGINT) AS version, value
