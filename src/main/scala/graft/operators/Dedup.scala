@@ -193,13 +193,19 @@ object Dedup {
       val nbrMin = edges.join(labels, col("v") === col("node"))
         .groupBy(col("u")).agg(min("label").as("nlabel"))
       // change detection rides along in the same projection — no extra
-      // join against the previous labels
+      // join against the previous labels. localCheckpoint (not cache):
+      // `labels` feeds both sides of the round, so the LOGICAL plan
+      // doubles per iteration — a cache truncates execution but not
+      // lineage, and ~20 rounds of a long-diameter graph OOM the
+      // driver on plan analysis. Checkpointing truncates the lineage;
+      // production on a cluster would use a reliable checkpoint dir
+      // (localCheckpoint trades executor-loss recovery for speed).
       val next = labels.join(nbrMin, col("node") === col("u"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"),
           (col("nlabel") < col("label")).as("chg"))
-        .cache()
+        .localCheckpoint()
       val changed = next.filter(col("chg")).limit(1).count()
       labels.unpersist()
       labels = next
