@@ -61,6 +61,30 @@ object Upsert {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** Dynamic partition overwrite into a partitioned catalog table:
+    * only partitions present in `df` are replaced; every other
+    * partition's files are untouched. Stages through a temp directory
+    * because the rewritten rows are read from the same table (Spark
+    * refuses an in-place overwrite of a path being scanned). The
+    * staging volume is the touched partitions only, never the table. */
+  def overwritePartitionsInto(spark: SparkSession, df: DataFrame,
+      table: String): Unit = {
+    val staging = java.nio.file.Files
+      .createTempDirectory(s"graft_dynovr_$table").toString
+    df.write.mode("overwrite").parquet(staging)
+    // the writer option form of partitionOverwriteMode is only honored
+    // on path-based writes, not insertInto — set the session conf for
+    // the duration of the insert instead
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try spark.read.parquet(staging).write.mode("overwrite").insertInto(table)
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Gate query: upsert an update+insert batch derived from `orders`
     * onto `orders` itself; deterministic, oracle-expressible.
     * `created_at` (mapped from o_orderdate) must survive updates. */

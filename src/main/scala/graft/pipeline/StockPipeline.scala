@@ -96,7 +96,15 @@ class StockPipeline(
   private def dec(c: String) = col(c).cast(DecimalType(15, 4)).as(c)
 
   /** K1 against the managed table: merge the batch into stock_data with
-    * last-writer-wins, preserving first-insert created_at/time_zone. */
+    * last-writer-wins, preserving first-insert created_at/time_zone.
+    *
+    * Partition-pruned (the 100 TB write path): `trade_date` =
+    * to_date(timestamp) is a function of the merge key, so a batch row
+    * can only conflict inside its own date partition. Only partitions
+    * whose dates appear in the batch are read for the merge, and only
+    * those are rewritten (dynamic partition overwrite); an hourly run
+    * touches a handful of dates regardless of table size. The collected
+    * date list is bounded by the batch's calendar span, not its rows. */
   def upsertIntoStockData(bars: DataFrame): Unit = {
     val ts = now()
     val batch = bars.select(
@@ -104,15 +112,18 @@ class StockPipeline(
       dec("open_price"), dec("high_price"), dec("low_price"),
       dec("close_price"), col("volume"),
       col("last_refreshed"), col("time_zone"),
-      lit(ts).as("created_at"))
-    val merged = Upsert.upsert(spark.table("stock_data"), batch,
-      keys = Seq("symbol", "timestamp"),
-      preserve = Seq("time_zone", "created_at"))
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft_stock_data").toString
-    merged.write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite")
-      .insertInto("stock_data")
+      lit(ts).as("created_at"),
+      to_date(col("timestamp")).as("trade_date"))
+    val dates = batch.select("trade_date").distinct()
+      .collect().map(_.getDate(0)).toSeq
+    if (dates.nonEmpty) {
+      val current = spark.table("stock_data")
+        .filter(col("trade_date").isin(dates: _*))
+      val merged = Upsert.upsert(current, batch,
+        keys = Seq("symbol", "timestamp"),
+        preserve = Seq("time_zone", "created_at"))
+      Upsert.overwritePartitionsInto(spark, merged, "stock_data")
+    }
   }
 
   /** K4: append a run row per task to pipeline_logs + per-symbol status

@@ -24,6 +24,12 @@ object Catalog {
   def warehouse: String =
     sys.env.getOrElse("GRAFT_WAREHOUSE", "/root/repo/data/warehouse")
 
+  /** `stock_data` is date-partitioned on `trade_date` =
+    * to_date(timestamp): the merge key (symbol, timestamp) functionally
+    * determines its partition, so an upsert batch only ever conflicts
+    * with rows inside the partitions its own dates touch — merge and
+    * retention both become partition-pruned rewrites instead of
+    * full-table scans (the 100 TB write path). */
   val stockDataDdl: String =
     """CREATE TABLE IF NOT EXISTS stock_data (
       |  symbol STRING NOT NULL,
@@ -35,8 +41,11 @@ object Catalog {
       |  volume BIGINT,
       |  last_refreshed TIMESTAMP,
       |  time_zone STRING,
-      |  created_at TIMESTAMP
-      |) USING PARQUET LOCATION '${warehouse}/stock_data'""".stripMargin
+      |  created_at TIMESTAMP,
+      |  trade_date DATE
+      |) USING PARQUET
+      |PARTITIONED BY (trade_date)
+      |LOCATION '${warehouse}/stock_data'""".stripMargin
       .replace("${warehouse}", warehouse)
 
   val stockMetadataDdl: String =
@@ -62,9 +71,18 @@ object Catalog {
       |) USING PARQUET LOCATION '${warehouse}/pipeline_logs'""".stripMargin
       .replace("${warehouse}", warehouse)
 
-  /** O1 first stage: DDL before any ingest. Idempotent. */
-  def bootstrap(spark: SparkSession): Unit =
+  /** O1 first stage: DDL before any ingest. Idempotent. A partitioned
+    * external table re-attached over existing data starts with an empty
+    * partition list in the (per-session) catalog, so recover partitions
+    * from the directory layout; SYNC also drops entries whose
+    * directories retention removed. */
+  def bootstrap(spark: SparkSession): Unit = {
     Seq(stockDataDdl, stockMetadataDdl, pipelineLogsDdl).foreach(spark.sql(_))
+    // repair requires the location to exist (first boot starts empty)
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/stock_data")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(loc)
+    spark.sql("MSCK REPAIR TABLE stock_data SYNC PARTITIONS")
+  }
 
   /** S4/A5: catalog existence check over the three expected tables. */
   def tablesPresent(spark: SparkSession): DataFrame = {
@@ -100,12 +118,59 @@ object Catalog {
     (if (format == "csv") r.option("header", "true") else r).load(path)
   }
 
+  /** Drop date partitions from a partitioned external table: the
+    * catalog entry via DDL, the files via the filesystem (external
+    * tables keep user-managed files on DROP PARTITION, and a leftover
+    * directory would be resurrected by the next bootstrap's repair). */
+  def dropDatePartitions(spark: SparkSession, table: String,
+      dates: Seq[java.sql.Date]): Unit = if (dates.nonEmpty) {
+    val specs = dates.map(d => s"PARTITION (trade_date = '$d')").mkString(", ")
+    spark.sql(s"ALTER TABLE $table DROP IF EXISTS $specs")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    dates.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$warehouse/$table/trade_date=$d")
+      p.getFileSystem(hconf).delete(p, true)
+    }
+  }
+
   /** M4/P10: retention — delete stock rows older than `days` and log
-    * rows older than 30 days, by anti-filter rewrite (the scalable
-    * form: with date-partitioned storage this prunes to expired
-    * partitions only). Returns rows deleted per table. */
+    * rows older than 30 days. Returns rows deleted per table.
+    *
+    * `stock_data` is the partition-pruned form: only partitions with
+    * trade_date <= the cutoff date are scanned (everything newer is
+    * pruned at planning time), fully-expired partitions are dropped
+    * as metadata + directory deletes with no row rewrite at all, and
+    * only the single partition straddling the cutoff timestamp is
+    * rewritten via dynamic partition overwrite. The per-date stats
+    * collect is bounded by the retention horizon in days, not rows. */
   def applyRetention(spark: SparkSession, now: java.sql.Timestamp,
       dataDays: Int = 365, logDays: Int = 30): Map[String, Long] = {
+    def sweepPartitioned(table: String, days: Int): Long = {
+      val cutoff = new java.sql.Timestamp(
+        now.getTime - days.toLong * 24 * 3600 * 1000)
+      // trade_date = to_date(timestamp) in the session zone, so
+      // timestamp < cutoff implies trade_date <= to_date(cutoff):
+      // the candidate filter is partition-pruning and lossless.
+      val candidates = spark.table(table)
+        .filter(col("trade_date") <= to_date(lit(cutoff)))
+      val stats = candidates.groupBy("trade_date").agg(
+        count(lit(1)).as("n"),
+        count(when(col("timestamp") < lit(cutoff), 1)).as("expired"))
+        .collect()
+      val deleted = stats.map(_.getLong(2)).sum
+      val full = stats.filter(r => r.getLong(2) == r.getLong(1)).map(_.getDate(0))
+      val straddling = stats
+        .filter(r => r.getLong(2) > 0 && r.getLong(2) < r.getLong(1))
+        .map(_.getDate(0)).toSeq
+      dropDatePartitions(spark, table, full.toSeq)
+      if (straddling.nonEmpty) {
+        val survivors = spark.table(table)
+          .filter(col("trade_date").isin(straddling: _*)
+            && col("timestamp") >= lit(cutoff))
+        graft.operators.Upsert.overwritePartitionsInto(spark, survivors, table)
+      }
+      deleted
+    }
     def sweep(table: String, tsCol: String, days: Int): Long = {
       val cutoff = new java.sql.Timestamp(
         now.getTime - days.toLong * 24 * 3600 * 1000)
@@ -117,8 +182,7 @@ object Catalog {
       val deleted = cnts.getLong(0) - cnts.getLong(1)
       if (deleted > 0) {
         // stage surviving rows before overwriting the table being read
-        // (never collects to the driver; at scale this is a partition-
-        // pruned rewrite of expired date partitions only)
+        // (never collects to the driver)
         val staging = java.nio.file.Files
           .createTempDirectory(s"graft_retention_$table").toString
         kept.write.mode("overwrite").parquet(staging)
@@ -127,7 +191,7 @@ object Catalog {
       deleted
     }
     Map(
-      "stock_data" -> sweep("stock_data", "timestamp", dataDays),
+      "stock_data" -> sweepPartitioned("stock_data", dataDays),
       "pipeline_logs" -> sweep("pipeline_logs", "created_at", logDays))
   }
 

@@ -33,6 +33,42 @@ class PartitionedWriteSpec extends AnyFunSuite {
     assert(!scanned.contains("order_year=1995"))
   }
 
+  test("stock_data merge rewrites only partitions containing batch dates") {
+    import spark.implicits._
+    import graft.store.Catalog
+    Catalog.bootstrap(spark)
+    val p = new graft.pipeline.StockPipeline(spark,
+      graft.pipeline.StockPipeline.fixtureFetch)
+    def bars(sym: String, ts: String) = Seq(
+      (sym, java.sql.Timestamp.valueOf(ts), 1.0, 2.0, 0.5, 1.5, 10L,
+        java.sql.Timestamp.valueOf(ts), "UTC"))
+      .toDF("symbol", "timestamp", "open_price", "high_price", "low_price",
+        "close_price", "volume", "last_refreshed", "time_zone")
+    p.upsertIntoStockData(bars("PARTA", "2020-03-01 10:00:00")
+      .unionByName(bars("PARTB", "2020-03-02 10:00:00")))
+    def fileState(d: String) = new java.io.File(
+      s"${Catalog.warehouse}/stock_data/trade_date=$d").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val before = fileState("2020-03-01")
+    assert(before.nonEmpty)
+    // a merge touching only 2020-03-02 must leave 03-01's files alone
+    p.upsertIntoStockData(bars("PARTB", "2020-03-02 11:00:00"))
+    assert(fileState("2020-03-01") == before,
+      "untouched date partition was rewritten by the merge")
+    assert(fileState("2020-03-02") != before)
+    assert(spark.table("stock_data").filter("symbol LIKE 'PART%'").count() == 3)
+    // retention drops the fully-expired partitions (metadata + files)
+    // without touching anything newer — and cleans this test up
+    val deleted = Catalog.applyRetention(spark,
+      java.sql.Timestamp.valueOf("2021-06-01 00:00:00"),
+      dataDays = 1, logDays = 36500)
+    assert(deleted("stock_data") == 3)
+    assert(!new java.io.File(
+      s"${Catalog.warehouse}/stock_data/trade_date=2020-03-01").exists)
+    assert(spark.table("stock_data").filter("symbol LIKE 'PART%'").count() == 0)
+  }
+
   test("dynamic overwrite replaces only touched partitions") {
     val out = java.nio.file.Files.createTempDirectory("graft_dyn").toString
     import spark.implicits._

@@ -59,7 +59,8 @@ class PipelineSpec extends AnyFunSuite {
       "cast(high_price as decimal(15,4)) high_price",
       "cast(low_price as decimal(15,4)) low_price",
       "cast(close_price as decimal(15,4)) close_price",
-      "volume", "last_refreshed", "time_zone", "created_at")
+      "volume", "last_refreshed", "time_zone", "created_at",
+      "cast(timestamp as date) trade_date")
       .write.mode("append").insertInto("stock_data")
     val deleted = Catalog.applyRetention(spark, now)
     assert(deleted("stock_data") >= 1)
