@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   *    computation is embarrassingly parallel column work, and the only
   *    shuffle is the band-bucket exchange whose fan-in is bounded by
   *    bucket size (skew-safe: a pathological bucket is capped);
-  *  - exact Jaccard is quadratic and exists as (a) the verifier behind
-  *    LSH candidates and (b) an oracle-checkable gate on a sampled
-  *    sub-corpus.
+  *  - exact Jaccard is candidate-driven: pair enumeration happens only
+  *    in the (bucket-capped) LSH stage; the verifier computes exact
+  *    similarity per candidate pair with work linear in candidate
+  *    volume. There is deliberately NO shingle-keyed self-join — one
+  *    boilerplate trigram shared by d documents would emit d² join
+  *    rows on a single key.
   */
 object Dedup {
 
@@ -265,29 +268,47 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  // --- Exact n-gram Jaccard (oracle-checkable) ----------------------------
+  // --- Exact n-gram Jaccard (candidate-driven verifier) -------------------
 
-  /** Exact trigram-Jaccard over a deterministic sample (doc_id % 7 = 0):
-    * explode distinct shingles, join on shingle, count intersection,
-    * |A∪B| = |A|+|B|-|A∩B|. Output: all intersecting pairs with their
-    * similarity. This is the verifier used behind LSH candidates. */
-  def jaccardExact(spark: SparkSession, dir: String): DataFrame = {
-    val sample = Tables.load(spark, dir, "documents")
-      .filter(col("doc_id") % 7 === 0)
-    val tok = shingleRows(sample).distinct()
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = tok.alias("a")
-      .join(tok.alias("b"), col("a.g") === col("b.g")
-        && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter_cnt"))
-    inter
+  /** Exact trigram-Jaccard for the given candidate pairs only — the
+    * verifier stage behind LSH. No shingle-keyed self-join anywhere:
+    * the left doc's shingles key into its pairs (rows = Σ_pairs |A|),
+    * then match the right doc's shingles on (db, g), where each
+    * distinct shingle matches at most once per pair. Total work and
+    * shuffle are linear in candidate volume times document size — a
+    * boilerplate trigram shared by millions of docs costs nothing
+    * beyond its one row per document, because pair enumeration already
+    * happened in the (bucket-capped) LSH stage. */
+  def jaccardVerify(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val g = shingleRows(docs).distinct()
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(g.withColumnRenamed("doc_id", "da"), "da")
+      .join(g.select(col("doc_id").as("db"), col("g")), Seq("db", "g"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter_cnt"))
+    pairs
+      .join(inter, Seq("da", "db"), "left")
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-      .select(col("da"), col("db"), col("inter_cnt"),
-        (col("inter_cnt").cast("double")
-          / (col("na") + col("nb") - col("inter_cnt")).cast("double"))
+      .select(col("da"), col("db"),
+        coalesce(col("inter_cnt"), lit(0L)).as("inter_cnt"),
+        (coalesce(col("inter_cnt"), lit(0L)).cast("double")
+          / (col("na") + col("nb") - coalesce(col("inter_cnt"), lit(0L)))
+            .cast("double"))
           .as("jaccard"))
+  }
+
+  /** Gate query: the LSH-candidates → exact-verify pipeline over the
+    * full corpus (the verifier is linear in candidate volume, so no
+    * sampling is needed), reproducible hash so the DuckDB oracle
+    * reproduces the identical candidate set (uncapped here; observed
+    * bucket sizes are single-digit at every SF). Candidates that only
+    * collided on a band bucket verify to jaccard = 0 and stay in the
+    * output (they're what the verifier exists to reject). */
+  def jaccardExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    jaccardVerify(docs,
+      minhashCandidates(docs, cap = Int.MaxValue, reproducible = true))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -331,7 +352,7 @@ object Dedup {
     }.mkString("\nUNION ALL ")
 
   private def minhashOracle: String =
-    s"WITH $minhashCtes\n$minhashBandsUnion"
+    s"WITH ${minhashCtes}\n$minhashBandsUnion"
 
   private def simhashOracle: String =
     s"""WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
@@ -352,7 +373,7 @@ object Dedup {
     * the (identical, uncapped) candidate edge set, then min reachable
     * id per node — the same fixpoint hash-min propagation computes. */
   private def clustersOracle: String =
-    s"""WITH RECURSIVE $minhashCtes,
+    s"""WITH RECURSIVE ${minhashCtes},
        |bands AS (
        |$minhashBandsUnion
        |),
@@ -377,23 +398,32 @@ object Dedup {
     "dedup_minhash_bands" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_jaccard_exact" ->
-      """WITH d AS (
-        |  SELECT doc_id, str_split(text, ' ') AS t FROM documents
-        |  WHERE doc_id % 7 = 0 AND len(str_split(text, ' ')) >= 3),
-        |g AS (
+      s"""WITH ${minhashCtes},
+        |bands AS (
+        |$minhashBandsUnion
+        |),
+        |pairs AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.bucket = y.bucket
+        |   AND x.doc_id < y.doc_id),
+        |gg AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(len(t) - 2),
         |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS g
         |  FROM d),
-        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gg GROUP BY doc_id),
         |inter AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter_cnt
-        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  SELECT p.da, p.db, count(*) AS inter_cnt
+        |  FROM pairs p
+        |  JOIN gg a ON a.doc_id = p.da
+        |  JOIN gg b ON b.doc_id = p.db AND b.g = a.g
         |  GROUP BY 1, 2)
-        |SELECT da, db, inter_cnt,
-        |  CAST(inter_cnt AS DOUBLE) / CAST(sa.n + sb.n - inter_cnt AS DOUBLE)
-        |    AS jaccard
-        |FROM inter
-        |JOIN sz sa ON sa.doc_id = da
-        |JOIN sz sb ON sb.doc_id = db""".stripMargin)
+        |SELECT p.da, p.db,
+        |  CAST(coalesce(i.inter_cnt, 0) AS BIGINT) AS inter_cnt,
+        |  CAST(coalesce(i.inter_cnt, 0) AS DOUBLE)
+        |    / CAST(sa.n + sb.n - coalesce(i.inter_cnt, 0) AS DOUBLE) AS jaccard
+        |FROM pairs p
+        |LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
+        |JOIN sz sa ON sa.doc_id = p.da
+        |JOIN sz sb ON sb.doc_id = p.db""".stripMargin)
 }

@@ -142,10 +142,42 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(_._1 == 0L))
   }
 
-  test("exact trigram jaccard on corpus is within (0, 1] and symmetric keys ordered") {
+  test("exact trigram jaccard on corpus is within [0, 1] and symmetric keys ordered") {
     val out = Dedup.jaccardExact(spark, SparkTestSession.sf).collect()
     assert(out.nonEmpty)
-    assert(out.forall(r => r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
+    assert(out.forall(r => r.getDouble(3) >= 0 && r.getDouble(3) <= 1.0))
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("jaccard verifier computes exact similarity for given candidate pairs") {
+    import spark.implicits._
+    val vdocs = Seq((0L, base), (1L, base), (2L, near), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("da", "db")
+    val got = Dedup.jaccardVerify(vdocs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got((0L, 1L))._2 == 1.0)                      // identical
+    // one changed token kills 3 of 62 trigrams: inter = 59, union = 65
+    assert(got((0L, 2L)) == ((59L, 59.0 / 65.0)))
+    assert(got((0L, 3L)) == ((0L, 0.0)))                 // disjoint
+  }
+
+  test("hot shingle shared by 200 docs causes no d-squared pair blowup") {
+    import spark.implicits._
+    // 200 docs share ONE boilerplate trigram but are otherwise unique.
+    // The old shingle-keyed self-join emitted 200*199/2 ~ 19900 rows on
+    // that single key; the candidate-driven path only ever pays for LSH
+    // candidates, and one shared trigram out of ~10 never agrees on a
+    // whole minhash band.
+    val hot = (0 until 200).map { i =>
+      (i.toLong, s"COMMON HOT TRIGRAM u${i}a u${i}b u${i}c u${i}d u${i}e " +
+        s"u${i}f u${i}g u${i}h u${i}i u${i}j")
+    }.toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(hot)
+    val nCands = cands.count()
+    assert(nCands < 200, s"candidate pairs must stay near-linear, got $nCands")
+    // verifier output is exactly candidate-bounded — no blowup inside
+    assert(Dedup.jaccardVerify(hot, cands).count() == nCands)
   }
 }
