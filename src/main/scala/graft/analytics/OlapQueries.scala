@@ -77,14 +77,21 @@ object OlapQueries {
         expr("percentile(o_totalprice, 0.9)").as("p90"))
 
   /** HLL sketch cardinality vs exact — the scale path for distinct
-    * counts (no exact-distinct shuffle). Approximate: rows-only gate;
-    * the spec asserts the error bound. */
+    * counts (no exact-distinct shuffle). The sketch value itself has no
+    * oracle form, so the gate emits the exact count (oracle-expressible)
+    * plus a boolean asserting the sketch landed within a 5% relative
+    * error bound — Spark's HLL++ is deterministic for fixed input, so
+    * the boolean is too, and the oracle simply states TRUE: a drifting
+    * sketch becomes a hash mismatch instead of an unchecked value. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        (abs(approx_count_distinct(col("l_partkey"), 0.02)
+            - countDistinct(col("l_partkey"))).cast("double")
+          / countDistinct(col("l_partkey")).cast("double") <= 0.05)
+          .as("within_bound"))
 
   /** Moment statistics made order-independent: n, sum, mean, and
     * population variance derived from exact decimal power sums (sum x,
@@ -192,6 +199,10 @@ object OlapQueries {
         |  CAST(embedding[-1] AS DOUBLE) AS last,
         |  CAST(embedding[1:3][3] AS DOUBLE) AS slice3_last,
         |  CAST(label AS BIGINT) AS label_l
-        |FROM embeddings""".stripMargin)
-    // agg_approx_distinct: sketch-based — rows-only.
+        |FROM embeddings""".stripMargin,
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY 1""".stripMargin)
 }

@@ -30,11 +30,10 @@ class AsofOlapSpec extends AnyFunSuite {
 
   test("approx_count_distinct stays within the configured error bound") {
     val rows = OlapQueries.approxDistinct(spark, SparkTestSession.sf).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact <= 0.10,
-        s"${r.getString(0)}: approx=$approx exact=$exact")
+      assert(r.getBoolean(2),
+        s"${r.getString(0)}: sketch outside 5% of exact=${r.getLong(1)}")
     }
   }
 
