@@ -4,6 +4,12 @@ import graft.Tables
 import graft.Tables.dsum
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Row/state shapes for the delta-emitting LWW upsert (top-level so the
+  * case-class encoders are stable across the streaming checkpoint). */
+case class UpsertEvent(event_id: Long, version: Long, value: Double)
+case class UpsertState(version: Long, value: Double)
 
 /** Structured Streaming surface (SURVEY.md §2.8): the reference's
   * scheduled micro-batch dataflow expressed as a real streaming query.
@@ -190,6 +196,58 @@ object EventStream {
     } finally q.stop()
   }
 
+  /** Delta-emitting streaming LWW upsert — the production form of
+    * [[streamUpsertLatest]] at large key cardinality: complete mode
+    * re-emits the FULL key space every trigger (O(keys) sink traffic);
+    * this variant keys LWW state with `flatMapGroupsWithState` in
+    * update mode and emits a row only when a key's winning
+    * (version, value) actually changes, so sink traffic per trigger is
+    * O(changed keys). Trigger 1 (all keys new) emits every key at
+    * version 1; trigger 2 (a mod-3 subset replayed at version 2) emits
+    * only that subset. The emitted delta log is deterministic — each
+    * (event_id, version) appears exactly once — and folding it by
+    * max-version reconstructs the complete-mode snapshot, which
+    * StreamingSpec asserts. */
+  def streamUpsertDeltas(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v1 = Tables.load(spark, dir, "events")
+      .select(col("event_id"), lit(1L).as("version"), col("value"))
+    val v2 = v1.filter(col("event_id") % 3 === 0)
+      .withColumn("version", lit(2L))
+      .withColumn("value", col("value") + 1.0)
+    val staging = stageReplay(Seq(v1, v2))
+    val lww = Ordering.by[UpsertState, (Long, Double)](s => (s.version, s.value))
+    val stream = spark.readStream
+      .schema(v1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+      .as[UpsertEvent]
+      .groupByKey(_.event_id)
+      .flatMapGroupsWithState[UpsertState, UpsertEvent](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[UpsertEvent], state: GroupState[UpsertState]) =>
+          val incoming = rows.map(r => UpsertState(r.version, r.value)).max(lww)
+          val next = state.getOption.fold(incoming)(lww.max(_, incoming))
+          if (state.getOption.contains(next)) Iterator.empty
+          else {
+            state.update(next)
+            Iterator.single(UpsertEvent(id, next.version, next.value))
+          }
+      }
+    val name = "graft_stream_upsert_deltas"
+    val q = stream.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table(name).cache()
+      out.count()
+      out
+    } finally q.stop()
+  }
+
   /** Static dimension for stream enrichment: event_type -> engagement
     * class. A literal table so the gate is deterministic; in production
     * this is any slowly-changing dim the stream joins against. */
@@ -235,6 +293,7 @@ object EventStream {
     "stream_tumbling_append" -> streamTumblingAppend _,
     "stream_dedup" -> streamDedup _,
     "stream_upsert_latest" -> streamUpsertLatest _,
+    "stream_upsert_deltas" -> streamUpsertDeltas _,
     "stream_static_join" -> streamStaticJoin _)
 
   private val tumblingSql =
@@ -273,5 +332,12 @@ object EventStream {
         |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
         |SELECT event_id, max(version) AS version,
         |  arg_max(value, version) AS value, count(*) AS n_versions
-        |FROM u GROUP BY event_id""".stripMargin)
+        |FROM u GROUP BY event_id""".stripMargin,
+    // The delta log is exactly one row per (key, version) that won its
+    // trigger: every key at version 1, the replayed subset at version 2.
+    "stream_upsert_deltas" ->
+      """SELECT event_id, CAST(1 AS BIGINT) AS version, value FROM events
+        |UNION ALL
+        |SELECT event_id, CAST(2 AS BIGINT) AS version, value + 1.0
+        |FROM events WHERE event_id % 3 = 0""".stripMargin)
 }

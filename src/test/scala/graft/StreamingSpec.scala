@@ -81,4 +81,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.map(_.getLong(2)).sum == 10)
     } finally q.stop()
   }
+
+  test("delta-emitting LWW upsert: deltas are O(changed keys) and fold to the snapshot") {
+    import graft.streaming.EventStream
+    val sf = SparkTestSession.sf
+    val deltas = EventStream.streamUpsertDeltas(spark, sf)
+    val keys = deltas.filter(col("version") === 1).count()
+    val changed = deltas.filter(col("version") === 2).count()
+    // trigger 2 emitted only the replayed mod-3 subset, not the key space
+    assert(deltas.count() == keys + changed)
+    assert(changed < keys)
+    // folding the delta log by max version reconstructs the
+    // complete-mode snapshot
+    val folded = deltas.groupBy("event_id")
+      .agg(max(struct(col("version"), col("value"))).as("l"))
+      .select(col("event_id"), col("l.version").as("version"),
+        col("l.value").as("value"))
+    val snapshot = EventStream.streamUpsertLatest(spark, sf)
+      .select("event_id", "version", "value")
+    assert(folded.exceptAll(snapshot).isEmpty && snapshot.exceptAll(folded).isEmpty)
+  }
 }
