@@ -228,6 +228,81 @@ object Dedup {
       minhashCandidates(docs, cap = Int.MaxValue, reproducible = true))
   }
 
+  /** Connected components by large-star/small-star alternation
+    * (the MapReduce CC algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): converges in
+    * O(log n) rounds on ANY graph, versus diameter rounds for the
+    * label propagation in [[dupClusters]]. Duplicate clusters from LSH
+    * are near-cliques where propagation wins on constants, but a
+    * chain-shaped component (e.g. a gradually-drifting boilerplate
+    * series, each revision pairing only with its neighbors) has
+    * diameter O(n) — this is the adversarial-shape path.
+    *
+    * Each round is two groupBy+join rounds over the edge list:
+    *  - large-star: every node links its LARGER neighbors to the
+    *    smallest node it knows (min of itself and its neighborhood);
+    *  - small-star: on the remaining (big -> small) directed edges,
+    *    every node links itself and its smaller neighbors to its
+    *    minimum neighbor.
+    * The edge set monotonically flattens into per-component stars
+    * rooted at the component minimum — the same fixpoint as
+    * [[dupClusters]], so the two share an oracle. localCheckpoint per
+    * round truncates the doubling logical plan, as in [[dupClusters]].
+    *
+    * Returns (labels, rounds): every node with the smallest doc_id in
+    * its component, and the number of alternation rounds taken. */
+  def dupClustersStar(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int = 60): (DataFrame, Int) = {
+    var edges = pairs
+      .select(greatest(col("da"), col("db")).as("u"),
+        least(col("da"), col("db")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // large-star over the symmetric closure
+      val sym = edges
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmin = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+        .select(col("u").as("c"), col("m"))
+      val ls = sym.join(lmin, col("u") === col("c"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star on the directed (big -> small) edges
+      val smin = ls.groupBy("u").agg(min(col("v")).as("m"))
+        .select(col("u").as("c"), col("m"))
+      val next = ls.join(smin, col("u") === col("c"))
+        .select(explode(array(
+          struct(col("u").as("a"), col("m").as("b")),
+          struct(col("v").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      // fixpoint: the directed edge set stopped changing (both counts
+      // equal and no row left the set)
+      done = next.count() == edges.count() &&
+        next.exceptAll(edges).limit(1).count() == 0
+      edges = next
+      iter += 1
+    }
+    val labels = nodes.select(col("doc_id"))
+      .join(edges.groupBy("u").agg(min("v").as("root")),
+        col("doc_id") === col("u"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    (labels, iter)
+  }
+
+  /** Gate query: same fixpoint as [[clustersQuery]] via the star
+    * alternation — shares the recursive-CTE oracle, so the DuckDB gate
+    * proves the two algorithms agree on the full corpus. */
+  def clustersStarQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    dupClustersStar(docs.select(col("doc_id")),
+      minhashCandidates(docs, cap = Int.MaxValue, reproducible = true))._1
+  }
+
   // --- SimHash -----------------------------------------------------------
 
   /** 48-bit SimHash over tokens: bit k is the sign of the sum of
@@ -316,7 +391,8 @@ object Dedup {
     "dedup_minhash_bands" -> minhashQuery _,
     "dedup_simhash" -> simhashQuery _,
     "dedup_jaccard_exact" -> jaccardExact _,
-    "dedup_clusters" -> clustersQuery _)
+    "dedup_clusters" -> clustersQuery _,
+    "dedup_clusters_star" -> clustersStarQuery _)
 
   /** DuckDB rendering of [[charPolyHash]] — same zero-padded fixed-width
     * fold, integer-exact. */
@@ -391,6 +467,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> clustersOracle,
+    "dedup_clusters_star" -> clustersOracle,
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash,
         |  min(doc_id) AS keep_id, count(*) AS cnt

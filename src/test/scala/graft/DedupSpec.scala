@@ -129,6 +129,40 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("star-alternation clustering matches union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val n = 200
+    val edgeSet = (0 until 150).map { _ =>
+      val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edgeSet.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val (labels, _) = Dedup.dupClustersStar(
+      (0L until n.toLong).toDF("doc_id"), edgeSet.toDF("da", "db"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("star alternation converges in O(log n) rounds on a 500-node path") {
+    import spark.implicits._
+    val n = 500
+    // worst case for label propagation: diameter n-1, needs ~n rounds;
+    // the star alternation must stay logarithmic
+    val pathEdges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("da", "db")
+    val (labels, rounds) = Dedup.dupClustersStar(
+      (0L until n.toLong).toDF("doc_id"), pathEdges)
+    assert(labels.collect().forall(_.getLong(1) == 0L))
+    val bound = 4 * (math.log(n) / math.log(2)).ceil.toInt
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+  }
+
   test("oversized LSH buckets fall back to O(n) star pairing") {
     import org.apache.spark.sql.functions._
     // 40 identical docs land in the same buckets in every band
