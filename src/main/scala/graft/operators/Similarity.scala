@@ -200,44 +200,90 @@ object Similarity {
     * no matter how large the corpus grows. */
   val ivfK = 64
 
-  /** IVF-style ANN: every vector is assigned to its nearest coarse
-    * centroid; a query probes only its own centroid's bucket; top-3 per
-    * query. Centroids are a deterministic fixed-k sample — vectors with
-    * the k smallest values of an LCG permutation of vec_id — standing in
-    * for offline k-means (which at scale is its own batch job; the
-    * assignment/probing dataflow here is unchanged by how centroids are
-    * chosen). Assignment is MAP-SIDE ONLY: the k centroids are collected
-    * (bounded: k rows) and unrolled into k codegen'd `cosine_sim`
-    * expressions + an `array_max` argmax, so no row blowup and no
-    * shuffle; the only shuffles are the bucket-probe join and the tiny
-    * per-query top-3 window. Deterministic end-to-end (sequential
-    * left-to-right float accumulation both here and in the DuckDB
-    * oracle), so the gate hash-checks despite being "approximate" w.r.t.
-    * true nearest neighbors. */
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** Lloyd's refinement rounds over the sampled init. Two rounds move
+    * the sampled points most of the way to a stable coarse quantizer;
+    * more rounds buy little for a 64-cell IVF. */
+  val ivfIters = 2
+
+  /** Nearest-centroid assignment, MAP-SIDE ONLY: the k centroids arrive
+    * as literals unrolled into k codegen'd `cosine_sim` expressions +
+    * an `array_max` argmax (struct max is lexicographic, so
+    * (csim, -cent_id) breaks ties to the smallest id) — no row blowup,
+    * no shuffle. */
+  private def assignToCentroids(e: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
     import graft.functions.VectorExpressions.cosine_sim
-    val e = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), asD(col("embedding")).as("v"))
-    val cents = e
+    val simStructs = cents.map { case (cid, cv) =>
+      struct(cosine_sim(col("v"), typedlit(cv)).as("csim"),
+        lit(-cid).as("ncid"))
+    }
+    e.withColumn("best", array_max(array(simStructs.toIndexedSeq: _*)))
+      .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cent_id"))
+  }
+
+  /** Deterministic k-means coarse quantizer: init = the k vectors with
+    * the smallest LCG permutation of vec_id (integer-exact in both
+    * engines), refined by [[ivfIters]] Lloyd's rounds. Each round is
+    * one distributed assignment pass (O(n*k) map-side work) plus a
+    * posexplode + hash-agg per-dimension reduction; only k*Dim
+    * aggregate rows reach the driver per round.
+    *
+    * The mean update is QUANTIZED: per-dimension sums accumulate
+    * floor(x * 1e6) as exact integers, and the new component is
+    * sum / (n * 1e6). Float summation order would otherwise make the
+    * centroid bits depend on partitioning (and differ from any
+    * re-implementation); integer sums are order-independent and
+    * reproduce bit-identically in the DuckDB oracle, while the 1e-6
+    * quantization is far below any clustering-relevant signal. Empty
+    * cells keep their previous centroid. */
+  private def kmeansCentroids(e: DataFrame): Seq[(Long, Seq[Double])] = {
+    var cents: Seq[(Long, Seq[Double])] = e
       .withColumn("r",
         pmod(col("vec_id") * lit(1103515245L) + lit(12345L), lit(2147483648L)))
       .orderBy(col("r"), col("vec_id")).limit(ivfK)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
       .collect() // k rows — bounded and corpus-independent
-    // argmax over k unrolled codegen'd cosine exprs; struct max is
-    // lexicographic, so (csim, -cent_id) breaks ties to the smallest id
-    val simStructs = cents.map { r =>
-      val cid = r.getLong(0)
-      val cv = r.getSeq[Double](1)
-      struct(cosine_sim(col("v"), typedlit(cv)).as("csim"),
-        lit(-cid).as("ncid"))
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .toSeq.sortBy(_._1)
+    for (_ <- 0 until ivfIters) {
+      val byCent = assignToCentroids(e, cents)
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy("cent_id", "p")
+        .agg(sum(floor(col("x") * lit(1000000.0))).as("s"),
+          count(lit(1)).as("n"))
+        .collect() // k*Dim rows — bounded
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      cents = cents.map { case (cid, old) =>
+        byCent.get(cid).fold(cid -> old) { rows =>
+          cid -> rows.sortBy(_._2)
+            .map(t => t._3.toDouble / (t._4.toDouble * 1e6)).toIndexedSeq
+        }
+      }
     }
+    cents
+  }
+
+  /** IVF-style ANN: every vector is assigned to its nearest coarse
+    * centroid; a query probes only its own centroid's bucket; top-3 per
+    * query. Centroids are deterministic k-means ([[kmeansCentroids]]):
+    * LCG-sampled init + Lloyd's rounds — at 100 TB the refinement runs
+    * as its own offline batch job on a sample, and the assignment /
+    * probing dataflow here is unchanged by how centroids are produced.
+    * The only shuffles are the per-round k*Dim centroid reduction, the
+    * bucket-probe join, and the tiny per-query top-3 window.
+    * Deterministic end-to-end (integer-quantized centroid sums,
+    * sequential left-to-right float accumulation both here and in the
+    * DuckDB oracle), so the gate hash-checks despite being
+    * "approximate" w.r.t. true nearest neighbors. */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions.cosine_sim
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("v"))
+      .cache() // scanned once per Lloyd round + once for final assignment
     // both the probe branch and the corpus branch read the assignment;
     // cache it so the k-expression argmax (and its codegen) runs once
-    val assigned = e
-      .withColumn("best", array_max(array(simStructs.toIndexedSeq: _*)))
-      .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cent_id"))
-      .cache()
+    val assigned = assignToCentroids(e, kmeansCentroids(e)).cache()
     val queries = assigned.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("cent_id").as("qcent"))
@@ -378,14 +424,39 @@ object Similarity {
          |JOIN e eb ON eb.vec_id = cand.b
          |WHERE ${cosSql("ea.v", "eb.v")} >= 0.4""".stripMargin
     },
-    "knn_ivf" ->
+    "knn_ivf" -> {
+      // one Lloyd round: assignment vs centroid table `prev`, then the
+      // same integer-quantized per-dimension mean as kmeansCentroids
+      def lloydCtes(t: Int, prev: String): String =
+        s"""ka$t AS (
+           |  SELECT vec_id, v, cent_id FROM (
+           |    SELECT e.vec_id, e.v, c.cent_id, row_number() OVER (
+           |      PARTITION BY e.vec_id
+           |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cent_id ASC) AS crn
+           |    FROM e CROSS JOIN $prev c) WHERE crn = 1),
+           |ks$t AS (
+           |  SELECT cent_id, i.range AS p,
+           |    sum(CAST(floor(a.v[CAST(i.range + 1 AS INTEGER)] * 1000000.0)
+           |        AS BIGINT)) AS s,
+           |    count(*) AS n
+           |  FROM ka$t a CROSS JOIN range($Dim) i GROUP BY 1, 2),
+           |kc$t AS (
+           |  SELECT c.cent_id, coalesce(u.cv, c.cv) AS cv
+           |  FROM $prev c LEFT JOIN (
+           |    SELECT cent_id, list(CAST(s AS DOUBLE)
+           |      / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY p) AS cv
+           |    FROM ks$t GROUP BY cent_id) u USING (cent_id))""".stripMargin
+      val rounds = (1 to ivfIters)
+        .map(t => lloydCtes(t, if (t == 1) "kc0" else s"kc${t - 1}"))
+        .mkString(",\n")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         |kc0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
          |      ORDER BY (vec_id * 1103515245 + 12345) % 2147483648, vec_id
          |      LIMIT $ivfK),
+         |$rounds,
          |a0 AS (SELECT e.vec_id, e.v, c.cent_id,
          |         ${cosSql("e.v", "c.cv")} AS csim
-         |       FROM e CROSS JOIN c),
+         |       FROM e CROSS JOIN kc$ivfIters c),
          |assigned AS (
          |  SELECT vec_id, v, cent_id FROM (
          |    SELECT vec_id, v, cent_id, row_number() OVER (
@@ -401,5 +472,6 @@ object Similarity {
          |  SELECT query_id, neighbor_id, sim, CAST(row_number() OVER (
          |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
          |      AS BIGINT) AS rn
-         |  FROM cand) WHERE rn <= 3""".stripMargin)
+         |  FROM cand) WHERE rn <= 3""".stripMargin
+    })
 }

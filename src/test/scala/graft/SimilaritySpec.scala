@@ -112,7 +112,9 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     // single-probe IVF with k=64 coarse cells trades recall for a
     // ~1/64 scan fraction; the floor pins that the bucketing isn't
-    // degenerate (0 would mean queries land in empty/wrong cells)
-    assert(mean >= 0.25, s"mean ivf recall $mean")
+    // degenerate (0 would mean queries land in empty/wrong cells).
+    // Raised from 0.25 when Lloyd's refinement replaced the raw
+    // LCG-sample centroids (measured 0.317 at sf0.001).
+    assert(mean >= 0.30, s"mean ivf recall $mean")
   }
 }
