@@ -355,7 +355,12 @@ object Dedup {
     * beyond its one row per document, because pair enumeration already
     * happened in the (bucket-capped) LSH stage. */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    // g feeds three consumers (sizes + both sides of the intersection
+    // join); without persistence Spark re-runs the shingle explode and
+    // its window sort three times. MEMORY_AND_DISK: shingle rows are
+    // bigger than the docs, spill beats recompute.
     val g = shingleRows(docs).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(g.withColumnRenamed("doc_id", "da"), "da")
