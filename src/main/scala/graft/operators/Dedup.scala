@@ -257,6 +257,7 @@ object Dedup {
       .select(greatest(col("da"), col("db")).as("u"),
         least(col("da"), col("db")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var edgeCount = edges.count()
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -279,11 +280,13 @@ object Dedup {
           struct(col("v").as("a"), col("m").as("b")))).as("e"))
         .select(col("e.a").as("u"), col("e.b").as("v"))
         .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-      // fixpoint: the directed edge set stopped changing (both counts
-      // equal and no row left the set)
-      done = next.count() == edges.count() &&
+      // fixpoint: the directed edge set stopped changing (both distinct
+      // sets have equal counts and no row entered the new set)
+      val nextCount = next.count()
+      done = nextCount == edgeCount &&
         next.exceptAll(edges).limit(1).count() == 0
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     val labels = nodes.select(col("doc_id"))
