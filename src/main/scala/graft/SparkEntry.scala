@@ -38,7 +38,8 @@ object SparkEntry {
       analytics.OlapQueries.queries ++
       analytics.FunctionQueries.queries ++
       functions.TopK.queries ++
-      store.Bucketing.queries
+      store.Bucketing.queries ++
+      operators.TrainPrep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -61,5 +62,6 @@ object SparkEntry {
       analytics.OlapQueries.oracles ++
       analytics.FunctionQueries.oracles ++
       functions.TopK.oracles ++
-      store.Bucketing.oracles
+      store.Bucketing.oracles ++
+      operators.TrainPrep.oracles
 }

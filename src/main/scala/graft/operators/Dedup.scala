@@ -404,7 +404,7 @@ object Dedup {
 
   /** DuckDB rendering of [[charPolyHash]] — same zero-padded fixed-width
     * fold, integer-exact. */
-  private def polySql(s: String, mult: Long, m: Long): String =
+  private[operators] def polySql(s: String, mult: Long, m: Long): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range($polyWidth), " +
       s"i -> CAST(ascii($s[CAST(i+1 AS INTEGER)]) AS BIGINT))), " +

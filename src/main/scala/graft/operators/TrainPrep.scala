@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextAnalysis
+import graft.functions.TextAnalysis.tokens
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-set preparation operators over `documents` — the last mile
+  * of an LLM-data pipeline once dedup/quality/similarity have done
+  * their work: leakage-free splits, stratified subsampling, fixed
+  * token-budget sequence packing, and the curation join that ties the
+  * whole pipeline together.
+  *
+  * Scale design (the 100 TB story):
+  *  - the split is a pure per-row hash expression — no shuffle, no
+  *    state, and CONTENT-keyed so byte-identical duplicates land in the
+  *    same split (id-keyed splits leak dup pairs across train/test);
+  *  - stratified sampling is one window pass per stratum partition —
+  *    the only shuffle is the stratum exchange, and the kept fraction
+  *    is exact per stratum, not expected-value;
+  *  - packing shuffles once on the shard key and then runs a bounded
+  *    sequential fill per shard; shard count scales with the corpus so
+  *    per-task state stays O(1);
+  *  - curation is survivor-join ∘ quality-filter ∘ lang-gate — each
+  *    stage is an operator this engine already gates individually.
+  */
+object TrainPrep {
+
+  /** Row shapes for the packing kernel (top-level-object nested case
+    * classes get stable encoders). */
+  case class ShardDoc(shard: Long, doc_id: Long, n_tokens: Long)
+  case class PackedDoc(doc_id: Long, shard: Long, bin_id: Long, n_tokens: Long)
+
+  // --- Deterministic content-hash split ----------------------------------
+
+  /** Split-bucket arithmetic shared with the oracle: the reproducible
+    * char-poly content hash reduced mod 100. Production would use
+    * `xxhash64(text)` (better mixing, one native op); the char-poly
+    * keeps the gate hash-checkable, exactly as in [[Dedup]]. */
+  private val splitMod = 100L
+  private def splitBucket(reproducible: Boolean) = {
+    val h =
+      if (reproducible) Dedup.charPolyHash(col("text"), 31L, 2000000011L)
+      else pmod(xxhash64(col("text")), lit(2000000011L))
+    pmod(h, lit(splitMod))
+  }
+
+  /** Leakage-free train/valid/test assignment (80/10/10): the bucket is
+    * a CONTENT hash, so identical documents — and with a fuzzy hash,
+    * near-identical ones — can never straddle a split boundary the way
+    * they can under doc_id-ranged or random splits. Pure map-side
+    * column work. */
+  def splitAssign(docs: DataFrame, reproducible: Boolean = false): DataFrame =
+    docs.select(col("doc_id"), splitBucket(reproducible).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+
+  def splitQuery(spark: SparkSession, dir: String): DataFrame =
+    splitAssign(Tables.load(spark, dir, "documents"), reproducible = true)
+
+  // --- Stratified sampling ------------------------------------------------
+
+  /** Keep fraction for the stratified-sample gate. */
+  val sampleFrac = 0.2
+
+  /** Exact-fraction stratified sample: within each stratum, rank rows
+    * by an LCG permutation of doc_id (deterministic stand-in for a
+    * seeded shuffle — integer-exact in the oracle) and keep the first
+    * ceil(frac * |stratum|). Unlike `df.sample`, the kept count per
+    * stratum is exact, so class balance is preserved to the row. One
+    * stratum-keyed window pass; no driver participation. */
+  def stratifiedSample(docs: DataFrame, stratum: String,
+      frac: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratum))
+      .orderBy(col("r"), col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratum))
+    docs
+      .withColumn("r",
+        pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(2147483648L)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_stratum", count(lit(1)).over(wAll))
+      .filter(col("rn") <=
+        ceil(lit(frac) * col("n_stratum").cast("double")))
+      .select(col("doc_id"), col(stratum), col("rn"), col("n_stratum"))
+  }
+
+  def sampleQuery(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.load(spark, dir, "documents"), "lang", sampleFrac)
+
+  // --- Token-budget sequence packing --------------------------------------
+
+  /** Context-window budget and shard count for the packing gate. */
+  val packBudget = 256L
+  val packShards = 8L
+
+  /** Greedy no-straddle sequence packing: documents are hash-sharded,
+    * each shard's docs are taken in doc_id order, and a document opens
+    * a new bin when it would overflow the token budget (oversized docs
+    * get a bin of their own). Packing is inherently sequential WITHIN a
+    * shard — so the shard is the unit of parallelism: one exchange on
+    * the shard key, a distributed spillable `sortWithinPartitions`, and
+    * an O(1)-state `mapPartitions` fill (no per-group in-memory
+    * collection; a partition streams whole shards in order). Shard
+    * count scales with the corpus, per-shard work stays bounded.
+    * Deterministic: shard assignment, order, and fill are all
+    * arithmetic on (doc_id, n_tokens). */
+  def packSequences(docs: DataFrame, budget: Long = packBudget,
+      shards: Long = packShards): Dataset[PackedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(pmod(col("doc_id"), lit(shards)).as("shard"),
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .as[ShardDoc]
+      .mapPartitions { it =>
+        var shard = -1L
+        var bin = 0L
+        var cum = 0L
+        it.map { d =>
+          if (d.shard != shard) { shard = d.shard; bin = 0L; cum = 0L }
+          if (cum > 0 && cum + d.n_tokens > budget) { bin += 1; cum = 0L }
+          cum += d.n_tokens
+          PackedDoc(d.doc_id, d.shard, bin, d.n_tokens)
+        }
+      }
+  }
+
+  def packQuery(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.load(spark, dir, "documents")).toDF()
+
+  // --- Curation (the composed pipeline) -----------------------------------
+
+  /** The end-to-end curation join: exact-dedup survivors, quality-gated
+    * (the same n_tokens >= 40 && stop_cnt > 0 rule the quality gate
+    * classifies by), carrying the language label and token count a
+    * downstream sampler/packer needs. One broadcast-or-shuffle join
+    * against the 32-byte-keyed survivor list plus per-row column work —
+    * each ingredient is individually gated (dedup_exact, text_quality,
+    * text_langid); this gate pins their composition. */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val survivors = Dedup.exactDedup(spark, dir)
+      .select(col("keep_id").as("doc_id"))
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val stopCnt = size(filter(t,
+      x => x.isInCollection(TextAnalysis.stopEn))).cast("long")
+    docs.join(survivors, "doc_id")
+      .select(col("doc_id"), col("lang"), nTok.as("n_tokens"),
+        stopCnt.as("stop_cnt"))
+      .filter(col("n_tokens") >= 40 && col("stop_cnt") > 0)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "train_split" -> splitQuery _,
+    "train_sample_stratified" -> sampleQuery _,
+    "train_pack" -> packQuery _,
+    "train_curate" -> curate _)
+
+  val oracles: Map[String, String] = Map(
+    "train_split" -> {
+      val h = Dedup.polySql("text", 31L, 2000000011L)
+      s"""SELECT doc_id, $h % $splitMod AS bucket,
+         |  CASE WHEN $h % $splitMod < 80 THEN 'train'
+         |       WHEN $h % $splitMod < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
+    "train_sample_stratified" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |    (doc_id * 1103515245 + 12345) % 2147483648 AS r,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id)
+         |      AS BIGINT) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n_stratum
+         |  FROM documents)
+         |SELECT doc_id, lang, rn, n_stratum FROM r
+         |WHERE rn <= ceil($sampleFrac * CAST(n_stratum AS DOUBLE))""".stripMargin,
+    "train_pack" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, doc_id % $packShards AS shard,
+         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS tk
+         |  FROM documents),
+         |o AS (SELECT doc_id, shard, tk,
+         |    CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+         |      AS BIGINT) AS rn
+         |  FROM t),
+         |pack AS (
+         |  SELECT shard, rn, doc_id, tk, CAST(0 AS BIGINT) AS bin, tk AS cum
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.shard, o.rn, o.doc_id, o.tk,
+         |    CASE WHEN p.cum + o.tk > $packBudget THEN p.bin + 1
+         |         ELSE p.bin END,
+         |    CASE WHEN p.cum + o.tk > $packBudget THEN o.tk
+         |         ELSE p.cum + o.tk END
+         |  FROM pack p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)
+         |SELECT doc_id, shard, bin AS bin_id, tk AS n_tokens FROM pack""".stripMargin,
+    "train_curate" ->
+      """WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |s AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(str_split(d.text, ' '),
+        |      x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+        |      AS stop_cnt
+        |  FROM documents d JOIN surv USING (doc_id))
+        |SELECT * FROM s WHERE n_tokens >= 40 AND stop_cnt > 0""".stripMargin)
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.TrainPrep
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TrainPrepSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("content-hash split sends byte-identical duplicates to the same split") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"), // dup of 1
+      (3L, "a completely different document body goes here now"),
+      (4L, "a completely different document body goes here now")) // dup of 3
+      .toDF("doc_id", "text")
+    // both the production (xxhash64) and reproducible (char-poly) hash
+    // must keep duplicate pairs split-consistent
+    for (repro <- Seq(false, true)) {
+      val m = TrainPrep.splitAssign(docs, reproducible = repro).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(m(1L) == m(2L), s"repro=$repro split leaked a duplicate")
+      assert(m(3L) == m(4L), s"repro=$repro split leaked a duplicate")
+    }
+  }
+
+  test("split fractions on the corpus are near 80/10/10") {
+    val counts = TrainPrep.splitQuery(spark, SparkTestSession.sf)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    assert(counts("train") / total > 0.7 && counts("train") / total < 0.9)
+    assert(counts.keySet == Set("train", "valid", "test"))
+  }
+
+  test("stratified sample keeps exactly ceil(frac * n) rows per stratum") {
+    val docs = Tables.load(spark, SparkTestSession.sf, "documents")
+    val strata = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TrainPrep.stratifiedSample(docs, "lang", 0.2)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == strata.keySet)
+    kept.foreach { case (lang, k) =>
+      assert(k == math.ceil(0.2 * strata(lang)).toLong,
+        s"$lang kept $k of ${strata(lang)}")
+    }
+  }
+
+  test("packing matches a sequential reference fold and respects the budget") {
+    val docs = Tables.load(spark, SparkTestSession.sf, "documents")
+    val got = TrainPrep.packSequences(docs).collect()
+      .map(p => p.doc_id -> (p.shard, p.bin_id, p.n_tokens)).toMap
+    // reference: greedy fill per shard in doc_id order, on the driver
+    val ref = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy { case (id, _) => id % TrainPrep.packShards }
+    ref.foreach { case (shard, members) =>
+      var bin = 0L; var cum = 0L
+      members.sortBy(_._1).foreach { case (id, tk) =>
+        if (cum > 0 && cum + tk > TrainPrep.packBudget) { bin += 1; cum = 0L }
+        cum += tk
+        assert(got(id) == ((shard, bin, tk)), s"doc $id")
+      }
+    }
+    // no bin over budget unless it holds a single oversized doc
+    val binSums = got.values.groupBy(v => (v._1, v._2))
+      .map { case (k, vs) => k -> (vs.map(_._3).sum, vs.size) }
+    binSums.foreach { case (k, (sum, n)) =>
+      assert(sum <= TrainPrep.packBudget || n == 1, s"bin $k sum $sum n $n")
+    }
+  }
+
+  test("oversized documents get a bin of their own") {
+    val docs = Seq(
+      (0L, Seq.fill(300)("w").mkString(" ")), // 300 tokens > 256 budget
+      (8L, Seq.fill(100)("x").mkString(" ")), // same shard 0
+      (16L, Seq.fill(100)("y").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TrainPrep.packSequences(docs).collect()
+      .map(p => p.doc_id -> p.bin_id).toMap
+    assert(got(0L) == 0L)   // oversized alone in bin 0
+    assert(got(8L) == 1L)   // next doc opens a new bin
+    assert(got(16L) == 1L)  // 100 + 100 <= 256 stays in bin 1
+  }
+
+  test("curate keeps only dedup survivors passing the quality gate") {
+    val out = TrainPrep.curate(spark, SparkTestSession.sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(2) >= 40 && r.getLong(3) > 0))
+    // survivors are unique docs
+    val ids = out.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+  }
+}
