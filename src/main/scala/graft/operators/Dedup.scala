@@ -346,6 +346,69 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Chunks the 48-bit signature bands into. Pigeonhole: any pair
+    * within Hamming distance `simChunks - 1` (= 3) shares at least one
+    * exact 12-bit chunk, so chunk-bucket collision is a complete
+    * candidate generator at that radius; larger radii (the gate
+    * verifies at <= [[simMaxDist]]) trade recall like any banding. */
+  val simChunks = 4
+  val simMaxDist = 6
+
+  /** SimHash near-dup pairs, completing the sketch into the same
+    * candidates -> verify pipeline as MinHash/LSH: 12-bit signature
+    * chunks bucket-join candidates (the only data-dependent shuffle,
+    * keyed by (chunk_idx, chunk)), then the packed signatures verify
+    * Hamming distance <= maxDist with one codegen'd XOR+popcount per
+    * pair. Same duplicate-flood star-cap guard as
+    * [[minhashCandidates]]: a bucket larger than `cap` pairs members
+    * with its min doc_id only — O(n) pairs, cluster stays connected. */
+  def simhashCandidates(docs: DataFrame, maxDist: Int = simMaxDist,
+      cap: Int = -1, reproducible: Boolean = false): DataFrame = {
+    val effCap = if (cap > 0) cap
+      else graft.Conf.int(docs.sparkSession, graft.Conf.DedupBucketCap, 1024)
+    // sigs feeds the chunk explode and both verify joins
+    val sigs = simhashSigs(docs, reproducible)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunkCols = (0 until simChunks).map(c =>
+      shiftright(col("simhash48"), 12 * c).bitwiseAND(lit(4095L)))
+    val chunks = sigs.select(col("doc_id"),
+      posexplode(array(chunkCols: _*)).as(Seq("c", "chunk")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c"), col("chunk"))
+    val b = chunks
+      .withColumn("bcnt", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("doc_id")).over(w))
+    val small = b.filter(col("bcnt") <= effCap)
+    val l = small.select(col("c"), col("chunk"), col("doc_id").as("da"))
+    val r = small.select(col("c").as("c2"), col("chunk").as("chunk2"),
+      col("doc_id").as("db"))
+    val allPairs = l.join(r,
+      l("c") === r("c2") && l("chunk") === r("chunk2")
+        && col("da") < col("db"))
+      .select("da", "db")
+    val starPairs = b.filter(col("bcnt") > effCap && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("da"), col("doc_id").as("db"))
+    allPairs.union(starPairs).distinct()
+      .join(sigs.select(col("doc_id").as("da"), col("simhash48").as("sa")), "da")
+      .join(sigs.select(col("doc_id").as("db"), col("simhash48").as("sb")), "db")
+      .filter(hamming(col("sa"), col("sb")) <= maxDist)
+      .select(col("da"), col("db"),
+        hamming(col("sa"), col("sb")).cast("long").as("dist"))
+  }
+
+  /** Bucket cap for the pairs GATE. SimHash chunks of a small-vocab
+    * corpus are collision-heavy (a hot chunk held ~1k docs at sf0.1 —
+    * 500k pairs from one bucket uncapped), so unlike the MinHash gate
+    * this one runs WITH the star-cap guard, and the oracle models the
+    * star fallback too — the skew guard itself is hash-verified. */
+  val simPairsGateCap = 32
+
+  /** Gate query: chunk-banded candidates verified at Hamming <= 6 with
+    * the reproducible hash, star-capped at [[simPairsGateCap]]. */
+  def simhashPairsQuery(spark: SparkSession, dir: String): DataFrame =
+    simhashCandidates(Tables.load(spark, dir, "documents"),
+      cap = simPairsGateCap, reproducible = true)
+
   // --- Exact n-gram Jaccard (candidate-driven verifier) -------------------
 
   /** Exact trigram-Jaccard for the given candidate pairs only — the
@@ -398,6 +461,7 @@ object Dedup {
     "dedup_exact" -> exactDedup _,
     "dedup_minhash_bands" -> minhashQuery _,
     "dedup_simhash" -> simhashQuery _,
+    "dedup_simhash_pairs" -> simhashPairsQuery _,
     "dedup_jaccard_exact" -> jaccardExact _,
     "dedup_clusters" -> clustersQuery _,
     "dedup_clusters_star" -> clustersStarQuery _)
@@ -438,8 +502,11 @@ object Dedup {
   private def minhashOracle: String =
     s"WITH ${minhashCtes}\n$minhashBandsUnion"
 
-  private def simhashOracle: String =
-    s"""WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+  /** SimHash signature computation as a flat CTE list ending in
+    * `sig(doc_id, simhash48)` — shared by the signature gate and the
+    * chunk-banded pairs gate. */
+  private def simhashCtes: String =
+    s"""t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
        |  FROM documents),
        |h AS (SELECT doc_id, ${polySql("tok", 31L, P2)} AS h1,
        |         ${polySql("tok", 37L, P3)} AS h2 FROM t),
@@ -447,11 +514,39 @@ object Dedup {
        |    sum(((CASE WHEN k.range < 24 THEN h1 >> CAST(k.range AS INTEGER)
        |          ELSE h2 >> CAST(k.range - 24 AS INTEGER) END) & 1) * 2 - 1)
        |      AS vote
-       |  FROM h CROSS JOIN range(48) k GROUP BY doc_id, k.range)
-       |SELECT doc_id, CAST(sum(CASE WHEN vote > 0
+       |  FROM h CROSS JOIN range(48) k GROUP BY doc_id, k.range),
+       |sig AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0
        |    THEN CAST(1 AS BIGINT) << CAST(47 - k AS INTEGER)
        |    ELSE 0 END) AS BIGINT) AS simhash48
-       |FROM v GROUP BY doc_id""".stripMargin
+       |  FROM v GROUP BY doc_id)""".stripMargin
+
+  private def simhashOracle: String =
+    s"WITH $simhashCtes\nSELECT doc_id, simhash48 FROM sig"
+
+  private def simhashPairsOracle: String =
+    s"""WITH $simhashCtes,
+       |ch AS (SELECT doc_id, c.range AS c,
+       |    (simhash48 >> CAST(12 * c.range AS INTEGER)) & 4095 AS chunk,
+       |    count(*) OVER (PARTITION BY c.range,
+       |      (simhash48 >> CAST(12 * c.range AS INTEGER)) & 4095) AS bcnt,
+       |    min(doc_id) OVER (PARTITION BY c.range,
+       |      (simhash48 >> CAST(12 * c.range AS INTEGER)) & 4095) AS bmin
+       |  FROM sig CROSS JOIN range($simChunks) c),
+       |pairs AS (
+       |  SELECT DISTINCT da, db FROM (
+       |    SELECT x.doc_id AS da, y.doc_id AS db
+       |    FROM ch x JOIN ch y
+       |      ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+       |    WHERE x.bcnt <= $simPairsGateCap AND y.bcnt <= $simPairsGateCap
+       |    UNION ALL
+       |    SELECT bmin AS da, doc_id AS db FROM ch
+       |    WHERE bcnt > $simPairsGateCap AND doc_id <> bmin))
+       |SELECT p.da, p.db,
+       |  CAST(bit_count(xor(a.simhash48, b.simhash48)) AS BIGINT) AS dist
+       |FROM pairs p
+       |JOIN sig a ON a.doc_id = p.da
+       |JOIN sig b ON b.doc_id = p.db
+       |WHERE bit_count(xor(a.simhash48, b.simhash48)) <= $simMaxDist""".stripMargin
 
   /** Recursive-CTE oracle for [[clustersQuery]]: transitive closure of
     * the (identical, uncapped) candidate edge set, then min reachable
@@ -482,6 +577,7 @@ object Dedup {
         |FROM documents GROUP BY sha256(text)""".stripMargin,
     "dedup_minhash_bands" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
+    "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_jaccard_exact" ->
       s"""WITH ${minhashCtes},
         |bands AS (

@@ -176,6 +176,24 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(_._1 == 0L))
   }
 
+  test("simhash chunk banding surfaces near-dups; hot buckets star-cap") {
+    import spark.implicits._
+    val docs = Seq((0L, base), (1L, base), (2L, near), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashCandidates(docs, cap = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 1L)) == 0L)          // identical: distance 0
+    assert(pairs.contains((0L, 2L)))       // near-dup within maxDist
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // duplicate flood: all 40 docs share every chunk; cap 10 -> star
+    val flood = spark.range(40)
+      .select(org.apache.spark.sql.functions.col("id").as("doc_id"),
+        org.apache.spark.sql.functions.lit(base).as("text"))
+    val fp = Dedup.simhashCandidates(flood, cap = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(fp.length == 39 && fp.forall(_._1 == 0L), s"got ${fp.length}")
+  }
+
   test("exact trigram jaccard on corpus is within [0, 1] and symmetric keys ordered") {
     val out = Dedup.jaccardExact(spark, SparkTestSession.sf).collect()
     assert(out.nonEmpty)
