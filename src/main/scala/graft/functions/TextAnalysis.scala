@@ -100,12 +100,39 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("term"))
       .limit(25)
 
+  /** Per-document TF-IDF-style term weighting: top-3 terms per doc by
+    * rarity-weighted score tf/df (ties by term). Two hash-aggregations
+    * — (doc, term) counts, then term document-frequencies — one
+    * term-keyed join, and a per-doc top-k window (WindowGroupLimit
+    * prunes before the sort). The score is tf/df rather than
+    * tf*ln(N/df) because libm `ln` is not bit-identical across engines
+    * (the oracle would flake on ranking ties); the ranking is the same
+    * rarity ordering for fixed tf, and production callers can apply
+    * any monotone transform downstream. */
+  def tfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats _,
     "text_quality" -> textQuality _,
     "text_langid" -> langId _,
     "text_fingerprint" -> fingerprint _,
-    "text_terms" -> termFreq _)
+    "text_terms" -> termFreq _,
+    "text_tfidf" -> tfIdf _)
 
   private def sqlHits(l: Seq[String]): String =
     l.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -156,5 +183,20 @@ object TextAnalysis {
         |      list_transform(str_split(text, ' '),
         |        x -> CAST(length(x) * 7 + ascii(x[1]) AS BIGINT))),
         |    (acc, term) -> (acc * 31 + term) % 1000000007) AS fingerprint
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(str_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, score, rn FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term ASC) AS BIGINT) AS rn
+        |  FROM s) WHERE rn <= 3""".stripMargin)
 }

