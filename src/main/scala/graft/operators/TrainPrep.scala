@@ -92,6 +92,41 @@ object TrainPrep {
   def sampleQuery(spark: SparkSession, dir: String): DataFrame =
     stratifiedSample(Tables.load(spark, dir, "documents"), "lang", sampleFrac)
 
+  // --- Weighted source mixture --------------------------------------------
+
+  /** Mixture weights for the gate: upsample two named sources, thin the
+    * long tail — the "data mixture" recipe of a pretraining run. */
+  val mixWeights: Map[String, Double] = Map("src0" -> 0.8, "src1" -> 0.5)
+  val mixDefault = 0.1
+
+  /** Weighted mixture sampling: per-source keep fraction (exact
+    * ceil(w*n) rows, same LCG-rank determinism as
+    * [[stratifiedSample]]), with a default weight for unlisted
+    * sources. This is the mixture-weights step of a pretraining data
+    * recipe — one window pass, weights resolved as a literal CASE, no
+    * extra shuffle over the stratified form. */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+      default: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("r"), col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val frac = weights.foldLeft(lit(default)) { case (acc, (s, f)) =>
+      when(col("source") === s, f).otherwise(acc)
+    }
+    docs
+      .withColumn("r",
+        pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(2147483648L)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_source", count(lit(1)).over(wAll))
+      .filter(col("rn") <= ceil(frac * col("n_source").cast("double")))
+      .select(col("doc_id"), col("source"), col("rn"), col("n_source"))
+  }
+
+  def mixQuery(spark: SparkSession, dir: String): DataFrame =
+    mixtureSample(Tables.load(spark, dir, "documents"), mixWeights, mixDefault)
+
   // --- Token-budget sequence packing --------------------------------------
 
   /** Context-window budget and shard count for the packing gate. */
@@ -162,6 +197,7 @@ object TrainPrep {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "train_split" -> splitQuery _,
     "train_sample_stratified" -> sampleQuery _,
+    "train_mix" -> mixQuery _,
     "train_pack" -> packQuery _,
     "train_curate" -> curate _)
 
@@ -174,6 +210,18 @@ object TrainPrep {
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin
     },
+    "train_mix" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |    (doc_id * 1103515245 + 12345) % 2147483648 AS r,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id)
+         |      AS BIGINT) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n_source
+         |  FROM documents)
+         |SELECT doc_id, source, rn, n_source FROM r
+         |WHERE rn <= ceil((CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
+         |  ELSE $mixDefault END) * CAST(n_source AS DOUBLE))""".stripMargin,
     "train_sample_stratified" ->
       s"""WITH r AS (
          |  SELECT doc_id, lang,

@@ -48,6 +48,19 @@ class TrainPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture sample keeps ceil(weight * n) rows per source") {
+    val docs = Tables.load(spark, SparkTestSession.sf, "documents")
+    val bySource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TrainPrep.mixtureSample(docs, TrainPrep.mixWeights, TrainPrep.mixDefault)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, n) =>
+      val w = TrainPrep.mixWeights.getOrElse(src, TrainPrep.mixDefault)
+      assert(kept.getOrElse(src, 0L) == math.ceil(w * n).toLong, src)
+    }
+  }
+
   test("packing matches a sequential reference fold and respects the budget") {
     val docs = Tables.load(spark, SparkTestSession.sf, "documents")
     val got = TrainPrep.packSequences(docs).collect()
