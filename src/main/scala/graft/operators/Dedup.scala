@@ -35,20 +35,23 @@ object Dedup {
       i => concat_ws(" ",
         element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
 
-  /** Trigram shingles as rows (doc_id, g) — NOT distinct. posexplode +
-    * lead() windows keep generation fully codegen'd (the array-transform
-    * form runs interpreted); docs with < 3 tokens yield no rows. One
-    * doc_id-keyed sort, no lambda evaluation. */
-  def shingleRows(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
+  /** Trigram shingles as rows (doc_id, g) — NOT distinct; docs with
+    * < 3 tokens yield no rows. `explode(sequence)` + `element_at` is
+    * both fully codegen'd (no lambda — the array-transform form runs
+    * interpreted) and SHUFFLE-FREE: the generate loop reads the token
+    * array in place inside one whole-stage pass. An earlier posexplode
+    * + lead()-window formulation was also codegen'd but paid a
+    * doc_id-keyed sort exchange just to see adjacent tokens. */
+  def shingleRows(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("g"))
-  }
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 3)).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("t"), col("i") + 1),
+        element_at(col("t"), col("i") + 2),
+        element_at(col("t"), col("i") + 3)).as("g"))
 
   /** Exact dedup: content-hash groupBy; keeps the smallest doc_id per
     * identical text (deterministic survivor). */

@@ -176,6 +176,16 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(_._1 == 0L))
   }
 
+  test("minhash signature plan has exactly one exchange (the doc_id agg)") {
+    val plan = Dedup.minhashSigs(
+      Tables.load(spark, SparkTestSession.sf, "documents"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // shingle generation is shuffle-free (explode + element_at); the
+    // only exchange is the signature aggregation keyed by doc_id
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("simhash chunk banding surfaces near-dups; hot buckets star-cap") {
     import spark.implicits._
     val docs = Seq((0L, base), (1L, base), (2L, near), (3L, other))
