@@ -195,11 +195,30 @@ object Catalog {
       "pipeline_logs" -> sweep("pipeline_logs", "created_at", logDays))
   }
 
+  /** K3 gate: export `documents` as CSV and JSON, read both back with
+    * the declared schema, and return the union tagged by format —
+    * equal to two copies of the table iff both interchange round-trips
+    * are lossless. (FormatSpec covers parquet/orc with richer types;
+    * this puts the text-format path under the DuckDB oracle.) */
+  def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft_export").toString
+    Seq("csv", "json").map { fmt =>
+      export(docs, s"$base/$fmt", fmt)
+      importAs(spark, s"$base/$fmt", fmt, docs.schema)
+        .withColumn("fmt", org.apache.spark.sql.functions.lit(fmt))
+    }.reduce(_ unionByName _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "catalog_tables" -> ((s, _) => tablesPresent(s)))
+    "catalog_tables" -> ((s, _) => tablesPresent(s)),
+    "export_roundtrip" -> exportRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "catalog_tables" ->
       """SELECT * FROM (VALUES ('pipeline_logs'), ('stock_data'),
-        | ('stock_metadata')) AS t(table_name)""".stripMargin)
+        | ('stock_metadata')) AS t(table_name)""".stripMargin,
+    "export_roundtrip" ->
+      """SELECT 'csv' AS fmt, * FROM documents
+        |UNION ALL SELECT 'json' AS fmt, * FROM documents""".stripMargin)
 }
