@@ -319,6 +319,34 @@ object Similarity {
   def hyper(k: Int, i: Int): Double =
     ((1103515245L * (k * Dim + i) + 12345L) % 2147483648L - 1073741824L).toDouble
 
+  // --- Random-projection dimensionality reduction ------------------------
+
+  /** Output dimensionality of [[projectEmbeddings]]; hyperplane rows
+    * start at this offset into the LCG stream so they are disjoint
+    * from the SRP-LSH planes below. */
+  val projDim = 16
+  private val projOffset = 100
+
+  /** Johnson–Lindenstrauss-style random projection 64 -> 16 dims: each
+    * output component is one codegen'd `dot_product` against a literal
+    * LCG hyperplane row — pure map-side column work, no shuffle, no
+    * UDF. This is the standard pre-ANN compaction at scale (4x fewer
+    * bytes per vector through every downstream shuffle/broadcast);
+    * relative distances are preserved in expectation, and the LCG
+    * planes are integer-exact in the oracle so the gate hash-checks.
+    * Production would normalize rows / use a proper hash — the
+    * dataflow is unchanged. */
+  def projectEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions.dot_product
+    val cols = (0 until projDim).map { k =>
+      val plane = (0 until Dim).map(i => hyper(projOffset + k, i))
+      dot_product(col("v"), typedlit(plane)).as(s"p$k")
+    }
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id") +: asD(col("embedding")).as("v") +: Seq(): _*)
+      .select(col("vec_id") +: cols: _*)
+  }
+
   /** Near-dup candidates via SRP-LSH banding, verified exactly: sign
     * bits from `lshBands * lshBits` hyperplane dots (codegen'd unrolled
     * sums — no HOF, no UDF), banded like [[Dedup.minhashBands]]; the
@@ -365,7 +393,8 @@ object Similarity {
     "knn_brute" -> knnBrute _,
     "embed_neardup" -> embedNearDup _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
-    "knn_ivf" -> knnIvf _)
+    "knn_ivf" -> knnIvf _,
+    "embed_project" -> projectEmbeddings _)
 
   /** DuckDB cosine with the same left-to-right accumulation order as
     * [[CosineSimilarity]]/[[pairSims]] — bit-identical doubles, so
@@ -423,6 +452,19 @@ object Similarity {
          |JOIN e ea ON ea.vec_id = cand.a
          |JOIN e eb ON eb.vec_id = cand.b
          |WHERE ${cosSql("ea.v", "eb.v")} >= 0.4""".stripMargin
+    },
+    "embed_project" -> {
+      // one sequential fold per output dim against the same LCG plane
+      def fold(k: Int): String =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range($Dim), i -> v[i+1] * " +
+          s"CAST((1103515245*(($projOffset + $k)*$Dim + i) + 12345) " +
+          s"% 2147483648 - 1073741824 AS DOUBLE))), (p,q) -> p+q)"
+      val cols = (0 until projDim)
+        .map(k => s"${fold(k)} AS p$k").mkString(",\n  ")
+      s"""SELECT vec_id,
+         |  $cols
+         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
     },
     "knn_ivf" -> {
       // one Lloyd round: assignment vs centroid table `prev`, then the

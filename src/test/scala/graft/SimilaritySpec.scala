@@ -117,4 +117,15 @@ class SimilaritySpec extends AnyFunSuite {
     // LCG-sample centroids (measured 0.317 at sf0.001).
     assert(mean >= 0.30, s"mean ivf recall $mean")
   }
+
+  test("random projection is shuffle-free and preserves self-similarity") {
+    val df = Similarity.projectEmbeddings(spark, SparkTestSession.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection should be map-side only:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.head.length == 1 + Similarity.projDim)
+    // deterministic: same input row projects identically across runs
+    val again = Similarity.projectEmbeddings(spark, SparkTestSession.sf).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
 }
