@@ -110,10 +110,13 @@ object TextAnalysis {
     * rarity ordering for fixed tf, and production callers can apply
     * any monotone transform downstream. */
   def tfIdf(spark: SparkSession, dir: String): DataFrame = {
+    // tf feeds both the score join and the df aggregation; persist so
+    // the token explode + (doc, term) aggregation runs once
     val tf = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))

@@ -173,25 +173,35 @@ object TrainPrep {
 
   // --- Curation (the composed pipeline) -----------------------------------
 
-  /** The end-to-end curation join: exact-dedup survivors, quality-gated
+  /** The end-to-end curation pass: exact-dedup survivors, quality-gated
     * (the same n_tokens >= 40 && stop_cnt > 0 rule the quality gate
     * classifies by), carrying the language label and token count a
-    * downstream sampler/packer needs. One broadcast-or-shuffle join
-    * against the 32-byte-keyed survivor list plus per-row column work —
-    * each ingredient is individually gated (dedup_exact, text_quality,
-    * text_langid); this gate pins their composition. */
+    * downstream sampler/packer needs.
+    *
+    * ONE scan, ONE exchange: quality is a pure function of the text, so
+    * identical documents pass or fail together — the filter commutes
+    * with survivor selection and runs BEFORE the shuffle. The exchange
+    * then carries only (content_hash, doc_id, lang, counts): 32-byte
+    * keys and small ints, never document bodies, and the min-doc_id
+    * survivor is a row_number over the hash. Equivalent to joining
+    * [[Dedup.exactDedup]]'s keep-list (the individually-gated
+    * ingredients), at half the scans and a fraction of the shuffle
+    * bytes. */
   def curate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val survivors = Dedup.exactDedup(spark, dir)
-      .select(col("keep_id").as("doc_id"))
     val t = tokens(col("text"))
     val nTok = size(t).cast("long")
     val stopCnt = size(filter(t,
       x => x.isInCollection(TextAnalysis.stopEn))).cast("long")
-    docs.join(survivors, "doc_id")
-      .select(col("doc_id"), col("lang"), nTok.as("n_tokens"),
-        stopCnt.as("stop_cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        sha2(col("text"), 256).as("content_hash"),
+        nTok.as("n_tokens"), stopCnt.as("stop_cnt"))
       .filter(col("n_tokens") >= 40 && col("stop_cnt") > 0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_cnt"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
