@@ -248,6 +248,81 @@ object EventStream {
     } finally q.stop()
   }
 
+  /** The arrival-time state-v2 form of the delta-emitting LWW upsert:
+    * a `transformWithState` StatefulProcessor holding one ValueState
+    * per key. Same emit-only-on-change contract as
+    * [[streamUpsertDeltas]] (the two share an oracle); what state v2
+    * adds for production is native per-key TTL (`TTLConfig` instead of
+    * hand-rolled timeout handling), timers, and state schema
+    * evolution, on the RocksDB state store the API requires. */
+  class LwwProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, UpsertEvent, UpsertEvent] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[UpsertState] = _
+    private val lww =
+      Ordering.by[UpsertState, (Long, Double)](s => (s.version, s.value))
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UpsertState]("lww",
+        org.apache.spark.sql.Encoders.product[UpsertState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UpsertEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UpsertEvent] = {
+      val incoming = rows.map(r => UpsertState(r.version, r.value)).max(lww)
+      val cur = if (state.exists()) Some(state.get()) else None
+      val next = cur.fold(incoming)(lww.max(_, incoming))
+      if (cur.contains(next)) Iterator.empty
+      else {
+        state.update(next)
+        Iterator.single(UpsertEvent(key, next.version, next.value))
+      }
+    }
+  }
+
+  /** [[streamUpsertDeltas]] via transformWithState ([[LwwProcessor]]).
+    * RocksDB state store is a hard requirement of the state-v2 API;
+    * the conf flips for this query and is restored after. */
+  def streamUpsertDeltasTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val v1 = Tables.load(spark, dir, "events")
+        .select(col("event_id"), lit(1L).as("version"), col("value"))
+      val v2 = v1.filter(col("event_id") % 3 === 0)
+        .withColumn("version", lit(2L))
+        .withColumn("value", col("value") + 1.0)
+      val staging = stageReplay(Seq(v1, v2))
+      val stream = spark.readStream
+        .schema(v1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .as[UpsertEvent]
+        .groupByKey(_.event_id)
+        .transformWithState(new LwwProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val name = "graft_stream_upsert_tws"
+      val q = stream.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try {
+        q.processAllAvailable()
+        val out = spark.table(name).cache()
+        out.count()
+        out
+      } finally q.stop()
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   /** Static dimension for stream enrichment: event_type -> engagement
     * class. A literal table so the gate is deterministic; in production
     * this is any slowly-changing dim the stream joins against. */
@@ -294,6 +369,7 @@ object EventStream {
     "stream_dedup" -> streamDedup _,
     "stream_upsert_latest" -> streamUpsertLatest _,
     "stream_upsert_deltas" -> streamUpsertDeltas _,
+    "stream_upsert_deltas_tws" -> streamUpsertDeltasTws _,
     "stream_static_join" -> streamStaticJoin _)
 
   private val tumblingSql =
@@ -301,6 +377,14 @@ object EventStream {
       |  event_type, count(*) AS cnt,
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  // declared before `oracles` (val init order: a forward reference
+  // inside the map literal would capture null)
+  private val deltasOracle: String =
+    """SELECT event_id, CAST(1 AS BIGINT) AS version, value FROM events
+      |UNION ALL
+      |SELECT event_id, CAST(2 AS BIGINT) AS version, value + 1.0
+      |FROM events WHERE event_id % 3 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "stream_tumbling" -> tumblingSql,
@@ -335,9 +419,8 @@ object EventStream {
         |FROM u GROUP BY event_id""".stripMargin,
     // The delta log is exactly one row per (key, version) that won its
     // trigger: every key at version 1, the replayed subset at version 2.
-    "stream_upsert_deltas" ->
-      """SELECT event_id, CAST(1 AS BIGINT) AS version, value FROM events
-        |UNION ALL
-        |SELECT event_id, CAST(2 AS BIGINT) AS version, value + 1.0
-        |FROM events WHERE event_id % 3 = 0""".stripMargin)
+    // The fMGWS and transformWithState forms share it.
+    "stream_upsert_deltas" -> deltasOracle,
+    "stream_upsert_deltas_tws" -> deltasOracle)
+
 }

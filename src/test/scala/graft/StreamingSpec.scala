@@ -101,4 +101,14 @@ class StreamingSpec extends AnyFunSuite {
       .select("event_id", "version", "value")
     assert(folded.exceptAll(snapshot).isEmpty && snapshot.exceptAll(folded).isEmpty)
   }
+
+  test("transformWithState LWW deltas equal the flatMapGroupsWithState form") {
+    import graft.streaming.EventStream
+    val sf = SparkTestSession.sf
+    val fmgws = EventStream.streamUpsertDeltas(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val tws = EventStream.streamUpsertDeltasTws(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(tws == fmgws)
+  }
 }
