@@ -24,7 +24,8 @@ case class UpsertState(version: Long, value: Double)
   */
 object EventStream {
 
-  def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame =
+    withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
     // ns-timestamp parquet: stream reads ts as Long (legacy flag), then
     // converts to a microsecond timestamp — same convention as Tables.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -66,6 +67,24 @@ object EventStream {
     * themselves are never flushed (no fourth batch) and are filtered by
     * the far-future cutoff anyway. Output therefore equals the batch
     * tumbling aggregation — the oracle is shared. */
+  /** Run `body` with a session conf temporarily overridden (gates run
+    * sequentially, so a scoped override is race-free). Streaming state
+    * operators allocate one state-store task per shuffle partition per
+    * trigger; the batch default (cores-count) means tiny-state queries
+    * pay 32 store open/commit cycles per trigger for no parallelism
+    * gain, so streaming gates drop it. On a cluster this is
+    * `spark.sql.streaming.numStatePartitions`-style sizing: state
+    * partitions should track state volume, not core count. */
+  private def withConf[T](spark: SparkSession, key: String, value: String)
+      (body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  private val streamShufflePartitions = "8"
+
   /** Stage DataFrames as one parquet file each in a fresh directory with
     * strictly ascending modification times, so a file streaming source
     * with `maxFilesPerTrigger=1` replays them as ordered micro-batches
@@ -89,7 +108,8 @@ object EventStream {
     staging.toString
   }
 
-  def streamTumblingAppend(spark: SparkSession, dir: String): DataFrame = {
+  def streamTumblingAppend(spark: SparkSession, dir: String): DataFrame =
+    withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
     val batch = Tables.load(spark, dir, "events")
       .select(col("ts"), col("event_type"), col("value"))
     import spark.implicits._
@@ -132,7 +152,8 @@ object EventStream {
     * watermark — eviction behavior is spec-covered in StreamingSpec).
     * Output is therefore exactly the distinct corpus: the oracle is a
     * plain scan of `events`. */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
     val batch = Tables.load(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"), col("value"))
@@ -166,7 +187,8 @@ object EventStream {
     * the union. LWW-as-algebraic-aggregate is the point: late or
     * duplicate data folds into state without reprocessing, the same
     * single-exchange shape as the batch `Upsert.upsert` merge. */
-  def streamUpsertLatest(spark: SparkSession, dir: String): DataFrame = {
+  def streamUpsertLatest(spark: SparkSession, dir: String): DataFrame =
+    withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
     val v1 = Tables.load(spark, dir, "events")
       .select(col("event_id"), lit(1L).as("version"), col("value"))
     val v2 = v1.filter(col("event_id") % 3 === 0)
@@ -208,7 +230,8 @@ object EventStream {
     * (event_id, version) appears exactly once — and folding it by
     * max-version reconstructs the complete-mode snapshot, which
     * StreamingSpec asserts. */
-  def streamUpsertDeltas(spark: SparkSession, dir: String): DataFrame = {
+  def streamUpsertDeltas(spark: SparkSession, dir: String): DataFrame =
+    withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
     import spark.implicits._
     val v1 = Tables.load(spark, dir, "events")
       .select(col("event_id"), lit(1L).as("version"), col("value"))
@@ -284,7 +307,8 @@ object EventStream {
   /** [[streamUpsertDeltas]] via transformWithState ([[LwwProcessor]]).
     * RocksDB state store is a hard requirement of the state-v2 API;
     * the conf flips for this query and is restored after. */
-  def streamUpsertDeltasTws(spark: SparkSession, dir: String): DataFrame = {
+  def streamUpsertDeltasTws(spark: SparkSession, dir: String): DataFrame =
+    withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
@@ -337,7 +361,8 @@ object EventStream {
     * batch, so a dim refresh is picked up without restarting the
     * query), then aggregated per enrichment class in complete mode.
     * Deterministic: the final snapshot equals the batch join+agg. */
-  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame =
+    withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
     import spark.implicits._
     val batch = Tables.load(spark, dir, "events")
       .select(col("event_type"), col("value"))
