@@ -93,6 +93,51 @@ object OlapQueries {
           / countDistinct(col("l_partkey")).cast("double") <= 0.05)
           .as("within_bound"))
 
+  /** Exact 3-sigma outlier detection with NO floating point in the
+    * decision: cent-grid values become integers (x_c = round(100x)),
+    * and (x - mean)^2 > 9*var is cross-multiplied by n^2 into
+    * (n*x_c - s1)^2 > 9*(n*s2 - s1^2) — pure integer/decimal
+    * arithmetic on exact sufficient statistics (s1 = sum x_c,
+    * s2 = sum x_c^2), so the boundary cannot flip by a ulp between
+    * engines or partitionings (compound double variance expressions
+    * differ by ulps; see momentStats). Decimal casts are sized so no
+    * product exceeds precision 38 — no capping, no rounding, anywhere.
+    * One scan + a 5-row broadcast join; the oracle runs the identical
+    * inequality in HUGEINT. */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("xc", round(col("value") * 100).cast("long"))
+    val stats = base.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("xc")).as("s1"),
+      sum(col("xc") * col("xc")).as("s2"))
+    val d = (col("n") * col("xc") - col("s1")).cast(DecimalType(14, 0))
+    val rhs = (col("n").cast(DecimalType(8, 0))
+        * col("s2").cast(DecimalType(18, 0))
+      - col("s1").cast(DecimalType(13, 0)) * col("s1").cast(DecimalType(13, 0)))
+      .cast(DecimalType(28, 0))
+    base.join(broadcast(stats), "event_type")
+      .filter(d * d > rhs * lit(9).cast(DecimalType(1, 0)))
+      .select(col("event_id"), col("event_type"), col("value"))
+  }
+
+  /** Approx-percentile sketch vs exact, gated the same way as the HLL
+    * gate: the sketch value has no oracle form, so emit the exact
+    * median (oracle-expressible) plus a boolean asserting the sketch
+    * landed within 5% — deterministic for fixed input, oracle states
+    * TRUE. */
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+        (abs(expr("approx_percentile(o_totalprice, 0.5, 1000)")
+            - expr("percentile(o_totalprice, 0.5)"))
+          / expr("percentile(o_totalprice, 0.5)") <= 0.05)
+          .as("within_bound"))
+
   /** Moment statistics made order-independent: n, sum, mean, and
     * population variance derived from exact decimal power sums (sum x,
     * sum x^2) — the trick that makes ANY moment-based statistic
@@ -145,6 +190,8 @@ object OlapQueries {
     "agg_pivot" -> pivotStatus _,
     "agg_percentiles" -> percentiles _,
     "agg_approx_distinct" -> approxDistinct _,
+    "agg_approx_percentile" -> approxPercentile _,
+    "agg_outliers" -> outliers _,
     "agg_moments" -> momentStats _,
     "agg_cube" -> cubeCounts _,
     "window_range_frame" -> rangeFrame _,
@@ -200,6 +247,20 @@ object OlapQueries {
         |  CAST(embedding[1:3][3] AS DOUBLE) AS slice3_last,
         |  CAST(label AS BIGINT) AS label_l
         |FROM embeddings""".stripMargin,
+    "agg_outliers" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |    CAST(round(value * 100) AS HUGEINT) AS xc FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(xc) AS s1, sum(xc * xc) AS s2
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value
+        |FROM e JOIN s USING (event_type)
+        |WHERE (n * e.xc - s1) * (n * e.xc - s1) > 9 * (n * s2 - s1 * s1)""".stripMargin,
+    "agg_approx_percentile" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS exact_p50,
+        |  TRUE AS within_bound
+        |FROM orders GROUP BY 1""".stripMargin,
     "agg_approx_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,

@@ -46,4 +46,29 @@ class AsofOlapSpec extends AnyFunSuite {
       r.getString(0) == "ALL" && r.getString(1) == "ALL").get.getLong(3)
     assert(leafCnt == total)
   }
+
+  test("integer-exact 3-sigma outliers agree with a double reference") {
+    val got = OlapQueries.outliers(spark, SparkTestSession.sf)
+      .collect().map(_.getLong(0)).toSet
+    // double-precision reference on the driver (tolerant of ulps by
+    // construction: the gate's integer boundary can only differ from
+    // the double one on exact ties, which the cent grid avoids)
+    val rows = Tables.load(spark, SparkTestSession.sf, "events")
+      .selectExpr("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byType = rows.groupBy(_._2)
+    val expected = byType.values.flatMap { g =>
+      val n = g.length
+      val mean = g.map(_._3).sum / n
+      val varp = g.map(v => (v._3 - mean) * (v._3 - mean)).sum / n
+      g.filter(v => (v._3 - mean) * (v._3 - mean) > 9 * varp).map(_._1)
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("approx_percentile stays within the configured bound") {
+    val rows = OlapQueries.approxPercentile(spark, SparkTestSession.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(2), r.getString(0)))
+  }
 }
