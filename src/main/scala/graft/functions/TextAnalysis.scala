@@ -129,7 +129,42 @@ object TextAnalysis {
         col("score"), col("rn"))
   }
 
+  /** Text normalization — the scrub pass that precedes hashing/dedup in
+    * a pretraining pipeline: lowercase, digits masked to '0', non-word
+    * punctuation stripped, whitespace collapsed and trimmed. Pure
+    * per-row regex column work (codegen'd, no shuffle); the op chain is
+    * deliberately order-sensitive and the oracle runs the identical
+    * chain (DuckDB regexp_replace needs the 'g' flag for replace-all
+    * parity). */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(c), "[0-9]", "0"),
+        "[^a-z0 ]", ""),
+      " +", " "))
+
+  def textClean(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), cleanText(col("text")).as("clean_text"))
+
+  /** Repetition detection (the duplicate-n-gram family of pretraining
+    * quality rules): fraction of trigram occurrences that are repeats
+    * of an earlier trigram in the same document. Reuses the
+    * shuffle-free shingle generator; one doc-keyed aggregation. The
+    * ratio is a single division of exact counts — deterministic. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.shingleRows(
+        Tables.load(spark, dir, "documents"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("g")).as("n_distinct"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        ((col("n_shingles") - col("n_distinct")).cast("double")
+          / col("n_shingles").cast("double")).as("rep_ratio"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_clean" -> textClean _,
+    "text_repetition" -> textRepetition _,
     "text_stats" -> textStats _,
     "text_quality" -> textQuality _,
     "text_langid" -> langId _,
@@ -141,6 +176,25 @@ object TextAnalysis {
     l.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "text_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(text), '[0-9]', '0', 'g'), '[^a-z0 ]', '', 'g'),
+        |    ' +', ' ', 'g')) AS clean_text
+        |FROM documents""".stripMargin,
+    "text_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(len(str_split(text, ' ')) - 2),
+        |    i -> str_split(text, ' ')[i+1] || ' ' ||
+        |         str_split(text, ' ')[i+2] || ' ' ||
+        |         str_split(text, ' ')[i+3])) AS g
+        |  FROM documents WHERE len(str_split(text, ' ')) >= 3)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  count(DISTINCT g) AS n_distinct,
+        |  CAST(count(*) - count(DISTINCT g) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS rep_ratio
+        |FROM g GROUP BY doc_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -62,4 +62,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     val top = out.filter(col("rn") === 1).collect()
     assert(top.nonEmpty)
   }
+
+  test("cleanText lowercases, masks digits, strips punct, collapses space") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq("  Hello,  WORLD!! 42 times...  ")
+      .toDF("text").select(TextAnalysis.cleanText(col("text"))).collect()(0).getString(0)
+    assert(got == "hello world 00 times")
+  }
+
+  test("repetition ratio is 0 for unique trigrams, rises with repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),                 // 3 distinct trigrams, no repeats
+      (2L, "x y x y x y x y")            // heavy repetition
+    ).toDF("doc_id", "text")
+    assert(TextAnalysis.textRepetition(spark, SparkTestSession.sf).count() > 0)
+    val rep = {
+      import org.apache.spark.sql.functions._
+      graft.operators.Dedup.shingleRows(docs).groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), countDistinct(col("g")).as("d")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(rep(1L) == ((3L, 3L)))   // ratio 0
+    assert(rep(2L)._2 == 2L)        // only "x y x" and "y x y" distinct
+  }
 }
