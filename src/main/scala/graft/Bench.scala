@@ -42,7 +42,12 @@ object Bench {
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      // queries persist intermediates (shingles, tf) scoped to their own
+      // run; drop them so later queries aren't timed under the memory
+      // pressure of earlier ones
+      spark.catalog.clearCache()
+      name -> secs
     }
     val (p1, p2) = (pass(), pass())
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
