@@ -39,7 +39,10 @@ object SparkEntry {
       analytics.FunctionQueries.queries ++
       functions.TopK.queries ++
       store.Bucketing.queries ++
-      operators.TrainPrep.queries
+      operators.TrainPrep.queries ++
+      operators.Decontaminate.queries ++
+      operators.Incremental.queries ++
+      streaming.StreamJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -63,5 +66,8 @@ object SparkEntry {
       analytics.FunctionQueries.oracles ++
       functions.TopK.oracles ++
       store.Bucketing.oracles ++
-      operators.TrainPrep.oracles
+      operators.TrainPrep.oracles ++
+      operators.Decontaminate.oracles ++
+      operators.Incremental.oracles ++
+      streaming.StreamJoin.oracles
 }

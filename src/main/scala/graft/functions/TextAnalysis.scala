@@ -162,7 +162,51 @@ object TextAnalysis {
         ((col("n_shingles") - col("n_distinct")).cast("double")
           / col("n_shingles").cast("double")).as("rep_ratio"))
 
+  // --- PII redaction ------------------------------------------------------
+
+  /** Redaction regexes (RE2-compatible, so the DuckDB oracle runs the
+    * identical patterns): email, IPv4, NNN-NNN-NNNN phone. Order
+    * matters — email first (its local part can contain digits), then IP
+    * (dots), then phone (dashes); the classes are disjoint on
+    * separators so later passes never see earlier matches. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        ipRe, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** PII redaction — the scrub every pretraining pipeline runs before
+    * text leaves curation. The corpus itself is synthetic word salad, so
+    * the gate plants one deterministic email/phone/IP per document
+    * (derived from doc_id/source — still pure testdata arithmetic) and
+    * then redacts; occurrence counts come from the pre-redaction text.
+    * Pure per-row regex column work: codegen'd, shuffle-free,
+    * linear at any corpus size. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val pii = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@"), col("source"),
+      lit(".net or 555-"),
+      lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+      lit("-0199 from 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"))
+    Tables.load(spark, dir, "documents")
+      .withColumn("pii_text", pii)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("pii_text"), lit(emailRe), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("pii_text"), lit(ipRe), lit(0)))
+          .cast("long").as("n_ip"),
+        size(regexp_extract_all(col("pii_text"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phone"),
+        redactPii(col("pii_text")).as("redacted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_redact" -> piiRedact _,
     "text_clean" -> textClean _,
     "text_repetition" -> textRepetition _,
     "text_stats" -> textStats _,
@@ -176,6 +220,24 @@ object TextAnalysis {
     l.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "pii_redact" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@' || source ||
+         |    '.net or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+         |    '-0199 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+         |    AS pii_text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii_text, '$emailRe')) AS BIGINT)
+         |    AS n_email,
+         |  CAST(len(regexp_extract_all(pii_text, '$ipRe')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(pii_text, '$phoneRe')) AS BIGINT)
+         |    AS n_phone,
+         |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |    '$emailRe', '<EMAIL>', 'g'),
+         |    '$ipRe', '<IP>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g') AS redacted
+         |FROM p""".stripMargin,
     "text_clean" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(regexp_replace(

@@ -35,23 +35,21 @@ object Dedup {
       i => concat_ws(" ",
         element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
 
-  /** Trigram shingles as rows (doc_id, g) — NOT distinct; docs with
-    * < 3 tokens yield no rows. `explode(sequence)` + `element_at` is
+  /** Word n-gram shingles as rows (doc_id, g) — NOT distinct; docs with
+    * < n tokens yield no rows. `explode(sequence)` + `element_at` is
     * both fully codegen'd (no lambda — the array-transform form runs
     * interpreted) and SHUFFLE-FREE: the generate loop reads the token
     * array in place inside one whole-stage pass. An earlier posexplode
     * + lead()-window formulation was also codegen'd but paid a
     * doc_id-keyed sort exchange just to see adjacent tokens. */
-  def shingleRows(docs: DataFrame): DataFrame =
+  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 3)
+      .filter(size(col("t")) >= n)
       .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0), size(col("t")) - 3)).as("i"))
+        explode(sequence(lit(0), size(col("t")) - n)).as("i"))
       .select(col("doc_id"), concat_ws(" ",
-        element_at(col("t"), col("i") + 1),
-        element_at(col("t"), col("i") + 2),
-        element_at(col("t"), col("i") + 3)).as("g"))
+        (1 to n).map(j => element_at(col("t"), col("i") + j)): _*).as("g"))
 
   /** Exact dedup: content-hash groupBy; keeps the smallest doc_id per
     * identical text (deterministic survivor). */

@@ -299,6 +299,47 @@ object Similarity {
         round(col("sim"), 4).as("sim_r4"))
   }
 
+  /** In-cluster near-duplicate threshold for [[semanticDedup]] — same
+    * 0.4 regime as [[embedNearDup]] so the corpus has real drop signal. */
+  val semThreshold = 0.4
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023:
+    * cluster the embedding space coarsely, then prune near-duplicates
+    * WITHIN each cluster only): every vector is assigned to its nearest
+    * deterministic k-means centroid ([[kmeansCentroids]] — the same
+    * coarse quantizer IVF probing uses), and a vector is dropped when a
+    * smaller-id vector in the SAME cluster has cosine >= the threshold
+    * (deterministic keep-first survivor rule, as in exact dedup).
+    *
+    * This is the sub-quadratic companion to [[embedNearDup]]: pairwise
+    * work is confined to cluster blocks (O(Σ|cluster|²) ≈ O(n²/k) for
+    * balanced clusters, embarrassingly parallel across clusters and
+    * tunable via k), at the cost of missing cross-cluster pairs — the
+    * explicit SemDeDup trade. The only data-dependent shuffle is the
+    * cent_id-keyed self-join; a pathological mega-cluster would get the
+    * same star-cap guard as [[Dedup.minhashCandidates]], and at 100 TB
+    * k grows with the corpus so cluster blocks stay bounded. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions.cosine_sim
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("v"))
+      .cache() // scanned per Lloyd round + once for final assignment
+    val assigned = assignToCentroids(e, kmeansCentroids(e)).cache()
+    val l = assigned.select(col("cent_id"), col("vec_id").as("a"),
+      col("v").as("va"))
+    val r = assigned.select(col("cent_id").as("cent_id2"),
+      col("vec_id").as("b"), col("v").as("vb"))
+    val dropped = l.join(r, l("cent_id") === r("cent_id2")
+        && col("a") < col("b"))
+      .filter(cosine_sim(col("va"), col("vb")) >= semThreshold)
+      .select(col("b").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    assigned.select(col("vec_id"), col("cent_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        not(coalesce(col("dropped"), lit(false))).as("kept"))
+  }
+
   // --- SRP-LSH near-dup (the sub-quadratic scale path) -------------------
 
   /** Signed-random-projection banding: `lshBands` bands of `lshBits`
@@ -394,6 +435,7 @@ object Similarity {
     "embed_neardup" -> embedNearDup _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
     "knn_ivf" -> knnIvf _,
+    "dedup_semantic" -> semanticDedup _,
     "embed_project" -> projectEmbeddings _)
 
   /** DuckDB cosine with the same left-to-right accumulation order as
@@ -466,44 +508,8 @@ object Similarity {
          |  $cols
          |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
     },
-    "knn_ivf" -> {
-      // one Lloyd round: assignment vs centroid table `prev`, then the
-      // same integer-quantized per-dimension mean as kmeansCentroids
-      def lloydCtes(t: Int, prev: String): String =
-        s"""ka$t AS (
-           |  SELECT vec_id, v, cent_id FROM (
-           |    SELECT e.vec_id, e.v, c.cent_id, row_number() OVER (
-           |      PARTITION BY e.vec_id
-           |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cent_id ASC) AS crn
-           |    FROM e CROSS JOIN $prev c) WHERE crn = 1),
-           |ks$t AS (
-           |  SELECT cent_id, i.range AS p,
-           |    sum(CAST(floor(a.v[CAST(i.range + 1 AS INTEGER)] * 1000000.0)
-           |        AS BIGINT)) AS s,
-           |    count(*) AS n
-           |  FROM ka$t a CROSS JOIN range($Dim) i GROUP BY 1, 2),
-           |kc$t AS (
-           |  SELECT c.cent_id, coalesce(u.cv, c.cv) AS cv
-           |  FROM $prev c LEFT JOIN (
-           |    SELECT cent_id, list(CAST(s AS DOUBLE)
-           |      / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY p) AS cv
-           |    FROM ks$t GROUP BY cent_id) u USING (cent_id))""".stripMargin
-      val rounds = (1 to ivfIters)
-        .map(t => lloydCtes(t, if (t == 1) "kc0" else s"kc${t - 1}"))
-        .mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |kc0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
-         |      ORDER BY (vec_id * 1103515245 + 12345) % 2147483648, vec_id
-         |      LIMIT $ivfK),
-         |$rounds,
-         |a0 AS (SELECT e.vec_id, e.v, c.cent_id,
-         |         ${cosSql("e.v", "c.cv")} AS csim
-         |       FROM e CROSS JOIN kc$ivfIters c),
-         |assigned AS (
-         |  SELECT vec_id, v, cent_id FROM (
-         |    SELECT vec_id, v, cent_id, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS crn
-         |    FROM a0) WHERE crn = 1),
+    "knn_ivf" ->
+      s"""WITH $assignedCtes,
          |q AS (SELECT vec_id AS query_id, v AS qv, cent_id AS qcent
          |      FROM assigned WHERE vec_id < 20),
          |cand AS (SELECT q.query_id, a.vec_id AS neighbor_id,
@@ -514,6 +520,59 @@ object Similarity {
          |  SELECT query_id, neighbor_id, sim, CAST(row_number() OVER (
          |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
          |      AS BIGINT) AS rn
-         |  FROM cand) WHERE rn <= 3""".stripMargin
-    })
+         |  FROM cand) WHERE rn <= 3""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH $assignedCtes,
+         |drops AS (SELECT DISTINCT y.vec_id
+         |  FROM assigned x JOIN assigned y
+         |    ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+         |  WHERE ${cosSql("x.v", "y.v")} >= $semThreshold)
+         |SELECT a.vec_id, a.cent_id, d.vec_id IS NULL AS kept
+         |FROM assigned a LEFT JOIN drops d ON d.vec_id = a.vec_id""".stripMargin)
+
+  /** Flat CTE list ending in `assigned(vec_id, v, cent_id)` — the DuckDB
+    * rendering of [[kmeansCentroids]] + [[assignToCentroids]], shared by
+    * the `knn_ivf` and `dedup_semantic` oracles. Each Lloyd round
+    * re-assigns against the previous centroid table and recomputes the
+    * integer-quantized per-dimension means, bit-identically to the
+    * Spark job. */
+  private def assignedCtes: String = {
+    // one Lloyd round: assignment vs centroid table `prev`, then the
+    // same integer-quantized per-dimension mean as kmeansCentroids
+    def lloydCtes(t: Int, prev: String): String =
+      s"""ka$t AS (
+         |  SELECT vec_id, v, cent_id FROM (
+         |    SELECT e.vec_id, e.v, c.cent_id, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cent_id ASC) AS crn
+         |    FROM e CROSS JOIN $prev c) WHERE crn = 1),
+         |ks$t AS (
+         |  SELECT cent_id, i.range AS p,
+         |    sum(CAST(floor(a.v[CAST(i.range + 1 AS INTEGER)] * 1000000.0)
+         |        AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM ka$t a CROSS JOIN range($Dim) i GROUP BY 1, 2),
+         |kc$t AS (
+         |  SELECT c.cent_id, coalesce(u.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN (
+         |    SELECT cent_id, list(CAST(s AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY p) AS cv
+         |    FROM ks$t GROUP BY cent_id) u USING (cent_id))""".stripMargin
+    val rounds = (1 to ivfIters)
+      .map(t => lloydCtes(t, if (t == 1) "kc0" else s"kc${t - 1}"))
+      .mkString(",\n")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |kc0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+       |      ORDER BY (vec_id * 1103515245 + 12345) % 2147483648, vec_id
+       |      LIMIT $ivfK),
+       |$rounds,
+       |a0 AS (SELECT e.vec_id, e.v, c.cent_id,
+       |         ${cosSql("e.v", "c.cv")} AS csim
+       |       FROM e CROSS JOIN kc$ivfIters c),
+       |assigned AS (
+       |  SELECT vec_id, v, cent_id FROM (
+       |    SELECT vec_id, v, cent_id, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS crn
+       |    FROM a0) WHERE crn = 1)""".stripMargin
+  }
 }

@@ -75,21 +75,21 @@ object EventStream {
     * gain, so streaming gates drop it. On a cluster this is
     * `spark.sql.streaming.numStatePartitions`-style sizing: state
     * partitions should track state volume, not core count. */
-  private def withConf[T](spark: SparkSession, key: String, value: String)
-      (body: => T): T = {
+  private[streaming] def withConf[T](spark: SparkSession, key: String,
+      value: String)(body: => T): T = {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, value)
     try body
     finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
-  private val streamShufflePartitions = "8"
+  private[streaming] val streamShufflePartitions = "8"
 
   /** Stage DataFrames as one parquet file each in a fresh directory with
     * strictly ascending modification times, so a file streaming source
     * with `maxFilesPerTrigger=1` replays them as ordered micro-batches
     * (the source processes oldest mtime first). */
-  private def stageReplay(frames: Seq[DataFrame]): String = {
+  private[streaming] def stageReplay(frames: Seq[DataFrame]): String = {
     import java.nio.file.{Files, StandardCopyOption}
     val work = Files.createTempDirectory("graft_stream_replay")
     val staging = work.resolve("input")

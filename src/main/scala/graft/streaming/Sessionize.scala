@@ -132,49 +132,65 @@ object Sessionize {
         date_trunc("second", min("first_ts")).as("session_start_s"))
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` aggregate — the
+    * engine-provided operator (one `SessionWindow` hash-agg with window
+    * merging inside the aggregation; in a streaming deployment the same
+    * expression runs with a watermark that closes idle sessions and
+    * evicts their state). Third implementation of the same semantics,
+    * sharing the oracle with [[sessionizeBatch]]/[[sessionizeChunked]].
+    *
+    * Boundary alignment: the batch form starts a new session when the
+    * SECOND-floored gap is strictly > 1800 s; `session_window` merges an
+    * event arriving AT the previous window's end (inclusive test,
+    * verified against a planted 1801 s gap), i.e. merge iff gap <= the
+    * window duration. On second-floored timestamps both tests are then
+    * identical at a 1800 s gap. Session ids are assigned by rank of
+    * session start per user — the same time-order numbering the
+    * running-sum-of-boundaries form produces. */
+  def sessionizeWindow(spark: SparkSession, dir: String): DataFrame =
+    sessionizeWindowDf(Tables.load(spark, dir, "events"))
+
+  def sessionizeWindowDf(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), date_trunc("second", col("ts")).as("tss"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("session_window.start"))
+    ev.groupBy(col("user_id"), session_window(col("tss"), "1800 seconds"))
+      .agg(count(lit(1)).as("n_events"), min("tss").as("session_start_s"))
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize" -> sessionizeBatch _,
-    "sessionize_chunked" -> sessionizeChunked _)
+    "sessionize_chunked" -> sessionizeChunked _,
+    "sessionize_window" -> sessionizeWindow _)
+
+  // shared by all three implementations — same semantics, same fixpoint
+  private val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN prev_ts IS NULL THEN 1
+      |         WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1
+      |         ELSE 0 END AS is_new
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM m)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  count(*) AS n_events,
+      |  CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start_s
+      |FROM s GROUP BY user_id, session_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "sessionize_chunked" ->
-      """WITH e AS (
-        |  SELECT user_id, ts, event_id,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events),
-        |m AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN prev_ts IS NULL THEN 1
-        |         WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1
-        |         ELSE 0 END AS is_new
-        |  FROM e),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |  FROM m)
-        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-        |  count(*) AS n_events,
-        |  CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start_s
-        |FROM s GROUP BY user_id, session_id""".stripMargin,
-    "sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, ts, event_id,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events),
-        |m AS (
-        |  SELECT user_id, ts, event_id,
-    |    CASE WHEN prev_ts IS NULL THEN 1
-        |         WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1
-        |         ELSE 0 END AS is_new
-        |  FROM e),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |  FROM m)
-        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-        |  count(*) AS n_events,
-        |  CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start_s
-        |FROM s GROUP BY user_id, session_id""".stripMargin)
+    "sessionize" -> sessionizeSql,
+    "sessionize_chunked" -> sessionizeSql,
+    "sessionize_window" -> sessionizeSql)
 }

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.Tables
+import graft.streaming.EventStream.{stageReplay, streamShufflePartitions, withConf}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stream-stream event-time interval join (SURVEY.md §2.8 depth): the
+  * click stream joined against the purchase stream per user, matching a
+  * purchase to every click it follows within one hour — the attribution
+  * join every event pipeline runs.
+  *
+  * Both sides carry watermarks, so Spark's symmetric hash join keeps
+  * bounded per-side state: a click can be evicted once the purchase-side
+  * watermark passes click_ts + interval (the range condition is what
+  * gives the state manager its eviction bound — an unconstrained
+  * stream-stream join would buffer forever). The join key is user_id, so
+  * the only shuffle is the same user-keyed exchange the batch form pays;
+  * state volume is O(events inside the interval horizon), independent of
+  * stream length — the 100 TB/continuous story.
+  *
+  * Determinism harness: inner-join matches emit as soon as both sides
+  * arrive (no watermark-flush dependency, unlike append-mode aggs), so
+  * the emitted SET equals the batch interval join regardless of how the
+  * replay is split into micro-batches; the purchase side is replayed as
+  * two files to prove cross-trigger matching. The 90-day watermark
+  * exceeds the corpus span, so nothing is evicted before all data is
+  * processed. Gap semantics are second-floored on both engines
+  * (`unix_timestamp` diff here, `date_diff('second')` in the oracle,
+  * both floor); the raw-timestamp range bounds are strictly wider than
+  * the floored test, so they only ever bound state, never the output. */
+object StreamJoin {
+
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("pts"))
+    val clickStaging = stageReplay(Seq(clicks))
+    val purchaseStaging = stageReplay(Seq(
+      purchases.filter(col("purchase_id") % 2 === 0),
+      purchases.filter(col("purchase_id") % 2 =!= 0)))
+    val cs = spark.readStream.schema(clicks.schema)
+      .parquet(clickStaging)
+      .withWatermark("cts", "90 days")
+    val ps = spark.readStream.schema(purchases.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(purchaseStaging)
+      .withWatermark("pts", "90 days")
+    val gap = unix_timestamp(col("pts")) - unix_timestamp(col("cts"))
+    val joined = cs.join(ps,
+        col("user_id") === col("p_user")
+          && col("pts") >= col("cts")
+          && col("pts") <= col("cts") + expr("interval 3601 seconds")
+          && gap.between(1, 3600))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        gap.as("gap_s"))
+    val name = "graft_stream_stream_join"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table(name).cache()
+      out.count()
+      out
+    } finally q.stop()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_stream_join" -> streamStreamJoin _)
+
+  val oracles: Map[String, String] = Map(
+    // the emitted match set == the batch interval join
+    "stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id, date_diff('second', c.ts, p.ts) AS gap_s
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND date_diff('second', c.ts, p.ts) BETWEEN 1 AND 3600""".stripMargin)
+}

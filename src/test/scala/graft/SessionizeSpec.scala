@@ -33,6 +33,33 @@ class SessionizeSpec extends AnyFunSuite {
     assert(naive.exceptAll(chunked).isEmpty && chunked.exceptAll(naive).isEmpty)
   }
 
+  test("native session_window form equals the batch form") {
+    val batch = Sessionize.sessionizeBatch(spark, SparkTestSession.sf)
+      .selectExpr("user_id", "session_id", "n_events", "session_start_s")
+    val native = Sessionize.sessionizeWindow(spark, SparkTestSession.sf)
+      .selectExpr("user_id", "session_id", "n_events", "session_start_s")
+    assert(batch.exceptAll(native).isEmpty && native.exceptAll(batch).isEmpty)
+  }
+
+  test("session_window boundary: 1800 s gap merges, 1801 s splits") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(sec: Int) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    val ev = Seq(
+      (1L, ts(0), 1L), (1L, ts(1800), 2L),   // gap == 1800 -> same session
+      (2L, ts(0), 3L), (2L, ts(1801), 4L))   // gap == 1801 -> split
+      .toDF("user_id", "ts", "event_id")
+    val out = Sessionize.sessionizeWindowDf(ev)
+      .selectExpr("user_id", "session_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 2L), (2L, 1L, 1L), (2L, 2L, 1L)))
+    // and the batch form agrees on the same planted frame
+    val batch = Sessionize.sessionizeBatchDf(ev)
+      .selectExpr("user_id", "session_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == out)
+  }
+
   test("session gap semantics: > 30 minutes starts a new session") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")

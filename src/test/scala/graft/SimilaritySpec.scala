@@ -118,6 +118,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.30, s"mean ivf recall $mean")
   }
 
+  test("semantic dedup: drops only in-cluster near-dups, keeps smallest id") {
+    val out = Similarity.semanticDedup(spark, SparkTestSession.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byCluster = out.groupBy(_._2)
+    // every vector appears exactly once
+    val n = Tables.load(spark, SparkTestSession.sf, "embeddings").count()
+    assert(out.length == n && out.map(_._1).distinct.length == n)
+    // within each cluster the smallest id is always kept (it has no
+    // smaller-id neighbor, so the survivor rule cannot drop it)
+    byCluster.foreach { case (_, members) =>
+      val smallest = members.minBy(_._1)
+      assert(smallest._3, s"cluster min ${smallest._1} was dropped")
+    }
+    // a dropped vector must have an in-cluster smaller-id witness at
+    // sim >= threshold: cross-check one dropped vector exactly
+    val dropped = out.filter(!_._3)
+    if (dropped.nonEmpty) {
+      val exact = Similarity.embedNearDup(spark, SparkTestSession.sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      dropped.foreach { case (id, cid, _) =>
+        val clusterIds = byCluster(cid).map(_._1).filter(_ < id).toSet
+        assert(clusterIds.exists(a => exact.contains((a, id))),
+          s"dropped $id has no smaller in-cluster neighbor >= threshold")
+      }
+    }
+  }
+
   test("random projection is shuffle-free and preserves self-similarity") {
     val df = Similarity.projectEmbeddings(spark, SparkTestSession.sf)
     val plan = df.queryExecution.executedPlan.toString

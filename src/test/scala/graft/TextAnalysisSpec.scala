@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.TextAnalysis
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class TextAnalysisSpec extends AnyFunSuite {
@@ -69,6 +70,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     val got = Seq("  Hello,  WORLD!! 42 times...  ")
       .toDF("text").select(TextAnalysis.cleanText(col("text"))).collect()(0).getString(0)
     assert(got == "hello world 00 times")
+  }
+
+  test("pii redaction masks planted email/ip/phone and counts them") {
+    import spark.implicits._
+    val raw = Seq(
+      "mail me at jane.doe+spam@mail.example.org today",
+      "server 192.168.0.1 and 10.0.0.255 rebooted",
+      "call 555-867-5309 now",
+      "no pii in this sentence at all").toDF("s")
+    val out = raw.select(
+      graft.functions.TextAnalysis.redactPii(col("s")).as("r")).collect()
+      .map(_.getString(0))
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1) == "server <IP> and <IP> rebooted")
+    assert(out(2) == "call <PHONE> now")
+    assert(out(3) == "no pii in this sentence at all")
+    // corpus gate: exactly one planted instance of each class per doc
+    val gate = graft.functions.TextAnalysis
+      .piiRedact(spark, SparkTestSession.sf).collect()
+    assert(gate.nonEmpty)
+    gate.foreach { r =>
+      assert(r.getLong(1) == 1L && r.getLong(2) == 1L && r.getLong(3) == 1L,
+        s"doc ${r.getLong(0)}: expected one email/ip/phone each, got $r")
+      val red = r.getString(4)
+      assert(red.contains("<EMAIL>") && red.contains("<IP>")
+        && red.contains("<PHONE>"))
+      assert(!red.contains("@") && !red.matches(".*\\d{3}-\\d{3}-\\d{4}.*"))
+    }
   }
 
   test("repetition ratio is 0 for unique trigrams, rises with repeats") {
