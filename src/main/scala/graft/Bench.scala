@@ -36,10 +36,16 @@ object Bench {
       // from_json/to_timestamp machinery has its own first-touch cost
       SparkEntry.queries.get("ingest_parse").foreach(q => materialize(q(spark, sfDir)))
     } catch { case _: Throwable => () }
+    // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run (driver sets
+    // only SF_DIR/CPUS, so driver rounds always measure everything)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val benched = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // two passes, min per query: single-pass numbers at local[32] swing
     // 2-4x with JIT/GC timing and which heavy query runs first; the min
     // of two runs is a far more stable estimate of the plan's cost
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def pass(): Map[String, Double] = benched.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
       val secs = (System.nanoTime() - t0) / 1e9

@@ -33,4 +33,21 @@ object Conf {
 
   def int(spark: SparkSession, key: String, default: Int): Int =
     spark.conf.getOption(key).map(_.trim.toInt).getOrElse(default)
+
+  /** Run `body` with a session conf temporarily overridden (gate
+    * queries run sequentially, so a scoped override is race-free).
+    * Used to right-size shuffle partitions for work whose volume is
+    * decoupled from the corpus — tiny iterative edge frames, streaming
+    * state stores — where the batch default pays fixed per-partition
+    * overhead (task launch, state-store open/commit) for no
+    * parallelism gain. Only effective for work EXECUTED inside `body`
+    * (iterative loops, streaming queries); a lazily-returned frame
+    * plans under the restored conf. */
+  def withConf[T](spark: SparkSession, key: String, value: String)
+      (body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }

@@ -124,6 +124,114 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid assignment as ONE compact loop expression: returns
+  * the id of the centroid with the highest cosine similarity to the
+  * input vector (ties and NaNs resolved exactly like Spark's struct-max
+  * — `java.lang.Double.compare` treats NaN as largest and equal sims
+  * keep the first, i.e. smallest, centroid id, because `centIds` is
+  * sorted ascending).
+  *
+  * Exists because the expression-tree formulation (k `cosine_sim` calls
+  * + `array_max` over k structs) generates a fresh multi-kilobyte
+  * codegen class per centroid TABLE — and k-means assignment builds a
+  * new centroid table every Lloyd round, so each round paid a full
+  * Janino compile. The centroid matrix here is an opaque reference
+  * object (not inlined literals), the generated code is one short
+  * double loop regardless of k, and per-row work is identical:
+  * k fused dot/norm loops. Accumulation is left-to-right per array,
+  * and the combine is `dot / (sqrt(na) * sqrt(nc))` — bit-identical to
+  * [[CosineSimilarity]] per centroid, so results (and the DuckDB
+  * oracle) are unchanged. */
+case class NearestCentroid(child: Expression, centIds: Array[Long],
+    cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  // per-centroid squared norms, same left-to-right accumulation as the
+  // nb loop in CosineSimilarity
+  private lazy val centNorms2: Array[Double] = cents.map { c =>
+    var nb = 0.0; var i = 0
+    while (i < c.length) { nb += c(i) * c(i); i += 1 }
+    nb
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid expects array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "nearest_centroid"
+
+  private def assign(x: ArrayData): Long = {
+    var na = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) { val xi = x.getDouble(i); na += xi * xi; i += 1 }
+    var bestSim = Double.NegativeInfinity
+    var bestId = -1L
+    var k = 0
+    while (k < cents.length) {
+      val c = cents(k)
+      val m = math.min(n, c.length)
+      var dot = 0.0
+      i = 0
+      while (i < m) { dot += x.getDouble(i) * c(i); i += 1 }
+      val sim = dot / (math.sqrt(na) * math.sqrt(centNorms2(k)))
+      if (java.lang.Double.compare(sim, bestSim) > 0) {
+        bestSim = sim; bestId = centIds(k)
+      }
+      k += 1
+    }
+    bestId
+  }
+
+  override def nullSafeEval(a: Any): Any = assign(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val nRef = ctx.addReferenceObj("centNorms2", centNorms2, "double[]")
+    val idRef = ctx.addReferenceObj("centIds", centIds, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val na = ctx.freshName("na")
+      val dot = ctx.freshName("dot")
+      val sim = ctx.freshName("sim")
+      val bestSim = ctx.freshName("bestSim")
+      val bestId = ctx.freshName("bestId")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $a.numElements();
+         |double $na = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = $a.getDouble($i); $na += x * x;
+         |}
+         |double $bestSim = Double.NEGATIVE_INFINITY;
+         |long $bestId = -1L;
+         |for (int $k = 0; $k < $cRef.length; $k++) {
+         |  double[] $c = $cRef[$k];
+         |  int $m = java.lang.Math.min($n, $c.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $dot += $a.getDouble($i) * $c[$i];
+         |  }
+         |  double $sim = $dot
+         |    / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nRef[$k]));
+         |  if (java.lang.Double.compare($sim, $bestSim) > 0) {
+         |    $bestSim = $sim; $bestId = $idRef[$k];
+         |  }
+         |}
+         |${ev.value} = $bestId;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -131,6 +239,12 @@ object VectorExpressions {
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Nearest-centroid id by cosine similarity; `cents` must be sorted
+    * by id ascending for the smallest-id tie-break. */
+  def nearest_centroid(v: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    GraftBridge.column(NearestCentroid(GraftBridge.expression(v),
+      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray))
 
   def dot_product(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(

@@ -220,14 +220,24 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Shuffle-partition override for the iterative clustering loops:
+    * their per-round frames are EDGES (thousands of rows at any SF —
+    * candidate pairs, not documents), so the batch default pays ~4
+    * jobs x 32 task launches per round on near-empty partitions. The
+    * loops execute eagerly inside the builder, so a scoped override
+    * covers every round; results are partition-count-invariant. */
+  private val clusterShufflePartitions = "8"
+
   /** Gate query: cluster id for every document from reproducible-hash
     * LSH candidates (uncapped here so the DuckDB edge set is identical;
     * observed bucket sizes are single-digit at every SF). */
-  def clustersQuery(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    dupClusters(docs.select(col("doc_id")),
-      minhashCandidates(docs, cap = Int.MaxValue, reproducible = true))
-  }
+  def clustersQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.Conf.withConf(spark, "spark.sql.shuffle.partitions",
+        clusterShufflePartitions) {
+      val docs = Tables.load(spark, dir, "documents")
+      dupClusters(docs.select(col("doc_id")),
+        minhashCandidates(docs, cap = Int.MaxValue, reproducible = true))
+    }
 
   /** Connected components by large-star/small-star alternation
     * (the MapReduce CC algorithm of Kiveris et al., "Connected
@@ -301,11 +311,13 @@ object Dedup {
   /** Gate query: same fixpoint as [[clustersQuery]] via the star
     * alternation — shares the recursive-CTE oracle, so the DuckDB gate
     * proves the two algorithms agree on the full corpus. */
-  def clustersStarQuery(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    dupClustersStar(docs.select(col("doc_id")),
-      minhashCandidates(docs, cap = Int.MaxValue, reproducible = true))._1
-  }
+  def clustersStarQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.Conf.withConf(spark, "spark.sql.shuffle.partitions",
+        clusterShufflePartitions) {
+      val docs = Tables.load(spark, dir, "documents")
+      dupClustersStar(docs.select(col("doc_id")),
+        minhashCandidates(docs, cap = Int.MaxValue, reproducible = true))._1
+    }
 
   // --- SimHash -----------------------------------------------------------
 

@@ -205,20 +205,19 @@ object Similarity {
     * more rounds buy little for a 64-cell IVF. */
   val ivfIters = 2
 
-  /** Nearest-centroid assignment, MAP-SIDE ONLY: the k centroids arrive
-    * as literals unrolled into k codegen'd `cosine_sim` expressions +
-    * an `array_max` argmax (struct max is lexicographic, so
-    * (csim, -cent_id) breaks ties to the smallest id) — no row blowup,
-    * no shuffle. */
+  /** Nearest-centroid assignment, MAP-SIDE ONLY: one native
+    * `nearest_centroid` loop expression over the broadcast-by-reference
+    * centroid matrix — no row blowup, no shuffle, and ONE small codegen
+    * class no matter how many centroids or how often the table changes
+    * (an earlier k-`cosine_sim`-exprs + `array_max` argmax paid a full
+    * Janino compile per Lloyd round because each round's centroid
+    * literals produced fresh source). Per-centroid math and the
+    * smallest-id tie-break are bit-identical to the expression form. */
   private def assignToCentroids(e: DataFrame,
       cents: Seq[(Long, Seq[Double])]): DataFrame = {
-    import graft.functions.VectorExpressions.cosine_sim
-    val simStructs = cents.map { case (cid, cv) =>
-      struct(cosine_sim(col("v"), typedlit(cv)).as("csim"),
-        lit(-cid).as("ncid"))
-    }
-    e.withColumn("best", array_max(array(simStructs.toIndexedSeq: _*)))
-      .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cent_id"))
+    import graft.functions.VectorExpressions.nearest_centroid
+    e.select(col("vec_id"), col("v"),
+      nearest_centroid(col("v"), cents).as("cent_id"))
   }
 
   /** Deterministic k-means coarse quantizer: init = the k vectors with

@@ -76,12 +76,8 @@ object EventStream {
     * `spark.sql.streaming.numStatePartitions`-style sizing: state
     * partitions should track state volume, not core count. */
   private[streaming] def withConf[T](spark: SparkSession, key: String,
-      value: String)(body: => T): T = {
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, value)
-    try body
-    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-  }
+      value: String)(body: => T): T =
+    graft.Conf.withConf(spark, key, value)(body)
 
   private[streaming] val streamShufflePartitions = "8"
 
