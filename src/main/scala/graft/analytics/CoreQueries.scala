@@ -97,7 +97,35 @@ object CoreQueries {
         when(col("n_chars") > 300, lit("long"))
           .otherwise(lit("short")).as("size_class"))
 
+  /** ONE SQL text, executed verbatim by BOTH engines — the whole gate
+    * surface otherwise drives the DataFrame API, and this pins the
+    * `spark.sql` entry path end-to-end (view registration included):
+    * a user of the engine can paste ANSI SQL and get oracle-identical
+    * results. Kept to the common dialect; money math uses the same
+    * decimal-exact pattern as every revenue gate. */
+  private val sqlSurfaceText: String =
+    """SELECT n_name AS nation, count(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |           * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY n_name""".stripMargin
+
+  /** The declared-SQL surface as actual SQL: register the corpus as
+    * views and run [[sqlSurfaceText]] through `spark.sql`. Catalyst
+    * plans it exactly like the DataFrame form (broadcast dims, one
+    * fact-fact shuffle, partial aggs), which is the point — SQL is not
+    * a second engine, just a second front door. */
+  def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(sqlSurfaceText)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_surface" -> sqlSurface _,
     "core_records_per_group" -> recordsPerGroup _,
     "core_summary_stats" -> summaryStats _,
     "core_recent_by_group" -> recentByGroup _,
@@ -109,6 +137,8 @@ object CoreQueries {
     "core_scalar_funcs" -> scalarFuncs _)
 
   val oracles: Map[String, String] = Map(
+    // the same SQL text runs in DuckDB unchanged
+    "sql_surface" -> sqlSurfaceText,
     "core_records_per_group" ->
       """SELECT l_returnflag, count(*) AS cnt, max(l_shipdate) AS max_shipdate
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,

@@ -470,7 +470,56 @@ object Dedup {
       minhashCandidates(docs, cap = Int.MaxValue, reproducible = true))
   }
 
+  // --- Block-level (passage) dedup ---------------------------------------
+
+  /** Token-block width for passage-level dedup. Production uses ~50-100
+    * token windows (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"); 16 matches this corpus' 10-99 token
+    * documents. */
+  val blockTokens = 16
+
+  /** Passage-level duplication report: documents are cut into
+    * consecutive `blockTokens`-token blocks, and a block INSTANCE is a
+    * duplicate when the same block text occurred earlier in the corpus
+    * (first occurrence by (doc_id, block_idx) survives) — the
+    * document-granularity approximation of suffix-array substring
+    * dedup, catching boilerplate passages inside otherwise-unique
+    * documents that whole-document hashing misses entirely.
+    *
+    * Scale shape: block generation is the shuffle-free shingle
+    * generator at stride = width (O(tokens) rows, not O(tokens·width));
+    * first-occurrence ranking is ONE window over the block text — a
+    * hot boilerplate block makes a large window partition but the work
+    * stays linear in its instance count (a window, not a self-join —
+    * the same d-vs-d² distinction as the Jaccard verifier); the report
+    * is one doc-keyed aggregation. */
+  def blockDedup(spark: SparkSession, dir: String): DataFrame =
+    blockDedupDf(Tables.load(spark, dir, "documents"))
+
+  def blockDedupDf(docs: DataFrame): DataFrame = {
+    val b = blockTokens
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("doc_id"), col("i"))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          floor((size(col("t")) + lit(b - 1)) / lit(b)).cast("int") - 1))
+          .as("i"))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("t"), col("i") * b + 1, lit(b)), " ").as("g"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_blocks"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_blocks").cast("double"))
+          .as("dup_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_blocks" -> blockDedup _,
     "dedup_exact" -> exactDedup _,
     "dedup_minhash_bands" -> minhashQuery _,
     "dedup_simhash" -> simhashQuery _,
@@ -582,6 +631,24 @@ object Dedup {
        |SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_blocks" ->
+      s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 1),
+         |bi AS (SELECT doc_id, t,
+         |    unnest(range((len(t) + ${blockTokens - 1}) // $blockTokens)) AS i
+         |  FROM d),
+         |g AS (SELECT doc_id, i, array_to_string(list_slice(t,
+         |    CAST(i * $blockTokens + 1 AS INTEGER),
+         |    CAST(i * $blockTokens + $blockTokens AS INTEGER)), ' ') AS g
+         |  FROM bi),
+         |r AS (SELECT doc_id, i, g,
+         |    row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+         |  FROM g)
+         |SELECT doc_id, count(*) AS n_blocks,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS dup_ratio
+         |FROM r GROUP BY doc_id""".stripMargin,
     "dedup_clusters" -> clustersOracle,
     "dedup_clusters_star" -> clustersOracle,
     "dedup_exact" ->

@@ -209,9 +209,46 @@ object TrainPrep {
     "train_sample_stratified" -> sampleQuery _,
     "train_mix" -> mixQuery _,
     "train_pack" -> packQuery _,
+    "train_shuffle" -> shuffleQuery _,
     "train_curate" -> curate _)
 
+  /** Number of output shards for the deterministic corpus shuffle. At
+    * 100 TB this scales with the corpus (shards sized to the trainer's
+    * file appetite); 16 exercises the layout at gate scale. */
+  val shuffleShards = 16
+
+  /** Deterministic global training shuffle: every document gets an LCG
+    * permutation key of its doc_id, a shard (key mod S), and its
+    * position within the shard — the standard pre-training data layout
+    * (shuffled once at prep time so training reads sequentially).
+    *
+    * Scale shape: NO global sort and NO single-task window — the only
+    * exchange is the shard partition, and each shard orders its own
+    * members (Spark runs the per-shard window after an in-partition
+    * sort, all shards in parallel). Position is per-shard rather than
+    * global for exactly that reason: a global row_number would funnel
+    * the corpus through one task, while (shard, pos_in_shard) is the
+    * same information under the layout a trainer actually consumes. */
+  def shuffleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val skey = pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
+      lit(2147483648L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), skey.as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(shuffleShards.toLong)))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "train_shuffle" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    (doc_id * 1103515245 + 12345) % 2147483648 AS skey
+         |  FROM documents)
+         |SELECT doc_id, skey, skey % $shuffleShards AS shard,
+         |  CAST(row_number() OVER (PARTITION BY skey % $shuffleShards
+         |    ORDER BY skey, doc_id) AS BIGINT) AS pos_in_shard
+         |FROM s""".stripMargin,
     "train_split" -> {
       val h = Dedup.polySql("text", 31L, 2000000011L)
       s"""SELECT doc_id, $h % $splitMod AS bucket,

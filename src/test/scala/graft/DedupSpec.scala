@@ -204,6 +204,24 @@ class DedupSpec extends AnyFunSuite {
     assert(fp.length == 39 && fp.forall(_._1 == 0L), s"got ${fp.length}")
   }
 
+  test("block dedup flags repeated passages, first occurrence survives") {
+    import spark.implicits._
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ")   // one full block
+    val uniqueA = (1 to 16).map(i => s"a$i").mkString(" ")
+    val uniqueC = (1 to 16).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"$uniqueA $boiler",     // first corpus occurrence of boiler
+      2L -> s"$uniqueC $boiler",     // duplicate passage inside unique doc
+      3L -> s"$boiler $boiler",      // internal repetition
+      4L -> "tiny tail").toDF("doc_id", "text")
+    val out = graft.operators.Dedup.blockDedupDf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (2L, 0L))      // doc 1 owns both its blocks
+    assert(out(2L) == (2L, 1L))      // boiler block already seen in doc 1
+    assert(out(3L) == (2L, 2L))      // both instances follow doc 1's
+    assert(out(4L) == (1L, 0L))      // sub-width doc still forms one block
+  }
+
   test("exact trigram jaccard on corpus is within [0, 1] and symmetric keys ordered") {
     val out = Dedup.jaccardExact(spark, SparkTestSession.sf).collect()
     assert(out.nonEmpty)

@@ -99,6 +99,23 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(got(16L) == 1L)  // 100 + 100 <= 256 stays in bin 1
   }
 
+  test("deterministic shuffle: full cover, bounded shards, dense positions") {
+    val sf = SparkTestSession.sf
+    val out = TrainPrep.shuffleQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = Tables.load(spark, sf, "documents").count()
+    assert(out.length == n && out.map(_._1).distinct.length == n)
+    assert(out.forall(t => t._3 >= 0 && t._3 < TrainPrep.shuffleShards))
+    // positions are 1..|shard| dense, ordered by the permutation key
+    out.groupBy(_._3).foreach { case (_, members) =>
+      val sorted = members.sortBy(m => (m._2, m._1))
+      assert(sorted.map(_._4).toSeq == (1L to members.length).toSeq)
+    }
+    // the permutation actually shuffles: doc order != key order
+    val byKey = out.sortBy(m => (m._2, m._1)).map(_._1).toSeq
+    assert(byKey != byKey.sorted)
+  }
+
   test("curate keeps only dedup survivors passing the quality gate") {
     val out = TrainPrep.curate(spark, SparkTestSession.sf).collect()
     assert(out.nonEmpty)
