@@ -21,6 +21,9 @@ object Sessionize {
 
   val gapMinutes = 30
 
+  /** Replay split point for [[streamSessionize]]. */
+  val streamCut = "2024-01-17 13:00:00"
+
   /** Batch form: session boundaries via lag(), ids via running count of
     * boundaries — deterministic, DuckDB-expressible. */
   def sessionizeBatch(spark: SparkSession, dir: String): DataFrame =
@@ -162,10 +165,65 @@ object Sessionize {
         col("session_start_s"))
   }
 
+  /** STREAMING sessionization — the production deployment shape of this
+    * whole module: `session_window` over a watermarked stream in append
+    * mode, so a session is emitted exactly once, when the watermark
+    * passes its end, and its state is evicted (state volume = open
+    * sessions only). The session-merging machinery is exercised across
+    * micro-batches: the replay splits the corpus at a mid-corpus
+    * timestamp, so every session spanning the cut arrives as two
+    * partial sessions that the state store must merge before emission.
+    *
+    * Determinism harness: same two-sentinel flush as
+    * `stream_tumbling_append` — the first far-future file advances the
+    * watermark past every real session's end, the second triggers the
+    * append-mode flush; sentinel sessions themselves never flush and
+    * are filtered by user_id anyway. Output equals the batch
+    * sessionization minus the session_id ordinal (append mode emits
+    * sessions as watermark order dictates; the per-user ordinal is a
+    * trivial downstream rank, and the oracle drops it on both sides). */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame =
+    EventStream.withConf(spark, "spark.sql.shuffle.partitions",
+      EventStream.streamShufflePartitions) {
+    import spark.implicits._
+    val batch = Tables.load(spark, dir, "events")
+      .select(col("user_id"), date_trunc("second", col("ts")).as("tss"))
+    // chosen so at least one session straddles the cut at every SF
+    // (so the cross-batch merge path demonstrably runs; spec-pinned)
+    val cut = lit(streamCut).cast("timestamp")
+    def sentinel(ts: String) =
+      Seq((-1L, java.sql.Timestamp.valueOf(ts))).toDF("user_id", "tss")
+    val staging = EventStream.stageReplay(Seq(
+      batch.filter(col("tss") < cut),
+      batch.filter(col("tss") >= cut),
+      sentinel("2200-01-01 00:00:00"), sentinel("2200-01-02 00:00:00")))
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+      .withWatermark("tss", "1 second")
+      .groupBy(session_window(col("tss"), "1800 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min("tss").as("session_start_s"))
+      .select(col("user_id"), col("n_events"), col("session_start_s"))
+    val name = "graft_stream_sessionize"
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table(name).filter(col("user_id") >= 0).cache()
+      out.count()
+      out
+    } finally q.stop()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize" -> sessionizeBatch _,
     "sessionize_chunked" -> sessionizeChunked _,
-    "sessionize_window" -> sessionizeWindow _)
+    "sessionize_window" -> sessionizeWindow _,
+    "stream_sessionize" -> streamSessionize _)
 
   // shared by all three implementations — same semantics, same fixpoint
   private val sessionizeSql: String =
@@ -189,8 +247,31 @@ object Sessionize {
       |  CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start_s
       |FROM s GROUP BY user_id, session_id""".stripMargin
 
+  // append mode emits sessions in watermark order, so the per-user
+  // session ordinal is dropped on both sides (it's a downstream rank)
+  private val sessionizeNoIdSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN prev_ts IS NULL THEN 1
+      |         WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1
+      |         ELSE 0 END AS is_new
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM m)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start_s
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sessionize" -> sessionizeSql,
     "sessionize_chunked" -> sessionizeSql,
-    "sessionize_window" -> sessionizeSql)
+    "sessionize_window" -> sessionizeSql,
+    "stream_sessionize" -> sessionizeNoIdSql)
 }

@@ -102,6 +102,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(folded.exceptAll(snapshot).isEmpty && snapshot.exceptAll(folded).isEmpty)
   }
 
+  test("streaming sessionization equals batch sessions incl. cut-spanning ones") {
+    val sf = SparkTestSession.sf
+    val streamed = graft.streaming.Sessionize.streamSessionize(spark, sf)
+      .selectExpr("user_id", "n_events", "session_start_s")
+    val batch = graft.streaming.Sessionize.sessionizeBatch(spark, sf)
+      .selectExpr("user_id", "n_events", "session_start_s")
+    assert(streamed.exceptAll(batch).isEmpty
+      && batch.exceptAll(streamed).isEmpty)
+    // the replay cut actually splits at least one session in two:
+    // consecutive same-user events within the gap straddling the cut
+    // == a session whose state had to merge across micro-batches
+    val cut = java.sql.Timestamp.valueOf(graft.streaming.Sessionize.streamCut)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val straddling = Tables.load(spark, sf, "events")
+      .withColumn("prev_ts", org.apache.spark.sql.functions.lag("ts", 1).over(w))
+      .where(col("prev_ts") < lit(cut) && col("ts") >= lit(cut)
+        && unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) <= 1800)
+    assert(straddling.count() > 0, "no session spans the replay cut")
+  }
+
   test("stream-stream interval join emits exactly the batch match set") {
     val sf = SparkTestSession.sf
     val streamed = graft.streaming.StreamJoin.streamStreamJoin(spark, sf)
