@@ -315,23 +315,70 @@ object Similarity {
     * balanced clusters, embarrassingly parallel across clusters and
     * tunable via k), at the cost of missing cross-cluster pairs — the
     * explicit SemDeDup trade. The only data-dependent shuffle is the
-    * cent_id-keyed self-join; a pathological mega-cluster would get the
-    * same star-cap guard as [[Dedup.minhashCandidates]], and at 100 TB
-    * k grows with the corpus so cluster blocks stay bounded. */
+    * (cent_id, group-pair)-keyed triangle exchange, so even a
+    * pathological mega-cluster spreads its quadratic work over bounded
+    * tasks instead of one reducer; at 100 TB k additionally grows with
+    * the corpus so cluster blocks stay small. */
+  case class CMember(cent: Long, id: Long, v: Array[Double], n: Double)
+
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorExpressions.cosine_sim
+    import spark.implicits._
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asD(col("embedding")).as("v"))
       .cache() // scanned per Lloyd round + once for final assignment
     val assigned = assignToCentroids(e, kmeansCentroids(e)).cache()
-    val l = assigned.select(col("cent_id"), col("vec_id").as("a"),
-      col("v").as("va"))
-    val r = assigned.select(col("cent_id").as("cent_id2"),
-      col("vec_id").as("b"), col("v").as("vb"))
-    val dropped = l.join(r, l("cent_id") === r("cent_id2")
-        && col("a") < col("b"))
-      .filter(cosine_sim(col("va"), col("vb")) >= semThreshold)
-      .select(col("b").as("vec_id")).distinct()
+    // In-cluster pairwise pruning via the SAME triangle block-join as
+    // [[allPairsTriangle]], keyed by (cent_id, group-pair): an earlier
+    // cent_id-equi-join put a d-member cluster's d² pair rows on ONE
+    // reducer — the hot-bucket cliff every other pairwise operator
+    // here guards against. The triangle split keeps EXACT semantics
+    // (no cap, no semantic change — the kernel's sequential
+    // accumulation is bit-equal to the cosine_sim expression) while a
+    // mega-cluster's quadratic work spreads over G*(G+1)/2 bounded
+    // tasks. Emits the dropped side only: b of any in-cluster pair
+    // a < b with sim >= the threshold.
+    val g = graft.Conf.int(spark, graft.Conf.NeardupGroups, 8).toLong
+    val dropped = assigned
+      .select(col("cent_id").as("cent"), col("vec_id").as("id"), col("v"),
+        norm(col("v")).as("n"))
+      .as[CMember]
+      .flatMap { m =>
+        val x = ((m.id % g) + g) % g
+        (0L until g).map(y => (math.min(x, y), math.max(x, y), m))
+      }
+      .groupByKey(t => (t._3.cent, t._1, t._2))
+      .flatMapGroups { (key: (Long, Long, Long), it: Iterator[(Long, Long, CMember)]) =>
+        val (_, i, j) = key
+        val members = it.map(_._3).toArray
+        val out = scala.collection.mutable.HashSet.empty[Long]
+        def emit(u: CMember, w: CMember): Unit = {
+          var dot = 0.0
+          var d = 0
+          val uv = u.v; val wv = w.v
+          while (d < uv.length) { dot += uv(d) * wv(d); d += 1 }
+          if (dot / (u.n * w.n) >= semThreshold)
+            out += math.max(u.id, w.id)
+        }
+        if (i == j) {
+          var a = 0
+          while (a < members.length) {
+            var b = a + 1
+            while (b < members.length) { emit(members(a), members(b)); b += 1 }
+            a += 1
+          }
+        } else {
+          val bi = members.filter(m => ((m.id % g) + g) % g == i)
+          val bj = members.filter(m => ((m.id % g) + g) % g == j)
+          var a = 0
+          while (a < bi.length) {
+            var b = 0
+            while (b < bj.length) { emit(bi(a), bj(b)); b += 1 }
+            a += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("vec_id").distinct()
       .withColumn("dropped", lit(true))
     assigned.select(col("vec_id"), col("cent_id"))
       .join(dropped, Seq("vec_id"), "left")
