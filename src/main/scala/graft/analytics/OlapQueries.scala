@@ -185,7 +185,48 @@ object OlapQueries {
           .as("slice3_last"),
         col("label").cast("long").as("label_l"))
 
+  /** Explicit GROUPING SETS + grouping() markers — the general form
+    * behind rollup/cube, one SQL text run verbatim by both engines
+    * (grouping-set nulls coalesced, marker bits distinguish a real
+    * 'ALL' value from an aggregated level). Plans as a single Expand +
+    * partial/final HashAggregate — set count multiplies rows BEFORE
+    * the map-side combine, not shuffle volume. */
+  private val groupingSetsText: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |  coalesce(l_linestatus, 'ALL') AS status,
+      |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+      |  count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+      |  (l_returnflag, l_linestatus), ())""".stripMargin
+
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(groupingSetsText)
+  }
+
+  /** Conditional-aggregate surface: count_if / filtered sums (as
+    * null-skipping `sum(when(...))`, the Spark spelling of SQL's
+    * FILTER clause) / bool_or / bool_and per group — all algebraic,
+    * same partial+final HashAggregate shape as every other agg here.
+    * Money filters use the decimal-exact pattern. */
+  def conditionalAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count_if(col("l_quantity") > 25).as("n_big"),
+        sum(when(col("l_discount") > 0.05,
+          graft.Tables.dec(col("l_extendedprice"))))
+          .cast("double").as("disc_rev"),
+        bool_or(col("l_tax") > 0.07).as("any_high_tax"),
+        bool_and(col("l_quantity") > 0).as("all_pos_qty"),
+        max(when(col("l_discount") > 0.05, col("l_quantity")))
+          .as("max_disc_qty"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "func_conditional" -> conditionalAggs _,
+    "agg_grouping_sets" -> groupingSets _,
     "agg_rollup" -> rollupRevenue _,
     "agg_pivot" -> pivotStatus _,
     "agg_percentiles" -> percentiles _,
@@ -198,6 +239,16 @@ object OlapQueries {
     "func_array" -> arrayFuncs _)
 
   val oracles: Map[String, String] = Map(
+    "agg_grouping_sets" -> groupingSetsText,
+    "func_conditional" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (l_quantity > 25) AS n_big,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |    FILTER (l_discount > 0.05) AS DOUBLE) AS disc_rev,
+        |  bool_or(l_tax > 0.07) AS any_high_tax,
+        |  bool_and(l_quantity > 0) AS all_pos_qty,
+        |  max(l_quantity) FILTER (l_discount > 0.05) AS max_disc_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,

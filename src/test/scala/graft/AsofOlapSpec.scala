@@ -8,6 +8,42 @@ class AsofOlapSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("conditional aggregates agree with direct filtered queries") {
+    val sf = SparkTestSession.sf
+    val out = OlapQueries.conditionalAggs(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val li = Tables.load(spark, sf, "lineitem")
+    out.foreach { case (flag, r) =>
+      val grp = li.filter(org.apache.spark.sql.functions.col("l_returnflag") === flag)
+      assert(r.getLong(1) == grp.filter("l_quantity > 25").count(), s"$flag n_big")
+      assert(r.getBoolean(3) == grp.filter("l_tax > 0.07").count() > 0,
+        s"$flag any_high_tax")
+      assert(r.getBoolean(4) == (grp.filter("l_quantity <= 0").count() == 0),
+        s"$flag all_pos_qty")
+    }
+  }
+
+  test("grouping sets levels are complete and marker bits consistent") {
+    val sf = SparkTestSession.sf
+    val rows = OlapQueries.groupingSets(spark, sf).collect()
+    val total = Tables.load(spark, sf, "lineitem").count()
+    // grand total level: both markers set, both keys coalesced
+    val grand = rows.filter(r => r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(grand.length == 1 && grand.head.getLong(4) == total)
+    assert(grand.head.getString(0) == "ALL" && grand.head.getString(1) == "ALL")
+    // each level's counts re-sum to the corpus total
+    Seq((1L, 0L), (0L, 1L), (0L, 0L)).foreach { case (gf, gs) =>
+      val lvl = rows.filter(r => r.getLong(2) == gf && r.getLong(3) == gs)
+      assert(lvl.map(_.getLong(4)).sum == total, s"level ($gf,$gs)")
+      // a marker bit of 1 always pairs with the coalesced 'ALL'
+      lvl.foreach { r =>
+        assert((r.getLong(2) == 1) == (gf == 1))
+        if (gf == 1) assert(r.getString(0) == "ALL")
+        if (gs == 1) assert(r.getString(1) == "ALL")
+      }
+    }
+  }
+
   test("asof matches latest left row at or before each right ts") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val views = Seq(
