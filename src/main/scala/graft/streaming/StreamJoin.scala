@@ -74,8 +74,80 @@ object StreamJoin {
     } finally q.stop()
   }
 
+  /** LEFT OUTER stream-stream join — the strictly harder shape: a
+    * click with no purchase inside its hour can only emit its
+    * null-padded row once the watermark PROVES no match can still
+    * arrive, so null emission (unlike inner matches) is watermark-
+    * driven state eviction.
+    *
+    * Correctness of the replay: the purchase side is split into files
+    * by TIME (not id) and the watermark delay is small (1 s), so when
+    * a click's state is evicted at global watermark W, every purchase
+    * that could have matched it (pts <= cts + interval < W + delay)
+    * was already processed in an earlier-or-same batch — a click is
+    * never declared unmatched while its match is still in flight.
+    * Sentinel files on BOTH sides push the global (min-of-sides)
+    * watermark past every real click's window, flushing the tail. The
+    * emitted set — matches plus exactly-once null rows — is then the
+    * batch left join, which is the oracle. */
+  def streamStreamLeftOuter(spark: SparkSession, dir: String): DataFrame =
+    withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("pts"))
+    val cut = lit(Sessionize.streamCut).cast("timestamp")
+    def sentC(ts: String) =
+      Seq((-1L, -1L, java.sql.Timestamp.valueOf(ts)))
+        .toDF("click_id", "user_id", "cts")
+    def sentP(ts: String) =
+      Seq((-1L, -1L, java.sql.Timestamp.valueOf(ts)))
+        .toDF("purchase_id", "p_user", "pts")
+    val clickStaging = stageReplay(Seq(clicks,
+      sentC("2200-01-01 00:00:00"), sentC("2200-01-02 00:00:00")))
+    val purchaseStaging = stageReplay(Seq(
+      purchases.filter(col("pts") < cut),
+      purchases.filter(col("pts") >= cut),
+      sentP("2200-01-01 00:00:00"), sentP("2200-01-02 00:00:00")))
+    val cs = spark.readStream.schema(clicks.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(clickStaging)
+      .withWatermark("cts", "1 second")
+    val ps = spark.readStream.schema(purchases.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(purchaseStaging)
+      .withWatermark("pts", "1 second")
+    val gap = unix_timestamp(col("pts")) - unix_timestamp(col("cts"))
+    val joined = cs.join(ps,
+        col("user_id") === col("p_user")
+          && col("pts") >= col("cts")
+          && col("pts") <= col("cts") + expr("interval 3601 seconds")
+          && gap.between(1, 3600),
+        "leftOuter")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        gap.as("gap_s"))
+    val name = "graft_stream_stream_left"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table(name).filter(col("user_id") >= 0).cache()
+      out.count()
+      out
+    } finally q.stop()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_stream_join" -> streamStreamJoin _)
+    "stream_stream_join" -> streamStreamJoin _,
+    "stream_stream_left" -> streamStreamLeftOuter _)
 
   val oracles: Map[String, String] = Map(
     // the emitted match set == the batch interval join
@@ -84,5 +156,13 @@ object StreamJoin {
         |  c.user_id, date_diff('second', c.ts, p.ts) AS gap_s
         |FROM events c JOIN events p ON c.user_id = p.user_id
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-        |  AND date_diff('second', c.ts, p.ts) BETWEEN 1 AND 3600""".stripMargin)
+        |  AND date_diff('second', c.ts, p.ts) BETWEEN 1 AND 3600""".stripMargin,
+    // matches plus exactly-once null rows == the batch LEFT join
+    "stream_stream_left" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id, date_diff('second', c.ts, p.ts) AS gap_s
+        |FROM events c LEFT JOIN events p ON c.user_id = p.user_id
+        |  AND p.event_type = 'purchase'
+        |  AND date_diff('second', c.ts, p.ts) BETWEEN 1 AND 3600
+        |WHERE c.event_type = 'click'""".stripMargin)
 }

@@ -143,6 +143,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() > 0, "corpus should contain at least one match")
   }
 
+  test("left-outer stream-stream join: matches plus exactly-once null rows") {
+    val sf = SparkTestSession.sf
+    val streamed = graft.streaming.StreamJoin.streamStreamLeftOuter(spark, sf)
+    val ev = Tables.load(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("pts"))
+    val gap = unix_timestamp(col("pts")) - unix_timestamp(col("cts"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user") && gap.between(1, 3600), "left")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        gap.as("gap_s"))
+    assert(streamed.exceptAll(batch).isEmpty
+      && batch.exceptAll(streamed).isEmpty)
+    // every unmatched click appears exactly once with nulls
+    val unmatched = streamed.filter(col("purchase_id").isNull)
+    assert(unmatched.count() > 0)
+    assert(unmatched.select("click_id").distinct().count() == unmatched.count())
+  }
+
   test("transformWithState LWW deltas equal the flatMapGroupsWithState form") {
     import graft.streaming.EventStream
     val sf = SparkTestSession.sf
