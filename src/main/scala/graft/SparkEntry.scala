@@ -42,7 +42,8 @@ object SparkEntry {
       operators.TrainPrep.queries ++
       operators.Decontaminate.queries ++
       operators.Incremental.queries ++
-      streaming.StreamJoin.queries
+      streaming.StreamJoin.queries ++
+      analytics.TimeSeries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -69,5 +70,6 @@ object SparkEntry {
       operators.TrainPrep.oracles ++
       operators.Decontaminate.oracles ++
       operators.Incremental.oracles ++
-      streaming.StreamJoin.oracles
+      streaming.StreamJoin.oracles ++
+      analytics.TimeSeries.oracles
 }

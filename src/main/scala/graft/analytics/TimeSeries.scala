@@ -1,0 +1,91 @@
+package graft.analytics
+
+import graft.Tables
+import graft.Tables.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series repair operators — the two standard fixes every
+  * time-keyed analytics store (the reference's domain is intraday stock
+  * bars) applies before analysis:
+  *
+  *  - GAP FILLING: densify a per-group hourly grid so downstream
+  *    windows/joins see every bucket (missing buckets as explicit
+  *    zeros, not absent rows);
+  *  - FORWARD FILL: carry the last observed value across rows where a
+  *    sparse column is null (the as-of semantics of a quote board).
+  *
+  * Scale shapes: the grid is generated map-side per group (one
+  * `sequence` + `explode` over each group's [min, max] hour — rows
+  * linear in grid size, no cross joins), then ONE (group, hour)-keyed
+  * left join against the aggregated buckets. Forward fill is one
+  * running `last(ignoreNulls)` window per key — same single exchange as
+  * any per-key window, with the chunked-window pattern
+  * (`window_running_sum_chunked`) available for pathological keys. */
+object TimeSeries {
+
+  /** Hourly (event_type, hour) grid over each type's observed span,
+    * with empty buckets filled as cnt=0 / val_sum=0.0. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        col("value"))
+    val hourly = ev.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
+    val grid = hourly.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("h"))
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h").as("hour_start"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("val_sum"), lit(0.0)).as("val_sum"))
+  }
+
+  /** Forward fill: the purchase `value` column viewed as sparse (null
+    * on non-purchase events), carried forward per user in (ts,
+    * event_id) order — every event row knows the user's last purchase
+    * amount. */
+  def fillForward(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .withColumn("sparse",
+        when(col("event_type") === "purchase", col("value")))
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts_s"),
+        last(col("sparse"), ignoreNulls = true).over(w).as("last_purchase"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_gap_fill" -> gapFill _,
+    "ts_fill_forward" -> fillForward _)
+
+  val oracles: Map[String, String] = Map(
+    "ts_gap_fill" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |    count(*) AS cnt,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM h GROUP BY 1),
+        |g AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM b)
+        |SELECT g.event_type, g.h AS hour_start,
+        |  CAST(coalesce(cnt, 0) AS BIGINT) AS cnt,
+        |  coalesce(val_sum, 0.0) AS val_sum
+        |FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.h = h.h""".stripMargin,
+    "ts_fill_forward" ->
+      """SELECT event_id, user_id,
+        |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase
+        |FROM events""".stripMargin)
+}

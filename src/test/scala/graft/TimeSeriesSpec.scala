@@ -1,0 +1,59 @@
+package graft
+
+import graft.analytics.TimeSeries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TimeSeriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("gap fill densifies each type's span and zero-fills empty buckets") {
+    val sf = SparkTestSession.sf
+    val out = TimeSeries.gapFill(spark, sf).cache()
+    // per type: rows == hours in [min, max] span, no duplicates
+    val spans = out.groupBy("event_type")
+      .agg(count(lit(1)).as("rows"),
+        min("hour_start").as("h0"), max("hour_start").as("h1"),
+        countDistinct("hour_start").as("distinct_hours"))
+      .collect()
+    spans.foreach { r =>
+      val hours = (r.getTimestamp(3).getTime - r.getTimestamp(2).getTime) /
+        3600000L + 1
+      assert(r.getLong(1) == hours, s"${r.getString(0)} grid density")
+      assert(r.getLong(4) == hours, s"${r.getString(0)} duplicate buckets")
+    }
+    // filled buckets are explicit zeros and agree with the sparse agg
+    val zeros = out.filter(col("cnt") === 0)
+    assert(zeros.count() > 0, "corpus has no hourly gaps — gate is vacuous")
+    assert(zeros.filter(col("val_sum") =!= 0.0).count() == 0)
+    val observed = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(out.filter(col("cnt") > 0).select("event_type", "hour_start", "cnt")
+      .exceptAll(observed).isEmpty)
+  }
+
+  test("forward fill carries the last purchase value per user") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // planted: null before first purchase, carried across views, reset
+    // by the next purchase
+    val sf = SparkTestSession.sf
+    val out = TimeSeries.fillForward(spark, sf)
+    val ev = Tables.load(spark, sf, "events")
+    // reference: per user, walk events in (ts, event_id) order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val check = ev
+      .withColumn("sparse", when(col("event_type") === "purchase", col("value")))
+      .withColumn("expected", last(col("sparse"), ignoreNulls = true)
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("event_id"), col("expected"))
+    val joined = out.join(check, "event_id")
+    assert(joined.filter(
+      !(col("last_purchase") <=> col("expected"))).count() == 0)
+    // nulls exist (users before their first purchase) and values exist
+    assert(out.filter(col("last_purchase").isNull).count() > 0)
+    assert(out.filter(col("last_purchase").isNotNull).count() > 0)
+  }
+}
