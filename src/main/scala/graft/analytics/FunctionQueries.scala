@@ -64,13 +64,35 @@ object FunctionQueries {
         ntile(4).over(w).cast("long").as("quartile"))
   }
 
+  /** Relative-rank family: percent_rank/cume_dist (exact small-integer
+    * ratios — (rank-1)/(n-1) and rank/n in IEEE doubles, bit-identical
+    * across engines under a unique total order). */
+  def rankStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") < 2000)
+      .select(
+        col("o_orderkey"), col("o_orderpriority"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "func_json" -> jsonFuncs _,
     "func_datetime" -> datetimeFuncs _,
     "func_string" -> stringFuncs _,
-    "func_window" -> windowFuncs _)
+    "func_window" -> windowFuncs _,
+    "func_rank_stats" -> rankStats _)
 
   val oracles: Map[String, String] = Map(
+    "func_rank_stats" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
     "func_json" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

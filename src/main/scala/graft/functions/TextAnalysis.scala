@@ -162,6 +162,32 @@ object TextAnalysis {
         ((col("n_shingles") - col("n_distinct")).cast("double")
           / col("n_shingles").cast("double")).as("rep_ratio"))
 
+  /** Weighted rule-ensemble quality classifier — the deterministic
+    * stand-in for a learned (fasttext-style) quality scorer: each rule
+    * is an INTEGER-exact test (ratios expressed cross-multiplied, the
+    * same no-float-in-the-decision trick as `agg_outliers`), the score
+    * is the sum of passed-rule weights, and the keep decision is a
+    * threshold on the score. Swapping in learned weights changes the
+    * constants, not the dataflow: one codegen'd projection, no
+    * shuffle, linear at any corpus size. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val nDis = size(array_distinct(t)).cast("long")
+    val stopCnt = hits(t, stopEn)
+    val charSum = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    val rLen = (nTok >= 20) && (nTok <= 1000)          // length band
+    val rStop = stopCnt * 20 >= nTok                   // >= 5% stopwords
+    val rDiv = nDis * 2 >= nTok                        // >= 50% distinct
+    val rTokLen = charSum <= nTok * 8                  // mean tok len <= 8
+    val score = when(rLen, 2L).otherwise(0L) +
+      when(rStop, 3L).otherwise(0L) +
+      when(rDiv, 2L).otherwise(0L) +
+      when(rTokLen, 1L).otherwise(0L)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), score.as("score"), (score >= 6L).as("keep"))
+  }
+
   // --- PII redaction ------------------------------------------------------
 
   /** Redaction regexes (RE2-compatible, so the DuckDB oracle runs the
@@ -207,6 +233,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pii_redact" -> piiRedact _,
+    "text_quality_score" -> qualityScore _,
     "text_clean" -> textClean _,
     "text_repetition" -> textRepetition _,
     "text_stats" -> textStats _,
@@ -220,6 +247,23 @@ object TextAnalysis {
     l.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "text_quality_score" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_dis,
+         |    CAST(len(list_filter(str_split(text, ' '),
+         |      x -> x IN ${sqlHits(stopEn)})) AS BIGINT) AS stop_cnt,
+         |    CAST(list_sum(list_transform(str_split(text, ' '),
+         |      x -> length(x))) AS BIGINT) AS char_sum
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |    (CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 2 ELSE 0 END
+         |     + CASE WHEN stop_cnt * 20 >= n_tok THEN 3 ELSE 0 END
+         |     + CASE WHEN n_dis * 2 >= n_tok THEN 2 ELSE 0 END
+         |     + CASE WHEN char_sum <= n_tok * 8 THEN 1 ELSE 0 END) AS score
+         |  FROM f)
+         |SELECT doc_id, CAST(score AS BIGINT) AS score,
+         |  score >= 6 AS keep FROM s""".stripMargin,
     "pii_redact" ->
       s"""WITH p AS (SELECT doc_id,
          |  text || ' contact user' || doc_id || '@' || source ||

@@ -72,6 +72,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == "hello world 00 times")
   }
 
+  test("quality score decomposes into its integer rules") {
+    val sf = SparkTestSession.sf
+    val score = TextAnalysis.qualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val stats = TextAnalysis.textStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val quality = TextAnalysis.textQuality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // stop_cnt
+    score.foreach { case (id, (s, keep)) =>
+      assert(s >= 0 && s <= 8)
+      assert(keep == (s >= 6))
+      // recompute the three cheap rules from independently-gated stats
+      val (nTok, nDis) = stats(id)
+      val expected3 =
+        (if (nTok >= 20 && nTok <= 1000) 2L else 0L) +
+          (if (quality(id) * 20 >= nTok) 3L else 0L) +
+          (if (nDis * 2 >= nTok) 2L else 0L)
+      assert(s == expected3 || s == expected3 + 1, s"doc $id score $s")
+    }
+  }
+
   test("pii redaction masks planted email/ip/phone and counts them") {
     import spark.implicits._
     val raw = Seq(
