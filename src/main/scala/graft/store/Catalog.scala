@@ -210,11 +210,46 @@ object Catalog {
     }.reduce(_ unionByName _)
   }
 
+  /** Schema evolution across a column-addition boundary (SURVEY §1.3:
+    * the reference hard-codes its schema and would break; an engine
+    * must read old and new files together): half the corpus is staged
+    * WITHOUT `event_type` (the pre-evolution layout), half with it,
+    * and a `mergeSchema` read unifies them — missing columns surface
+    * as nulls, coalesced to a sentinel label downstream. At 100 TB
+    * mergeSchema's footer sweep is a one-time planning cost; steady
+    * state pins the merged schema in the catalog and new columns
+    * arrive via metadata-only DDL, exactly like the date-partition
+    * layout this store already uses. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.dsum
+    val ev = graft.Tables.load(spark, dir, "events")
+    val legacy = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val modern = ev.filter(col("event_id") % 2 =!= 0)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"))
+    val base = java.nio.file.Files.createTempDirectory("graft_schema_evo")
+    val (pa, pb) = (s"$base/legacy", s"$base/modern")
+    legacy.write.mode("overwrite").parquet(pa)
+    modern.write.mode("overwrite").parquet(pb)
+    spark.read.option("mergeSchema", "true").parquet(pa, pb)
+      .groupBy(coalesce(col("event_type"), lit("legacy")).as("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "schema_evolution" -> schemaEvolution _,
     "catalog_tables" -> ((s, _) => tablesPresent(s)),
     "export_roundtrip" -> exportRoundtrip _)
 
   val oracles: Map[String, String] = Map(
+    // the merged read's nulls are exactly the legacy (even-id) half
+    "schema_evolution" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 'legacy'
+        |       ELSE event_type END AS event_type,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY 1""".stripMargin,
     "catalog_tables" ->
       """SELECT * FROM (VALUES ('pipeline_logs'), ('stock_data'),
         | ('stock_metadata')) AS t(table_name)""".stripMargin,

@@ -12,6 +12,17 @@ class CatalogSpec extends AnyFunSuite {
     assert(Catalog.tableNames.forall(spark.catalog.tableExists))
   }
 
+  test("mergeSchema read unifies pre- and post-evolution file layouts") {
+    val out = graft.store.Catalog.schemaEvolution(spark, SparkTestSession.sf)
+    // the merged frame sees the added column; legacy rows surface as
+    // the coalesced sentinel with the exact legacy-half count
+    val byType = out.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables.load(spark, SparkTestSession.sf, "events")
+    assert(byType("legacy") == ev.filter("event_id % 2 = 0").count())
+    assert(byType.values.sum == ev.count())
+  }
+
   test("snapshot and restore round-trip stock_metadata") {
     Catalog.bootstrap(spark)
     import spark.implicits._
