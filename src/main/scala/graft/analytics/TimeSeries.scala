@@ -60,9 +60,52 @@ object TimeSeries {
         last(col("sparse"), ignoreNulls = true).over(w).as("last_purchase"))
   }
 
+  /** OHLC resampling — the reference's own domain (intraday stock
+    * bars): per (event_type, hour), open/high/low/close/volume of
+    * `value`. Open/close are argmin/argmax over the unique event_id
+    * sequence (explicit, engine-portable tie rule — sub-second
+    * timestamp ties would differ between Spark's microsecond and the
+    * oracle's nanosecond clocks). One partial+final hash aggregation;
+    * min_by/max_by are algebraic, so map-side combine applies. */
+  def ohlcResample(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        count(lit(1)).as("volume"))
+
+  /** Volume-anomaly detection over the hourly series: a bucket is
+    * anomalous when its count exceeds twice the trailing-24h-per-hour
+    * average (itself exclusive of the current bucket). The decision is
+    * INTEGER-exact — cnt * trailing_n > 2 * trailing_sum avoids any
+    * float division, the same cross-multiplication trick as
+    * `agg_outliers`/`text_quality_score`, so the flag is bit-portable.
+    * Two passes: one hash agg to hourly counts (tiny), one RANGE-frame
+    * window over epoch hours per type. */
+  def volumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("eh", (unix_timestamp(col("h")) / 3600L).cast("long"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("eh"))
+      .rangeBetween(-24L, -1L)
+    hourly
+      .withColumn("trail_sum", sum(col("cnt")).over(w))
+      .withColumn("trail_n", count(col("cnt")).over(w))
+      .filter(col("trail_n") > 0)
+      .select(col("event_type"), col("h").as("hour_start"), col("cnt"),
+        col("trail_sum"), col("trail_n"),
+        (col("cnt") * col("trail_n") > col("trail_sum") * 2L).as("anomaly"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_gap_fill" -> gapFill _,
-    "ts_fill_forward" -> fillForward _)
+    "ts_fill_forward" -> fillForward _,
+    "ts_ohlc" -> ohlcResample _,
+    "ts_anomaly" -> volumeAnomaly _)
 
   val oracles: Map[String, String] = Map(
     "ts_gap_fill" ->
@@ -80,6 +123,30 @@ object TimeSeries {
         |  CAST(coalesce(cnt, 0) AS BIGINT) AS cnt,
         |  coalesce(val_sum, 0.0) AS val_sum
         |FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.h = h.h""".stripMargin,
+    "ts_ohlc" ->
+      """SELECT event_type,
+        |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  arg_min(value, event_id) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  arg_max(value, event_id) AS close,
+        |  count(*) AS volume
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "ts_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |e AS (SELECT *, CAST(epoch(h) AS BIGINT) // 3600 AS eh FROM h),
+        |w AS (SELECT event_type, h, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY eh
+        |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT)
+        |      AS trail_sum,
+        |    count(cnt) OVER (PARTITION BY event_type ORDER BY eh
+        |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_n
+        |  FROM e)
+        |SELECT event_type, h AS hour_start, cnt, trail_sum, trail_n,
+        |  cnt * trail_n > trail_sum * 2 AS anomaly
+        |FROM w WHERE trail_n > 0""".stripMargin,
     "ts_fill_forward" ->
       """SELECT event_id, user_id,
         |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,

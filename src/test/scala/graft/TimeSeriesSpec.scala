@@ -33,6 +33,33 @@ class TimeSeriesSpec extends AnyFunSuite {
       .exceptAll(observed).isEmpty)
   }
 
+  test("ohlc bars are internally consistent and volumes sum to the corpus") {
+    val sf = SparkTestSession.sf
+    val bars = TimeSeries.ohlcResample(spark, sf).cache()
+    assert(bars.filter(col("high") < col("low")).count() == 0)
+    assert(bars.filter(col("open") > col("high")
+      || col("open") < col("low")).count() == 0)
+    assert(bars.filter(col("close") > col("high")
+      || col("close") < col("low")).count() == 0)
+    val total = bars.agg(sum("volume")).collect()(0).getLong(0)
+    assert(total == Tables.load(spark, sf, "events").count())
+    // single-event buckets have open == close
+    assert(bars.filter(col("volume") === 1
+      && col("open") =!= col("close")).count() == 0)
+  }
+
+  test("volume anomaly flag equals the float formulation on this corpus") {
+    val sf = SparkTestSession.sf
+    val out = TimeSeries.volumeAnomaly(spark, sf)
+    // cross-multiplied integer test == cnt > 2 * mean(trailing)
+    val mismatches = out.filter(
+      col("anomaly") =!= (col("cnt").cast("double") >
+        col("trail_sum").cast("double") / col("trail_n").cast("double") * 2.0))
+      .count()
+    assert(mismatches == 0)
+    assert(out.filter(col("trail_n") === 0).count() == 0)
+  }
+
   test("forward fill carries the last purchase value per user") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
