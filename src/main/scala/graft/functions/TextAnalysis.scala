@@ -246,24 +246,29 @@ object TextAnalysis {
   private def sqlHits(l: Seq[String]): String =
     l.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Flat CTE list ending in `qs(doc_id, score)` — shared with the
+    * composite `train_pipeline` oracle. */
+  def qualityScoreCtes: String =
+    s"""qf AS (SELECT doc_id,
+       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_dis,
+       |    CAST(len(list_filter(str_split(text, ' '),
+       |      x -> x IN ${sqlHits(stopEn)})) AS BIGINT) AS stop_cnt,
+       |    CAST(list_sum(list_transform(str_split(text, ' '),
+       |      x -> length(x))) AS BIGINT) AS char_sum
+       |  FROM documents),
+       |qs AS (SELECT doc_id,
+       |    (CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 2 ELSE 0 END
+       |     + CASE WHEN stop_cnt * 20 >= n_tok THEN 3 ELSE 0 END
+       |     + CASE WHEN n_dis * 2 >= n_tok THEN 2 ELSE 0 END
+       |     + CASE WHEN char_sum <= n_tok * 8 THEN 1 ELSE 0 END) AS score
+       |  FROM qf)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_quality_score" ->
-      s"""WITH f AS (SELECT doc_id,
-         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
-         |    CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_dis,
-         |    CAST(len(list_filter(str_split(text, ' '),
-         |      x -> x IN ${sqlHits(stopEn)})) AS BIGINT) AS stop_cnt,
-         |    CAST(list_sum(list_transform(str_split(text, ' '),
-         |      x -> length(x))) AS BIGINT) AS char_sum
-         |  FROM documents),
-         |s AS (SELECT doc_id,
-         |    (CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 2 ELSE 0 END
-         |     + CASE WHEN stop_cnt * 20 >= n_tok THEN 3 ELSE 0 END
-         |     + CASE WHEN n_dis * 2 >= n_tok THEN 2 ELSE 0 END
-         |     + CASE WHEN char_sum <= n_tok * 8 THEN 1 ELSE 0 END) AS score
-         |  FROM f)
+      s"""WITH $qualityScoreCtes
          |SELECT doc_id, CAST(score AS BIGINT) AS score,
-         |  score >= 6 AS keep FROM s""".stripMargin,
+         |  score >= 6 AS keep FROM qs""".stripMargin,
     "pii_redact" ->
       s"""WITH p AS (SELECT doc_id,
          |  text || ' contact user' || doc_id || '@' || source ||

@@ -59,21 +59,27 @@ object Decontaminate {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> decontaminate _)
 
+  /** Flat CTE list ending in `h(doc_id, n_hits)` — contaminated docs
+    * and their hit counts; shared with the composite `train_pipeline`
+    * oracle. */
+  private[operators] def hitCtes: String =
+    s"""t AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
+       |  WHERE len(str_split(text, ' ')) >= $ngramN),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(t) - ${ngramN - 1}),
+       |    i -> ${(1 to ngramN).map(j => s"t[i+$j]").mkString(" || ' ' || ")})))
+       |    AS g
+       |  FROM t),
+       |b AS (SELECT g, count(*) AS bcnt, min(doc_id) AS bdoc
+       |  FROM g WHERE doc_id % $benchMod = 0 GROUP BY g),
+       |h AS (SELECT g.doc_id, count(*) AS n_hits
+       |  FROM g JOIN b USING (g)
+       |  WHERE b.bcnt > 1 OR b.bdoc <> g.doc_id
+       |  GROUP BY g.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "decontaminate" ->
-      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
-         |  WHERE len(str_split(text, ' ')) >= $ngramN),
-         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(len(t) - ${ngramN - 1}),
-         |    i -> ${(1 to ngramN).map(j => s"t[i+$j]").mkString(" || ' ' || ")})))
-         |    AS g
-         |  FROM t),
-         |b AS (SELECT g, count(*) AS bcnt, min(doc_id) AS bdoc
-         |  FROM g WHERE doc_id % $benchMod = 0 GROUP BY g),
-         |h AS (SELECT g.doc_id, count(*) AS n_hits
-         |  FROM g JOIN b USING (g)
-         |  WHERE b.bcnt > 1 OR b.bdoc <> g.doc_id
-         |  GROUP BY g.doc_id)
+      s"""WITH $hitCtes
          |SELECT d.doc_id,
          |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
          |  coalesce(h.n_hits, 0) > 0 AS contaminated

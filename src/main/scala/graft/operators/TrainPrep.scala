@@ -210,7 +210,32 @@ object TrainPrep {
     "train_mix" -> mixQuery _,
     "train_pack" -> packQuery _,
     "train_shuffle" -> shuffleQuery _,
+    "train_pipeline" -> pipelineQuery _,
     "train_curate" -> curate _)
+
+  /** The CAPSTONE composite: the full curation pipeline as one plan —
+    * exact-dedup survivors ∘ benchmark decontamination ∘ quality
+    * classifier ∘ leakage-free split — i.e. every upstream gate
+    * composed the way a real pretraining data run chains them. Each
+    * stage is individually oracle-gated; this gate proves they compose
+    * (one shared scan feeds four doc_id-keyed semi-join shaped
+    * filters; Catalyst reuses the exchange where keys align, and the
+    * filters are each linear-shuffle operators per their own SCALE.md
+    * entries). */
+  def pipelineQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val survivors = Dedup.exactDedup(spark, dir)
+      .select(col("keep_id").as("doc_id"))
+    val clean = Decontaminate.report(docs)
+      .filter(!col("contaminated")).select(col("doc_id"))
+    val kept = TextAnalysis.qualityScore(spark, dir)
+      .filter(col("keep")).select(col("doc_id"))
+    splitAssign(docs, reproducible = true)
+      .select(col("doc_id"), col("split"))
+      .join(survivors, "doc_id")
+      .join(clean, "doc_id")
+      .join(kept, "doc_id")
+  }
 
   /** Number of output shards for the deterministic corpus shuffle. At
     * 100 TB this scales with the corpus (shards sized to the trainer's
@@ -241,6 +266,23 @@ object TrainPrep {
   }
 
   val oracles: Map[String, String] = Map(
+    "train_pipeline" -> {
+      val h = Dedup.polySql("text", 31L, 2000000011L)
+      s"""WITH ${Decontaminate.hitCtes},
+         |${graft.functions.TextAnalysis.qualityScoreCtes},
+         |surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |sp AS (SELECT doc_id, ($h) % $splitMod AS bucket FROM documents)
+         |SELECT d.doc_id,
+         |  CASE WHEN sp.bucket < 80 THEN 'train'
+         |       WHEN sp.bucket < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM documents d
+         |JOIN surv ON surv.doc_id = d.doc_id
+         |JOIN qs ON qs.doc_id = d.doc_id AND qs.score >= 6
+         |JOIN sp ON sp.doc_id = d.doc_id
+         |LEFT JOIN h ON h.doc_id = d.doc_id
+         |WHERE coalesce(h.n_hits, 0) = 0""".stripMargin
+    },
     "train_shuffle" ->
       s"""WITH s AS (SELECT doc_id,
          |    (doc_id * 1103515245 + 12345) % 2147483648 AS skey

@@ -116,6 +116,25 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(byKey != byKey.sorted)
   }
 
+  test("pipeline composite equals the intersection of its gated stages") {
+    val sf = SparkTestSession.sf
+    val spark2 = spark
+    val pipe = TrainPrep.pipelineQuery(spark2, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val surv = graft.operators.Dedup.exactDedup(spark2, sf)
+      .collect().map(_.getLong(1)).toSet
+    val clean = graft.operators.Decontaminate.decontaminate(spark2, sf)
+      .filter("NOT contaminated").collect().map(_.getLong(0)).toSet
+    val kept = graft.functions.TextAnalysis.qualityScore(spark2, sf)
+      .filter("keep").collect().map(_.getLong(0)).toSet
+    val split = TrainPrep.splitQuery(spark2, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val expected = surv & clean & kept
+    assert(pipe.keySet == expected)
+    pipe.foreach { case (id, s) => assert(s == split(id)) }
+    assert(pipe.nonEmpty && pipe.size < split.size)
+  }
+
   test("curate keeps only dedup survivors passing the quality gate") {
     val out = TrainPrep.curate(spark, SparkTestSession.sf).collect()
     assert(out.nonEmpty)
