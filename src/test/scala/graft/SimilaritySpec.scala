@@ -79,6 +79,17 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.conf.unset(Conf.NeardupGroups)
   }
 
+  test("semantic dedup group-count knob is output-invariant") {
+    val dflt = Similarity.semanticDedup(spark, SparkTestSession.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    spark.conf.set(Conf.NeardupGroups, "3")
+    try {
+      val tuned = Similarity.semanticDedup(spark, SparkTestSession.sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(tuned == dflt)
+    } finally spark.conf.unset(Conf.NeardupGroups)
+  }
+
   test("knn_ivf returns ranked neighbors for every query it covers") {
     val rows = Similarity.knnIvf(spark, SparkTestSession.sf).collect()
     assert(rows.nonEmpty)
