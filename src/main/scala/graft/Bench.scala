@@ -9,7 +9,7 @@ object Bench {
     * expressions; a full-column hash agg forces every expression to
     * actually run while still collecting O(1) to the driver. */
   def materialize(df: DataFrame): Unit = {
-    df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
+    df.agg(sum(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)))).collect()
     ()
   }
 
