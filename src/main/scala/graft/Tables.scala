@@ -50,7 +50,12 @@ object Tables {
 
   /** Register every table as a temp view so spark.sql(...) works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    register(spark, dir, names: _*)
+
+  /** Register only the named tables (a view registration reads parquet
+    * footers, so SQL-path queries register just what they touch). */
+  def register(spark: SparkSession, dir: String, tables: String*): Unit =
+    tables.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
   // ---------------------------------------------------------------------
   // Deterministic aggregation helpers.

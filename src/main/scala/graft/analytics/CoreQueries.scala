@@ -120,7 +120,7 @@ object CoreQueries {
     * fact-fact shuffle, partial aggs), which is the point — SQL is not
     * a second engine, just a second front door. */
   def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(spark, dir)
+    Tables.register(spark, dir, "customer", "orders", "lineitem", "nation")
     spark.sql(sqlSurfaceText)
   }
 

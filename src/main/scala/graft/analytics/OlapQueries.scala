@@ -202,7 +202,7 @@ object OlapQueries {
       |  (l_returnflag, l_linestatus), ())""".stripMargin
 
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(spark, dir)
+    Tables.register(spark, dir, "lineitem")
     spark.sql(groupingSetsText)
   }
 
