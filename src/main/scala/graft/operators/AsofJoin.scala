@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   /** Generic form: left/right must share `key`; both need `ts`.
-    * Emits right rows with the as-of matched left columns (nullable). */
+    * Emits right rows with the as-of matched left columns (nullable).
+    * `forward = true` flips the direction: the EARLIEST left row with
+    * ts >= right.ts (the "next quote" variant) — the merge-scan simply
+    * runs over the reversed time order, same single exchange. */
   def asof(left: DataFrame, right: DataFrame, key: String,
-      leftCols: Seq[String]): DataFrame = {
+      leftCols: Seq[String], forward: Boolean = false): DataFrame = {
     val l = left.withColumn("_side", lit(0))
       .withColumn("_l", struct(leftCols.map(col): _*))
     val r = right.withColumn("_side", lit(1))
@@ -33,9 +36,10 @@ object AsofJoin {
     val commonCols = r.columns.toSeq
     val unioned = l.select(commonCols.map(col): _*).unionByName(r)
     // left rows sort before right rows on ties, so an exactly-equal ts
-    // matches (ASOF's <= semantics)
+    // matches in either direction (ASOF's <= / >= semantics)
+    val ord = if (forward) col("ts").desc else col("ts").asc
     val w = Window.partitionBy(col(key))
-      .orderBy(col("ts"), col("_side"))
+      .orderBy(ord, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("_match", last(col("_l"), ignoreNulls = true).over(w))
@@ -59,8 +63,26 @@ object AsofJoin {
           - unix_timestamp(col("_match.ts"))).as("gap_s"))
   }
 
+  /** Gate query: purchases matched to the user's NEXT view at-or-after
+    * the purchase (the forward direction). */
+  def purchaseToNextView(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    asof(views, purchases, "user_id", Seq("ts", "event_id"), forward = true)
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("_match.event_id").as("view_id"),
+        (unix_timestamp(col("_match.ts"))
+          - unix_timestamp(col("ts"))).as("gap_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "asof_join" -> purchaseToView _)
+    "asof_join" -> purchaseToView _,
+    "asof_join_forward" -> purchaseToNextView _)
 
   val oracles: Map[String, String] = Map(
     "asof_join" ->
@@ -69,5 +91,12 @@ object AsofJoin {
         |  CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_s
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-        |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin)
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
+    "asof_join_forward" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  v.event_id AS view_id,
+        |  CAST(date_diff('second', p.ts, v.ts) AS BIGINT) AS gap_s
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts >= p.ts""".stripMargin)
 }

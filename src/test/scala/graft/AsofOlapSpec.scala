@@ -64,6 +64,27 @@ class AsofOlapSpec extends AnyFunSuite {
     assert(out == Map(900L -> 100L, 901L -> 101L, 902L -> -1L, 903L -> -1L))
   }
 
+  test("forward asof matches earliest left row at or after each right ts") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val views = Seq(
+      (1L, t("2024-01-01 10:00:00"), 100L),
+      (1L, t("2024-01-01 11:00:00"), 101L),
+      (2L, t("2024-01-01 12:00:00"), 200L))
+      .toDF("user_id", "ts", "event_id")
+    val purchases = Seq(
+      (1L, t("2024-01-01 10:30:00"), 900L), // -> next view 101
+      (1L, t("2024-01-01 11:00:00"), 901L), // equal ts -> view 101
+      (1L, t("2024-01-01 12:30:00"), 902L), // no later view -> null
+      (2L, t("2024-01-01 09:00:00"), 903L)) // -> view 200
+      .toDF("user_id", "ts", "event_id")
+    val out = AsofJoin.asof(views, purchases, "user_id",
+        Seq("ts", "event_id"), forward = true)
+      .selectExpr("event_id", "_match.event_id AS view_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(900L -> 101L, 901L -> 101L, 902L -> -1L, 903L -> 200L))
+  }
+
   test("approx_count_distinct stays within the configured error bound") {
     val rows = OlapQueries.approxDistinct(spark, SparkTestSession.sf).collect()
     assert(rows.nonEmpty)
