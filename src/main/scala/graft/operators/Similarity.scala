@@ -476,13 +476,62 @@ object Similarity {
       .select(col("a"), col("b"))
   }
 
+  /** Embedding near-dup CLUSTERS end-to-end: the verified SRP-LSH pair
+    * graph ([[embedNearDupLsh]]) closed into connected components by
+    * the same hash-min label propagation documents use
+    * ([[Dedup.dupClusters]]) — every vector labeled with the smallest
+    * vec_id reachable through near-dup pairs, which is the actionable
+    * keep-list form of embedding dedup. Same scoped shuffle sizing as
+    * the document clustering gates (per-round frames are edges). */
+  def embedClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.Conf.withConf(spark, "spark.sql.shuffle.partitions", "8") {
+      val nodes = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"))
+      val pairs = embedNearDupLsh(spark, dir)
+        .select(col("a").as("da"), col("b").as("db"))
+      Dedup.dupClusters(nodes, pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> knnBrute _,
     "embed_neardup" -> embedNearDup _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
+    "embed_clusters" -> embedClusters _,
     "knn_ivf" -> knnIvf _,
     "dedup_semantic" -> semanticDedup _,
     "embed_project" -> projectEmbeddings _)
+
+  /** Flat CTE list ending in `vp(a, b)` — the verified SRP-LSH near-dup
+    * pairs; shared by the pair gate and the clustering gate. */
+  private def lshPairCtes: String = {
+    val weights = (0 until lshBits).map(bit =>
+      s"WHEN ${bit} THEN ${1 << (lshBits - 1 - bit)}").mkString(" ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bits AS (
+       |  SELECT e.vec_id, k.band, k.bit,
+       |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range($Dim), i -> e.v[i+1] *
+       |        CAST((1103515245*((k.band*$lshBits + k.bit)*$Dim + i) + 12345)
+       |             % 2147483648 - 1073741824 AS DOUBLE))),
+       |      (p,q) -> p+q) > 0
+       |    THEN 1 ELSE 0 END AS s
+       |  FROM e CROSS JOIN (
+       |    SELECT b.range AS band, t.range AS bit
+       |    FROM range($lshBands) b CROSS JOIN range($lshBits) t) k),
+       |buckets AS (
+       |  SELECT vec_id, band,
+       |    sum(s * CASE bit $weights END) AS bucket
+       |  FROM bits GROUP BY vec_id, band),
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |   AND x.vec_id < y.vec_id),
+       |vp AS (SELECT cand.a, cand.b FROM cand
+       |  JOIN e ea ON ea.vec_id = cand.a
+       |  JOIN e eb ON eb.vec_id = cand.b
+       |  WHERE ${cosSql("ea.v", "eb.v")} >= 0.4)""".stripMargin
+  }
 
   /** DuckDB cosine with the same left-to-right accumulation order as
     * [[CosineSimilarity]]/[[pairSims]] — bit-identical doubles, so
@@ -513,34 +562,18 @@ object Similarity {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
-    "embed_neardup_lsh" -> {
-      val weights = (0 until lshBits).map(bit =>
-        s"WHEN ${bit} THEN ${1 << (lshBits - 1 - bit)}").mkString(" ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |bits AS (
-         |  SELECT e.vec_id, k.band, k.bit,
-         |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(range($Dim), i -> e.v[i+1] *
-         |        CAST((1103515245*((k.band*$lshBits + k.bit)*$Dim + i) + 12345)
-         |             % 2147483648 - 1073741824 AS DOUBLE))),
-         |      (p,q) -> p+q) > 0
-         |    THEN 1 ELSE 0 END AS s
-         |  FROM e CROSS JOIN (
-         |    SELECT b.range AS band, t.range AS bit
-         |    FROM range($lshBands) b CROSS JOIN range($lshBits) t) k),
-         |buckets AS (
-         |  SELECT vec_id, band,
-         |    sum(s * CASE bit $weights END) AS bucket
-         |  FROM bits GROUP BY vec_id, band),
-         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-         |  FROM buckets x JOIN buckets y
-         |    ON x.band = y.band AND x.bucket = y.bucket
-         |   AND x.vec_id < y.vec_id)
-         |SELECT cand.a, cand.b FROM cand
-         |JOIN e ea ON ea.vec_id = cand.a
-         |JOIN e eb ON eb.vec_id = cand.b
-         |WHERE ${cosSql("ea.v", "eb.v")} >= 0.4""".stripMargin
-    },
+    "embed_neardup_lsh" ->
+      s"""WITH $lshPairCtes
+         |SELECT a, b FROM vp""".stripMargin,
+    "embed_clusters" ->
+      s"""WITH RECURSIVE $lshPairCtes,
+         |edges AS (SELECT a AS u, b AS v FROM vp
+         |          UNION SELECT b, a FROM vp),
+         |reach(n, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT ed.u, reach.r FROM edges ed JOIN reach ON reach.n = ed.v)
+         |SELECT n AS vec_id, min(r) AS cluster_id FROM reach GROUP BY n""".stripMargin,
     "embed_project" -> {
       // one sequential fold per output dim against the same LCG plane
       def fold(k: Int): String =

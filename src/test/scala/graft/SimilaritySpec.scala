@@ -129,6 +129,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.30, s"mean ivf recall $mean")
   }
 
+  test("embed clusters: every LSH pair co-clusters, labels are minima") {
+    val labels = Similarity.embedClusters(spark, SparkTestSession.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Similarity.embedNearDupLsh(spark, SparkTestSession.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = Tables.load(spark, SparkTestSession.sf, "embeddings").count()
+    assert(labels.size == n)
+    labels.foreach { case (id, c) => assert(c <= id) }
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // the cluster root labels itself
+    labels.values.toSet.foreach((c: Long) => assert(labels(c) == c))
+  }
+
   test("semantic dedup: drops only in-cluster near-dups, keeps smallest id") {
     val out = Similarity.semanticDedup(spark, SparkTestSession.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
