@@ -386,6 +386,58 @@ object Similarity {
         not(coalesce(col("dropped"), lit(false))).as("kept"))
   }
 
+  /** Cells probed per query by [[knnIvfProbe]]. */
+  val ivfNprobe = 2
+
+  /** Multi-probe IVF — the standard recall knob: each query probes its
+    * `ivfNprobe` nearest coarse cells instead of one, scanning
+    * nprobe/k of the corpus for near-linear recall gains. Probe-cell
+    * selection runs on the DRIVER over the bounded query set (20
+    * vectors x k centroids — query-side planning, not data-side work;
+    * the corpus never leaves executors), with the exact sequential
+    * dot/sqrt arithmetic of the oracle so cell choices are
+    * bit-reproducible. A corpus vector belongs to exactly one cell, so
+    * probing distinct cells never duplicates candidates. */
+  def knnIvfProbe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions.cosine_sim
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("v"))
+      .cache()
+    val cents = kmeansCentroids(e)
+    val assigned = assignToCentroids(e, cents).cache()
+    val probes = e.filter(col("vec_id") < 20)
+      .collect() // bounded query set
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeCells = probes.flatMap { case (qid, qv) =>
+      cents.map { case (cid, cv) => (qid, cid, cos(qv, cv)) }
+        .sortBy { case (_, cid, sim) => (-sim, cid) }
+        .take(ivfNprobe)
+        .map { case (_, cid, _) => (qid, cid) }
+    }
+    import spark.implicits._
+    val cells = probeCells.toSeq.toDF("query_id", "probe_cent")
+    val qv = probes.toSeq.toDF("qid", "qv")
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    assigned
+      .join(broadcast(cells), col("cent_id") === col("probe_cent"))
+      .join(broadcast(qv), col("query_id") === col("qid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine_sim(col("v"), col("qv")))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rn"),
+        round(col("sim"), 4).as("sim_r4"))
+  }
+
   // --- SRP-LSH near-dup (the sub-quadratic scale path) -------------------
 
   /** Signed-random-projection banding: `lshBands` bands of `lshBits`
@@ -499,6 +551,7 @@ object Similarity {
     "embed_neardup_lsh" -> embedNearDupLsh _,
     "embed_clusters" -> embedClusters _,
     "knn_ivf" -> knnIvf _,
+    "knn_ivf_probe2" -> knnIvfProbe _,
     "dedup_semantic" -> semanticDedup _,
     "embed_project" -> projectEmbeddings _)
 
@@ -595,6 +648,27 @@ object Similarity {
          |           ${cosSql("a.v", "q.qv")} AS sim
          |         FROM assigned a
          |         JOIN q ON a.cent_id = q.qcent AND a.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, rn, round(sim, 4) AS sim_r4 FROM (
+         |  SELECT query_id, neighbor_id, sim, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
+         |      AS BIGINT) AS rn
+         |  FROM cand) WHERE rn <= 3""".stripMargin,
+    "knn_ivf_probe2" ->
+      s"""WITH $assignedCtes,
+         |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+         |qc AS (SELECT q.query_id, c.cent_id,
+         |         ${cosSql("q.qv", "c.cv")} AS csim
+         |       FROM qs q CROSS JOIN kc$ivfIters c),
+         |top2 AS (SELECT query_id, cent_id FROM (
+         |    SELECT query_id, cent_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY csim DESC, cent_id ASC) AS crn
+         |    FROM qc) WHERE crn <= $ivfNprobe),
+         |cand AS (SELECT t.query_id, a.vec_id AS neighbor_id,
+         |           ${cosSql("a.v", "q.qv")} AS sim
+         |         FROM assigned a
+         |         JOIN top2 t ON a.cent_id = t.cent_id
+         |         JOIN qs q ON q.query_id = t.query_id
+         |         WHERE a.vec_id <> t.query_id)
          |SELECT query_id, neighbor_id, rn, round(sim, 4) AS sim_r4 FROM (
          |  SELECT query_id, neighbor_id, sim, CAST(row_number() OVER (
          |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)

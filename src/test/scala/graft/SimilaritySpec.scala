@@ -171,6 +171,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe IVF recall dominates single-probe recall") {
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val brute = Similarity.knnBrute(spark, SparkTestSession.sf)
+        .filter("rn <= 3").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      val got = df.collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rs = brute.map { case (q, exact) =>
+        got.get(q).map(g => (g & exact).size.toDouble / exact.size)
+          .getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val single = recallOf(Similarity.knnIvf(spark, SparkTestSession.sf))
+    val multi = recallOf(Similarity.knnIvfProbe(spark, SparkTestSession.sf))
+    // probing a superset of cells can only surface better candidates
+    assert(multi >= single, s"probe2 recall $multi < probe1 $single")
+    assert(multi >= 0.40, s"probe2 recall $multi below floor")
+  }
+
   test("random projection is shuffle-free and preserves self-similarity") {
     val df = Similarity.projectEmbeddings(spark, SparkTestSession.sf)
     val plan = df.queryExecution.executedPlan.toString
