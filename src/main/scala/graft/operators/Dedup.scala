@@ -186,8 +186,15 @@ object Dedup {
     * of iteration schedule, hence deterministic and oracle-checkable. */
   def dupClusters(nodes: DataFrame, pairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("da").as("u"), col("db").as("v"))
-      .union(pairs.select(col("db").as("u"), col("da").as("v")))
+    // symmetric closure via a map-side explode, NOT union(pairs, swap):
+    // a union reads `pairs` twice, and the pair input is typically an
+    // expensive pipeline (LSH candidates) that would run twice before
+    // the cache materializes
+    val edges = pairs
+      .select(explode(array(
+        struct(col("da").as("u"), col("db").as("v")),
+        struct(col("db").as("u"), col("da").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct().cache()
     var labels = nodes.select(col("doc_id").as("node"))
       .withColumn("label", col("node")).cache()
