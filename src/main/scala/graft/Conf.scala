@@ -25,6 +25,11 @@ object Conf {
     * pairing (duplicate-flood guard). */
   val DedupBucketCap = "spark.graft.dedup.bucketCap"
 
+  /** 1 (default) broadcasts the decontamination benchmark summary; 0
+    * flips to a shuffled join for eval suites too large to fit an
+    * executor. Join semantics are identical either way. */
+  val DecontaminateBroadcast = "spark.graft.decontaminate.broadcast"
+
   /** Bucket count for the CLUSTERED BY join tables; at 100 TB size so
     * each bucket file lands at ~128-512 MB. Changing it creates a new
     * table generation (the count is part of the table name) because

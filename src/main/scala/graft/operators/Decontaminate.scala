@@ -45,7 +45,15 @@ object Decontaminate {
     val benchStats = grams.filter(col("doc_id") % benchMod === 0)
       .groupBy("g")
       .agg(count(lit(1)).as("bcnt"), min("doc_id").as("bdoc"))
-    val hits = grams.join(broadcast(benchStats), "g")
+    // any real eval suite broadcasts; a benchmark too large to fit an
+    // executor flips to the shuffled join via conf (output-invariant —
+    // spec-pinned)
+    val benchSide =
+      if (graft.Conf.int(docs.sparkSession,
+          graft.Conf.DecontaminateBroadcast, 1) == 1)
+        broadcast(benchStats)
+      else benchStats
+    val hits = grams.join(benchSide, "g")
       .filter(col("bcnt") > 1 || col("bdoc") =!= col("doc_id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))

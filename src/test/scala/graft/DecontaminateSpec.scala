@@ -51,6 +51,17 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(out(5L)._1 >= 1L && out(5L)._2)
   }
 
+  test("broadcast knob is output-invariant (shuffled join, same report)") {
+    val dflt = Decontaminate.decontaminate(spark, SparkTestSession.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    spark.conf.set(Conf.DecontaminateBroadcast, "0")
+    try {
+      val shuffled = Decontaminate.decontaminate(spark, SparkTestSession.sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(shuffled == dflt)
+    } finally spark.conf.unset(Conf.DecontaminateBroadcast)
+  }
+
   test("corpus report covers every document exactly once") {
     val docs = Tables.load(spark, SparkTestSession.sf, "documents")
     val out = Decontaminate.decontaminate(spark, SparkTestSession.sf)
