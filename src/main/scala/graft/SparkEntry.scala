@@ -43,7 +43,8 @@ object SparkEntry {
       operators.Decontaminate.queries ++
       operators.Incremental.queries ++
       streaming.StreamJoin.queries ++
-      analytics.TimeSeries.queries
+      analytics.TimeSeries.queries ++
+      operators.BloomJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -71,5 +72,6 @@ object SparkEntry {
       operators.Decontaminate.oracles ++
       operators.Incremental.oracles ++
       streaming.StreamJoin.oracles ++
-      analytics.TimeSeries.oracles
+      analytics.TimeSeries.oracles ++
+      operators.BloomJoin.oracles
 }

@@ -101,11 +101,55 @@ object TimeSeries {
         (col("cnt") * col("trail_n") > col("trail_sum") * 2L).as("anomaly"))
   }
 
+  /** Truncated-exponential smoothing depth: weights 2^-j for
+    * j = 0..ewmaK-1, so the dropped tail carries < 2^-ewmaK of the
+    * total weight (~0.4% at 8). */
+  val ewmaK = 8
+
+  /** Exponentially weighted moving average over the hourly series —
+    * the smoothing pass every monitoring/trend pipeline runs on bar
+    * data. The textbook EWMA is the recursion s_i = a*x_i + (1-a)*
+    * s_{i-1}; a literal sequential scan is both unscalable (one task
+    * per series) and float-order-dependent (unverifiable across
+    * engines). With a = 1/2 the expansion is s_i = sum_j 2^-j * x_{i-j}
+    * — this op computes that sum TRUNCATED at [[ewmaK]] terms: per-row
+    * work is O(K) codegen'd `lag`s inside the one per-key window
+    * exchange every window op pays (no sequential scan, no state), and
+    * the 2^-j weights are exact decimals, so term products and the sum
+    * are exact and the double cast is bit-identical in any engine —
+    * the same no-float-in-the-decision trick as [[volumeAnomaly]].
+    * Truncation error is bounded by 2^-K of the series sup — below
+    * half-ULP-of-double territory it is NOT, but it is a fixed, known
+    * kernel: production tunes K, not the dataflow. */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    // re-narrow the aggregate to DECIMAL(18,4) so every term product
+    // stays within precision 38 with NO precision-loss rounding — the
+    // arithmetic is then exact in both engines by type arithmetic, not
+    // by luck (hourly sums are ~1e4, nowhere near the 14 integer
+    // digits)
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(Tables.dec(col("value")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val terms = (0 until ewmaK).map { j =>
+      // 1/2^j is a terminating decimal (2^j divides 10^j) — exact
+      val weight = lit(java.math.BigDecimal.ONE.divide(
+        java.math.BigDecimal.valueOf(1L << j)))
+      coalesce(lag(col("x"), j).over(w) * weight, lit(0))
+    }
+    hourly
+      .withColumn("ewma", terms.reduceLeft(_ + _).cast("double"))
+      .select(col("event_type"), col("h").as("hour_start"),
+        col("x").cast("double").as("val_sum"), col("ewma"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_gap_fill" -> gapFill _,
     "ts_fill_forward" -> fillForward _,
     "ts_ohlc" -> ohlcResample _,
-    "ts_anomaly" -> volumeAnomaly _)
+    "ts_anomaly" -> volumeAnomaly _,
+    "ts_ewma" -> ewma _)
 
   val oracles: Map[String, String] = Map(
     "ts_gap_fill" ->
@@ -147,6 +191,20 @@ object TimeSeries {
         |SELECT event_type, h AS hour_start, cnt, trail_sum, trail_n,
         |  cnt * trail_n > trail_sum * 2 AS anomaly
         |FROM w WHERE trail_n > 0""".stripMargin,
+    "ts_ewma" -> {
+      val terms = (0 until ewmaK).map { j =>
+        val w = java.math.BigDecimal.ONE.divide(
+          java.math.BigDecimal.valueOf(1L << j)).toPlainString
+        s"coalesce(lag(x, $j) OVER w * $w, 0)"
+      }.mkString("\n  + ")
+      s"""WITH h AS (
+         |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS x
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, h AS hour_start, CAST(x AS DOUBLE) AS val_sum,
+         |  CAST($terms AS DOUBLE) AS ewma
+         |FROM h WINDOW w AS (PARTITION BY event_type ORDER BY h)""".stripMargin
+    },
     "ts_fill_forward" ->
       """SELECT event_id, user_id,
         |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,

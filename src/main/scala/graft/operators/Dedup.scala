@@ -525,7 +525,36 @@ object Dedup {
           .as("dup_ratio"))
   }
 
+  // --- Canonical selection -----------------------------------------------
+
+  /** Canonical-document selection: the step after clustering that every
+    * training pipeline actually ships — inside each duplicate cluster,
+    * keep the highest-quality member (ties broken by smallest doc_id)
+    * and drop the rest. Composes [[dupClusters]] with the rule-ensemble
+    * quality score ([[graft.functions.TextAnalysis.qualityScore]]);
+    * the argmax is a row_number window partitioned by cluster_id —
+    * cluster ids are near-unique (singleton clusters dominate any real
+    * corpus), so the window key is high-cardinality and no partition
+    * sees more than one cluster's rows. Output is the per-document
+    * keep-list: (doc_id, cluster_id, keep). */
+  def canonicalQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.Conf.withConf(spark, "spark.sql.shuffle.partitions",
+        clusterShufflePartitions) {
+      val docs = Tables.load(spark, dir, "documents")
+      val clusters = dupClusters(docs.select(col("doc_id")),
+        minhashCandidates(docs, cap = Int.MaxValue, reproducible = true))
+      val scored = graft.functions.TextAnalysis.qualityScore(spark, dir)
+        .select(col("doc_id"), col("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(desc("score"), asc("doc_id"))
+      clusters.join(scored, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("cluster_id"), (col("rn") === 1).as("keep"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_canonical" -> canonicalQuery _,
     "dedup_blocks" -> blockDedup _,
     "dedup_exact" -> exactDedup _,
     "dedup_minhash_bands" -> minhashQuery _,
@@ -617,11 +646,13 @@ object Dedup {
        |JOIN sig b ON b.doc_id = p.db
        |WHERE bit_count(xor(a.simhash48, b.simhash48)) <= $simMaxDist""".stripMargin
 
-  /** Recursive-CTE oracle for [[clustersQuery]]: transitive closure of
-    * the (identical, uncapped) candidate edge set, then min reachable
-    * id per node — the same fixpoint hash-min propagation computes. */
-  private def clustersOracle: String =
-    s"""WITH RECURSIVE ${minhashCtes},
+  /** Recursive closure of the (identical, uncapped) candidate edge set
+    * as a flat CTE list ending in `cl(doc_id, cluster_id)` — min
+    * reachable id per node, the same fixpoint hash-min propagation
+    * computes. Shared by the clustering and canonical-selection
+    * oracles. */
+  private def closureCtes: String =
+    s"""${minhashCtes},
        |bands AS (
        |$minhashBandsUnion
        |),
@@ -634,8 +665,23 @@ object Dedup {
        |reach(n, r) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
-       |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.n = e.v)
-       |SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n""".stripMargin
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.n = e.v),
+       |cl AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n)""".stripMargin
+
+  /** Recursive-CTE oracle for [[clustersQuery]]. */
+  private def clustersOracle: String =
+    s"""WITH RECURSIVE $closureCtes
+       |SELECT doc_id, cluster_id FROM cl""".stripMargin
+
+  /** Oracle for [[canonicalQuery]]: closure + quality score + per-
+    * cluster argmax (score desc, doc_id asc). */
+  private def canonicalOracle: String =
+    s"""WITH RECURSIVE $closureCtes,
+       |${graft.functions.TextAnalysis.qualityScoreCtes}
+       |SELECT cl.doc_id, cl.cluster_id,
+       |  row_number() OVER (PARTITION BY cl.cluster_id
+       |    ORDER BY qs.score DESC, cl.doc_id ASC) = 1 AS keep
+       |FROM cl JOIN qs ON cl.doc_id = qs.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_blocks" ->
@@ -656,6 +702,7 @@ object Dedup {
          |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS dup_ratio
          |FROM r GROUP BY doc_id""".stripMargin,
+    "dedup_canonical" -> canonicalOracle,
     "dedup_clusters" -> clustersOracle,
     "dedup_clusters_star" -> clustersOracle,
     "dedup_exact" ->

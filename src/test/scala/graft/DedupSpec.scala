@@ -260,4 +260,24 @@ class DedupSpec extends AnyFunSuite {
     // verifier output is exactly candidate-bounded — no blowup inside
     assert(Dedup.jaccardVerify(hot, cands).count() == nCands)
   }
+
+  test("canonical selection keeps exactly one highest-quality doc per cluster") {
+    val out = Dedup.canonicalQuery(spark, SparkTestSession.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val docs = Tables.load(spark, SparkTestSession.sf, "documents").count()
+    // total coverage: every document appears exactly once
+    assert(out.length == docs)
+    // exactly one keeper per cluster
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.forall { case (_, ms) => ms.count(_._3) == 1 })
+    // the keeper has the max score in its cluster (ties -> smallest id)
+    val scores = graft.functions.TextAnalysis
+      .qualityScore(spark, SparkTestSession.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byCluster.foreach { case (_, ms) =>
+      val keeper = ms.find(_._3).get
+      val best = ms.map(m => (scores(m._1), m._1)).sortBy(t => (-t._1, t._2)).head
+      assert(keeper._1 == best._2)
+    }
+  }
 }

@@ -83,4 +83,32 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.filter(col("last_purchase").isNull).count() > 0)
     assert(out.filter(col("last_purchase").isNotNull).count() > 0)
   }
+
+  test("truncated ewma equals a sequential reference fold per series") {
+    val sf = SparkTestSession.sf
+    val out = TimeSeries.ewma(spark, sf)
+      .collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)), (r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // reference: per event_type, walk the hourly series in order and
+    // compute sum_{j<K} 2^-j * x_{i-j} with exact BigDecimal terms
+    val series = out.toSeq
+      .map { case ((et, h), (x, _)) => (et, h, x) }
+      .groupBy(_._1)
+    series.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._2.getTime)
+      val xs = ordered.map(r => new java.math.BigDecimal(r._3.toString))
+      xs.indices.foreach { i =>
+        val expect = (0 until TimeSeries.ewmaK).map { j =>
+          if (i - j < 0) java.math.BigDecimal.ZERO
+          else xs(i - j).divide(java.math.BigDecimal.valueOf(1L << j))
+        }.reduce(_ add _).doubleValue()
+        val got = out((ordered(i)._1, ordered(i)._2))._2
+        assert(math.abs(got - expect) < 1e-9,
+          s"ewma mismatch at ${ordered(i)._2}: $got vs $expect")
+      }
+    }
+    // a series exists whose smoothed head differs from its raw value
+    assert(out.exists { case (_, (x, e)) => math.abs(x - e) > 1e-6 })
+  }
 }
