@@ -44,7 +44,9 @@ object SparkEntry {
       operators.Incremental.queries ++
       streaming.StreamJoin.queries ++
       analytics.TimeSeries.queries ++
-      operators.BloomJoin.queries
+      operators.BloomJoin.queries ++
+      operators.Scd.queries ++
+      store.Zorder.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -73,5 +75,7 @@ object SparkEntry {
       operators.Incremental.oracles ++
       streaming.StreamJoin.oracles ++
       analytics.TimeSeries.oracles ++
-      operators.BloomJoin.oracles
+      operators.BloomJoin.oracles ++
+      operators.Scd.oracles ++
+      store.Zorder.oracles
 }

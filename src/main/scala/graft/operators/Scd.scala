@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension Type 2 — the history-preserving sibling of
+  * the reference's LWW upsert (operators/Upsert.scala covers its
+  * overwrite semantics; reference README.md:300-310 "latest data wins").
+  * Where LWW keeps one row per key, SCD2 keeps one row per key VERSION,
+  * each stamped [valid_from, valid_to) with the current version open —
+  * the standard warehouse shape for point-in-time joins.
+  *
+  * Built from each user's purchase stream: a purchase whose amount
+  * differs from the user's previous purchase opens a new version
+  * (consecutive no-change updates collapse, per SCD2); the next
+  * version's start closes it. Two stacked windows over the SAME
+  * (user_id → ts, event_id) partitioning-and-order — change detection
+  * via lag, then valid_to/version via lead/row_number on the change
+  * rows — so the whole operator costs ONE per-key sort exchange at any
+  * scale (Catalyst reuses the exchange; the second window re-sorts only
+  * the surviving change rows). Timestamps are second-floored on output
+  * like `ts_fill_forward` (the corpus clock is ns in DuckDB, micros
+  * here); ordering uses the raw timestamp with event_id tiebreak. */
+object Scd {
+
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val purchases = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val changes = purchases
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNull || col("value") =!= col("prev"))
+    changes
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("value"),
+        date_trunc("second", col("ts")).as("valid_from"),
+        date_trunc("second", col("next_ts")).as("valid_to"),
+        col("next_ts").isNull.as("is_current"),
+        row_number().over(w).cast("long").as("version"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd2_history" -> scd2History _)
+
+  val oracles: Map[String, String] = Map(
+    "scd2_history" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT *, lag(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev FROM p),
+        |ch AS (SELECT * FROM c WHERE prev IS NULL OR value <> prev)
+        |SELECT user_id, value,
+        |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS valid_from,
+        |  CAST(date_trunc('second', lead(ts) OVER w) AS TIMESTAMP) AS valid_to,
+        |  (lead(ts) OVER w) IS NULL AS is_current,
+        |  CAST(row_number() OVER w AS BIGINT) AS version
+        |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)
+}

@@ -486,6 +486,44 @@ object Similarity {
       .select(col("vec_id") +: cols: _*)
   }
 
+  /** Modulus for the quantized-vector polynomial checksum (shared shape
+    * with Dedup's char-poly hash; fits acc*31 + 127 well inside Long). */
+  private val qPolyMod = 2000000011L
+
+  /** Per-vector symmetric int8 quantization — the standard pre-ANN
+    * compression at scale: q_i = round(x_i / s) with s = max|x_i|/127,
+    * shrinking every vector 4-8x through downstream shuffles,
+    * broadcasts, and the ANN index itself, at a reconstruction error
+    * bounded by s/2 per element. Pure map-side column work (one
+    * projection, no shuffle, no UDF); the per-vector scale rides along
+    * for reconstruction (q_i * s).
+    *
+    * The gate emits a deterministic digest per vector — scale, q-range,
+    * a sequential polynomial checksum of the int8 codes, and the L1
+    * reconstruction error as a left-to-right fold — because every one
+    * of those is integer math or an order-pinned double fold, hence
+    * bit-identical in the DuckDB oracle (same trick as `cosSql`).
+    * All-zero vectors quantize to all-zero codes (s = 0 guard) rather
+    * than NaN. */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("v"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+    def qi(x: Column): Column =
+      when(col("scale") === 0, lit(0L))
+        .otherwise(round(x / col("scale")).cast("long"))
+    val q = e.withColumn("qv", transform(col("v"), x => qi(x)))
+    q.select(
+      col("vec_id"), col("scale"),
+      array_min(col("qv")).as("q_min"),
+      array_max(col("qv")).as("q_max"),
+      aggregate(col("qv"), lit(0L),
+        (acc, c) => (acc * 31L + c) % qPolyMod).as("q_poly"),
+      aggregate(col("v"), lit(0.0),
+        (acc, x) => acc + abs(x - qi(x) * col("scale"))).as("recon_err"))
+  }
+
   /** Near-dup candidates via SRP-LSH banding, verified exactly: sign
     * bits from `lshBands * lshBits` hyperplane dots (codegen'd unrolled
     * sums — no HOF, no UDF), banded like [[Dedup.minhashBands]]; the
@@ -553,7 +591,8 @@ object Similarity {
     "knn_ivf" -> knnIvf _,
     "knn_ivf_probe2" -> knnIvfProbe _,
     "dedup_semantic" -> semanticDedup _,
-    "embed_project" -> projectEmbeddings _)
+    "embed_project" -> projectEmbeddings _,
+    "embed_quantize" -> quantizeEmbeddings _)
 
   /** Flat CTE list ending in `vp(a, b)` — the verified SRP-LSH near-dup
     * pairs; shared by the pair gate and the clustering gate. */
@@ -627,6 +666,23 @@ object Similarity {
          |  UNION
          |  SELECT ed.u, reach.r FROM edges ed JOIN reach ON reach.n = ed.v)
          |SELECT n AS vec_id, min(r) AS cluster_id FROM reach GROUP BY n""".stripMargin,
+    "embed_quantize" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> abs(x))) / 127.0 AS scale
+         |  FROM embeddings),
+         |q AS (SELECT vec_id, scale, v,
+         |    list_transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(round(x / scale) AS BIGINT) END) AS qv
+         |  FROM e)
+         |SELECT vec_id, scale,
+         |  list_min(qv) AS q_min, list_max(qv) AS q_max,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+         |    (acc, c) -> (acc * 31 + c) % $qPolyMod) AS q_poly,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), v),
+         |    (acc, x) -> acc + abs(x - (CASE WHEN scale = 0 THEN 0
+         |      ELSE round(x / scale) END) * scale)) AS recon_err
+         |FROM q""".stripMargin,
     "embed_project" -> {
       // one sequential fold per output dim against the same LCG plane
       def fold(k: Int): String =

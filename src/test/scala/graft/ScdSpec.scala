@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Scd
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScdSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("scd2: one open version per user, chained intervals, no no-change rows") {
+    val hist = Scd.scd2History(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getTimestamp(2)), Option(r.getTimestamp(3)),
+        r.getBoolean(4), r.getLong(5)))
+    assert(hist.nonEmpty)
+    hist.groupBy(_._1).foreach { case (user, rows) =>
+      val ordered = rows.sortBy(_._6)
+      // versions are contiguous from 1
+      assert(ordered.map(_._6).toSeq == (1L to ordered.length).toSeq)
+      // exactly one current row, and it is the last version
+      assert(rows.count(_._5) == 1 && ordered.last._5)
+      // every closed version chains to the next one's start
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, s"user $user: gap between versions")
+          // consecutive versions carry different values (SCD2 collapse)
+          assert(a._2 != b._2, s"user $user: no-change version")
+        case _ =>
+      }
+      // only the current row is open-ended
+      assert(ordered.dropRight(1).forall(_._4.isDefined))
+      assert(ordered.last._4.isEmpty)
+    }
+  }
+
+  test("scd2 point-in-time lookup equals the forward-fill answer") {
+    // reconstruct "the user's purchase amount as of t" from history and
+    // from the raw stream independently, for one mid-corpus instant
+    val t = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val fromHist = Scd.scd2History(spark, SparkTestSession.sf)
+      .filter(col("valid_from") <= lit(t)
+        && (col("valid_to").isNull || col("valid_to") > lit(t)))
+      .select(col("user_id"), col("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val raw = Tables.load(spark, SparkTestSession.sf, "events")
+      .filter(col("event_type") === "purchase"
+        && date_trunc("second", col("ts")) <= lit(t))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fromHist == raw)
+  }
+}

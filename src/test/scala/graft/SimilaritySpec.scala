@@ -193,6 +193,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(multi >= 0.40, s"probe2 recall $multi below floor")
   }
 
+  test("int8 quantization: codes in range, zero-vector guard, knn recall floor") {
+    val sf = SparkTestSession.sf
+    val digest = Similarity.quantizeEmbeddings(spark, sf).collect()
+    // every code within int8 range, reconstruction error bounded by
+    // dim * scale / 2 (half a step per element)
+    digest.foreach { r =>
+      val (scale, qMin, qMax, err) =
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(5))
+      assert(qMin >= -127 && qMax <= 127, s"code out of range: $qMin..$qMax")
+      assert(err <= Similarity.Dim * scale / 2 + 1e-9,
+        s"recon error $err above bound")
+    }
+    // recall: top-5 neighbors ranked on reconstructed vectors vs exact
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def reconstruct(v: Array[Double]): Array[Double] = {
+      val s = v.map(math.abs).max / 127.0
+      if (s == 0) v.map(_ => 0.0)
+      else v.map(x => math.rint(x / s) * s)
+    }
+    val recon = vecs.map { case (id, v) => (id, reconstruct(v)) }.toMap
+    def top5(q: Long, space: Long => Array[Double]): Set[Long] =
+      vecs.filter(_._1 != q).map { case (id, _) => (id, cos(space(id), space(q))) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+    val probes = vecs.map(_._1).filter(_ < 10)
+    val exact = vecs.map { case (id, v) => id -> v }.toMap
+    val hits = probes.map(q => (top5(q, exact) & top5(q, recon)).size).sum
+    val recall = hits.toDouble / (probes.length * 5)
+    assert(recall >= 0.8, s"quantized knn recall $recall below floor")
+  }
+
   test("random projection is shuffle-free and preserves self-similarity") {
     val df = Similarity.projectEmbeddings(spark, SparkTestSession.sf)
     val plan = df.queryExecution.executedPlan.toString
