@@ -190,32 +190,42 @@ object Dedup {
     // a union reads `pairs` twice, and the pair input is typically an
     // expensive pipeline (LSH candidates) that would run twice before
     // the cache materializes
+    // pre-partitioned on the join key, so the per-round neighbor join
+    // re-exchanges only the (changing) labels side — the cached edge
+    // scan reports HashPartitioning(v) and skips its exchange in every
+    // round
     val edges = pairs
       .select(explode(array(
         struct(col("da").as("u"), col("db").as("v")),
         struct(col("db").as("u"), col("da").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .distinct().cache()
+      .distinct().repartition(col("v")).cache()
     var labels = nodes.select(col("doc_id").as("node"))
       .withColumn("label", col("node")).cache()
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
+      // neighbor minima, then ONE union+groupBy instead of a two-sided
+      // left join against the previous labels: the old label rides
+      // along as the `orig`-tagged row, so min(label) is the new label
+      // and min(label WHERE orig) the old one — change detection costs
+      // no extra exchange. localCheckpoint (not cache): `labels` feeds
+      // both sides of the round, so the LOGICAL plan doubles per
+      // iteration — a cache truncates execution but not lineage, and
+      // ~20 rounds of a long-diameter graph OOM the driver on plan
+      // analysis. Checkpointing truncates the lineage; production on a
+      // cluster would use a reliable checkpoint dir (localCheckpoint
+      // trades executor-loss recovery for speed).
       val nbrMin = edges.join(labels, col("v") === col("node"))
-        .groupBy(col("u")).agg(min("label").as("nlabel"))
-      // change detection rides along in the same projection — no extra
-      // join against the previous labels. localCheckpoint (not cache):
-      // `labels` feeds both sides of the round, so the LOGICAL plan
-      // doubles per iteration — a cache truncates execution but not
-      // lineage, and ~20 rounds of a long-diameter graph OOM the
-      // driver on plan analysis. Checkpointing truncates the lineage;
-      // production on a cluster would use a reliable checkpoint dir
-      // (localCheckpoint trades executor-loss recovery for speed).
-      val next = labels.join(nbrMin, col("node") === col("u"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"),
-          (col("nlabel") < col("label")).as("chg"))
+        .groupBy(col("u")).agg(min("label").as("label"))
+        .select(col("u").as("node"), col("label"), lit(false).as("orig"))
+      val next = labels.select(col("node"), col("label"), lit(true).as("orig"))
+        .union(nbrMin)
+        .groupBy("node")
+        .agg(min("label").as("label"),
+          min(when(col("orig"), col("label"))).as("old"))
+        .select(col("node"), col("label"),
+          (col("label") < col("old")).as("chg"))
         .localCheckpoint()
       val changed = next.filter(col("chg")).limit(1).count()
       labels.unpersist()
@@ -279,20 +289,30 @@ object Dedup {
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
+      // each star step needs "min over u's neighborhood" NEXT TO every
+      // edge of u — that is one window (min over partition by u), not a
+      // groupBy + self-join back: the window pays a single u-keyed
+      // exchange where the join form paid three (agg exchange + both
+      // join sides), halving the per-round shuffle count. The trade is
+      // losing map-side partial aggregation — irrelevant here because
+      // the join form colocated every edge of u in one task anyway
+      // (identical skew exposure), so the window removes exchanges
+      // without concentrating anything new. Intermediate duplicates
+      // (two sources proposing the same directed edge) are left in
+      // place mid-round — min() is duplicate-blind — and removed once
+      // by the final distinct.
+      val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
       // large-star over the symmetric closure
       val sym = edges
         .union(edges.select(col("v").as("u"), col("u").as("v")))
-      val lmin = sym.groupBy("u")
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-        .select(col("u").as("c"), col("m"))
-      val ls = sym.join(lmin, col("u") === col("c"))
+      val ls = sym
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
       // small-star on the directed (big -> small) edges
-      val smin = ls.groupBy("u").agg(min(col("v")).as("m"))
-        .select(col("u").as("c"), col("m"))
-      val next = ls.join(smin, col("u") === col("c"))
+      val next = ls
+        .withColumn("m", min(col("v")).over(wU))
         .select(explode(array(
           struct(col("u").as("a"), col("m").as("b")),
           struct(col("v").as("a"), col("m").as("b")))).as("e"))
