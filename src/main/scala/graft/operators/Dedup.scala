@@ -573,7 +573,46 @@ object Dedup {
         .select(col("doc_id"), col("cluster_id"), (col("rn") === 1).as("keep"))
     }
 
+  // --- Incremental (cross-snapshot) dedup --------------------------------
+
+  /** Incremental dedup: classify a NEW batch of documents against an
+    * already-deduplicated base corpus — the shape every continuously-
+    * crawled training pipeline actually runs (full-corpus re-dedup per
+    * snapshot is a non-starter at 100 TB). Work scales with the DELTA:
+    *  - exact: one semi-join of delta content hashes against base
+    *    hashes (32-byte keys; at scale the base side is the stored
+    *    hash column of the corpus table, scanned pruned);
+    *  - near: delta LSH band buckets joined against base band buckets
+    *    — at scale the base bands are a PRECOMPUTED index table
+    *    written once per snapshot (the gate recomputes them inline;
+    *    the dataflow is identical), and the production path applies
+    *    the same bucket cap as [[minhashCandidates]].
+    * The batch split here is deterministic (doc_id mod 3) so the gate
+    * is oracle-checkable. Output: one row per delta doc with its
+    * classification — exact dup, near dup (band collision), or novel. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val exactIds = delta.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(base.select(sha2(col("text"), 256).as("h")).distinct(), "h")
+      .select(col("doc_id")).distinct()
+    val nearIds = minhashBands(delta, reproducible = true).alias("x")
+      .join(minhashBands(base, reproducible = true).alias("y"),
+        col("x.band_id") === col("y.band_id")
+          && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id")).distinct()
+    delta.select(col("doc_id"))
+      .join(exactIds.withColumn("ex", lit(true)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("nr", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ex"), lit(false)).as("is_exact"),
+        coalesce(col("nr"), lit(false)).as("is_near"),
+        (col("ex").isNull && col("nr").isNull).as("novel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> incrementalDedup _,
     "dedup_canonical" -> canonicalQuery _,
     "dedup_blocks" -> blockDedup _,
     "dedup_exact" -> exactDedup _,
@@ -596,29 +635,32 @@ object Dedup {
     * callers can splice it into larger WITH lists (DuckDB 1.0 loses
     * inner-WITH scope when a nested WITH sits inside a recursive CTE
     * list member). */
-  private def minhashCtes: String = {
+  /** @param sfx   suffix on every CTE name, so two instances (e.g. a
+    *               base and a delta corpus) can share one WITH list
+    * @param where  extra row predicate on `documents` */
+  private def minhashCtes(sfx: String = "", where: String = "TRUE"): String = {
     val mins = (0 until numPerms)
       .map(i => s"min((${permA(i)}*h + ${permB(i)}) % $P) AS m$i")
       .mkString(",\n    ")
-    s"""d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
-       |  WHERE len(str_split(text, ' ')) >= 3),
-       |g AS (SELECT doc_id, unnest(list_transform(range(len(t) - 2),
-       |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g FROM d),
-       |h AS (SELECT doc_id, ${polySql("g", 31L, P2)} AS h FROM g),
-       |s AS (SELECT doc_id,
+    s"""d$sfx AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
+       |  WHERE ($where) AND len(str_split(text, ' ')) >= 3),
+       |g$sfx AS (SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+       |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g FROM d$sfx),
+       |h$sfx AS (SELECT doc_id, ${polySql("g", 31L, P2)} AS h FROM g$sfx),
+       |s$sfx AS (SELECT doc_id,
        |    $mins
-       |  FROM h GROUP BY doc_id)""".stripMargin
+       |  FROM h$sfx GROUP BY doc_id)""".stripMargin
   }
 
-  private def minhashBandsUnion: String =
+  private def minhashBandsUnion(sfx: String = ""): String =
     (0 until numPerms / bandRows).map { b =>
       val horner = (b * bandRows until (b + 1) * bandRows)
         .map(i => s"m$i").reduceLeft((acc, m) => s"($acc*31 + $m)")
-      s"SELECT doc_id, $b AS band_id, $horner AS bucket FROM s"
+      s"SELECT doc_id, $b AS band_id, $horner AS bucket FROM s$sfx"
     }.mkString("\nUNION ALL ")
 
   private def minhashOracle: String =
-    s"WITH ${minhashCtes}\n$minhashBandsUnion"
+    s"WITH ${minhashCtes()}\n${minhashBandsUnion()}"
 
   /** SimHash signature computation as a flat CTE list ending in
     * `sig(doc_id, simhash48)` — shared by the signature gate and the
@@ -672,9 +714,9 @@ object Dedup {
     * computes. Shared by the clustering and canonical-selection
     * oracles. */
   private def closureCtes: String =
-    s"""${minhashCtes},
+    s"""${minhashCtes()},
        |bands AS (
-       |$minhashBandsUnion
+       |${minhashBandsUnion()}
        |),
        |pairs AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
        |  FROM bands x JOIN bands y
@@ -722,6 +764,28 @@ object Dedup {
          |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS dup_ratio
          |FROM r GROUP BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH ${minhashCtes("_n", "doc_id % 3 = 0")},
+         |${minhashCtes("_b", "doc_id % 3 <> 0")},
+         |bn AS (
+         |${minhashBandsUnion("_n")}
+         |),
+         |bb AS (
+         |${minhashBandsUnion("_b")}
+         |),
+         |ex AS (SELECT DISTINCT n.doc_id FROM documents n
+         |  WHERE n.doc_id % 3 = 0 AND EXISTS (SELECT 1 FROM documents b
+         |    WHERE b.doc_id % 3 <> 0 AND sha256(b.text) = sha256(n.text))),
+         |nr AS (SELECT DISTINCT x.doc_id FROM bn x JOIN bb y
+         |  ON x.band_id = y.band_id AND x.bucket = y.bucket)
+         |SELECT d.doc_id,
+         |  ex.doc_id IS NOT NULL AS is_exact,
+         |  nr.doc_id IS NOT NULL AS is_near,
+         |  ex.doc_id IS NULL AND nr.doc_id IS NULL AS novel
+         |FROM documents d
+         |LEFT JOIN ex ON ex.doc_id = d.doc_id
+         |LEFT JOIN nr ON nr.doc_id = d.doc_id
+         |WHERE d.doc_id % 3 = 0""".stripMargin,
     "dedup_canonical" -> canonicalOracle,
     "dedup_clusters" -> clustersOracle,
     "dedup_clusters_star" -> clustersOracle,
@@ -733,9 +797,9 @@ object Dedup {
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_jaccard_exact" ->
-      s"""WITH ${minhashCtes},
+      s"""WITH ${minhashCtes()},
         |bands AS (
-        |$minhashBandsUnion
+        |${minhashBandsUnion()}
         |),
         |pairs AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
         |  FROM bands x JOIN bands y

@@ -261,6 +261,25 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.jaccardVerify(hot, cands).count() == nCands)
   }
 
+  test("incremental dedup covers the delta once; flags are consistent") {
+    val out = Dedup.incrementalDedup(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    val docs = Tables.load(spark, SparkTestSession.sf, "documents")
+    val deltaCount = docs.filter(pmod(col("doc_id"), lit(3)) === 0).count()
+    assert(out.length == deltaCount)
+    // novel is exactly the complement of (exact or near)
+    assert(out.forall { case (_, ex, nr, nv) => nv == !(ex || nr) })
+    // an exact dup with >= 3 tokens shares the full signature -> near too
+    val longDocs = docs.filter(size(split(col("text"), " ")) >= 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.filter(t => longDocs(t._1))
+      .forall { case (_, ex, nr, _) => !ex || nr })
+    // the corpus plants cross-split duplicates: some of each class exist
+    assert(out.exists(_._3), "expected at least one near-dup vs base")
+    assert(out.exists(_._4), "expected novel docs")
+  }
+
   test("canonical selection keeps exactly one highest-quality doc per cluster") {
     val out = Dedup.canonicalQuery(spark, SparkTestSession.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
