@@ -224,7 +224,30 @@ object OlapQueries {
         max(when(col("l_discount") > 0.05, col("l_quantity")))
           .as("max_disc_qty"))
 
+  /** Histogram bucket width / count for [[histogram]] — fixed bounds,
+    * so bucketing is a pure map-side expression (no stats pass; the
+    * 0..600k span covers o_totalprice at every SF by TPC-H's own
+    * value model). */
+  private val histWidth = 30000.0
+  private val histBuckets = 20
+
+  /** Fixed-width histogram (SQL width_bucket): one codegen'd floor-
+    * divide per row + one tiny hash agg — the single-pass distribution
+    * profile every data-quality dashboard wants. Clamped into
+    * [0, buckets-1] so outliers land in the edge buckets; empty
+    * buckets are absent rows (the gap-fill op densifies if needed).
+    * Floor of a double division is bit-portable (both engines divide
+    * the same doubles). */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .withColumn("bucket",
+        least(greatest(floor(col("o_totalprice") / lit(histWidth)), lit(0)),
+          lit(histBuckets - 1L)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("price_sum"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_histogram" -> histogram _,
     "func_conditional" -> conditionalAggs _,
     "agg_grouping_sets" -> groupingSets _,
     "agg_rollup" -> rollupRevenue _,
@@ -239,6 +262,13 @@ object OlapQueries {
     "func_array" -> arrayFuncs _)
 
   val oracles: Map[String, String] = Map(
+    "agg_histogram" ->
+      s"""SELECT CAST(least(greatest(floor(o_totalprice / $histWidth), 0),
+         |    ${histBuckets - 1}) AS BIGINT) AS bucket,
+         |  count(*) AS cnt,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         |    AS price_sum
+         |FROM orders GROUP BY 1""".stripMargin,
     "agg_grouping_sets" -> groupingSetsText,
     "func_conditional" ->
       """SELECT l_returnflag,
