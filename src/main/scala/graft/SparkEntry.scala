@@ -46,7 +46,8 @@ object SparkEntry {
       analytics.TimeSeries.queries ++
       operators.BloomJoin.queries ++
       operators.Scd.queries ++
-      store.Zorder.queries
+      store.Zorder.queries ++
+      streaming.ForeachBatchSink.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -77,5 +78,6 @@ object SparkEntry {
       analytics.TimeSeries.oracles ++
       operators.BloomJoin.oracles ++
       operators.Scd.oracles ++
-      store.Zorder.oracles
+      store.Zorder.oracles ++
+      streaming.ForeachBatchSink.oracles
 }

@@ -38,6 +38,73 @@ object TextAnalysis {
       length(col("text")).cast("long").as("n_chars_calc"))
   }
 
+  /** GPT-2-family pretokenizer pattern, simplified to the subset whose
+    * semantics agree between Java regex (Spark) and RE2 (DuckDB):
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs, residual spaces. Leftmost-first alternation in
+    * both engines; no lookarounds (RE2 has none). Exhaustive over the
+    * corpus charset, so matches tile the text exactly — the spec
+    * asserts sum(match lengths) == length(text). */
+  val bpeLikePattern: String =
+    "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** BPE-ish token counting — the subword-aware sibling of
+    * [[textStats]]: every training-data budget is denominated in
+    * TOKENIZER tokens, not whitespace words, so the pipeline needs a
+    * tokenizer-shaped count long before the real BPE vocab enters the
+    * picture. One regexp_extract_all per row (codegen'd, shuffle-free,
+    * linear); `fertility` (tokens per word) is the standard
+    * tokenizer-quality diagnostic. */
+  def tokensBpe(spark: SparkSession, dir: String): DataFrame = {
+    val matches = regexp_extract_all(col("text"), lit(bpeLikePattern), lit(0))
+    val words = tokens(col("text"))
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      size(matches).cast("long").as("n_bpe"),
+      size(words).cast("long").as("n_words"),
+      aggregate(matches, lit(0L), (acc, m) => acc + length(m))
+        .as("n_chars_tiled"),
+      (size(matches).cast("double") / size(words).cast("double"))
+        .as("fertility"))
+  }
+
+  /** Minimum bigram support for [[cooccurrence]]. */
+  val pmiMinCount = 5L
+
+  /** Bigram co-occurrence + PMI phrase flag — the phrase-mining
+    * primitive (collocation detection) a corpus-analysis pipeline runs
+    * before vocabulary decisions. Three hash aggregations (bigram
+    * counts, unigram counts, total-token scalar) and two joins of the
+    * supported bigrams against the unigram vocabulary; bigram
+    * generation reuses the shuffle-free shingle generator. The PMI
+    * threshold (PMI >= ln 2, i.e. observed >= 2x independence) is
+    * decided by DECIMAL cross-multiplication — c_xy*N >= 2*c_x*c_y —
+    * not by comparing float logarithms, whose last-ulp libm differences
+    * across engines would break hash parity (same no-float-in-the-
+    * decision pattern as `agg_outliers`). DECIMAL(14,0) casts keep the
+    * products exact out to trillion-token corpora (28 digits < 38).
+    * The total-token count is a bounded O(1) driver collect (one
+    * scalar), not a cross join — a 1-row broadcast join would plan as
+    * the BroadcastNestedLoopJoin the surface-wide plan audit bans. */
+  def cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    def d14(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(14, 0))
+    val toks = docs.select(explode(tokens(col("text"))).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val n = toks.count()
+    val bi = graft.operators.Dedup.shingleRows(docs, n = 2)
+      .groupBy("g").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= pmiMinCount)
+      .select(substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"), col("c_xy"))
+    bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        (d14(col("c_xy")) * d14(lit(n)) >=
+          d14(lit(2)) * d14(col("c_x")) * d14(col("c_y"))).as("is_phrase"))
+  }
+
   /** Quality scoring: stopword ratio, mean token length, size class —
     * the length/punct/stopword family of pretraining-data filters. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
@@ -232,6 +299,8 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens_bpe" -> tokensBpe _,
+    "text_pmi" -> cooccurrence _,
     "pii_redact" -> piiRedact _,
     "text_quality_score" -> qualityScore _,
     "text_clean" -> textClean _,
@@ -265,6 +334,37 @@ object TextAnalysis {
        |  FROM qf)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_pmi" ->
+      s"""WITH d AS (SELECT str_split(text, ' ') AS t FROM documents),
+         |tok AS (SELECT unnest(t) AS w FROM d),
+         |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+         |n AS (SELECT count(*) AS n FROM tok),
+         |bg AS (SELECT unnest(list_transform(range(len(t) - 1),
+         |    i -> t[i+1] || ' ' || t[i+2])) AS g
+         |  FROM d WHERE len(t) >= 2),
+         |bc AS (SELECT g, count(*) AS c_xy FROM bg GROUP BY g
+         |  HAVING count(*) >= $pmiMinCount),
+         |sp AS (SELECT split_part(g, ' ', 1) AS w1,
+         |    split_part(g, ' ', 2) AS w2, c_xy FROM bc)
+         |SELECT sp.w1, sp.w2, sp.c_xy, x.c AS c_x, y.c AS c_y,
+         |  CAST(sp.c_xy AS DECIMAL(14,0)) * CAST(n.n AS DECIMAL(14,0))
+         |    >= 2 * CAST(x.c AS DECIMAL(14,0)) * CAST(y.c AS DECIMAL(14,0))
+         |    AS is_phrase
+         |FROM sp
+         |JOIN uni x ON x.w = sp.w1
+         |JOIN uni y ON y.w = sp.w2
+         |CROSS JOIN n""".stripMargin,
+    "text_tokens_bpe" -> {
+      val p = bpeLikePattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_bpe,
+         |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(regexp_extract_all(text, '$p'),
+         |    x -> length(x))) AS BIGINT) AS n_chars_tiled,
+         |  CAST(len(regexp_extract_all(text, '$p')) AS DOUBLE)
+         |    / CAST(len(str_split(text, ' ')) AS DOUBLE) AS fertility
+         |FROM documents""".stripMargin
+    },
     "text_quality_score" ->
       s"""WITH $qualityScoreCtes
          |SELECT doc_id, CAST(score AS BIGINT) AS score,

@@ -175,4 +175,28 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(tws == fmgws)
   }
+
+  test("foreachBatch merge equals batch LWW; rows live in their key bucket") {
+    val sf = SparkTestSession.sf
+    val served = streaming.ForeachBatchSink.streamForeachBatchMerge(spark, sf)
+    val got = served.withColumn("f", input_file_name())
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(3)))
+    // every row's file sits in the partition its key hashes to — the
+    // invariant that makes dynamic partition overwrite exactly correct
+    got.foreach { case (uid, _, f) =>
+      assert(f.contains(s"bucket=${uid % 8}"), s"user $uid in wrong bucket: $f")
+    }
+    // the served table is the batch LWW answer, exactly once per user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val expect = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value")))
+      .toSet
+    assert(got.map(t => (t._1, t._2)).toSet == expect)
+    assert(got.length == expect.size)
+  }
 }

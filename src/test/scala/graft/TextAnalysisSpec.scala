@@ -137,4 +137,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rep(1L) == ((3L, 3L)))   // ratio 0
     assert(rep(2L)._2 == 2L)        // only "x y x" and "y x y" distinct
   }
+
+  test("pmi phrase flag equals exact big-integer cross-multiplication") {
+    import org.apache.spark.sql.functions._
+    val n = Tables.load(spark, SparkTestSession.sf, "documents")
+      .select(explode(split(col("text"), " "))).count()
+    val out = TextAnalysis.cooccurrence(spark, SparkTestSession.sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (cxy, cx, cy, flag) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+      assert(cxy >= TextAnalysis.pmiMinCount)
+      // support never exceeds either word's count
+      assert(cxy <= cx && cxy <= cy)
+      assert(flag == (BigInt(cxy) * BigInt(n) >= 2 * BigInt(cx) * BigInt(cy)))
+    }
+  }
+
+  test("bpe-ish tokens tile the text exactly; fertility >= 1") {
+    val out = TextAnalysis.tokensBpe(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val lens = Tables.load(spark, SparkTestSession.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, nBpe, nWords, tiled, fert) =>
+      // the pattern is exhaustive over the charset: matches cover every
+      // character exactly once
+      assert(tiled == lens(id).toLong, s"doc $id tiles $tiled != ${lens(id)}")
+      // a subword tokenizer never merges across spaces here
+      assert(nBpe >= nWords && fert >= 1.0, s"doc $id fertility $fert")
+    }
+  }
 }
