@@ -246,7 +246,37 @@ object OlapQueries {
       .groupBy("bucket")
       .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("price_sum"))
 
+  /** Robust (median/MAD) outlier profile per event type — the
+    * resistant sibling of the 3-sigma gate `agg_outliers`: one huge
+    * value shifts a mean arbitrarily but moves the median not at all,
+    * so ops dashboards flag on MAD. Two exact-percentile aggregations
+    * (median, then median absolute deviation) plus one counting pass —
+    * three group-keyed exchanges. No float-portability hazard despite
+    * the double math: exact `percentile` is order-independent, and
+    * every downstream value (adev, the 3*MAD comparison) is derived by
+    * identical scalar IEEE ops in both engines — the order-dependence
+    * that breaks float SUM parity never enters. At 100 TB the exact
+    * percentile swaps for `approx_percentile` (same plan shape, same
+    * trade as `agg_percentiles`). */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev.join(med, "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(mad, "event_type")
+      .groupBy("event_type")
+      .agg(min("med").as("med"), min("mad").as("mad"),
+        sum(when(col("adev") > lit(3) * col("mad"), 1L).otherwise(0L))
+          .as("n_out"),
+        count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mad" -> madOutliers _,
     "agg_histogram" -> histogram _,
     "func_conditional" -> conditionalAggs _,
     "agg_grouping_sets" -> groupingSets _,
@@ -262,6 +292,17 @@ object OlapQueries {
     "func_array" -> arrayFuncs _)
 
   val oracles: Map[String, String] = Map(
+    "agg_mad" ->
+      """WITH m AS (SELECT event_type, median(value) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, value, med, abs(value - med) AS adev
+        |  FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, median(adev) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_type, min(d.med) AS med, min(md.mad) AS mad,
+        |  CAST(sum(CASE WHEN adev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_out,
+        |  count(*) AS n
+        |FROM d JOIN md USING (event_type) GROUP BY 1""".stripMargin,
     "agg_histogram" ->
       s"""SELECT CAST(least(greatest(floor(o_totalprice / $histWidth), 0),
          |    ${histBuckets - 1}) AS BIGINT) AS bucket,

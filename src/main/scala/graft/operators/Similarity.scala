@@ -583,7 +583,33 @@ object Similarity {
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     }
 
+  /** Per-vector triangle participation in the verified near-dup graph —
+    * the standard graph-density diagnostic on a dedup pair set (a
+    * triangle-rich neighborhood is a boilerplate family; a triangle-
+    * free one is chained drift — exactly the shapes that pick between
+    * [[Dedup.dupClusters]] and [[Dedup.dupClustersStar]]). Classic
+    * two-hop triangle join over the ordered edge list (x<y<z, so each
+    * triangle counts once): work is bounded by candidate-pair volume,
+    * which LSH banding already bounds; at real scale the join order
+    * follows vertex degree (count small-degree side first) but the
+    * shape is identical. Edges cache once; the three self-join arms
+    * read the cached frame, not three LSH reruns. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val p = embedNearDupLsh(spark, dir).cache()
+    val tri = p.alias("e1")
+      .join(p.alias("e2"), col("e2.a") === col("e1.b"))
+      .join(p.alias("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(col("x").as("vec_id"))
+      .union(tri.select(col("y").as("vec_id")))
+      .union(tri.select(col("z").as("vec_id")))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_tri"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_triangles" -> triangles _,
     "knn_brute" -> knnBrute _,
     "embed_neardup" -> embedNearDup _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
@@ -636,6 +662,16 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "graph_triangles" ->
+      s"""WITH $lshPairCtes,
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM vp e1
+         |  JOIN vp e2 ON e2.a = e1.b
+         |  JOIN vp e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tn AS (SELECT x AS vec_id FROM tri
+         |  UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri)
+         |SELECT vec_id, count(*) AS n_tri FROM tn GROUP BY vec_id""".stripMargin,
     "knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |             CAST(embedding AS DOUBLE[]) AS qv

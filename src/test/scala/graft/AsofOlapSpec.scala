@@ -128,4 +128,28 @@ class AsofOlapSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getBoolean(2), r.getString(0)))
   }
+
+  test("mad outliers equal a driver-side median/MAD computation") {
+    import org.apache.spark.sql.functions.col
+    val vals = Tables.load(spark, SparkTestSession.sf, "events")
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def median(xs: Array[Double]): Double = {
+      val n = xs.length
+      if (n % 2 == 1) xs(n / 2) else (xs(n / 2 - 1) + xs(n / 2)) / 2
+    }
+    val got = OlapQueries.madOutliers(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet == vals.keySet)
+    vals.foreach { case (et, xs) =>
+      val med = median(xs)
+      val mad = median(xs.map(x => math.abs(x - med)).sorted)
+      val nOut = xs.count(x => math.abs(x - med) > 3 * mad)
+      assert(got(et) == ((med, mad, nOut.toLong, xs.length.toLong)), et)
+    }
+  }
 }

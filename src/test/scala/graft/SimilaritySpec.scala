@@ -193,6 +193,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(multi >= 0.40, s"probe2 recall $multi below floor")
   }
 
+  test("triangle counts equal a driver-side enumeration of the pair graph") {
+    val sf = SparkTestSession.sf
+    val edges = Similarity.embedNearDupLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val ref = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      (x, y) <- edges
+      z <- nodes if y < z && edges((y, z)) && edges((x, z))
+    } {
+      Seq(x, y, z).foreach(v => ref(v) = ref.getOrElse(v, 0L) + 1L)
+    }
+    val got = Similarity.triangles(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref.toMap)
+  }
+
   test("int8 quantization: codes in range, zero-vector guard, knn recall floor") {
     val sf = SparkTestSession.sf
     val digest = Similarity.quantizeEmbeddings(spark, sf).collect()
