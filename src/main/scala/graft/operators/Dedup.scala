@@ -497,6 +497,77 @@ object Dedup {
       minhashCandidates(docs, cap = Int.MaxValue, reproducible = true))
   }
 
+  // --- Prefix-filtered exact set-similarity join (AllPairs / PPJoin) -----
+
+  /** Gate threshold as an exact rational (7/10). Everything downstream
+    * — prefix lengths, length filters, the accept decision — is integer
+    * arithmetic on this fraction: a float `0.7` is not representable,
+    * and `ceil(0.7 * 10) = 8` in IEEE doubles would silently SHORTEN a
+    * prefix and break the completeness guarantee. */
+  val setSimNum = 7L
+  val setSimDen = 10L
+
+  /** Exact token-set Jaccard join above num/den WITHOUT sketching and
+    * WITHOUT an all-pairs product — the prefix-filter principle
+    * (SSJoin / "Scaling Up All Pairs" / PPJoin family). Each document's
+    * distinct tokens are ordered by ascending global document frequency
+    * (rarest first; token string tie-break), and two sets with
+    * Jaccard >= t must share a token among their first
+    * |d| - ceil(t·|d|) + 1 ordered tokens — so joining on PREFIX tokens
+    * only is a complete candidate generator. This is the exact
+    * complement to [[minhashCandidates]]: no recall loss, and the join
+    * keys are anti-skewed BY CONSTRUCTION — a prefix holds a document's
+    * rarest tokens, so the boilerplate token that floods a naive
+    * token self-join almost never enters a prefix (it would need to be
+    * among the rarest ~30% of tokens in that document). Candidate
+    * filters are integer cross-multiplications of the threshold
+    * fraction; verification is the candidate-driven intersection count
+    * (same shape as [[jaccardVerify]]), linear in candidate volume.
+    *
+    * Prefix membership test, division-free: rn <= |d| - ceil(n·|d|/e) + 1
+    * ⟺ ceil(n·|d|/e) <= |d| - rn + 1 ⟺ n·|d| <= e·(|d| - rn + 1)
+    * (ceil(x) <= k equals x <= k for integer k). */
+  def setSimJoin(docs: DataFrame, num: Long = setSimNum,
+      den: Long = setSimDen): DataFrame = {
+    // tok feeds ranking, both verify arms, and sizes; persist beats
+    // re-tokenizing four times (same reasoning as jaccardVerify's g)
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val wSz = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val pref = tok.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("sz", count(lit(1)).over(wSz))
+      .filter(lit(num) * col("sz") <= lit(den) * (col("sz") - col("rn") + 1))
+    // length filter inside the join: |a| and |b| within a factor of
+    // den/num of each other, else Jaccard can't reach num/den
+    val a = pref.select(col("tok"), col("doc_id").as("da"), col("sz").as("na"))
+    val b = pref.select(col("tok").as("tok2"), col("doc_id").as("db"),
+      col("sz").as("nb"))
+    val cand = a.join(b, col("tok") === col("tok2")
+        && col("da") < col("db")
+        && lit(num) * col("na") <= lit(den) * col("nb")
+        && lit(num) * col("nb") <= lit(den) * col("na"))
+      .select("da", "db").distinct()
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(tok.withColumnRenamed("doc_id", "da"), "da")
+      .join(tok.select(col("doc_id").as("db"), col("tok")), Seq("db", "tok"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter_cnt"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("union_cnt", col("na") + col("nb") - col("inter_cnt"))
+      .filter(lit(den) * col("inter_cnt") >= lit(num) * col("union_cnt"))
+      .select("da", "db", "inter_cnt", "union_cnt")
+  }
+
+  def setSimQuery(spark: SparkSession, dir: String): DataFrame =
+    setSimJoin(Tables.load(spark, dir, "documents"))
+
   // --- Block-level (passage) dedup ---------------------------------------
 
   /** Token-block width for passage-level dedup. Production uses ~50-100
@@ -620,6 +691,7 @@ object Dedup {
     "dedup_simhash" -> simhashQuery _,
     "dedup_simhash_pairs" -> simhashPairsQuery _,
     "dedup_jaccard_exact" -> jaccardExact _,
+    "dedup_setsim" -> setSimQuery _,
     "dedup_clusters" -> clustersQuery _,
     "dedup_clusters_star" -> clustersStarQuery _)
 
@@ -824,5 +896,23 @@ object Dedup {
         |FROM pairs p
         |LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
         |JOIN sz sa ON sa.doc_id = p.da
-        |JOIN sz sb ON sb.doc_id = p.db""".stripMargin)
+        |JOIN sz sb ON sb.doc_id = p.db""".stripMargin,
+    // Oracle is the brute-force DEFINITION (all-pairs token-set
+    // Jaccard), deliberately not the prefix-filtered plan: a hash match
+    // proves the filter lost no pair and admitted no false one.
+    "dedup_setsim" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(list_distinct(str_split(text, ' '))) AS tok
+         |  FROM documents),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM tok GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+         |    CAST(count(*) AS BIGINT) AS i
+         |  FROM tok a JOIN tok b ON b.tok = a.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT da, db, i AS inter_cnt, sa.n + sb.n - i AS union_cnt
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = da
+         |JOIN sz sb ON sb.doc_id = db
+         |WHERE $setSimDen * i >= $setSimNum * (sa.n + sb.n - i)""".stripMargin)
 }

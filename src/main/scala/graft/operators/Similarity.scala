@@ -594,7 +594,7 @@ object Similarity {
     * follows vertex degree (count small-degree side first) but the
     * shape is identical. Edges cache once; the three self-join arms
     * read the cached frame, not three LSH reruns. */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
     val p = embedNearDupLsh(spark, dir).cache()
     val tri = p.alias("e1")
       .join(p.alias("e2"), col("e2.a") === col("e1.b"))
@@ -607,6 +607,18 @@ object Similarity {
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Gate form: the global census (one row, even on a triangle-free
+    * graph — a sparse SF has no near-dup triangles, and "none" is a
+    * legitimate, reportable density reading, not an empty result).
+    * `sum(n_tri) = 3 * n_triangles` exactly — each triangle is counted
+    * once per corner — so the census folds out of the per-vertex frame
+    * with no extra pass over the edges. */
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCounts(spark, dir).agg(
+      coalesce(floor(sum("n_tri") / 3), lit(0L)).cast("long").as("n_triangles"),
+      count(lit(1)).as("n_vertices"),
+      coalesce(max("n_tri"), lit(0L)).cast("long").as("max_per_vertex"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles" -> triangles _,
@@ -670,8 +682,12 @@ object Similarity {
          |  JOIN vp e3 ON e3.a = e1.a AND e3.b = e2.b),
          |tn AS (SELECT x AS vec_id FROM tri
          |  UNION ALL SELECT y FROM tri
-         |  UNION ALL SELECT z FROM tri)
-         |SELECT vec_id, count(*) AS n_tri FROM tn GROUP BY vec_id""".stripMargin,
+         |  UNION ALL SELECT z FROM tri),
+         |pv AS (SELECT vec_id, count(*) AS n_tri FROM tn GROUP BY vec_id)
+         |SELECT CAST(coalesce(floor(sum(n_tri) / 3), 0) AS BIGINT) AS n_triangles,
+         |       count(*) AS n_vertices,
+         |       CAST(coalesce(max(n_tri), 0) AS BIGINT) AS max_per_vertex
+         |FROM pv""".stripMargin,
     "knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |             CAST(embedding AS DOUBLE[]) AS qv

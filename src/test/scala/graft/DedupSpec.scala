@@ -261,6 +261,52 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.jaccardVerify(hot, cands).count() == nCands)
   }
 
+  test("prefix-filtered set-similarity join equals brute force; hot token skips prefixes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 80 docs over a 60-token vocab, 12-24 distinct tokens each, plus a
+    // boilerplate token "the" present in EVERY doc (the naive-join
+    // skew bomb), plus planted near-identical pairs.
+    val vocab = (0 until 60).map(i => s"w$i")
+    val bodies = (0 until 80).map { i =>
+      val n = 12 + rnd.nextInt(13)
+      val toks = rnd.shuffle(vocab).take(n) :+ "the"
+      (i.toLong, toks.mkString(" "))
+    }
+    val planted = Seq(
+      (100L, "the " + (0 until 20).map(i => s"w$i").mkString(" ")),
+      (101L, "the " + (0 until 19).map(i => s"w$i").mkString(" ") + " w59"))
+    val corpus = (bodies ++ planted).toDF("doc_id", "text")
+    val got = Dedup.setSimJoin(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // driver-side brute force over distinct token sets
+    val sets = (bodies ++ planted).map { case (id, t) => id -> t.split(" ").toSet }
+    val expected = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      i = (sa & sb).size; u = (sa | sb).size
+      if Dedup.setSimDen * i >= Dedup.setSimNum * u
+    } yield (ia, ib, i.toLong, u.toLong)).toSet
+    assert(got == expected)
+    assert(got.exists(p => p._1 == 100L && p._2 == 101L),
+      "planted near-identical pair must be found")
+    // the universal token never enters any prefix: with num/den = 7/10
+    // a prefix covers only the rarest ~30% of a doc's tokens, and "the"
+    // has the maximum df — so the candidate join stays skew-free even
+    // though a token-keyed naive join would emit ~80*79/2 rows on "the"
+    val tokDf = corpus.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val dfreq = tokDf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val wSz = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val prefToks = tokDf.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("sz", count(lit(1)).over(wSz))
+      .filter(lit(Dedup.setSimNum) * col("sz")
+        <= lit(Dedup.setSimDen) * (col("sz") - col("rn") + 1))
+    assert(prefToks.filter(col("tok") === "the").count() == 0)
+  }
+
   test("incremental dedup covers the delta once; flags are consistent") {
     val out = Dedup.incrementalDedup(spark, SparkTestSession.sf)
       .collect()

@@ -205,9 +205,16 @@ class SimilaritySpec extends AnyFunSuite {
     } {
       Seq(x, y, z).foreach(v => ref(v) = ref.getOrElse(v, 0L) + 1L)
     }
-    val got = Similarity.triangles(spark, sf)
+    val got = Similarity.triangleCounts(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == ref.toMap)
+    // census gate folds the same frame: 3 * n_triangles corner counts,
+    // and it emits exactly one row even when the graph is triangle-free
+    val census = Similarity.triangles(spark, sf).collect()
+    assert(census.length == 1)
+    assert(census(0).getLong(0) == ref.values.sum / 3)
+    assert(census(0).getLong(1) == ref.size)
+    assert(census(0).getLong(2) == (if (ref.isEmpty) 0L else ref.values.max))
   }
 
   test("int8 quantization: codes in range, zero-vector guard, knn recall floor") {
