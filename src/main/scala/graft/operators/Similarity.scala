@@ -620,7 +620,62 @@ object Similarity {
       count(lit(1)).as("n_vertices"),
       coalesce(max("n_tri"), lit(0L)).cast("long").as("max_per_vertex"))
 
+  // --- Fixed-point PageRank over the near-dup graph ----------------------
+
+  /** Fixed iteration count and fixed-point unit for [[pageRank]]. The
+    * damping factor is the exact rational 17/20 (= 0.85) and every
+    * update is INTEGER arithmetic on `prScale`-scaled values — floating
+    * addition is order-dependent, so a float PageRank can't be
+    * hash-compared against any oracle, while truncating integer
+    * division is bit-identical in Spark (`div`) and DuckDB (`//`) on
+    * the non-negative values that rank mass always is. */
+  val prIters = 5
+  val prScale = 1000000000000L // 1e12: ~12 significant digits of rank
+  private val prBase = prScale * 3 / 20 // (1 - d) * scale, d = 17/20
+
+  /** PageRank (d = 0.85, [[prIters]] synchronous iterations, no
+    * dangling-mass redistribution — an isolated vector keeps the base
+    * rank) over the symmetric verified near-dup graph, ranking how
+    * central a document is inside its duplication neighborhood — the
+    * standard centrality signal for picking a representative of a
+    * boilerplate family, complementing the quality-argmax rule in
+    * [[Dedup.canonicalQuery]].
+    *
+    * Scale shape, same discipline as [[Dedup.dupClusters]]: the edge
+    * list builds once (map-side explode for the symmetric closure),
+    * pre-partitions on the join key, and persists; each iteration is
+    * ONE join of the (small) rank frame against the cached edges plus
+    * one hash-agg — the per-iteration shuffle carries rank rows, never
+    * the graph. Iterations are a fixed plan unrolling (5 joins in one
+    * DAG), not driver-side collects. Overflow-safe: per-node inbound
+    * mass is bounded by total mass n·prScale ≈ 2e15 at sf0.1, and
+    * 17 × that is far under Long.MaxValue. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = embedNearDupLsh(spark, dir)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .repartition(col("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    val nodes = Tables.load(spark, dir, "embeddings").select(col("vec_id"))
+    var pr = nodes.withColumn("pr", lit(prScale))
+    for (_ <- 1 to prIters) {
+      val contribs = pr.join(deg, pr("vec_id") === deg("u"))
+        .select(col("u"), expr("pr div d").as("c"))
+        .join(edges, "u")
+        .groupBy("v").agg(sum("c").as("s"))
+      pr = nodes.join(contribs, nodes("vec_id") === contribs("v"), "left")
+        .select(col("vec_id"),
+          (lit(prBase) + expr("(17 * coalesce(s, 0L)) div 20")).as("pr"))
+    }
+    pr.select(col("vec_id"), col("pr").as("pr_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> pageRank _,
     "graph_triangles" -> triangles _,
     "knn_brute" -> knnBrute _,
     "embed_neardup" -> embedNearDup _,
@@ -673,7 +728,30 @@ object Similarity {
     s"(${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)})))"
   }
 
+  /** Unrolled fixed-point PageRank iterations p1..p[[prIters]] as a CTE
+    * chain (DuckDB's recursive CTEs forbid aggregation in the recursive
+    * member, and the iteration count is a fixed constant anyway). */
+  private def prStepCtes: String = (1 to prIters).map { k =>
+    s"""p$k AS (SELECT n.vec_id,
+       |  CAST($prBase + (17 * coalesce(s.c, 0)) // 20 AS BIGINT) AS pr
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e2.v AS v, sum(p.pr // dg.d) AS c
+       |    FROM p${k - 1} p
+       |    JOIN deg dg ON dg.u = p.vec_id
+       |    JOIN edges e2 ON e2.u = p.vec_id
+       |    GROUP BY e2.v) s ON s.v = n.vec_id)""".stripMargin
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH $lshPairCtes,
+         |edges AS (SELECT a AS u, b AS v FROM vp
+         |  UNION ALL SELECT b AS u, a AS v FROM vp),
+         |deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+         |nodes AS (SELECT vec_id FROM embeddings),
+         |p0 AS (SELECT vec_id, CAST($prScale AS BIGINT) AS pr FROM nodes),
+         |$prStepCtes
+         |SELECT vec_id, pr AS pr_fp FROM p$prIters""".stripMargin,
     "graph_triangles" ->
       s"""WITH $lshPairCtes,
          |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z

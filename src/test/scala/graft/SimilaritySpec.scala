@@ -217,6 +217,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(census(0).getLong(2) == (if (ref.isEmpty) 0L else ref.values.max))
   }
 
+  test("fixed-point pagerank matches a driver-side reference iteration") {
+    val sf = SparkTestSession.sf
+    val pairs = Similarity.embedNearDupLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = Tables.load(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+    val out = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    val deg = out.map { case (u, vs) => u -> vs.length.toLong }
+    var pr = nodes.map(_ -> Similarity.prScale).toMap
+    for (_ <- 1 to Similarity.prIters) {
+      val inbound = scala.collection.mutable.Map.empty[Long, Long]
+      out.foreach { case (u, vs) =>
+        val c = pr(u) / deg(u) // truncating long division, as in the plan
+        vs.foreach(v => inbound(v) = inbound.getOrElse(v, 0L) + c)
+      }
+      pr = nodes.map(n => n ->
+        (Similarity.prScale * 3 / 20 + 17 * inbound.getOrElse(n, 0L) / 20)).toMap
+    }
+    val got = Similarity.pageRank(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == pr)
+    // rank mass flowed: a node with edges outranks the isolated base
+    if (pairs.nonEmpty) {
+      val base = Similarity.prScale * 3 / 20
+      assert(got.values.exists(_ > base))
+    }
+  }
+
   test("int8 quantization: codes in range, zero-vector guard, knn recall floor") {
     val sf = SparkTestSession.sf
     val digest = Similarity.quantizeEmbeddings(spark, sf).collect()
