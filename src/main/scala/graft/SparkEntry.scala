@@ -47,7 +47,8 @@ object SparkEntry {
       operators.BloomJoin.queries ++
       operators.Scd.queries ++
       store.Zorder.queries ++
-      streaming.ForeachBatchSink.queries
+      streaming.ForeachBatchSink.queries ++
+      operators.TableDiff.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -79,5 +80,6 @@ object SparkEntry {
       operators.BloomJoin.oracles ++
       operators.Scd.oracles ++
       store.Zorder.oracles ++
-      streaming.ForeachBatchSink.oracles
+      streaming.ForeachBatchSink.oracles ++
+      operators.TableDiff.oracles
 }

@@ -275,7 +275,68 @@ object OlapQueries {
         count(lit(1)).as("n"))
   }
 
+  /** Exact least-squares regression (price vs quantity per return
+    * flag) in fixed point: the decision-grade statistic is shipped as
+    * q6 integers (value × 10⁶) derived from exact cent-grid sufficient
+    * statistics (n, Σx, Σy, Σx², Σxy) — same discipline as
+    * [[outliers]]/[[momentStats]]: a float slope assembled from
+    * parallel double sums differs by ulps per partitioning, while the
+    * decimal sums are order-independent and the single truncating
+    * division is bit-identical in both engines (Spark `div` and DuckDB
+    * `//` both truncate toward zero, negatives included). One
+    * map-side-combined hash agg — the minimum any regression pays.
+    * The intercept reuses the already-truncated fixed-point slope
+    * (documented q6 semantics, error ≤ 1e-6 relative), keeping every
+    * operand inside DECIMAL(38). At 100 TB the same plan ships the raw
+    * sufficient statistics and the division happens at read time. */
+  def regression(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("xc"),
+        round(col("l_extendedprice") * 100).cast("long").as("yc"))
+    base.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(col("xc").cast(DecimalType(14, 0))).as("sx"),
+        sum(col("yc").cast(DecimalType(16, 0))).as("sy"),
+        sum((col("xc") * col("xc")).cast(DecimalType(16, 0))).as("sxx"),
+        sum((col("xc") * col("yc")).cast(DecimalType(18, 0))).as("sxy"))
+      .withColumn("slope_q6",
+        expr("""(CAST(n AS DECIMAL(20,0)) * sxy - sx * sy) * 1000000
+                div (CAST(n AS DECIMAL(20,0)) * sxx - sx * sx)"""))
+      .withColumn("intercept_q6",
+        expr("(sy * 1000000 - slope_q6 * sx) div n"))
+      .select("l_returnflag", "n", "slope_q6", "intercept_q6")
+  }
+
+  /** Decile boundaries for [[equidepthHistogram]]. */
+  private val eqdQs: Seq[Double] = (1 to 9).map(_ / 10.0)
+
+  /** Equi-depth (decile) histogram of order value: one exact-percentile
+    * pass computes the 9 boundaries (at 100 TB: `approx_percentile`,
+    * same plan), the 9-value row broadcasts, and bin assignment is a
+    * pure map-side sum of comparisons — so unlike a global `ntile`,
+    * which needs a single-partition total order, this is one agg + one
+    * scan at any scale. Boundary comparisons are double ==, safe here
+    * because both engines interpolate the same sorted doubles (pinned
+    * by the `agg_percentiles` gate). */
+  def equidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select(col("o_totalprice"))
+    val bounds = o.agg(percentile(col("o_totalprice"),
+      typedlit(eqdQs)).as("bs"))
+    val bin = eqdQs.indices.map(k =>
+      when(col("o_totalprice") > element_at(col("bs"), k + 1), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    o.crossJoin(broadcast(bounds))
+      .withColumn("bin", bin)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"),
+        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_regression" -> regression _,
+    "agg_equidepth" -> equidepthHistogram _,
     "agg_mad" -> madOutliers _,
     "agg_histogram" -> histogram _,
     "func_conditional" -> conditionalAggs _,
@@ -292,6 +353,42 @@ object OlapQueries {
     "func_array" -> arrayFuncs _)
 
   val oracles: Map[String, String] = Map(
+    "agg_regression" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS xc,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+        |  FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(xc AS HUGEINT)) AS sx,
+        |    sum(CAST(yc AS HUGEINT)) AS sy,
+        |    sum(CAST(xc AS HUGEINT) * xc) AS sxx,
+        |    sum(CAST(xc AS HUGEINT) * yc) AS sxy
+        |  FROM b GROUP BY 1),
+        |sl AS (SELECT l_returnflag, n, sx, sy,
+        |    CAST((n * sxy - sx * sy) * 1000000
+        |         // (n * sxx - sx * sx) AS BIGINT) AS slope_q6
+        |  FROM s)
+        |SELECT l_returnflag, n, slope_q6,
+        |  CAST((sy * 1000000 - slope_q6 * sx) // n AS BIGINT) AS intercept_q6
+        |FROM sl""".stripMargin,
+    "agg_equidepth" ->
+      """WITH q AS (SELECT quantile_cont(o_totalprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        |  FROM orders),
+        |b AS (SELECT o_totalprice,
+        |    (CASE WHEN o_totalprice > q.bs[1] THEN 1 ELSE 0 END)
+        |  + (CASE WHEN o_totalprice > q.bs[2] THEN 1 ELSE 0 END)
+        |  + (CASE WHEN o_totalprice > q.bs[3] THEN 1 ELSE 0 END)
+        |  + (CASE WHEN o_totalprice > q.bs[4] THEN 1 ELSE 0 END)
+        |  + (CASE WHEN o_totalprice > q.bs[5] THEN 1 ELSE 0 END)
+        |  + (CASE WHEN o_totalprice > q.bs[6] THEN 1 ELSE 0 END)
+        |  + (CASE WHEN o_totalprice > q.bs[7] THEN 1 ELSE 0 END)
+        |  + (CASE WHEN o_totalprice > q.bs[8] THEN 1 ELSE 0 END)
+        |  + (CASE WHEN o_totalprice > q.bs[9] THEN 1 ELSE 0 END) AS bin
+        |  FROM orders, q)
+        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS cnt,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM b GROUP BY bin""".stripMargin,
     "agg_mad" ->
       """WITH m AS (SELECT event_type, median(value) AS med
         |  FROM events GROUP BY 1),

@@ -298,7 +298,36 @@ object TextAnalysis {
         redactPii(col("pii_text")).as("redacted"))
   }
 
+  /** Posting-list cap for [[invertedIndex]] — the per-term payload
+    * bound that keeps a stop-word's row from carrying the corpus. */
+  val invCap = 20
+
+  /** Inverted index (term → document frequency + capped posting list)
+    * — the retrieval-side artifact a curation pipeline builds for
+    * corpus search and contamination lookups. df counts EVERY posting;
+    * only the stored list is capped to the first [[invCap]] doc_ids, so
+    * a stop-word term costs one row with a bounded payload instead of a
+    * corpus-length array (`collect_list` over a cap-filtered column
+    * holds at most [[invCap]] values per group — the cap is enforced
+    * BEFORE collection by the row_number, not by slicing afterwards).
+    * Postings ship as a comma-joined string: engines disagree on array
+    * text canonicalization, strings hash-compare exactly. One window
+    * (term-keyed rank) + one hash agg. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(sort_array(collect_list(
+          when(col("rn") <= invCap, col("doc_id")))), ",").as("postings"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_inverted_index" -> invertedIndex _,
     "text_tokens_bpe" -> tokensBpe _,
     "text_pmi" -> cooccurrence _,
     "pii_redact" -> piiRedact _,
@@ -334,6 +363,18 @@ object TextAnalysis {
        |  FROM qf)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_inverted_index" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(list_distinct(str_split(text, ' '))) AS term
+         |  FROM documents),
+         |r AS (SELECT term, doc_id,
+         |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+         |  FROM tok)
+         |SELECT term, count(*) AS df,
+         |  string_agg(CASE WHEN rn <= $invCap
+         |    THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id)
+         |    AS postings
+         |FROM r GROUP BY term""".stripMargin,
     "text_pmi" ->
       s"""WITH d AS (SELECT str_split(text, ' ') AS t FROM documents),
          |tok AS (SELECT unnest(t) AS w FROM d),

@@ -152,4 +152,48 @@ class AsofOlapSpec extends AnyFunSuite {
       assert(got(et) == ((med, mad, nOut.toLong, xs.length.toLong)), et)
     }
   }
+
+  test("fixed-point regression equals a BigInt reference; slope is sane") {
+    val rows = Tables.load(spark, SparkTestSession.sf, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
+      .collect()
+      .map(r => (r.getString(0),
+        BigInt(math.round(r.getDouble(1) * 100)),
+        BigInt(math.round(r.getDouble(2) * 100))))
+    val got = OlapQueries.regression(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    rows.groupBy(_._1).foreach { case (flag, xs) =>
+      val n = BigInt(xs.length)
+      val sx = xs.map(_._2).sum
+      val sy = xs.map(_._3).sum
+      val sxx = xs.map(t => t._2 * t._2).sum
+      val sxy = xs.map(t => t._2 * t._3).sum
+      // BigInt / truncates toward zero, matching Spark div / DuckDB //
+      val slope = (n * sxy - sx * sy) * 1000000 / (n * sxx - sx * sx)
+      val icept = (sy * 1000000 - slope * sx) / n
+      assert(got(flag) == ((xs.length.toLong, slope.toLong, icept.toLong)), flag)
+      // synthetic price/quantity can anticorrelate — negative slopes are
+      // the case that PINS trunc-toward-zero agreement across engines
+    }
+  }
+
+  test("equi-depth histogram: 10 bins, depths within one of n/10, ordered ranges") {
+    val out = OlapQueries.equidepthHistogram(spark, SparkTestSession.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val n = Tables.load(spark, SparkTestSession.sf, "orders").count()
+    assert(out.map(_._1).toSeq == (0L to 9L))
+    assert(out.map(_._2).sum == n)
+    // exact quantile interpolation puts each decile within 1 row of n/10
+    out.foreach { case (b, cnt, _, _) =>
+      assert(math.abs(cnt - n / 10.0) <= 1.0, s"bin $b depth $cnt vs ${n / 10.0}")
+    }
+    // bins tile the value range in order: each bin's hi <= next bin's lo
+    out.sliding(2).foreach { case Array(a, b2) =>
+      assert(a._4 <= b2._3, s"bins ${a._1},${b2._1} overlap")
+      assert(a._3 <= a._4)
+    }
+  }
 }

@@ -173,4 +173,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(nBpe >= nWords && fert >= 1.0, s"doc $id fertility $fert")
     }
   }
+
+  test("inverted index: full df, capped sorted postings, exact on a reference corpus") {
+    val out = TextAnalysis.invertedIndex(spark, SparkTestSession.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (term, df, postings) =>
+      val ids = postings.split(",").map(_.toLong)
+      assert(ids.length == math.min(df, TextAnalysis.invCap.toLong),
+        s"term $term df=$df stored ${ids.length}")
+      assert(ids.sameElements(ids.sorted), s"term $term postings unsorted")
+      assert(ids.distinct.length == ids.length, s"term $term dup postings")
+    }
+    // exact reference on the corpus: df equals the distinct-doc count
+    // per term, postings are the smallest invCap doc_ids
+    val ref = Tables.load(spark, SparkTestSession.sf, "documents")
+      .select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").distinct
+        .map(t => t -> r.getLong(0)))
+      .groupBy(_._1).map { case (t, xs) =>
+        t -> xs.map(_._2).sorted.toSeq }
+    assert(out.length == ref.size)
+    out.foreach { case (term, df, postings) =>
+      assert(df == ref(term).length.toLong, s"term $term df")
+      assert(postings == ref(term).take(TextAnalysis.invCap).mkString(","),
+        s"term $term postings")
+    }
+  }
 }
