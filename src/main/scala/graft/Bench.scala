@@ -57,10 +57,16 @@ object Bench {
     }
     val (p1, p2) = (pass(), pass())
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Rounded to 10ms: the driver captures only the last few KB of the
+    // build log, and at 130+ queries a full-precision map pushes the single
+    // JSON line past that window (round 3's line was truncated at the head
+    // and never parsed). 10ms resolution on 0.1-6s queries loses nothing.
+    def fmt(v: Double): String = f"$v%.2f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfTag = sfDir.split('/').last
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
     spark.stop()
   }
 }

@@ -319,19 +319,31 @@ object OlapQueries {
     * which needs a single-partition total order, this is one agg + one
     * scan at any scale. Boundary comparisons are double ==, safe here
     * because both engines interpolate the same sorted doubles (pinned
-    * by the `agg_percentiles` gate). */
+    * by the `agg_percentiles` gate). The 9 boundaries attach as an
+    * uncorrelated SCALAR SUBQUERY, not a 1-row crossJoin: Spark
+    * executes the subquery once and embeds its result as a literal in
+    * the main plan, so there is NO join operator at all — which both
+    * is the cheapest possible plan (the crossJoin form planned a
+    * BroadcastNestedLoopJoin) and keeps PlanAuditSpec's
+    * no-nested-loop invariant allowlist-free across the surface.
+    * (The DataFrame API cannot express scalar subqueries, so this
+    * gate goes through spark.sql — same pattern as `sql_surface`.) */
   def equidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(spark, dir, "orders").select(col("o_totalprice"))
-    val bounds = o.agg(percentile(col("o_totalprice"),
-      typedlit(eqdQs)).as("bs"))
+    Tables.register(spark, dir, "orders")
+    val qs = eqdQs.mkString("array(", ", ", ")")
     val bin = eqdQs.indices.map(k =>
-      when(col("o_totalprice") > element_at(col("bs"), k + 1), 1L)
-        .otherwise(0L)).reduce(_ + _)
-    o.crossJoin(broadcast(bounds))
-      .withColumn("bin", bin)
-      .groupBy("bin")
-      .agg(count(lit(1)).as("cnt"),
-        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      s"(CASE WHEN o_totalprice > element_at(bs, ${k + 1}) THEN 1L ELSE 0L END)")
+      .mkString(" + ")
+    spark.sql(
+      s"""SELECT bin, count(1) AS cnt,
+         |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+         |FROM (
+         |  SELECT o_totalprice, $bin AS bin
+         |  FROM (
+         |    SELECT o_totalprice,
+         |      (SELECT percentile(o_totalprice, $qs) FROM orders) AS bs
+         |    FROM orders))
+         |GROUP BY bin""".stripMargin)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
