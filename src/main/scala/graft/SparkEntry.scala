@@ -48,7 +48,9 @@ object SparkEntry {
       operators.Scd.queries ++
       store.Zorder.queries ++
       streaming.ForeachBatchSink.queries ++
-      operators.TableDiff.queries
+      operators.TableDiff.queries ++
+      analytics.BehaviorQueries.queries ++
+      analytics.DataQuality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -81,5 +83,7 @@ object SparkEntry {
       operators.Scd.oracles ++
       store.Zorder.oracles ++
       streaming.ForeachBatchSink.oracles ++
-      operators.TableDiff.oracles
+      operators.TableDiff.oracles ++
+      analytics.BehaviorQueries.oracles ++
+      analytics.DataQuality.oracles
 }

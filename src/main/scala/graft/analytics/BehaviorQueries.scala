@@ -1,0 +1,166 @@
+package graft.analytics
+
+import graft.Tables
+import graft.Tables.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-behavior analytics over the `events` stream table — the three
+  * standard product-analytics shapes a pipeline owner asks of any
+  * event store (the reference's scheduled-ingest domain feeds exactly
+  * this kind of table):
+  *
+  *  - FUNNEL: how many users progress view -> click -> purchase, where
+  *    each stage must happen strictly after the previous stage's first
+  *    occurrence;
+  *  - COHORT RETENTION: users bucketed by first-seen week, activity
+  *    counted per (cohort, week-offset) cell;
+  *  - SLIDING WINDOW: overlapping (1h window / 15min hop) event-time
+  *    aggregation — the batch twin of the streaming hop-window query.
+  *
+  * Scale shapes: every join here is keyed on `user_id` (shuffle hash
+  * join, no broadcast assumption — user cardinality at 100 TB is
+  * billions); stage frames are per-user aggregates, so each round of
+  * the funnel is one hash-agg + one keyed join. The sliding window
+  * relies on Spark's native `window(ts, dur, hop)` slot generator —
+  * rows expand map-side by exactly dur/hop slots, then one hash
+  * aggregation; no self-join, no range join. */
+object BehaviorQueries {
+
+  /** Ordered conversion funnel: first 'view', first 'click' strictly
+    * after it, first 'purchase' strictly after that, per user; output
+    * is the user count per stage. Each stage is MIN-reducible, so at
+    * any scale a stage costs one partial-aggregated hash agg plus one
+    * user-keyed join against the previous stage. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t0"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts") > col("t0"))
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
+    stage(v, "view")
+      .unionAll(stage(c, "click_after_view"))
+      .unionAll(stage(p, "purchase_after_click"))
+  }
+
+  /** Weekly cohort retention: cohort = integer week (since 2024-01-01)
+    * of the user's first event, cell = distinct users from that cohort
+    * active k calendar weeks later. Two user-keyed hash aggs + one
+    * user-keyed join; the integer-day grid avoids engine-specific
+    * week-truncation conventions. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("d"))
+    val first = ev.groupBy("user_id").agg(min("d").as("d0"))
+    ev.join(first, "user_id")
+      .select(col("user_id"),
+        floor(col("d0") / 7).cast("int").as("cohort_week"),
+        (floor(col("d") / 7) - floor(col("d0") / 7)).cast("int").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("users"))
+  }
+
+  /** Overlapping event-time windows: 1-hour windows hopping every 15
+    * minutes (each event lands in exactly 4 slots). Spark's `window`
+    * generator expands slots map-side; the aggregation is one hash
+    * agg keyed by (slot, type) — the same plan a tumbling window gets,
+    * just with 4x the pre-aggregation rows. */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("val_sum"))
+
+  /** Trailing 7-day active users per day (the WAU curve): each (user,
+    * active-day) pair contributes to the 7 window-end days it falls in,
+    * expanded MAP-SIDE by a 7-element offset explode — never a per-day
+    * self-join or a windowed COUNT(DISTINCT) (which Spark's window
+    * functions don't support and which would need a per-day sort
+    * anyway). Work is 7x the distinct (user, day) pairs, then one hash
+    * agg; both factors scale linearly. Days within the observed range
+    * only, so leading partial windows are real and trailing ghosts are
+    * cut. */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("d"))
+      .distinct()
+    // bounded scalar to the driver (one int), same pattern as the
+    // heavy-hitter total — a 1-row non-equi join would plan as a
+    // nested loop, which the surface bans
+    val dmax = byDay.agg(max("d")).head.getInt(0)
+    byDay
+      .select(col("user_id"), explode(sequence(col("d"), col("d") + 6)).as("wd"))
+      .where(col("wd") <= lit(dmax))
+      .groupBy("wd")
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(col("wd").cast("int").as("day_index"), col("wau"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel" -> funnel _,
+    "cohort_retention" -> cohortRetention _,
+    "window_rolling_distinct" -> rollingActiveUsers _,
+    "window_sliding" -> slidingWindow _)
+
+  /** Shared by the batch gate and the streaming replay gate
+    * (`stream_sliding`): slot k of an event at microsecond t is
+    * floor(t/15min) - j for j in 0..3, exactly Spark's assignment. */
+  private[graft] val slidingOracle: String =
+    """WITH e AS (SELECT event_type, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+      |x AS (SELECT event_type, value,
+      |    make_timestamp((t // 900000000 - j) * 900000000) AS win_start
+      |  FROM e, unnest([0, 1, 2, 3]) AS u(j))
+      |SELECT win_start, event_type, count(*) AS cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+      |FROM x GROUP BY 1, 2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS t0 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t1 FROM e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1)
+        |SELECT 'view' AS stage, count(*) AS users FROM v
+        |UNION ALL
+        |SELECT 'click_after_view' AS stage, count(*) AS users FROM c
+        |UNION ALL
+        |SELECT 'purchase_after_click' AS stage, count(*) AS users FROM p""".stripMargin,
+    "window_rolling_distinct" ->
+      """WITH bd AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |mx AS (SELECT max(d) AS dmax FROM bd),
+        |x AS (SELECT user_id, d + j AS wd
+        |  FROM bd, unnest([0, 1, 2, 3, 4, 5, 6]) AS u(j))
+        |SELECT CAST(wd AS INT) AS day_index,
+        |  count(DISTINCT user_id) AS wau
+        |FROM x, mx WHERE wd <= dmax GROUP BY 1""".stripMargin,
+    "cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |f AS (SELECT user_id, min(d) AS d0 FROM e GROUP BY 1)
+        |SELECT CAST(f.d0 // 7 AS INT) AS cohort_week,
+        |  CAST(e.d // 7 - f.d0 // 7 AS INT) AS week_offset,
+        |  count(DISTINCT e.user_id) AS users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    "window_sliding" -> slidingOracle)
+}

@@ -1,0 +1,78 @@
+package graft.analytics
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audit — the distributed form of the
+  * reference's pre-write validation gates (its pipeline refuses a batch
+  * on empty/malformed frames; see pipeline.StockPipeline.preflight for
+  * the orchestration-side port). Here the checks run as ONE aggregated
+  * report over the lake tables, the shape a 100 TB nightly audit needs:
+  *
+  *  - column checks (null / range) are conditional counts inside a
+  *    single scan — no per-check passes;
+  *  - the key-uniqueness check is one hash agg on the key;
+  *  - referential integrity is a broadcast-or-shuffle ANTI join,
+  *    counting orphans without materializing them.
+  *
+  * Output is a fixed (check, violations) report: green = all zeros,
+  * and the gate hash-checks exact violation counts, not just pass/fail. */
+object DataQuality {
+
+  def audit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    // one scan: every column rule is a conditional count
+    val colChecks = li.agg(
+      count(when(col("l_quantity").isNull, 1)).as("null_quantity"),
+      count(when(col("l_quantity") <= 0 || col("l_quantity") > 100, 1))
+        .as("range_quantity"),
+      count(when(col("l_discount") < 0 || col("l_discount") > 1, 1))
+        .as("range_discount"),
+      count(when(col("l_shipdate") < lit("1990-01-01").cast("timestamp"), 1))
+        .as("stale_shipdate"))
+    // key uniqueness: rows beyond the first per (orderkey, linenumber)
+    val dupKeys = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") - 1).cast("long").as("v"))
+      .select(lit("duplicate_lineitem_key").as("check"), col("v").as("violations"))
+    // referential integrity: lineitems whose order does not exist
+    val orphans = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .select(lit("orphan_lineitem").as("check"), col("v").as("violations"))
+    val longCols = Seq("null_quantity", "range_quantity", "range_discount",
+      "stale_shipdate")
+    val wide = colChecks.select(longCols.map(c => col(c).cast("long").as(c)): _*)
+    // unpivot the single wide row into (check, violations)
+    val tall = wide.select(explode(map(
+      longCols.flatMap(c => Seq(lit(c), col(c))): _*)).as(Seq("check", "violations")))
+    tall.unionByName(dupKeys).unionByName(orphans)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_audit" -> audit _)
+
+  val oracles: Map[String, String] = Map(
+    "dq_audit" ->
+      """SELECT 'null_quantity' AS check, count(*) FILTER (l_quantity IS NULL)
+        |  AS violations FROM lineitem
+        |UNION ALL
+        |SELECT 'range_quantity' AS check,
+        |  count(*) FILTER (l_quantity <= 0 OR l_quantity > 100) FROM lineitem
+        |UNION ALL
+        |SELECT 'range_discount' AS check,
+        |  count(*) FILTER (l_discount < 0 OR l_discount > 1) FROM lineitem
+        |UNION ALL
+        |SELECT 'stale_shipdate' AS check,
+        |  count(*) FILTER (l_shipdate < TIMESTAMP '1990-01-01 00:00:00')
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'duplicate_lineitem_key' AS check,
+        |  CAST(sum(n - 1) AS BIGINT)
+        |FROM (SELECT count(*) AS n FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber)
+        |UNION ALL
+        |SELECT 'orphan_lineitem' AS check, count(*)
+        |FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin)
+}

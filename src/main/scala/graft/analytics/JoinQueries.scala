@@ -168,7 +168,41 @@ object JoinQueries {
       .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
         .cast("double").as("revenue"))
 
+  /** Edit-distance (Levenshtein <= 2) similarity self-join over the
+    * distinct part-name vocabulary, via the SYMMETRIC-DELETE
+    * (SymSpell) neighborhood: two strings within edit distance k share
+    * at least one variant obtainable by deleting <= k characters from
+    * each (a substitution deletes one char on both sides; an
+    * insertion in one string is a deletion in the other). So each name
+    * expands map-side into its <= 2-deletion neighborhood (~1 + L +
+    * L(L-1)/2 keys, codegen'd higher-order functions — no UDF), pairs
+    * meet on an EQUI-join over the variant key, and exact
+    * `levenshtein` verifies (removing the neighborhood's false
+    * positives). Work is linear in vocabulary size times ~L²/2 keys —
+    * never the quadratic all-pairs comparison, which is what makes a
+    * fuzzy join feasible over a 100 TB corpus vocabulary. */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.load(spark, dir, "part").select(col("p_name")).distinct()
+    // delete-1 neighborhood of s, empty-safe: positions 1..len(s)
+    def dels(s: String): String =
+      s"CASE WHEN length($s) = 0 THEN array() ELSE " +
+        s"transform(sequence(1, length($s)), " +
+        s"i -> concat(substring($s, 1, i - 1), substring($s, i + 1))) END"
+    val vars = names
+      .withColumn("v1", expr(dels("p_name")))
+      .withColumn("key", explode(expr(
+        s"array_distinct(concat(array(p_name), v1, " +
+          s"flatten(transform(v1, s -> ${dels("s")}))))")))
+    vars.as("a").join(vars.as("b"), "key")
+      .where(col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("dist") <= 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_fuzzy" -> fuzzyJoin _,
     "join_agg" -> joinAgg _,
     "join_broadcast_dim" -> broadcastDim _,
     "join_semi" -> semiJoin _,
@@ -183,6 +217,12 @@ object JoinQueries {
     "yearly_revenue" -> yearlyRevenue _)
 
   val oracles: Map[String, String] = Map(
+    "join_fuzzy" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
     "join_agg" ->
       """SELECT c_mktsegment,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))

@@ -346,7 +346,78 @@ object OlapQueries {
          |GROUP BY bin""".stripMargin)
   }
 
+  /** Winsorization: clamp per-group outliers to the group's exact
+    * [P05, P95] band — the standard robust-preprocessing step before
+    * moment-based statistics. One exact-percentile hash agg over 5
+    * groups (at 100 TB: `approx_percentile`, same plan), the 5-row
+    * bounds frame broadcasts, and the clamp is a map-side
+    * greatest/least — so the whole operator is one agg + one scan.
+    * Exact-percentile interpolation agrees across engines (pinned by
+    * `agg_percentiles`), and the clamp emits either an input value or
+    * a boundary value, so no new float arithmetic enters the output. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"))
+    val b = li.groupBy("l_returnflag").agg(
+      percentile(col("l_extendedprice"), lit(0.05)).as("p05"),
+      percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+    li.join(broadcast(b), "l_returnflag")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"),
+        greatest(least(col("l_extendedprice"), col("p95")), col("p05"))
+          .as("price_w"))
+  }
+
+  /** Exact heavy hitters (support > 1/150 of the stream) by the
+    * two-phase candidates-then-verify pattern: each partition runs a
+    * Misra-Gries summary with K=256 counters, the union of per-partition
+    * candidates (bounded by K x partitions, broadcastable at any data
+    * size) is exactly counted, and the threshold keeps true hitters
+    * only. Soundness: an item with global frequency > n/150 has local
+    * frequency > n_p/150 in at least one partition (averaging), and
+    * MG with K counters retains any item of local frequency >
+    * n_p/(K+1); 1/150 > 1/257, so no true hitter is ever lost —
+    * regardless of partitioning, which is why the verified output is
+    * deterministic even though the candidate set is not. The total
+    * count collected to the driver is a bounded O(1) scalar. */
+  /** Per-partition Misra-Gries candidate keys: every id whose GLOBAL
+    * frequency exceeds n/(k+1) is guaranteed to survive at least one
+    * partition's summary (see [[heavyHitters]] soundness argument);
+    * ids below that may or may not appear — the exact verify pass
+    * makes the final answer partitioning-independent. */
+  private[graft] def mgCandidates(ids: org.apache.spark.sql.Dataset[Long],
+      k: Int): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      val counters = scala.collection.mutable.LongMap.empty[Long]
+      it.foreach { id =>
+        if (counters.contains(id)) counters(id) += 1
+        else if (counters.size < k) counters(id) = 1L
+        else {
+          val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
+          counters.foreachEntry((kk, v) =>
+            if (v == 1L) dead += kk else counters(kk) = v - 1)
+          dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("user_id").distinct()
+  }
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events").select(col("user_id"))
+    val cands = mgCandidates(ev.as[Long], 256)
+    val total = ev.count() // bounded scalar: one number to the driver
+    ev.join(broadcast(cands), "user_id")
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * 150 > lit(total))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_winsorize" -> winsorize _,
+    "agg_heavy_hitters" -> heavyHitters _,
     "agg_regression" -> regression _,
     "agg_equidepth" -> equidepthHistogram _,
     "agg_mad" -> madOutliers _,
@@ -365,6 +436,18 @@ object OlapQueries {
     "func_array" -> arrayFuncs _)
 
   val oracles: Map[String, String] = Map(
+    "agg_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS p05,
+        |    quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  l.l_extendedprice,
+        |  greatest(least(l.l_extendedprice, b.p95), b.p05) AS price_w
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag""".stripMargin,
+    "agg_heavy_hitters" ->
+      """SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+        |HAVING count(*) * 150 > (SELECT count(*) FROM events)""".stripMargin,
     "agg_regression" ->
       """WITH b AS (SELECT l_returnflag,
         |    CAST(round(l_quantity * 100) AS BIGINT) AS xc,

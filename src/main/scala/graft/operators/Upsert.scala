@@ -120,9 +120,50 @@ object Upsert {
       .agg(count(lit(1)).as("cnt"), Tables.dsum(col("price")).as("price_sum"))
   }
 
+  /** Full MERGE semantics — WHEN MATCHED AND op='D' THEN DELETE, WHEN
+    * MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT — in one
+    * key-partitioned full-outer join. [[upsert]] covers the LWW
+    * subset (the reference's ON CONFLICT DO UPDATE); this is the
+    * general lakehouse MERGE INTO a CDC feed needs, deletes included.
+    * One shuffle on the key for both sides; at 100 TB the base side is
+    * partition-pruned to partitions containing change keys first
+    * (see [[overwritePartitionsInto]]), so the exchange carries
+    * touched partitions, not the table.
+    *
+    * `changes` columns: the key, `op` in ('D','U','I'), and one
+    * payload column per base update column named `c_<base column>`. */
+  def mergeFull(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val payload = base.columns.filterNot(_ == key).toSeq
+    base.join(changes, Seq(key), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(col(key) +: payload.map(c =>
+        when(col("op").isNotNull, col(s"c_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
+  /** Gate query: a deterministic change feed derived from `orders`
+    * (keys ending in 0 deleted, 1-2 updated, 3 re-keyed as inserts)
+    * merged into `orders` itself. */
+  def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val m = col("o_orderkey") % 10
+    val dels = o.where(m === 0).select(col("o_orderkey"),
+      lit("D").as("op"), lit(null).cast("string").as("c_o_orderstatus"),
+      lit(null).cast("double").as("c_o_totalprice"))
+    val upds = o.where(m.isin(1, 2)).select(col("o_orderkey"),
+      lit("U").as("op"), lit("U").as("c_o_orderstatus"),
+      (col("o_totalprice") + lit(10.0)).as("c_o_totalprice"))
+    val ins = o.where(m === 3).select(
+      (col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+      lit("I").as("op"), lit("N").as("c_o_orderstatus"),
+      lit(1.0).as("c_o_totalprice"))
+    mergeFull(o, dels.unionByName(upds).unionByName(ins), "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "upsert_lww" -> upsertLww _,
-    "upsert_idempotent" -> upsertIdempotent _)
+    "upsert_idempotent" -> upsertIdempotent _,
+    "upsert_merge" -> upsertMerge _)
 
   private val mergedSql: String =
     """SELECT o_orderkey,
@@ -137,6 +178,27 @@ object Upsert {
       |FROM orders WHERE o_orderkey < 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "upsert_merge" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |ch AS (
+        |  SELECT o_orderkey, 'D' AS op, CAST(NULL AS VARCHAR) AS c_status,
+        |    CAST(NULL AS DOUBLE) AS c_price
+        |  FROM o WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U' AS op, 'U' AS c_status,
+        |    o_totalprice + 10.0 AS c_price
+        |  FROM o WHERE o_orderkey % 10 IN (1, 2)
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, 'I' AS op,
+        |    'N' AS c_status, 1.0 AS c_price
+        |  FROM o WHERE o_orderkey % 10 = 3)
+        |SELECT coalesce(o.o_orderkey, ch.o_orderkey) AS o_orderkey,
+        |  CASE WHEN ch.op IS NOT NULL THEN ch.c_status
+        |       ELSE o.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN ch.op IS NOT NULL THEN ch.c_price
+        |       ELSE o.o_totalprice END AS o_totalprice
+        |FROM o FULL OUTER JOIN ch ON o.o_orderkey = ch.o_orderkey
+        |WHERE ch.op IS NULL OR ch.op <> 'D'""".stripMargin,
     "upsert_lww" -> mergedSql,
     "upsert_idempotent" ->
       s"""SELECT status, count(*) AS cnt,

@@ -384,7 +384,42 @@ object EventStream {
     } finally q.stop()
   }
 
+  /** Sliding (1h window / 15min hop) event-time aggregation as a
+    * streaming replay — the hop-window twin of [[streamTumbling]]:
+    * same file-source replay, complete-mode snapshot, and the result
+    * must equal the batch `window_sliding` query bit-for-bit (shared
+    * oracle). Spark expands the 4 slots per event map-side before the
+    * stateful aggregation, so state size is O(active slots), the same
+    * bound a production watermark+append deployment carries. */
+  def streamSliding(spark: SparkSession, dir: String): DataFrame =
+    withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("val_sum"))
+    val name = "graft_stream_sliding"
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table(name).cache()
+      out.count()
+      out
+    } finally q.stop()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_sliding" -> streamSliding _,
     "stream_tumbling" -> streamTumbling _,
     "stream_tumbling_append" -> streamTumblingAppend _,
     "stream_dedup" -> streamDedup _,
@@ -408,6 +443,7 @@ object EventStream {
       |FROM events WHERE event_id % 3 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stream_sliding" -> graft.analytics.BehaviorQueries.slidingOracle,
     "stream_tumbling" -> tumblingSql,
     // append mode flushes every real window (see harness above), so the
     // oracle is the same batch aggregation

@@ -1,0 +1,148 @@
+package graft
+
+import graft.analytics.{BehaviorQueries, JoinQueries, OlapQueries}
+import graft.operators.Upsert
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 surface: behavior analytics (funnel / cohort / sliding
+  * window), heavy hitters, SymSpell fuzzy join, winsorize, full MERGE. */
+class BehaviorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = SparkTestSession.sf
+
+  test("funnel stages are monotonically non-increasing") {
+    val rows = BehaviorQueries.funnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("view", "click_after_view", "purchase_after_click"))
+    assert(rows("view") >= rows("click_after_view"))
+    assert(rows("click_after_view") >= rows("purchase_after_click"))
+    assert(rows("view") > 0)
+  }
+
+  test("every event lands in exactly 4 sliding-window slots") {
+    val out = BehaviorQueries.slidingWindow(spark, sf)
+    val slotRows = out.agg(sum("cnt")).as[Long].head()
+    val events = Tables.load(spark, sf, "events").count()
+    assert(slotRows == 4 * events)
+  }
+
+  test("cohort retention covers every user exactly once at offset 0") {
+    val out = BehaviorQueries.cohortRetention(spark, sf)
+    val atZero = out.filter(col("week_offset") === 0)
+      .agg(sum("users")).as[Long].head()
+    val users = Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    // every user is active in their own first week by definition
+    assert(atZero == users)
+  }
+
+  test("Misra-Gries candidates contain every true heavy hitter under adversarial partitioning") {
+    // plant a skewed stream: id 1 at 20%, ids 2..5 at 5% each, noise ids
+    // unique — then repartition round-robin so hitters spread thin
+    val n = 20000
+    val planted = (0 until n).map { i =>
+      if (i % 5 == 0) 1L
+      else if (i % 20 >= 1 && i % 20 <= 4) (1L + i % 20) // ids 2..5, 5% each
+      else 1000L + i
+    }
+    val ids = spark.createDataset(planted).repartition(13)
+    val cands = OlapQueries.mgCandidates(ids, 256).as[Long].collect().toSet
+    // true hitters above n/257 by construction: 1 (4000), 2..5 (~1000 each)
+    for (hh <- Seq(1L, 2L, 3L, 4L, 5L))
+      assert(cands.contains(hh), s"lost true hitter $hh")
+  }
+
+  test("heavy-hitter gate equals the exact groupBy answer") {
+    val out = OlapQueries.heavyHitters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val ev = Tables.load(spark, sf, "events")
+    val total = ev.count()
+    val exact = ev.groupBy("user_id").count()
+      .filter(col("count") * 150 > lit(total))
+      .as[(Long, Long)].collect().toMap
+    assert(out == exact)
+  }
+
+  test("fuzzy join equals the brute-force all-pairs answer") {
+    val out = JoinQueries.fuzzyJoin(spark, sf)
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    val names = Tables.load(spark, sf, "part")
+      .select("p_name").distinct().as[String].collect()
+    val brute = (for {
+      a <- names; b <- names
+      if a < b && levDist(a, b) <= 2
+    } yield (a, b)).toSet
+    assert(out == brute)
+  }
+
+  test("deletion neighborhood never misses a within-distance pair on random strings") {
+    // property: for random mutations of a base string at edit distance
+    // <= 2, the SymSpell join must pair mutant with base
+    val rnd = new scala.util.Random(7)
+    val base = "abcdefghij"
+    def mutate(s: String, ops: Int): String = {
+      var cur = s
+      (0 until ops).foreach { _ =>
+        val i = rnd.nextInt(math.max(cur.length, 1))
+        cur = rnd.nextInt(3) match {
+          case 0 if cur.nonEmpty => cur.substring(0, i) + cur.substring(math.min(i + 1, cur.length)) // delete
+          case 1 => cur.substring(0, i) + ('k' + rnd.nextInt(10)).toChar + cur.substring(i) // insert
+          case _ if cur.nonEmpty => cur.substring(0, i) + ('k' + rnd.nextInt(10)).toChar + cur.substring(math.min(i + 1, cur.length)) // substitute
+          case _ => cur
+        }
+      }
+      cur
+    }
+    val mutants = (1 to 40).map(i => mutate(base, 1 + i % 2)).distinct
+      .filter(m => m != base && levDist(base, m) <= 2)
+    assert(mutants.nonEmpty)
+    val vocab = (base +: mutants).toDF("p_name")
+    // reuse the gate's expansion by writing vocab as a part table stand-in
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString
+    vocab.withColumn("p_type", lit("T")).withColumn("p_brand", lit("B"))
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val pairs = JoinQueries.fuzzyJoin(spark, dir)
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    mutants.foreach { m =>
+      val p = if (base < m) (base, m) else (m, base)
+      assert(pairs.contains(p), s"missed pair for mutant $m (dist ${levDist(base, m)})")
+    }
+  }
+
+  test("winsorized values stay inside the group's [p05, p95] band") {
+    val out = OlapQueries.winsorize(spark, sf).cache()
+    val viol = out.groupBy("l_returnflag")
+      .agg(min("price_w").as("lo"), max("price_w").as("hi"),
+        min("l_extendedprice").as("rawLo"), max("l_extendedprice").as("rawHi"))
+      .filter(col("lo") < col("rawLo") || col("hi") > col("rawHi"))
+    assert(viol.count() == 0)
+    // clamping must touch something at both ends (5% tails are non-empty)
+    assert(out.filter(col("price_w") =!= col("l_extendedprice")).count() > 0)
+    out.unpersist()
+  }
+
+  test("mergeFull applies delete/update/insert exactly") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "p")
+    val changes = Seq(
+      (1L, "D", null.asInstanceOf[String], null.asInstanceOf[java.lang.Double]),
+      (2L, "U", "bb", java.lang.Double.valueOf(22.0)),
+      (9L, "I", "new", java.lang.Double.valueOf(90.0)))
+      .toDF("k", "op", "c_s", "c_p")
+    val out = Upsert.mergeFull(base, changes, "k")
+      .as[(Long, String, Double)].collect().toSet
+    assert(out == Set((2L, "bb", 22.0), (3L, "c", 30.0), (9L, "new", 90.0)))
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+}
