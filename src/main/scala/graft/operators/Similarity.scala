@@ -674,7 +674,58 @@ object Similarity {
     pr.select(col("vec_id"), col("pr").as("pr_fp"))
   }
 
+  /** Hard-negative mining — for each probe, the top-5 most-similar
+    * vectors carrying a DIFFERENT label (the contrastive-training
+    * batch-construction primitive: negatives that are hard precisely
+    * because the embedding thinks they match). Reuses the [[pairSims]]
+    * broadcast kernel; the label attach is one keyed join of the
+    * (probes x corpus) sim frame against the id->label projection, and
+    * the top-5 cut is the standard per-query window. At scale the probe
+    * set is whatever anchor batch is being mined (bounded), so the
+    * whole operator is one corpus pass + one join. */
+  def knnHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val ds = vecDs(spark, dir)
+    val probes = ds.filter(col("id") < 20).collect()
+    val sims = pairSims(ds, probes, (c, q) => c != q, minSim = -2.0)
+      .select(col("b").as("query_id"), col("a").as("neighbor_id"), col("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("q_label")), "query_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+      .filter(col("q_label") =!= col("n_label"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("q_label"),
+        col("n_label"), col("rn"), round(col("sim"), 4).as("sim_r4"))
+  }
+
+  /** Per-label mean embedding (the class prototype — k-means'
+    * assignment target and the noisy-label pruning reference point),
+    * in exact fixed point: each float lands on a 1e-6 grid (the
+    * repo's cent-grid pattern — `round` on doubles agrees across
+    * engines), per-(label, dimension) sums are exact BIGINTs, so the
+    * result is independent of partial-aggregation order. Plan:
+    * posexplode to (label, pos, x) — map-side, no shuffle — then ONE
+    * hash agg keyed by (label, pos); emitted as (n, sum) pairs, the
+    * mergeable sufficient statistic, not a pre-divided mean. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x") * 1e6).cast("long")).as("sum_u6"))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        col("n"), col("sum_u6"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_hard_negatives" -> knnHardNegatives _,
+    "embed_centroids" -> labelCentroids _,
     "graph_pagerank" -> pageRank _,
     "graph_triangles" -> triangles _,
     "knn_brute" -> knnBrute _,
@@ -766,6 +817,28 @@ object Similarity {
          |       count(*) AS n_vertices,
          |       CAST(coalesce(max(n_tri), 0) AS BIGINT) AS max_per_vertex
          |FROM pv""".stripMargin,
+    "knn_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+        |             CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 20)
+        |SELECT query_id, neighbor_id, q_label, n_label, rn,
+        |  round(sim, 4) AS sim_r4 FROM (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id, q.q_label,
+        |    e.label AS n_label,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim,
+        |    CAST(row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |        DESC, e.vec_id ASC) AS BIGINT) AS rn
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.query_id AND e.label <> q.q_label)
+        |WHERE rn <= 5""".stripMargin,
+    "embed_centroids" ->
+      """WITH x AS (SELECT label, j AS pos, embedding[j + 1] AS x
+        |  FROM embeddings, unnest(range(len(embedding))) AS u(j))
+        |SELECT label, CAST(pos AS BIGINT) AS pos, count(*) AS n,
+        |  CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS sum_u6
+        |FROM x GROUP BY 1, 2""".stripMargin,
     "knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |             CAST(embedding AS DOUBLE[]) AS qv

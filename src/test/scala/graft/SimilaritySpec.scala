@@ -294,4 +294,32 @@ class SimilaritySpec extends AnyFunSuite {
     val again = Similarity.projectEmbeddings(spark, SparkTestSession.sf).collect()
     assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
+
+  test("hard negatives all cross labels and are never more similar than the unconstrained top-k") {
+    val sf = SparkTestSession.sf
+    val hard = Similarity.knnHardNegatives(spark, sf).collect()
+    assert(hard.nonEmpty)
+    hard.foreach(r => assert(r.getAs[Int]("q_label") != r.getAs[Int]("n_label")))
+    // per query: best hard-negative sim <= best unconstrained sim
+    val bestHard = hard.filter(_.getAs[Long]("rn") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("sim_r4")).toMap
+    val bestAny = Similarity.knnBrute(spark, sf).collect()
+      .filter(_.getAs[Long]("rn") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("sim_r4")).toMap
+    bestHard.foreach { case (q, s) =>
+      assert(s <= bestAny(q) + 1e-9, s"query $q hard-negative sim $s beats ${bestAny(q)}")
+    }
+  }
+
+  test("label centroids partition the corpus: per-dimension counts sum to corpus size") {
+    val sf = SparkTestSession.sf
+    val cents = Similarity.labelCentroids(spark, sf).collect()
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val dims = cents.map(_.getAs[Long]("pos")).distinct
+    dims.foreach { d =>
+      val total = cents.filter(_.getAs[Long]("pos") == d).map(_.getAs[Long]("n")).sum
+      assert(total == n, s"dimension $d counts $total != corpus $n")
+    }
+    assert(dims.length == 64)
+  }
 }
