@@ -57,16 +57,37 @@ object Bench {
     }
     val (p1, p2) = (pass(), pass())
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    // Rounded to 10ms: the driver captures only the last few KB of the
-    // build log, and at 130+ queries a full-precision map pushes the single
-    // JSON line past that window (round 3's line was truncated at the head
-    // and never parsed). 10ms resolution on 0.1-6s queries loses nothing.
     def fmt(v: Double): String = f"$v%.2f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def toJson(m: Map[String, Double], prec: String => String): String =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + prec(fmt(v)) }
+        .mkString("{", ",", "}")
+    // The driver captures only the last ~2 KB of the build log, so the
+    // stdout line carries a curated headline subset (one-plus query per
+    // operator family, heavies included); the COMPLETE per-query map goes
+    // to BENCH_FULL.json in the repo root. Round 3's full map overflowed
+    // the tail window and the driver recorded parsed:null.
+    val full = toJson(results, identity)
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      try w.println(s"""{"metric":"total","value":${fmt(results.values.sum)},"unit":"sec","n":${results.size},"queries":$full,"sf":"${sfDir.split('/').last}"}""")
+      finally w.close()
+    } catch { case _: Throwable => () }
+    val headline = Set(
+      "join_agg", "join_bucketed", "join_bloom", "join_range", "asof_join",
+      "skew_salted_join", "agg_percentiles", "agg_topk", "agg_cube",
+      "agg_heavy_hitters", "window_topn", "window_running_sum", "sessionize",
+      "dedup_exact", "dedup_minhash_bands", "dedup_clusters", "dedup_setsim",
+      "dedup_simhash_pairs", "dedup_semantic", "embed_neardup_lsh",
+      "knn_brute", "knn_ivf", "embed_clusters", "text_tfidf", "text_langid",
+      "text_tokens_bpe", "text_quality", "multimodal_frames",
+      "train_pipeline", "decontaminate", "stream_tumbling_append",
+      "stream_dedup", "stream_upsert_deltas_tws", "pipeline_run",
+      "ingest_parse", "yearly_revenue")
+    val qs = toJson(results.view.filterKeys(headline).toMap, identity)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfTag = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfTag"}""")
     spark.stop()
   }
 }

