@@ -451,6 +451,147 @@ object Similarity {
         round(col("sim"), 4).as("sim_r4"))
   }
 
+  // --- Product quantization (PQ) ANN -------------------------------------
+
+  /** PQ geometry (Jégou et al., TPAMI 2011): S contiguous subspaces of
+    * dsub dims, K codes each. A 64-dim double vector (512 bytes)
+    * compresses to 8 small integers — the search structure for a
+    * 100 TB embedding corpus shrinks by ~64x and the ADC scan streams
+    * codes, never vectors. */
+  val pqSub = 8
+  val pqDsub: Int = Dim / pqSub
+  val pqK = 64
+
+  /** Per-subspace Lloyd refinement rounds for the PQ codebook. An
+    * UNtrained (sampled-only) codebook collapses on clustered corpora:
+    * same-cluster vectors land on identical code words, ADC distances
+    * tie en masse, and recall drops to near-chance (measured 0.05 on
+    * this corpus). Two rounds of per-subspace k-means restore the
+    * sub-quantizers' spread. */
+  val pqIters = 2
+
+  /** Deterministic trained PQ codebook, memoized per corpus like the
+    * IVF quantizer (production trains it ONCE offline). Init: the pqK
+    * corpus vectors with the smallest LCG permutation of vec_id (code
+    * id = rank of vec_id among the sample), sliced per subspace. Then
+    * [[pqIters]] rounds of per-subspace Lloyd: one distributed encode
+    * pass (map-side codegen), then a (sub, code, dim)-keyed
+    * integer-quantized mean — the same exact-arithmetic update as
+    * [[kmeansCentroids]], so the DuckDB oracle reproduces it
+    * bit-identically. Only pqSub*pqK*pqDsub aggregate rows reach the
+    * driver per round; empty cells keep their previous entry. */
+  private val pqMemo =
+    new scala.collection.concurrent.TrieMap[String, Array[Array[Array[Double]]]]
+  private def pqCodebookFor(dir: String, e: DataFrame): Array[Array[Array[Double]]] =
+    pqMemo.getOrElseUpdate(dir, {
+      import graft.functions.PqEncode.pq_encode
+      val sample = e
+        .withColumn("r",
+          pmod(col("vec_id") * lit(1103515245L) + lit(12345L), lit(2147483648L)))
+        .orderBy(col("r"), col("vec_id")).limit(pqK)
+        .select(col("vec_id"), col("v"))
+        .collect() // pqK rows — bounded and corpus-independent
+        .map(r => r.getLong(0) -> r.getSeq[Double](1))
+        .sortBy(_._1)
+      var cb = Array.tabulate(pqSub, pqK, pqDsub) { (s, k, d) =>
+        sample(k)._2(s * pqDsub + d)
+      }
+      for (_ <- 0 until pqIters) {
+        val stats = e
+          .select(col("v"),
+            posexplode(pq_encode(col("v"), cb)).as(Seq("sub", "code")))
+          .select(col("sub"), col("code"),
+            posexplode(slice(col("v"), col("sub") * lit(pqDsub) + lit(1),
+              lit(pqDsub))).as(Seq("d", "x")))
+          .groupBy("sub", "code", "d")
+          .agg(sum(floor(col("x") * lit(1000000.0))).as("s"),
+            count(lit(1)).as("n"))
+          .collect() // pqSub*pqK*pqDsub rows — bounded
+          .map(r => ((r.getInt(0), r.getLong(1), r.getInt(2)),
+            (r.getLong(3), r.getLong(4))))
+          .toMap
+        cb = Array.tabulate(pqSub, pqK, pqDsub) { (s, k, d) =>
+          stats.get((s, k.toLong, d))
+            .fold(cb(s)(k)(d)) { case (sm, n) =>
+              sm.toDouble / (n.toDouble * 1e6)
+            }
+        }
+      }
+      cb
+    })
+
+  /** Gate query: PQ code per (vector, subspace). Encode is ONE
+    * map-side codegen pass with NO shuffle (the posexplode is
+    * row-local) — at 100 TB encoding parallelizes perfectly and ships
+    * S longs per vector to the index sink. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqEncode.pq_encode
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("v"))
+    e.select(col("vec_id"),
+        posexplode(pq_encode(col("v"), pqCodebookFor(dir, e)))
+          .as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+  }
+
+  case class PqCode(id: Long, codes: Array[Long])
+  case class PqDist(query_id: Long, neighbor_id: Long, dist2: Double)
+
+  /** PQ-ADC top-3: asymmetric distance computation. Each query builds
+    * an S x K lookup table of exact subspace distances to every
+    * codebook entry (driver-side — bounded probe set x S*K doubles,
+    * broadcast to executors); the corpus pass then reads CODES, not
+    * vectors, and a candidate's distance is S table lookups and adds.
+    * Per-row scan cost drops from Dim mul-adds over 512 bytes to S
+    * adds over 64 bytes — the PQ trade: approximate distances
+    * (quantization error), exact ranking on those approximations.
+    * Bit-reproducible: LUT terms and the s=0..S-1 accumulation are
+    * sequential left-to-right, matching the DuckDB oracle. */
+  def knnPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqEncode.pq_encode
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("v"))
+    val cb = pqCodebookFor(dir, e)
+    val codes = e.select(col("vec_id").as("id"),
+      pq_encode(col("v"), cb).as("codes")).as[PqCode]
+    val probes = e.filter(col("vec_id") < 20)
+      .collect() // bounded query set
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val luts: Array[(Long, Array[Array[Double]])] = probes.map { case (qid, qv) =>
+      qid -> Array.tabulate(pqSub, pqK) { (s, k) =>
+        var d2 = 0.0
+        var d = 0
+        while (d < pqDsub) {
+          val t = qv(s * pqDsub + d) - cb(s)(k)(d)
+          d2 += t * t
+          d += 1
+        }
+        d2
+      }
+    }
+    val bc = spark.sparkContext.broadcast(luts)
+    val dists = codes.mapPartitions { it =>
+      val qs = bc.value
+      it.flatMap { c =>
+        qs.iterator.collect { case (qid, lut) if qid != c.id =>
+          var t = 0.0
+          var s = 0
+          while (s < lut.length) { t += lut(s)(c.codes(s).toInt); s += 1 }
+          PqDist(qid, c.id, t)
+        }
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dist2").asc, col("neighbor_id").asc)
+    dists.toDF()
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rn"),
+        round(col("dist2"), 4).as("dist2_r4"))
+  }
+
   // --- SRP-LSH near-dup (the sub-quadratic scale path) -------------------
 
   /** Signed-random-projection banding: `lshBands` bands of `lshBits`
@@ -749,7 +890,9 @@ object Similarity {
     "knn_ivf_probe2" -> knnIvfProbe _,
     "dedup_semantic" -> semanticDedup _,
     "embed_project" -> projectEmbeddings _,
-    "embed_quantize" -> quantizeEmbeddings _)
+    "embed_quantize" -> quantizeEmbeddings _,
+    "embed_pq_codes" -> pqCodes _,
+    "knn_pq_adc" -> knnPqAdc _)
 
   /** Flat CTE list ending in `vp(a, b)` — the verified SRP-LSH near-dup
     * pairs; shared by the pair gate and the clustering gate. */
@@ -790,6 +933,64 @@ object Similarity {
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         s"list_transform(range($Dim), i -> $x[i+1] * $y[i+1])), (p,q) -> p+q)"
     s"(${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)})))"
+  }
+
+  /** Squared L2 between the `$sub`-th dsub-dim slice of full vector x
+    * and an 8-dim codebook entry y, accumulated left-to-right — the
+    * DuckDB rendering of the [[graft.functions.PqEncode]] inner loop.
+    * `sub` is a SQL expression for the subspace index. */
+  private def pqD2Sql(x: String, sub: String, y: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range($pqDsub), d -> " +
+      s"($x[$sub*$pqDsub + d + 1] - $y[d+1]) * " +
+      s"($x[$sub*$pqDsub + d + 1] - $y[d+1]))), " +
+      s"(p,q) -> p+q)"
+
+  /** Flat CTE list ending in `pq_cb(sub, code, cv)` (the trained
+    * codebook — LCG-sampled init + [[pqIters]] per-subspace Lloyd
+    * rounds with integer-quantized means, bit-identical to
+    * [[pqCodebookFor]]) and `pq_best(vec_id, sub, code)` (the encode
+    * against it); shared by the code gate and the ADC search gate. */
+  private def pqCtes: String = {
+    def lloyd(t: Int, prev: String): String =
+      s"""pq_d$t AS (SELECT e.vec_id, c.sub, c.code,
+         |    ${pqD2Sql("e.v", "c.sub", "c.cv")} AS d2
+         |  FROM e CROSS JOIN $prev c),
+         |pq_a$t AS (SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, code, row_number() OVER (
+         |    PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn
+         |  FROM pq_d$t) WHERE rn = 1),
+         |pq_s$t AS (SELECT b.sub, b.code, i.range AS d,
+         |    sum(CAST(floor(e.v[b.sub*$pqDsub + i.range + 1] * 1000000.0)
+         |        AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM pq_a$t b JOIN e USING (vec_id) CROSS JOIN range($pqDsub) i
+         |  GROUP BY 1, 2, 3),
+         |pq_cb$t AS (SELECT c.sub, c.code, coalesce(u.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN (
+         |    SELECT sub, code, list(CAST(s AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY d) AS cv
+         |    FROM pq_s$t GROUP BY 1, 2) u USING (sub, code))""".stripMargin
+    val rounds = (1 to pqIters)
+      .map(t => lloyd(t, if (t == 1) "pq_cb0" else s"pq_cb${t - 1}"))
+      .mkString(",\n")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pq_cb0 AS (SELECT s.range AS sub, t.code,
+       |    list_transform(range($pqDsub), d -> t.v[s.range*$pqDsub + d + 1]) AS cv
+       |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+       |        FROM (SELECT vec_id, v FROM e
+       |              ORDER BY (vec_id * 1103515245 + 12345) % 2147483648, vec_id
+       |              LIMIT $pqK)) t
+       |  CROSS JOIN range($pqSub) s),
+       |$rounds,
+       |pq_cb AS (SELECT sub, code, cv FROM pq_cb$pqIters),
+       |pq_df AS (SELECT e.vec_id, c.sub, c.code,
+       |    ${pqD2Sql("e.v", "c.sub", "c.cv")} AS d2
+       |  FROM e CROSS JOIN pq_cb c),
+       |pq_best AS (SELECT vec_id, sub, code FROM (
+       |  SELECT vec_id, sub, code, row_number() OVER (
+       |    PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn
+       |  FROM pq_df) WHERE rn = 1)""".stripMargin
   }
 
   /** Unrolled fixed-point PageRank iterations p1..p[[prIters]] as a CTE
@@ -953,7 +1154,33 @@ object Similarity {
          |    ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
          |  WHERE ${cosSql("x.v", "y.v")} >= $semThreshold)
          |SELECT a.vec_id, a.cent_id, d.vec_id IS NULL AS kept
-         |FROM assigned a LEFT JOIN drops d ON d.vec_id = a.vec_id""".stripMargin)
+         |FROM assigned a LEFT JOIN drops d ON d.vec_id = a.vec_id""".stripMargin,
+    "embed_pq_codes" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub,
+         |  CAST(code AS BIGINT) AS code FROM pq_best""".stripMargin,
+    "knn_pq_adc" -> {
+      val subCols = (0 until pqSub)
+        .map(s => s"max(CASE WHEN l.sub = $s THEN l.d2 END) AS s$s")
+        .mkString(",\n           ")
+      val sumExpr = (0 until pqSub)
+        .foldLeft("CAST(0 AS DOUBLE)")((acc, s) => s"($acc + s$s)")
+      s"""WITH $pqCtes,
+         |lut AS (SELECT q.vec_id AS query_id, c.sub, c.code,
+         |    ${pqD2Sql("q.v", "c.sub", "c.cv")} AS d2
+         |  FROM (SELECT * FROM e WHERE vec_id < 20) q CROSS JOIN pq_cb c),
+         |tot AS (SELECT l.query_id, b.vec_id AS neighbor_id,
+         |           $subCols
+         |  FROM pq_best b JOIN lut l ON l.sub = b.sub AND l.code = b.code
+         |  WHERE b.vec_id <> l.query_id
+         |  GROUP BY 1, 2),
+         |td AS (SELECT query_id, neighbor_id, $sumExpr AS dist2 FROM tot)
+         |SELECT query_id, neighbor_id, rn, round(dist2, 4) AS dist2_r4 FROM (
+         |  SELECT query_id, neighbor_id, dist2, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dist2 ASC, neighbor_id ASC)
+         |      AS BIGINT) AS rn
+         |  FROM td) WHERE rn <= 3""".stripMargin
+    })
 
   /** Flat CTE list ending in `assigned(vec_id, v, cent_id)` — the DuckDB
     * rendering of [[kmeansCentroids]] + [[assignToCentroids]], shared by

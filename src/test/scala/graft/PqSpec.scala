@@ -1,0 +1,131 @@
+package graft
+
+import graft.operators.Similarity
+import org.scalatest.funsuite.AnyFunSuite
+
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def corpus: Array[(Long, Array[Double])] =
+    Tables.load(spark, SparkTestSession.sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  private def argmin(v: Array[Double], s: Int,
+      cb: Array[Array[Array[Double]]]): Int = {
+    val D = Similarity.pqDsub
+    var bestK = -1
+    var best = Double.PositiveInfinity
+    for (k <- 0 until Similarity.pqK) {
+      var d2 = 0.0
+      for (d <- 0 until D) {
+        val t = v(s * D + d) - cb(s)(k)(d)
+        d2 += t * t
+      }
+      if (d2 < best) { best = d2; bestK = k }
+    }
+    bestK
+  }
+
+  /** Plain-Scala PQ reference, written sequentially and independently
+    * of the expression/DataFrame path: LCG sample init, then the same
+    * per-subspace Lloyd rounds with integer-quantized (hence
+    * order-independent) mean updates. */
+  private def referenceCodebook(
+      e: Array[(Long, Array[Double])]): Array[Array[Array[Double]]] = {
+    val S = Similarity.pqSub
+    val K = Similarity.pqK
+    val D = Similarity.pqDsub
+    val sample = e
+      .sortBy { case (id, _) => ((id * 1103515245L + 12345L) % 2147483648L, id) }
+      .take(K).sortBy(_._1).map(_._2)
+    var cb = Array.tabulate(S, K, D)((s, k, d) => sample(k)(s * D + d))
+    for (_ <- 0 until Similarity.pqIters) {
+      val sums = Array.fill(S, K, D)(0L)
+      val counts = Array.fill(S, K)(0L)
+      for ((_, v) <- e; s <- 0 until S) {
+        val bk = argmin(v, s, cb)
+        counts(s)(bk) += 1
+        for (d <- 0 until D)
+          sums(s)(bk)(d) += math.floor(v(s * D + d) * 1e6).toLong
+      }
+      val prev = cb
+      cb = Array.tabulate(S, K, D) { (s, k, d) =>
+        if (counts(s)(k) == 0) prev(s)(k)(d)
+        else sums(s)(k)(d).toDouble / (counts(s)(k).toDouble * 1e6)
+      }
+    }
+    cb
+  }
+
+  private def referenceCodes: Map[Long, Array[Int]] = {
+    val e = corpus
+    val cb = referenceCodebook(e)
+    e.map { case (id, v) =>
+      id -> Array.tabulate(Similarity.pqSub)(s => argmin(v, s, cb))
+    }.toMap
+  }
+
+  test("pq_encode matches an independent per-subspace argmin") {
+    val expected = referenceCodes
+    val got = Similarity.pqCodes(spark, SparkTestSession.sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(_.getLong(2).toInt)
+      }
+    assert(got.size == expected.size)
+    got.foreach { case (id, codes) =>
+      assert(codes.toSeq == expected(id).toSeq, s"vec $id")
+    }
+  }
+
+  test("pq encode plans with no shuffle exchange (pure map-side pass)") {
+    val plan = Similarity.pqCodes(spark, SparkTestSession.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+  }
+
+  test("pq_encode stays inside whole-stage codegen") {
+    // WSCG stages print as "*(n) ..." in the executed-plan tree
+    val plan = Similarity.pqCodes(spark, SparkTestSession.sf)
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Generate posexplode\(pq_encode""".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("ADC top-3 recall vs exact L2 top-3 clears the floor") {
+    val e = corpus
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val probes = e.filter(_._1 < 20)
+    val exact = probes.map { case (qid, qv) =>
+      qid -> e.filter(_._1 != qid)
+        .map { case (id, v) => (id, l2(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(3).map(_._1).toSet
+    }.toMap
+    val got = Similarity.knnPqAdc(spark, SparkTestSession.sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val recalls = exact.map { case (q, ex) =>
+      (got.getOrElse(q, Set.empty) & ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 16 codes x 8 subspaces over a sampled (untrained) codebook is a
+    // coarse quantizer; the floor pins "clearly better than chance"
+    // (random top-3 of ~500 would recall ~0.006) without overfitting
+    // the fixture
+    assert(mean >= 0.25, s"mean ADC recall $mean")
+  }
+
+  test("ADC distances are non-negative and rankings per query are dense") {
+    val rows = Similarity.knnPqAdc(spark, SparkTestSession.sf).collect()
+    assert(rows.forall(_.getDouble(3) >= 0.0))
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L, 3L), s"query $q")
+    }
+  }
+}
