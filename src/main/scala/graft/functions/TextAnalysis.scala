@@ -326,7 +326,70 @@ object TextAnalysis {
           when(col("rn") <= invCap, col("doc_id")))), ",").as("postings"))
   }
 
+  /** floor(log2(n)) for a positive integer column, EXACTLY: the binary
+    * digit count minus one. Integer/string ops only — libm log is not
+    * bit-identical across engines (see [[tfIdf]]), so a gate using real
+    * logs would flake; the floor-log2 "bit surprisal" keeps the same
+    * rarity ordering and reproduces exactly in DuckDB
+    * (length(printf('%b', n)) - 1). */
+  def flog2(c: Column): Column =
+    (length(conv(c, 10, 2)) - 1).cast("long")
+
+  /** CCNet-style unigram language-model scoring (Wenzek et al., 2020
+    * filter corpora by LM perplexity): train a unigram model on the
+    * corpus itself, score every document by its mean per-token
+    * surprisal, here in exact integer bits (-floor(log2(p)) =
+    * flog2(N) - flog2(c)). High avg_bits = rare-token-heavy documents
+    * (gibberish, codes, boilerplate IDs); low = stopword soup. Plan
+    * mirrors [[tfIdf]]: one persisted (doc, term) hash-agg feeds both
+    * the model build and the scoring join, the model total rides a
+    * 1-row broadcast, and every aggregate is algebraic — two shuffles
+    * total regardless of corpus size. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = tf.groupBy("term").agg(sum("tf").as("c"))
+    val tot = uni.agg(sum("c").as("n_total"))
+    tf.join(uni, "term")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * (flog2(col("n_total")) - flog2(col("c"))))
+          .as("bits"))
+      .select(col("doc_id"), col("n_tokens"), col("bits"),
+        (col("bits").cast("double") / col("n_tokens").cast("double"))
+          .as("avg_bits"))
+  }
+
+  /** Character-diversity score — the entropy-flavored repetition /
+    * gibberish signal, in the same exact bit arithmetic as
+    * [[lmScore]]: ent_num = n*flog2(n) - Σ c_i*flog2(c_i) over
+    * per-character counts c_i (the numerator of the plug-in Shannon
+    * entropy with floor-log2; 0 for single-character runs, large for
+    * diverse text). Chars explode map-side off the scan; the only
+    * shuffle is the (doc, char) hash-agg — distinct chars per doc is
+    * bounded by the alphabet, so the combine crushes the volume. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '.', 0)")).as("ch"))
+      .groupBy("doc_id", "ch")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_chars"),
+        sum(col("c") * flog2(col("c"))).as("sum_clog"))
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_chars") * flog2(col("n_chars")) - col("sum_clog"))
+          .as("ent_num"),
+        ((col("n_chars") * flog2(col("n_chars")) - col("sum_clog"))
+          .cast("double") / col("n_chars").cast("double")).as("ent_bits"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> lmScore _,
+    "text_entropy" -> charEntropy _,
     "text_inverted_index" -> invertedIndex _,
     "text_tokens_bpe" -> tokensBpe _,
     "text_pmi" -> cooccurrence _,
@@ -362,7 +425,38 @@ object TextAnalysis {
        |     + CASE WHEN char_sum <= n_tok * 8 THEN 1 ELSE 0 END) AS score
        |  FROM qf)""".stripMargin
 
+  /** DuckDB rendering of [[flog2]]. */
+  private def flog2Sql(x: String): String =
+    s"(length(printf('%b', CAST($x AS BIGINT))) - 1)"
+
   val oracles: Map[String, String] = Map(
+    "text_lm_score" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(str_split(text, ' ')) AS term
+         |    FROM documents) GROUP BY 1, 2),
+         |uni AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c
+         |  FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni)
+         |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |  CAST(sum(tf.tf * (${flog2Sql("tot.n_total")}
+         |    - ${flog2Sql("uni.c")})) AS BIGINT) AS bits,
+         |  CAST(sum(tf.tf * (${flog2Sql("tot.n_total")}
+         |    - ${flog2Sql("uni.c")})) AS DOUBLE)
+         |    / CAST(sum(tf.tf) AS DOUBLE) AS avg_bits
+         |FROM tf JOIN uni USING (term) CROSS JOIN tot
+         |GROUP BY 1""".stripMargin,
+    "text_entropy" ->
+      s"""WITH cc AS (SELECT doc_id, ch, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+         |    FROM documents) GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+         |    CAST(sum(c * ${flog2Sql("c")}) AS BIGINT) AS sum_clog
+         |  FROM cc GROUP BY 1)
+         |SELECT doc_id, n_chars,
+         |  n_chars * ${flog2Sql("n_chars")} - sum_clog AS ent_num,
+         |  CAST(n_chars * ${flog2Sql("n_chars")} - sum_clog AS DOUBLE)
+         |    / CAST(n_chars AS DOUBLE) AS ent_bits
+         |FROM agg""".stripMargin,
     "text_inverted_index" ->
       s"""WITH tok AS (SELECT doc_id,
          |    unnest(list_distinct(str_split(text, ' '))) AS term

@@ -200,4 +200,57 @@ class TextAnalysisSpec extends AnyFunSuite {
         s"term $term postings")
     }
   }
+
+  test("flog2 is the exact floor of log2 over a wide range") {
+    import spark.implicits._
+    val got = (1L to 4100L).toDF("n")
+      .select(TextAnalysis.flog2(org.apache.spark.sql.functions.col("n")))
+      .collect().map(_.getLong(0))
+    (1L to 4100L).zip(got).foreach { case (n, f) =>
+      assert(f == (63 - java.lang.Long.numberOfLeadingZeros(n)).toLong,
+        s"flog2($n)")
+    }
+  }
+
+  test("lm score: bits match a sequential unigram model on the corpus") {
+    val docs = Tables.load(spark, SparkTestSession.sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val uni = docs.flatMap(_._2).groupBy(identity).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    val n = uni.values.sum
+    def fl(x: Long): Long = (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    val expected = docs.map { case (id, toks) =>
+      id -> toks.map(t => fl(n) - fl(uni(t))).sum
+    }.toMap
+    val got = TextAnalysis.lmScore(spark, SparkTestSession.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == expected.size)
+    got.foreach { case (id, (nTok, bits)) =>
+      assert(nTok == docs.find(_._1 == id).get._2.length.toLong)
+      assert(bits == expected(id), s"doc $id")
+    }
+  }
+
+  test("char entropy: zero for one-symbol runs, positive for diverse text") {
+    val rows = TextAnalysis.charEntropy(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, num, bits) =>
+      assert(num >= 0L, s"doc $id negative entropy numerator")
+      assert(math.abs(bits - num.toDouble / n.toDouble) < 1e-12)
+    }
+    // independent check on one doc: recompute from the raw text
+    val (id0, text0) = {
+      val r = Tables.load(spark, SparkTestSession.sf, "documents")
+        .select("doc_id", "text").head()
+      (r.getLong(0), r.getString(1))
+    }
+    def fl(x: Long): Long = (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    val counts = text0.toSeq.groupBy(identity).values.map(_.length.toLong)
+    val n0 = counts.sum
+    val expected = n0 * fl(n0) - counts.map(c => c * fl(c)).sum
+    val got0 = rows.find(_._1 == id0).get
+    assert(got0._3 == expected, s"doc $id0 entropy numerator")
+  }
 }
