@@ -451,6 +451,34 @@ object Similarity {
         round(col("sim"), 4).as("sim_r4"))
   }
 
+  /** Metadata-filtered exact top-3 — the vector-DB staple (retrieve
+    * only among rows passing a predicate; RAG with ACL/source/date
+    * filters). This is the PRE-filter strategy: the predicate lands on
+    * the corpus scan (pushed to parquet), then the broadcast-probe
+    * kernel runs over survivors only — correct for any selectivity,
+    * and at high selectivity strictly cheaper than post-filtering an
+    * ANN result (which can starve below k). The IVF/PQ paths compose
+    * with the same pushed filter when approximation is acceptable. */
+  def knnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val allowed = Tables.load(spark, dir, "embeddings")
+      .filter(col("label") % 2 === 0)
+      .select(col("vec_id"), asD(col("embedding")).as("v"),
+        norm(asD(col("embedding"))).as("nrm"))
+    import spark.implicits._
+    val ds = allowed
+      .select(col("vec_id").as("id"), col("v"), col("nrm").as("n")).as[Vec]
+    val probes = vecDs(spark, dir).filter(col("id") < 20).collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    pairSims(ds, probes, (c, q) => c != q, minSim = -2.0)
+      .select(col("b").as("query_id"), col("a").as("neighbor_id"), col("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rn"),
+        round(col("sim"), 4).as("sim_r4"))
+  }
+
   // --- Product quantization (PQ) ANN -------------------------------------
 
   /** PQ geometry (Jégou et al., TPAMI 2011): S contiguous subspaces of
@@ -892,7 +920,8 @@ object Similarity {
     "embed_project" -> projectEmbeddings _,
     "embed_quantize" -> quantizeEmbeddings _,
     "embed_pq_codes" -> pqCodes _,
-    "knn_pq_adc" -> knnPqAdc _)
+    "knn_pq_adc" -> knnPqAdc _,
+    "knn_filtered" -> knnFiltered _)
 
   /** Flat CTE list ending in `vp(a, b)` — the verified SRP-LSH near-dup
     * pairs; shared by the pair gate and the clustering gate. */
@@ -1155,6 +1184,19 @@ object Similarity {
          |  WHERE ${cosSql("x.v", "y.v")} >= $semThreshold)
          |SELECT a.vec_id, a.cent_id, d.vec_id IS NULL AS kept
          |FROM assigned a LEFT JOIN drops d ON d.vec_id = a.vec_id""".stripMargin,
+    "knn_filtered" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    label FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+         |cand AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+         |           ${cosSql("a.v", "q.qv")} AS sim
+         |         FROM e a CROSS JOIN q
+         |         WHERE a.label % 2 = 0 AND a.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, rn, round(sim, 4) AS sim_r4 FROM (
+         |  SELECT query_id, neighbor_id, sim, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
+         |      AS BIGINT) AS rn
+         |  FROM cand) WHERE rn <= 3""".stripMargin,
     "embed_pq_codes" ->
       s"""WITH $pqCtes
          |SELECT vec_id, CAST(sub AS BIGINT) AS sub,

@@ -204,7 +204,36 @@ object TrainPrep {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_cnt"))
   }
 
+  /** Documents kept per source by [[sourceCap]]. */
+  val sourceCapK = 10
+
+  /** Per-source document cap — the web-curation staple (bound any one
+    * domain/feed's share of the corpus before mixing): keep the
+    * [[sourceCapK]] highest-priority docs per source, priority = the
+    * LCG permutation of doc_id (a deterministic uniform draw, so the
+    * cap is an unbiased per-source subsample rather than
+    * "first-by-id"). Runs through the bounded top-k `Aggregator`, NOT
+    * a row_number window: the shuffle carries O(sources * k) buffer
+    * rows instead of every document, so one mega-source (the 100 TB
+    * reality — a single crawl domain with billions of pages) costs the
+    * same exchange volume as a tiny one. */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopK
+    val topk = udaf(new TopK.TopKAgg(sourceCapK),
+      org.apache.spark.sql.Encoders.product[TopK.Scored])
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
+          lit(2147483648L)).cast("double").as("pri"))
+      .groupBy("source")
+      .agg(topk(col("pri"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("source"), (col("i") + 1).cast("long").as("rn"),
+        col("s.key").as("doc_id"), col("s.score").cast("long").as("pri"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_source_cap" -> sourceCap _,
     "train_split" -> splitQuery _,
     "train_sample_stratified" -> sampleQuery _,
     "train_mix" -> mixQuery _,
@@ -266,6 +295,17 @@ object TrainPrep {
   }
 
   val oracles: Map[String, String] = Map(
+    "curate_source_cap" ->
+      s"""WITH p AS (SELECT source, doc_id,
+         |    (doc_id * 1103515245 + 12345) % 2147483648 AS pri
+         |  FROM documents)
+         |SELECT source,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY pri DESC, doc_id ASC) AS BIGINT) AS rn,
+         |  doc_id, pri
+         |FROM p
+         |QUALIFY row_number() OVER (PARTITION BY source
+         |    ORDER BY pri DESC, doc_id ASC) <= $sourceCapK""".stripMargin,
     "train_pipeline" -> {
       val h = Dedup.polySql("text", 31L, 2000000011L)
       s"""WITH ${Decontaminate.hitCtes},

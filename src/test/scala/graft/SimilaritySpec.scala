@@ -311,6 +311,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("filtered knn: neighbors satisfy the predicate and match a filtered brute force") {
+    val sf = SparkTestSession.sf
+    val e = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v", "label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val allowed = e.filter(_._3 % 2 == 0)
+    val expected = e.filter(_._1 < 20).map { case (qid, qv, _) =>
+      qid -> allowed.filter(_._1 != qid)
+        .map { case (id, v, _) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSeq
+    }.toMap
+    val evenLabels = allowed.map(x => x._1 -> x._3).toMap
+    val got = Similarity.knnFiltered(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq }
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (q, ns) =>
+      ns.foreach(n => assert(evenLabels.contains(n), s"query $q neighbor $n fails filter"))
+      assert(ns == expected(q), s"query $q")
+    }
+  }
+
   test("label centroids partition the corpus: per-dimension counts sum to corpus size") {
     val sf = SparkTestSession.sf
     val cents = Similarity.labelCentroids(spark, sf).collect()

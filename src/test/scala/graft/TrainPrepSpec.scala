@@ -143,4 +143,25 @@ class TrainPrepSpec extends AnyFunSuite {
     val ids = out.map(_.getLong(0))
     assert(ids.distinct.length == ids.length)
   }
+
+  test("source cap equals the sequential per-source top-k by LCG priority") {
+    val docs = Tables.load(spark, SparkTestSession.sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def pri(id: Long): Long = (id * 1103515245L + 12345L) % 2147483648L
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, xs) =>
+      xs.map(_._1).sortBy(id => (-pri(id), id))
+        .take(TrainPrep.sourceCapK)
+        .zipWithIndex
+        .map { case (id, i) => (src, (i + 1).toLong, id, pri(id)) }
+    }.toSet
+    val got = TrainPrep.sourceCap(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // no source exceeds the cap
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.size <= TrainPrep.sourceCapK, s"source $src over cap")
+    }
+  }
 }
