@@ -14,10 +14,11 @@ import graft.functions.{CosineSimilarity, DotProduct}
   *   // or spark.sql.extensions=graft.GraftExtensions (config)
   * }}}
   *
-  * Currently registers `cosine_sim` (codegen'd vector similarity).
-  * Custom Rules/Strategies would be injected here too; the engine
-  * needs none for parity (SURVEY.md §4.1) — Catalyst covers the whole
-  * declared surface.
+  * Registers `cosine_sim`/`dot_product` (codegen'd vector kernels)
+  * and the planner strategy for the whole-operator plans in
+  * `graft.plans` (native as-of join). The declared-SQL parity surface
+  * needs no custom rules (SURVEY.md §4.1) — Catalyst covers it; the
+  * strategy exists for the operator Spark genuinely lacks.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -29,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -80,11 +80,58 @@ object AsofJoin {
           - unix_timestamp(col("ts"))).as("gap_s"))
   }
 
+  /** Native whole-operator form of [[purchaseToView]]: the same query
+    * through [[graft.plans.AsofJoinNode]] -> AsofJoinStrategy ->
+    * AsofJoinExec (custom LogicalPlan + SparkStrategy + SparkPlan, the
+    * (c) extension rung) instead of the union+window composition. One
+    * exchange + sort per side, then a zero-copy streaming merge with
+    * O(1) state per partition. Shares the `asof_join` DuckDB oracle,
+    * so the gate proves the custom operator agrees with both the
+    * composed form and DuckDB's native ASOF JOIN. Sides are loaded
+    * separately so their attribute ids never collide (the analyzer's
+    * self-join dedup only rewrites nodes it knows). */
+  def purchaseToViewNative(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{AsofJoinNode, AsofJoinStrategy}
+    import org.apache.spark.sql.GraftBridge
+    // available regardless of whether the session was built with
+    // spark.sql.extensions=graft.GraftExtensions (idempotent)
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    val views = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val purchases = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val lp = GraftBridge.analyzed(views)
+    val rp = GraftBridge.analyzed(purchases)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) = p.output.find(_.name == name).get
+    val node = AsofJoinNode(lp, rp,
+      attr(lp, "v_user"), attr(rp, "user_id"),
+      attr(lp, "v_ts"), attr(rp, "ts"),
+      attr(lp, "view_id"), attr(rp, "purchase_id"))
+    GraftBridge.ofRows(spark, node)
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        (unix_timestamp(col("ts"))
+          - unix_timestamp(col("v_ts"))).as("gap_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> purchaseToView _,
-    "asof_join_forward" -> purchaseToNextView _)
+    "asof_join_forward" -> purchaseToNextView _,
+    "asof_join_native" -> purchaseToViewNative _)
 
   val oracles: Map[String, String] = Map(
+    "asof_join_native" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  v.event_id AS view_id,
+        |  CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_s
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
     "asof_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         |  v.event_id AS view_id,

@@ -16,4 +16,16 @@ object GraftBridge {
   def registerInjectedFunctions(ext: SparkSessionExtensions,
       spark: SparkSession): Unit =
     ext.registerFunctions(spark.sessionState.functionRegistry)
+
+  /** DataFrame from a custom LogicalPlan node (Dataset.ofRows is
+    * private[sql] in Spark 4) — how graft's whole-operator plans
+    * (e.g. the native as-of join) enter the DataFrame API. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame — the resolved child for
+    * custom plan construction. */
+  def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }
