@@ -91,13 +91,16 @@ object AsofJoin {
     * separately so their attribute ids never collide (the analyzer's
     * self-join dedup only rewrites nodes it knows). */
   def purchaseToViewNative(spark: SparkSession, dir: String): DataFrame = {
-    import graft.plans.{AsofJoinNode, AsofJoinStrategy}
+    import graft.plans.{AsofJoinNode, AsofJoinPushDown, AsofJoinStrategy}
     import org.apache.spark.sql.GraftBridge
     // available regardless of whether the session was built with
     // spark.sql.extensions=graft.GraftExtensions (idempotent)
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsofJoinPushDown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsofJoinPushDown
     val views = Tables.load(spark, dir, "events")
       .filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),

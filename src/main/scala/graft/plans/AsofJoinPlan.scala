@@ -140,3 +140,35 @@ object AsofJoinStrategy extends SparkStrategy {
     case _ => Nil
   }
 }
+
+/** Optimizer rule: push right-side predicates through [[AsofJoinNode]].
+  *
+  * Catalyst's PushDownPredicates stops at nodes it doesn't know, so
+  * without this rule a `WHERE` over the as-of output re-reads the
+  * whole fact table and filters after the merge. Pushing is SOUND for
+  * right-referencing conjuncts only: output rows are 1:1 with right
+  * rows and a right row's match depends on the left side alone, so
+  * dropping right rows early changes nothing else. LEFT-side
+  * predicates must NOT be pushed — removing a left row can change
+  * which row a surviving right row matches. Once the conjunct sits on
+  * the right child, Catalyst's own pushdown carries it the rest of
+  * the way into the scan (`PushedFilters`). */
+object AsofJoinPushDown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, a: AsofJoinNode) =>
+      val rightSet = AttributeSet(a.right.output)
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.references.subsetOf(rightSet) && p.deterministic)
+      if (push.isEmpty) f
+      else {
+        val pushed = a.copy(right = Filter(push.reduce(And), a.right))
+        keep.reduceOption(And)
+          .map(Filter(_, pushed): LogicalPlan).getOrElse(pushed)
+      }
+  }
+}

@@ -78,6 +78,31 @@ class AsofPlanSpec extends AnyFunSuite {
       903L -> -1L, 904L -> -1L, 905L -> 400L))
   }
 
+  test("right-side predicates push through the as-of node into the scan") {
+    val base = AsofJoin.purchaseToViewNative(spark, SparkTestSession.sf)
+    val filtered = base.filter(col("purchase_id") % 2 === 0)
+    val opt = filtered.queryExecution.optimizedPlan
+    // no Filter remains above the custom node ...
+    val above = opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.child.isInstanceOf[AsofJoinNode] => f
+    }
+    assert(above.isEmpty, s"filter not pushed:\n$opt")
+    // ... the predicate sits in the node's RIGHT subtree ...
+    val node = opt.collect { case a: AsofJoinNode => a }
+    assert(node.nonEmpty, s"node missing:\n$opt")
+    assert(node.head.right.toString.contains("% 2"),
+      s"right subtree lacks the pushed predicate:\n${node.head.right}")
+    // ... the left subtree is untouched (pushing there is unsound) ...
+    assert(!node.head.left.toString.contains("% 2"))
+    // ... and results equal filter-after-join
+    val expected = AsofJoin.purchaseToView(spark, SparkTestSession.sf)
+      .filter(col("purchase_id") % 2 === 0)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val got = filtered.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("native as-of equals a sequential reference on randomized data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
