@@ -351,10 +351,17 @@ object TextAnalysis {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // model total via a global window over the VOCABULARY (bounded —
+    // one partition of |V| rows, not corpus rows); a 1-row
+    // crossJoin(broadcast(...)) would be equivalent but plans as a
+    // BroadcastNestedLoopJoin, which the surface-wide plan audit bans
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val uni = tf.groupBy("term").agg(sum("tf").as("c"))
-    val tot = uni.agg(sum("c").as("n_total"))
+      .withColumn("n_total", sum(col("c")).over(wAll))
     tf.join(uni, "term")
-      .crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf") * (flog2(col("n_total")) - flog2(col("c"))))
