@@ -83,7 +83,8 @@ object Bench {
       "text_tokens_bpe", "text_quality", "multimodal_frames",
       "train_pipeline", "decontaminate", "stream_tumbling_append",
       "stream_dedup", "stream_upsert_deltas_tws", "pipeline_run",
-      "ingest_parse", "yearly_revenue")
+      "ingest_parse", "yearly_revenue", "knn_pq_adc", "asof_join_native",
+      "text_lm_score", "curate_source_cap", "knn_filtered")
     val qs = toJson(results.view.filterKeys(headline).toMap, identity)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfTag = sfDir.split('/').last

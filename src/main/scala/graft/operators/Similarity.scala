@@ -479,6 +479,30 @@ object Similarity {
         round(col("sim"), 4).as("sim_r4"))
   }
 
+  /** Embedding-QA gate: flag vectors whose L2 norm strays a factor of
+    * 2 from the corpus mean — the standard pre-index sanity filter
+    * (zero/degenerate vectors break cosine math; exploded norms are
+    * usually encoder bugs). Decision arithmetic is cross-multiplied
+    * integers over 1e-6-quantized norms, so the flags are partition-
+    * order-independent and reproduce exactly in DuckDB (norms
+    * themselves are IEEE-exact: left-to-right fold + correctly-rounded
+    * sqrt). The mean rides a constant-key broadcast equi-join (1-row
+    * build side — a BroadcastHashJoin, not the BNLJ a crossJoin
+    * plans). */
+  def normOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm_u6", floor(col("nrm") * lit(1000000.0)).cast("long"))
+      .withColumn("one", lit(1))
+    val stats = e.groupBy("one")
+      .agg(sum("nrm_u6").as("sum_u6"), count(lit(1)).as("n"))
+    e.join(broadcast(stats), "one")
+      .select(col("vec_id"), round(col("nrm"), 4).as("nrm_r4"),
+        (col("nrm_u6") * col("n") > lit(2) * col("sum_u6")).as("flag_high"),
+        (lit(2) * col("nrm_u6") * col("n") < col("sum_u6")).as("flag_low"))
+  }
+
   // --- Product quantization (PQ) ANN -------------------------------------
 
   /** PQ geometry (Jégou et al., TPAMI 2011): S contiguous subspaces of
@@ -921,7 +945,8 @@ object Similarity {
     "embed_quantize" -> quantizeEmbeddings _,
     "embed_pq_codes" -> pqCodes _,
     "knn_pq_adc" -> knnPqAdc _,
-    "knn_filtered" -> knnFiltered _)
+    "knn_filtered" -> knnFiltered _,
+    "embed_norm_outliers" -> normOutliers _)
 
   /** Flat CTE list ending in `vp(a, b)` — the verified SRP-LSH near-dup
     * pairs; shared by the pair gate and the clustering gate. */
@@ -1184,6 +1209,21 @@ object Similarity {
          |  WHERE ${cosSql("x.v", "y.v")} >= $semThreshold)
          |SELECT a.vec_id, a.cent_id, d.vec_id IS NULL AS kept
          |FROM assigned a LEFT JOIN drops d ON d.vec_id = a.vec_id""".stripMargin,
+    "embed_norm_outliers" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |    FROM embeddings),
+         |nn AS (SELECT vec_id, sqrt(list_reduce(list_prepend(
+         |    CAST(0 AS DOUBLE),
+         |    list_transform(range($Dim), i -> v[i+1] * v[i+1])),
+         |    (p,q) -> p+q)) AS nrm FROM e),
+         |u AS (SELECT vec_id, nrm,
+         |    CAST(floor(nrm * 1000000.0) AS BIGINT) AS nrm_u6 FROM nn),
+         |s AS (SELECT CAST(sum(nrm_u6) AS BIGINT) AS sum_u6,
+         |    count(*) AS n FROM u)
+         |SELECT vec_id, round(nrm, 4) AS nrm_r4,
+         |  u.nrm_u6 * s.n > 2 * s.sum_u6 AS flag_high,
+         |  2 * u.nrm_u6 * s.n < s.sum_u6 AS flag_low
+         |FROM u CROSS JOIN s""".stripMargin,
     "knn_filtered" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |    label FROM embeddings),

@@ -340,6 +340,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("norm outliers: flags match a sequential recompute over the corpus") {
+    val sf = SparkTestSession.sf
+    val e = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        var s = 0.0
+        v.foreach(x => s += x * x)
+        r.getLong(0) -> math.floor(math.sqrt(s) * 1e6).toLong
+      }
+    val sumU6 = e.map(_._2).sum
+    val n = e.length.toLong
+    val expected = e.map { case (id, u6) =>
+      id -> (u6 * n > 2 * sumU6, 2 * u6 * n < sumU6)
+    }.toMap
+    val got = Similarity.normOutliers(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(got == expected)
+  }
+
   test("label centroids partition the corpus: per-dimension counts sum to corpus size") {
     val sf = SparkTestSession.sf
     val cents = Similarity.labelCentroids(spark, sf).collect()
