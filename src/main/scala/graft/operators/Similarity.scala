@@ -486,18 +486,18 @@ object Similarity {
     * integers over 1e-6-quantized norms, so the flags are partition-
     * order-independent and reproduce exactly in DuckDB (norms
     * themselves are IEEE-exact: left-to-right fold + correctly-rounded
-    * sqrt). The mean rides a constant-key broadcast equi-join (1-row
-    * build side — a BroadcastHashJoin, not the BNLJ a crossJoin
-    * plans). */
+    * sqrt). The mean rides a ONE-ROW broadcast cross join — the
+    * scalar-attach plan (a single lookup per row, O(n); Spark plans
+    * uncorrelated scalar subqueries the same way). PlanAuditSpec
+    * allowlists the resulting BroadcastNestedLoopJoin with this
+    * justification. */
   def normOutliers(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asD(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("nrm_u6", floor(col("nrm") * lit(1000000.0)).cast("long"))
-      .withColumn("one", lit(1))
-    val stats = e.groupBy("one")
-      .agg(sum("nrm_u6").as("sum_u6"), count(lit(1)).as("n"))
-    e.join(broadcast(stats), "one")
+    val stats = e.agg(sum("nrm_u6").as("sum_u6"), count(lit(1)).as("n"))
+    e.crossJoin(broadcast(stats))
       .select(col("vec_id"), round(col("nrm"), 4).as("nrm_r4"),
         (col("nrm_u6") * col("n") > lit(2) * col("sum_u6")).as("flag_high"),
         (lit(2) * col("nrm_u6") * col("n") < col("sum_u6")).as("flag_low"))

@@ -78,6 +78,86 @@ class AsofPlanSpec extends AnyFunSuite {
       903L -> -1L, 904L -> -1L, 905L -> 400L))
   }
 
+  test("bucketed+sorted inputs: native as-of plans with no exchange and no sort") {
+    // The exec's distribution/ordering CONTRACT is what lets a
+    // bucketed layout elide the per-query exchange+sort entirely —
+    // the whole point of a physical operator over the union+window
+    // composition. 8 buckets on user_id, sorted (user_id, ts,
+    // event_id), one file per bucket so the scan reports ordering.
+    import org.apache.spark.sql.DataFrame
+    val sf = SparkTestSession.sf
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val events = Tables.load(spark, sf, "events")
+    def save(name: String, df: DataFrame): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        // the in-memory catalog forgets tables between JVMs but the
+        // warehouse directory survives — clear stale locations
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(s"spark-warehouse/$name"))
+        df.repartition(8, col("user_id"))
+          .write.bucketBy(8, "user_id").sortBy("user_id", "ts", "event_id")
+          .mode("overwrite").saveAsTable(name)
+      }
+    save(s"asof_views_b_$tag", events.filter(col("event_type") === "view")
+      .select("user_id", "ts", "event_id"))
+    save(s"asof_purch_b_$tag", events.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id"))
+    val left = spark.table(s"asof_views_b_$tag")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val right = spark.table(s"asof_purch_b_$tag")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    def build() = {
+      val lp = GraftBridge.analyzed(left)
+      val rp = GraftBridge.analyzed(right)
+      def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          n: String) = p.output.find(_.name == n).get
+      GraftBridge.ofRows(spark, graft.plans.AsofJoinNode(lp, rp,
+        attr(lp, "v_user"), attr(rp, "user_id"),
+        attr(lp, "v_ts"), attr(rp, "ts"),
+        attr(lp, "view_id"), attr(rp, "purchase_id")))
+    }
+    val df = build()
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("AsofJoin"), plan)
+    // bucketing satisfies the exec's ClusteredDistribution: NO
+    // exchange on either side. Per-partition sorts remain because
+    // Spark 3+ only reports bucket SORTED BY order from the scan
+    // under the legacy conf (checked next) — those are pipelined
+    // in-memory sorts, not shuffles.
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")
+        && !l.contains("ReusedExchange")), s"unexpected exchange:\n$plan")
+    // with the scan allowed to report its SORTED BY order, the sorts
+    // disappear too: a fully exchange-free, sort-free streaming merge
+    graft.Conf.withConf(spark,
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true") {
+      val df2 = build()
+      df2.collect()
+      val plan2 = df2.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan2.contains("Sort ["), s"unexpected sort:\n$plan2")
+    }
+    // and the bucketed-path result equals the plain native form
+    val plain = AsofJoin.purchaseToViewNative(spark, sf)
+      .select("purchase_id", "view_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    val bucketed = df
+      .select(col("purchase_id"),
+        when(col("view_id").isNull, -1L).otherwise(col("view_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == plain)
+  }
+
   test("right-side predicates push through the as-of node into the scan") {
     val base = AsofJoin.purchaseToViewNative(spark, SparkTestSession.sf)
     val filtered = base.filter(col("purchase_id") % 2 === 0)
