@@ -586,6 +586,18 @@ object Similarity {
       .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
   }
 
+  /** Gate query: per-vector PQ reconstruction error — the quantizer
+    * quality metric (corpus mean picks S/K; per-vector outliers mark
+    * points the codebook can't represent). One map-side codegen pass,
+    * no shuffle. */
+  def pqRecon(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqReconError.pq_recon_error
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("v"))
+    e.select(col("vec_id"),
+      round(pq_recon_error(col("v"), pqCodebookFor(dir, e)), 4).as("err_r4"))
+  }
+
   case class PqCode(id: Long, codes: Array[Long])
   case class PqDist(query_id: Long, neighbor_id: Long, dist2: Double)
 
@@ -945,6 +957,7 @@ object Similarity {
     "embed_quantize" -> quantizeEmbeddings _,
     "embed_pq_codes" -> pqCodes _,
     "knn_pq_adc" -> knnPqAdc _,
+    "embed_pq_recon" -> pqRecon _,
     "knn_filtered" -> knnFiltered _,
     "embed_norm_outliers" -> normOutliers _)
 
@@ -1224,6 +1237,22 @@ object Similarity {
          |  u.nrm_u6 * s.n > 2 * s.sum_u6 AS flag_high,
          |  2 * u.nrm_u6 * s.n < s.sum_u6 AS flag_low
          |FROM u CROSS JOIN s""".stripMargin,
+    "embed_pq_recon" ->
+      s"""WITH $pqCtes,
+         |pq_min AS (SELECT vec_id, sub, min(d2) AS d2
+         |  FROM pq_df GROUP BY 1, 2),
+         |piv AS (SELECT vec_id,
+         |           max(CASE WHEN sub = 0 THEN d2 END) AS s0,
+           max(CASE WHEN sub = 1 THEN d2 END) AS s1,
+           max(CASE WHEN sub = 2 THEN d2 END) AS s2,
+           max(CASE WHEN sub = 3 THEN d2 END) AS s3,
+           max(CASE WHEN sub = 4 THEN d2 END) AS s4,
+           max(CASE WHEN sub = 5 THEN d2 END) AS s5,
+           max(CASE WHEN sub = 6 THEN d2 END) AS s6,
+           max(CASE WHEN sub = 7 THEN d2 END) AS s7
+         |  FROM pq_min GROUP BY 1)
+         |SELECT vec_id, round(((((((((CAST(0 AS DOUBLE) + s0) + s1) + s2) + s3) + s4) + s5) + s6) + s7), 4) AS err_r4
+         |FROM piv""".stripMargin,
     "knn_filtered" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |    label FROM embeddings),

@@ -121,6 +121,49 @@ class PqSpec extends AnyFunSuite {
     assert(mean >= 0.25, s"mean ADC recall $mean")
   }
 
+  test("reconstruction error matches the reference and training reduces it") {
+    val e = corpus
+    val trained = referenceCodebook(e)
+    def minD2(v: Array[Double], s: Int,
+        cb: Array[Array[Array[Double]]]): Double = {
+      val D = Similarity.pqDsub
+      var best = Double.PositiveInfinity
+      for (k <- 0 until Similarity.pqK) {
+        var d2 = 0.0
+        for (d <- 0 until D) {
+          val t = v(s * D + d) - cb(s)(k)(d)
+          d2 += t * t
+        }
+        if (d2 < best) best = d2
+      }
+      best
+    }
+    def err(v: Array[Double], cb: Array[Array[Array[Double]]]): Double = {
+      var s = 0.0
+      for (sub <- 0 until Similarity.pqSub) s += minD2(v, sub, cb)
+      s
+    }
+    val expected = e.map { case (id, v) => id -> err(v, trained) }.toMap
+    val got = Similarity.pqRecon(spark, SparkTestSession.sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == expected.size)
+    got.foreach { case (id, g) =>
+      assert(math.abs(g - expected(id)) < 1e-3, s"vec $id")
+    }
+    // the Lloyd rounds must not make the quantizer worse on average
+    val K = Similarity.pqK
+    val D = Similarity.pqDsub
+    val S = Similarity.pqSub
+    val sample = e
+      .sortBy { case (id, _) => ((id * 1103515245L + 12345L) % 2147483648L, id) }
+      .take(K).sortBy(_._1).map(_._2)
+    val untrained = Array.tabulate(S, K, D)((s, k, d) => sample(k)(s * D + d))
+    val meanTrained = e.map { case (_, v) => err(v, trained) }.sum / e.length
+    val meanInit = e.map { case (_, v) => err(v, untrained) }.sum / e.length
+    assert(meanTrained <= meanInit,
+      s"training increased mean recon error: $meanTrained > $meanInit")
+  }
+
   test("ADC distances are non-negative and rankings per query are dense") {
     val rows = Similarity.knnPqAdc(spark, SparkTestSession.sf).collect()
     assert(rows.forall(_.getDouble(3) >= 0.0))
