@@ -232,7 +232,49 @@ object TrainPrep {
         col("s.key").as("doc_id"), col("s.score").cast("long").as("pri"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., 2020 §4.3: split
+    * the corpus into head/middle/tail by LM score and mix buckets
+    * downstream): each document's unigram surprisal
+    * ([[TextAnalysis.lmScore]] semantics, inlined in SQL) lands in
+    * 'head' (<= P25, most fluent), 'tail' (>= P75) or 'middle'. The
+    * quartile thresholds attach as an uncorrelated SCALAR SUBQUERY —
+    * Spark runs it once and embeds the 2-element array as a literal,
+    * so no join operator exists in the plan at all (the crossJoin form
+    * would plan a BroadcastNestedLoopJoin; the DataFrame API cannot
+    * express scalar subqueries, hence spark.sql — the sql_surface /
+    * equi-depth-histogram pattern). Quartile probabilities 0.25/0.75
+    * are exactly representable doubles, so both engines interpolate
+    * from identical inputs. */
+  /** Shared SQL skeleton — the Spark text and the DuckDB oracle differ
+    * only in the dialect functions passed in. */
+  private[operators] def pplBucketsText(q25: String, q75: String,
+      splitTokens: String, flog2: String => String): String =
+    s"""WITH tf AS (SELECT doc_id, term, count(1) AS tf FROM (
+       |    SELECT doc_id, $splitTokens AS term FROM documents) x
+       |  GROUP BY doc_id, term),
+       |uni AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+       |sc AS (SELECT tf.doc_id,
+       |    CAST(sum(tf.tf * (${flog2("(SELECT n_total FROM tot)")}
+       |      - ${flog2("uni.c")})) AS DOUBLE)
+       |      / CAST(sum(tf.tf) AS DOUBLE) AS avg_bits
+       |  FROM tf JOIN uni ON tf.term = uni.term GROUP BY tf.doc_id)
+       |SELECT doc_id, avg_bits,
+       |  CASE WHEN avg_bits <= (SELECT $q25 FROM sc) THEN 'head'
+       |       WHEN avg_bits >= (SELECT $q75 FROM sc) THEN 'tail'
+       |       ELSE 'middle' END AS bucket
+       |FROM sc""".stripMargin
+
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir, "documents")
+    def fl(x: String) = s"(length(conv(CAST($x AS STRING), 10, 2)) - 1)"
+    spark.sql(pplBucketsText(
+      "percentile(avg_bits, 0.25D)", "percentile(avg_bits, 0.75D)",
+      "explode(split(text, ' '))", fl))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_ppl_buckets" -> pplBuckets _,
     "curate_source_cap" -> sourceCap _,
     "train_split" -> splitQuery _,
     "train_sample_stratified" -> sampleQuery _,
@@ -295,6 +337,10 @@ object TrainPrep {
   }
 
   val oracles: Map[String, String] = Map(
+    "curate_ppl_buckets" -> pplBucketsText(
+      "quantile_cont(avg_bits, 0.25)", "quantile_cont(avg_bits, 0.75)",
+      "unnest(str_split(text, ' '))",
+      x => s"(length(printf('%b', CAST($x AS BIGINT))) - 1)"),
     "curate_source_cap" ->
       s"""WITH p AS (SELECT source, doc_id,
          |    (doc_id * 1103515245 + 12345) % 2147483648 AS pri

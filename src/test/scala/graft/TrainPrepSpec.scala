@@ -144,6 +144,27 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("perplexity buckets: quartile split orders head <= middle <= tail") {
+    val rows = TrainPrep.pplBuckets(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    // middle may be empty on a tiny fixture when score ties straddle
+    // both quartiles; head/tail cannot (<= P25 / >= P75 each capture
+    // at least a quarter of rows, ties included)
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+    assert(byBucket.contains("head") && byBucket.contains("tail"))
+    assert(byBucket("head").max <= byBucket("tail").min + 1e-12)
+    byBucket.get("middle").foreach { mid =>
+      assert(byBucket("head").max <= mid.min + 1e-12)
+      assert(mid.max <= byBucket("tail").min + 1e-12)
+    }
+    // no count floors: on this fixture 95% of docs tie on one score
+    // and the CASE sends threshold ties to head, so bucket sizes are
+    // distribution-dependent; the partition must still be total
+    assert(byBucket.values.map(_.length).sum == rows.length)
+  }
+
   test("source cap equals the sequential per-source top-k by LCG priority") {
     val docs = Tables.load(spark, SparkTestSession.sf, "documents")
       .select("doc_id", "source").collect()
