@@ -273,7 +273,42 @@ object TrainPrep {
       "explode(split(text, ' '))", fl))
   }
 
+  /** Temperature-flattened language mixing — the multilingual-corpus
+    * rebalancing recipe (mT5/XLM-R: sample language l with probability
+    * ∝ p_l^α, α<1, to keep low-resource languages from vanishing).
+    * α = 0.5 here: keep ceil(sqrt(n_lang * n_min)) docs per language,
+    * the geometric mean of the language's size and the smallest
+    * language's — the smallest keeps everything, larger ones flatten
+    * toward it. Selection is the LCG-rank prefix (an unbiased
+    * deterministic subsample); sqrt of an exact integer product is
+    * IEEE-correctly-rounded, so keep counts reproduce bit-identically.
+    * n_min attaches as an uncorrelated scalar subquery over the
+    * LANGUAGE aggregate (bounded rows, no join operator in the plan).
+    * The SQL text is dialect-neutral: the DuckDB oracle runs it
+    * verbatim (the sql_surface pattern). */
+  private[operators] def mixTemperatureText: String =
+    """WITH r AS (SELECT doc_id, lang,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id)
+      |      AS BIGINT) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+      |  FROM documents)
+      |SELECT doc_id, lang, rn, n_lang,
+      |  CAST(ceil(sqrt(CAST(n_lang * (SELECT min(c) FROM (
+      |    SELECT count(*) AS c FROM documents GROUP BY lang) t)
+      |    AS DOUBLE))) AS BIGINT) AS keep_n
+      |FROM r
+      |WHERE rn <= ceil(sqrt(CAST(n_lang * (SELECT min(c) FROM (
+      |  SELECT count(*) AS c FROM documents GROUP BY lang) t) AS DOUBLE)))"""
+      .stripMargin
+
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir, "documents")
+    spark.sql(mixTemperatureText)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "train_mix_temperature" -> mixTemperature _,
     "curate_ppl_buckets" -> pplBuckets _,
     "curate_source_cap" -> sourceCap _,
     "train_split" -> splitQuery _,
@@ -337,6 +372,7 @@ object TrainPrep {
   }
 
   val oracles: Map[String, String] = Map(
+    "train_mix_temperature" -> mixTemperatureText,
     "curate_ppl_buckets" -> pplBucketsText(
       "quantile_cont(avg_bits, 0.25)", "quantile_cont(avg_bits, 0.75)",
       "unnest(str_split(text, ' '))",

@@ -165,6 +165,25 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(byBucket.values.map(_.length).sum == rows.length)
   }
 
+  test("temperature mixing keeps ceil(sqrt(n_lang * n_min)) per language") {
+    val docs = Tables.load(spark, SparkTestSession.sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sizes = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nMin = sizes.values.min
+    val got = TrainPrep.mixTemperature(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(4)))
+    val kept = got.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    sizes.foreach { case (lang, n) =>
+      val expected = math.ceil(math.sqrt((n * nMin).toDouble)).toLong
+      assert(kept.getOrElse(lang, 0L) == expected, s"lang $lang")
+      assert(got.filter(_._1 == lang).forall(_._3 == expected), s"keep_n $lang")
+    }
+    // the smallest language keeps everything
+    val minLang = sizes.minBy(_._2)._1
+    assert(kept(minLang) == sizes(minLang))
+  }
+
   test("source cap equals the sequential per-source top-k by LCG priority") {
     val docs = Tables.load(spark, SparkTestSession.sf, "documents")
       .select("doc_id", "source").collect()
