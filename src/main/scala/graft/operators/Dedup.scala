@@ -656,6 +656,132 @@ object Dedup {
           .as("dup_ratio"))
   }
 
+  // --- Substring-level (overlapping-window) dedup ------------------------
+
+  /** Substring-level duplication report: every OVERLAPPING
+    * `blockTokens`-token window (stride 1, not stride `blockTokens` as
+    * in [[blockDedupDf]]). Two documents share a duplicated substring
+    * of >= w tokens IFF they share at least one w-token stride-1
+    * window, so this is exactly the ExactSubstr semantics of
+    * suffix-array substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better") at granularity w — including
+    * ALIGNMENT-SHIFTED boilerplate that the disjoint-block variant
+    * misses whenever the shared passage straddles a block boundary.
+    *
+    * Scale shape: the window generator is the shuffle-free
+    * explode(sequence) loop (O(tokens) rows); first-occurrence ranking
+    * is ONE window over the window text (linear per duplicated
+    * passage, never a self-join); the report is one doc-keyed agg.
+    * The gate shuffles the window TEXT (~w tokens/row) so the oracle
+    * can reproduce it verbatim; production swaps in a 64-bit rolling
+    * hash (Rabin-Karp over token hashes — O(1) per window) and the
+    * shuffle carries 8 bytes/row. The dataflow is identical. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupDf(Tables.load(spark, dir, "documents"))
+
+  def substringDedupDf(docs: DataFrame): DataFrame = {
+    val w = blockTokens
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("doc_id"), col("i"))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - w)).as("i"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", (1 to w).map(j => element_at(col("t"), col("i") + j)): _*)
+          .as("g"))
+      .withColumn("rn", row_number().over(win))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_windows").cast("double"))
+          .as("dup_ratio"))
+  }
+
+  // --- Containment join ---------------------------------------------------
+
+  /** Containment threshold 9/10: |T(A) ∩ T(B)| >= 0.9·|T(A)|. */
+  val containNum = 9L
+  val containDen = 10L
+
+  /** Asymmetric containment join: pairs (da, db) where at least
+    * `containNum/containDen` of A's DISTINCT tokens also appear in B —
+    * the "document subsumed by a superset document" detector (quote
+    * pages, aggregator sites, prepended-header re-crawls) that
+    * symmetric Jaccard misses: a 50-token doc fully embedded in a
+    * 500-token doc has Jaccard ~0.1 but containment 1.0.
+    *
+    * Prefix filter (PPJoin adapted to the asymmetric predicate): with
+    * every token set ordered by (global df ASC, tid ASC), A can miss at
+    * most na - ceil(t·na) tokens of its own set in B, so one of A's
+    * first na - ceil(t·na) + 1 RAREST tokens must hit B. The probe
+    * side therefore indexes only that prefix, while B indexes its full
+    * set — and because prefixes are drawn from the rare end of the df
+    * order, hot tokens (the d² risk of any token-keyed join) almost
+    * never appear on the probe side: join fan-out per token is
+    * df(tok) × |prefix occurrences|, and the second factor collapses
+    * toward 0 as df grows. Size filter nb >= ceil(t·na) rides inside
+    * the join condition. Verification reuses the dictionary-encoded
+    * sorted-long-array two-pointer kernel from [[setSimJoin]] — one
+    * row per candidate pair, no token explosion.
+    * Output: (da, db, inter_cnt, na, nb) for contained pairs. */
+  def containmentJoin(docs: DataFrame, num: Long = containNum,
+      den: Long = containDen): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val wDict = org.apache.spark.sql.expressions.Window.orderBy(col("tok"))
+    val dict = dfreq.withColumn("tid", row_number().over(wDict).cast("long"))
+    val tokT = tok.join(dict, "tok").select(col("doc_id"), col("tid"), col("df"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tid"))
+    val wSz = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ranked = tokT
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("sz", count(lit(1)).over(wSz))
+    // A-side prefix: rn <= na - ceil(t*na) + 1  ⟺  den*(rn-1) <= (den-num)*na
+    val probe = ranked
+      .filter(lit(den) * (col("rn") - 1) <= lit(den - num) * col("sz"))
+      .select(col("tid"), col("doc_id").as("da"), col("sz").as("na"))
+    val index = ranked
+      .select(col("tid").as("tid2"), col("doc_id").as("db"), col("sz").as("nb"))
+    val cand = probe.join(index, col("tid") === col("tid2")
+        && col("da") =!= col("db")
+        && lit(den) * col("nb") >= lit(num) * col("na"))
+      .select("da", "db").distinct()
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+    val docToks = tokT.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tid"))).as("toks"))
+    cand
+      .join(docToks.select(col("doc_id").as("da"), col("toks").as("ta")), "da")
+      .join(docToks.select(col("doc_id").as("db"), col("toks").as("tb")), "db")
+      .withColumn("inter_cnt", sorted_intersect_count(col("ta"), col("tb")))
+      .filter(lit(den) * col("inter_cnt") >= lit(num) * size(col("ta")))
+      .select(col("da"), col("db"), col("inter_cnt"),
+        size(col("ta")).cast("long").as("na"), size(col("tb")).cast("long").as("nb"))
+  }
+
+  /** Gate form: per-document containment census. On this templated
+    * corpus even FULL containment holds for ~45 partners per doc
+    * (22.5k pairs over 500 sf0.01 docs), so materializing the pair
+    * list would benchmark output IO, not the join; the census keeps
+    * output O(docs) while still forcing the full candidate+verify
+    * dataflow: (doc, #containing supersets, best partner by highest
+    * overlap then smallest id, na). */
+  def containmentQuery(spark: SparkSession, dir: String): DataFrame =
+    containmentJoin(Tables.load(spark, dir, "documents"))
+      .groupBy(col("da"))
+      .agg(count(lit(1)).as("n_contained"),
+        min(struct(negate(col("inter_cnt")).as("ni"), col("db").as("db")))
+          .as("best"),
+        first(col("na")).as("na"))
+      .select(col("da"), col("n_contained"),
+        col("best.db").as("best_db"), negate(col("best.ni")).as("best_inter"),
+        col("na"))
+
   // --- Canonical selection -----------------------------------------------
 
   /** Canonical-document selection: the step after clustering that every
@@ -726,6 +852,8 @@ object Dedup {
     "dedup_incremental" -> incrementalDedup _,
     "dedup_canonical" -> canonicalQuery _,
     "dedup_blocks" -> blockDedup _,
+    "dedup_substring" -> substringDedup _,
+    "dedup_containment" -> containmentQuery _,
     "dedup_exact" -> exactDedup _,
     "dedup_minhash_bands" -> minhashQuery _,
     "dedup_simhash" -> simhashQuery _,
@@ -876,6 +1004,42 @@ object Dedup {
          |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS dup_ratio
          |FROM r GROUP BY doc_id""".stripMargin,
+    "dedup_substring" ->
+      s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= $blockTokens),
+         |gi AS (SELECT doc_id, t, unnest(range(len(t) - ${blockTokens - 1})) AS i
+         |  FROM d),
+         |g AS (SELECT doc_id, i, array_to_string(list_slice(t,
+         |    CAST(i + 1 AS INTEGER),
+         |    CAST(i + $blockTokens AS INTEGER)), ' ') AS g
+         |  FROM gi),
+         |r AS (SELECT doc_id, i, g,
+         |    row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+         |  FROM g)
+         |SELECT doc_id, count(*) AS n_windows,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS dup_ratio
+         |FROM r GROUP BY doc_id""".stripMargin,
+    "dedup_containment" ->
+      // brute-force form: the prefix filter is a lossless candidate
+      // pruning, so the full token-keyed pair enumeration must agree
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(list_distinct(str_split(text, ' '))) AS tok
+         |  FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+         |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter_cnt
+         |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (SELECT i.da, i.db, i.inter_cnt, sa.n AS na
+         |  FROM i
+         |  JOIN sz sa ON sa.doc_id = i.da
+         |  WHERE $containDen * i.inter_cnt >= $containNum * sa.n)
+         |SELECT da, count(*) AS n_contained,
+         |  first(db ORDER BY inter_cnt DESC, db ASC) AS best_db,
+         |  max(inter_cnt) AS best_inter,
+         |  any_value(na) AS na
+         |FROM p GROUP BY da""".stripMargin,
     "dedup_incremental" ->
       s"""WITH ${minhashCtes("_n", "doc_id % 3 = 0")},
          |${minhashCtes("_b", "doc_id % 3 <> 0")},

@@ -326,6 +326,53 @@ class DedupSpec extends AnyFunSuite {
     assert(out.exists(_._4), "expected novel docs")
   }
 
+  test("substring dedup catches alignment-shifted passages block dedup misses") {
+    // a 16-token boilerplate passage embedded at offset 0 in doc 10 and
+    // offset 5 in doc 11: the passage straddles doc 11's first block
+    // boundary, so disjoint 16-token blocks see two never-repeated
+    // halves — but exactly one stride-1 window in doc 11 equals the
+    // passage, so the overlapping-window form must flag it
+    val passage = (1 to 16).map(i => s"boiler$i")
+    val d10 = passage ++ (1 to 16).map(i => s"ten$i")
+    val d11 = (1 to 5).map(i => s"eleven$i") ++ passage ++
+      (1 to 11).map(i => s"tail$i")
+    val planted = Seq((10L, d10.mkString(" ")), (11L, d11.mkString(" ")))
+      .toDF("doc_id", "text")
+    val sub = Dedup.substringDedupDf(planted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // window census: a T-token doc has T-15 stride-1 windows
+    assert(sub(10L)._1 == d10.length - 15 && sub(11L)._1 == d11.length - 15)
+    assert(sub(10L)._2 == 0, "first occurrence never counts as dup")
+    assert(sub(11L)._2 == 1, "exactly the shifted passage window repeats")
+    val blk = Dedup.blockDedupDf(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(blk(11L) == 0, "disjoint blocks must miss the straddling passage")
+  }
+
+  test("containment join: subset doc found, prefix filter is lossless") {
+    // doc 20's tokens are a strict subset of doc 21's (containment 1.0,
+    // Jaccard 20/60 = 0.33 — below the setSim threshold); doc 22 shares
+    // half of 20's tokens (containment 0.5, below 0.9)
+    val small = (1 to 20).map(i => s"w$i")
+    val big = (1 to 60).map(i => s"w$i")
+    val half = (1 to 10).map(i => s"w$i") ++ (1 to 10).map(i => s"z$i")
+    val planted = Seq((20L, small.mkString(" ")), (21L, big.mkString(" ")),
+      (22L, half.mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.containmentJoin(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.contains((20L, 21L, 20L)), "subset doc must be contained")
+    assert(!out.exists(p => p._1 == 22L), "half overlap is below threshold")
+    assert(!out.exists(p => p._1 == 21L), "superset is not contained in subset")
+    // losslessness: brute-force containment over the planted corpus
+    val sets = Map(20L -> small.toSet, 21L -> big.toSet, 22L -> half.toSet)
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      inter = (sets(a) & sets(b)).size
+      if 10L * inter >= 9L * sets(a).size
+    } yield (a, b, inter.toLong)).toSet
+    assert(out == brute)
+  }
+
   test("canonical selection keeps exactly one highest-quality doc per cluster") {
     val out = Dedup.canonicalQuery(spark, SparkTestSession.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
