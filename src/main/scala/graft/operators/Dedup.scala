@@ -700,6 +700,37 @@ object Dedup {
           .as("dup_ratio"))
   }
 
+  /** Production form of [[substringDedupDf]]: windows reduced to 8-byte
+    * rolling hashes by the O(n) [[graft.functions.RollingHash]] kernel
+    * before the shuffle, instead of materializing ~w tokens of window
+    * text per row. Same census, same first-occurrence semantics; the
+    * gate runs the mod-P2 oracle-reproducible ring (hash collisions,
+    * if any, affect Spark and DuckDB identically — both group by the
+    * same hash), production uses the mod-2^64 ring where collisions
+    * are negligible. */
+  def substringDedupRolling(spark: SparkSession, dir: String): DataFrame =
+    substringDedupRollingDf(Tables.load(spark, dir, "documents"))
+
+  def substringDedupRollingDf(docs: DataFrame,
+      modulus: Long = P2): DataFrame = {
+    import graft.functions.RollingHash.rolling_hash
+    val w = blockTokens
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("i"))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"),
+        posexplode(rolling_hash(col("t"), w, 31L, modulus)).as(Seq("i", "h")))
+      .withColumn("rn", row_number().over(win))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_windows").cast("double"))
+          .as("dup_ratio"))
+  }
+
   // --- Containment join ---------------------------------------------------
 
   /** Containment threshold 9/10: |T(A) ∩ T(B)| >= 0.9·|T(A)|. */
@@ -853,6 +884,7 @@ object Dedup {
     "dedup_canonical" -> canonicalQuery _,
     "dedup_blocks" -> blockDedup _,
     "dedup_substring" -> substringDedup _,
+    "dedup_substring_rolling" -> substringDedupRolling _,
     "dedup_containment" -> containmentQuery _,
     "dedup_exact" -> exactDedup _,
     "dedup_minhash_bands" -> minhashQuery _,
@@ -1016,6 +1048,31 @@ object Dedup {
          |r AS (SELECT doc_id, i, g,
          |    row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
          |  FROM g)
+         |SELECT doc_id, count(*) AS n_windows,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS dup_ratio
+         |FROM r GROUP BY doc_id""".stripMargin,
+    "dedup_substring_rolling" ->
+      // per-token char-poly hashes (polySql), then a direct per-window
+      // Horner fold — the O(n·w) recompute the Spark kernel's O(n)
+      // slide must agree with, including any hash collisions
+      s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= $blockTokens),
+         |th AS (SELECT doc_id,
+         |    list_transform(t, tok -> ${polySql("tok", 31L, P2)}) AS th
+         |  FROM d),
+         |wi AS (SELECT doc_id, th,
+         |    unnest(range(len(th) - ${blockTokens - 1})) AS i FROM th),
+         |h AS (SELECT doc_id, i,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_slice(th, CAST(i + 1 AS INTEGER),
+         |        CAST(i + $blockTokens AS INTEGER))),
+         |      (acc, x) -> (acc*31 + x) % $P2) AS h
+         |  FROM wi),
+         |r AS (SELECT doc_id, i, h,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+         |  FROM h)
          |SELECT doc_id, count(*) AS n_windows,
          |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
          |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
