@@ -656,6 +656,86 @@ object Similarity {
         round(col("dist2"), 4).as("dist2_r4"))
   }
 
+  case class PqCell(id: Long, cent: Long, codes: Array[Long])
+
+  /** IVFADC — the FAISS-standard composition of the two structures
+    * above (Jégou et al., TPAMI 2011, §IV): the IVF coarse quantizer
+    * restricts each query's scan to its `ivfNprobe` nearest cells, and
+    * within those cells distances come from the PQ-ADC lookup table
+    * over 8-byte-per-vector codes instead of 512-byte vectors. At
+    * 100 TB this is THE serving shape: memory holds cells of codes
+    * (S bytes/vector), a query touches nprobe/k of them, and each
+    * candidate costs S table adds — both the scan fraction and the
+    * per-candidate cost are tuning knobs independent of corpus size.
+    * Probe-cell selection and LUT construction are driver-side over
+    * the bounded query set (same exact sequential arithmetic as the
+    * oracle); the corpus pass is one mapPartitions over (cell, codes)
+    * rows with broadcast LUTs. Deterministic end-to-end, so the gate
+    * hash-checks the full IVF-training + PQ-training + probe + ADC
+    * composition. */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqEncode.pq_encode
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("v"))
+      .cache()
+    val cents = kmeansCentroidsFor(dir, e)
+    val cb = pqCodebookFor(dir, e)
+    val codes = assignToCentroids(e, cents)
+      .select(col("vec_id").as("id"), col("cent_id").as("cent"),
+        pq_encode(col("v"), cb).as("codes")).as[PqCell]
+    val probes = e.filter(col("vec_id") < 20)
+      .collect() // bounded query set
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // nprobe nearest coarse cells per query — driver-side planning over
+    // queries x k centroids, identical tie order to knnIvfProbe
+    val probeCells: Map[Long, Set[Long]] = probes.map { case (qid, qv) =>
+      qid -> cents.map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, sim) => (-sim, cid) }
+        .take(ivfNprobe).map(_._1).toSet
+    }.toMap
+    val luts: Array[(Long, Array[Array[Double]])] = probes.map { case (qid, qv) =>
+      qid -> Array.tabulate(pqSub, pqK) { (s, k) =>
+        var d2 = 0.0
+        var d = 0
+        while (d < pqDsub) {
+          val t = qv(s * pqDsub + d) - cb(s)(k)(d)
+          d2 += t * t
+          d += 1
+        }
+        d2
+      }
+    }
+    val bc = spark.sparkContext.broadcast((luts, probeCells))
+    val dists = codes.mapPartitions { it =>
+      val (qs, cells) = bc.value
+      it.flatMap { c =>
+        qs.iterator.collect {
+          case (qid, lut) if qid != c.id && cells(qid).contains(c.cent) =>
+            var t = 0.0
+            var s = 0
+            while (s < lut.length) { t += lut(s)(c.codes(s).toInt); s += 1 }
+            PqDist(qid, c.id, t)
+        }
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dist2").asc, col("neighbor_id").asc)
+    dists.toDF()
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rn"),
+        round(col("dist2"), 4).as("dist2_r4"))
+  }
+
   // --- SRP-LSH near-dup (the sub-quadratic scale path) -------------------
 
   /** Signed-random-projection banding: `lshBands` bands of `lshBits`
@@ -957,6 +1037,7 @@ object Similarity {
     "embed_quantize" -> quantizeEmbeddings _,
     "embed_pq_codes" -> pqCodes _,
     "knn_pq_adc" -> knnPqAdc _,
+    "knn_ivf_pq" -> knnIvfPq _,
     "embed_pq_recon" -> pqRecon _,
     "knn_filtered" -> knnFiltered _,
     "embed_norm_outliers" -> normOutliers _)
@@ -1013,12 +1094,19 @@ object Similarity {
       s"($x[$sub*$pqDsub + d + 1] - $y[d+1]))), " +
       s"(p,q) -> p+q)"
 
+  /** Shared base CTE: raw embeddings as `e(vec_id, v)`. Factored out so
+    * the IVFADC oracle can splice the IVF and PQ CTE pyramids (each of
+    * which needs `e`) into ONE WITH list without a duplicate name. */
+  private def eCte: String =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
   /** Flat CTE list ending in `pq_cb(sub, code, cv)` (the trained
     * codebook — LCG-sampled init + [[pqIters]] per-subspace Lloyd
     * rounds with integer-quantized means, bit-identical to
     * [[pqCodebookFor]]) and `pq_best(vec_id, sub, code)` (the encode
-    * against it); shared by the code gate and the ADC search gate. */
-  private def pqCtes: String = {
+    * against it); shared by the code gate and the ADC search gate.
+    * Assumes `e` is already defined ([[eCte]]). */
+  private def pqCtesBody: String = {
     def lloyd(t: Int, prev: String): String =
       s"""pq_d$t AS (SELECT e.vec_id, c.sub, c.code,
          |    ${pqD2Sql("e.v", "c.sub", "c.cv")} AS d2
@@ -1041,8 +1129,7 @@ object Similarity {
     val rounds = (1 to pqIters)
       .map(t => lloyd(t, if (t == 1) "pq_cb0" else s"pq_cb${t - 1}"))
       .mkString(",\n")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |pq_cb0 AS (SELECT s.range AS sub, t.code,
+    s"""pq_cb0 AS (SELECT s.range AS sub, t.code,
        |    list_transform(range($pqDsub), d -> t.v[s.range*$pqDsub + d + 1]) AS cv
        |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
        |        FROM (SELECT vec_id, v FROM e
@@ -1059,6 +1146,8 @@ object Similarity {
        |    PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn
        |  FROM pq_df) WHERE rn = 1)""".stripMargin
   }
+
+  private def pqCtes: String = s"$eCte,\n$pqCtesBody"
 
   /** Unrolled fixed-point PageRank iterations p1..p[[prIters]] as a CTE
     * chain (DuckDB's recursive CTEs forbid aggregation in the recursive
@@ -1291,6 +1380,46 @@ object Similarity {
          |    PARTITION BY query_id ORDER BY dist2 ASC, neighbor_id ASC)
          |      AS BIGINT) AS rn
          |  FROM td) WHERE rn <= 3""".stripMargin
+    },
+    // IVFADC: the IVF and PQ training pyramids spliced into one WITH
+    // list (shared `e`), probe-cell selection as in knn_ivf_probe2,
+    // ADC distances as in knn_pq_adc, candidates restricted to the
+    // probed cells' members
+    "knn_ivf_pq" -> {
+      val subCols = (0 until pqSub)
+        .map(s => s"max(CASE WHEN l.sub = $s THEN l.d2 END) AS s$s")
+        .mkString(",\n           ")
+      val sumExpr = (0 until pqSub)
+        .foldLeft("CAST(0 AS DOUBLE)")((acc, s) => s"($acc + s$s)")
+      s"""WITH $eCte,
+         |$assignedCtesBody,
+         |$pqCtesBody,
+         |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+         |qc AS (SELECT q.query_id, c.cent_id,
+         |         ${cosSql("q.qv", "c.cv")} AS csim
+         |       FROM qs q CROSS JOIN kc$ivfIters c),
+         |cells AS (SELECT query_id, cent_id FROM (
+         |    SELECT query_id, cent_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY csim DESC, cent_id ASC) AS crn
+         |    FROM qc) WHERE crn <= $ivfNprobe),
+         |lut AS (SELECT q.query_id, c.sub, c.code,
+         |    ${pqD2Sql("q.qv", "c.sub", "c.cv")} AS d2
+         |  FROM qs q CROSS JOIN pq_cb c),
+         |tot AS (SELECT l.query_id, b.vec_id AS neighbor_id,
+         |           $subCols
+         |  FROM pq_best b
+         |  JOIN assigned a ON a.vec_id = b.vec_id
+         |  JOIN cells t ON t.cent_id = a.cent_id
+         |  JOIN lut l ON l.query_id = t.query_id
+         |    AND l.sub = b.sub AND l.code = b.code
+         |  WHERE b.vec_id <> t.query_id
+         |  GROUP BY 1, 2),
+         |td AS (SELECT query_id, neighbor_id, $sumExpr AS dist2 FROM tot)
+         |SELECT query_id, neighbor_id, rn, round(dist2, 4) AS dist2_r4 FROM (
+         |  SELECT query_id, neighbor_id, dist2, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dist2 ASC, neighbor_id ASC)
+         |      AS BIGINT) AS rn
+         |  FROM td) WHERE rn <= 3""".stripMargin
     })
 
   /** Flat CTE list ending in `assigned(vec_id, v, cent_id)` — the DuckDB
@@ -1298,8 +1427,8 @@ object Similarity {
     * the `knn_ivf` and `dedup_semantic` oracles. Each Lloyd round
     * re-assigns against the previous centroid table and recomputes the
     * integer-quantized per-dimension means, bit-identically to the
-    * Spark job. */
-  private def assignedCtes: String = {
+    * Spark job. Assumes `e` is already defined ([[eCte]]). */
+  private def assignedCtesBody: String = {
     // one Lloyd round: assignment vs centroid table `prev`, then the
     // same integer-quantized per-dimension mean as kmeansCentroids
     def lloydCtes(t: Int, prev: String): String =
@@ -1324,8 +1453,7 @@ object Similarity {
     val rounds = (1 to ivfIters)
       .map(t => lloydCtes(t, if (t == 1) "kc0" else s"kc${t - 1}"))
       .mkString(",\n")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |kc0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+    s"""kc0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
        |      ORDER BY (vec_id * 1103515245 + 12345) % 2147483648, vec_id
        |      LIMIT $ivfK),
        |$rounds,
@@ -1338,4 +1466,6 @@ object Similarity {
        |      PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS crn
        |    FROM a0) WHERE crn = 1)""".stripMargin
   }
+
+  private def assignedCtes: String = s"$eCte,\n$assignedCtesBody"
 }
