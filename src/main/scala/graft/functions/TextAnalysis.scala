@@ -255,6 +255,53 @@ object TextAnalysis {
       .select(col("doc_id"), score.as("score"), (score >= 6L).as("keep"))
   }
 
+  /** The Gopher required-stopword set (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", appendix A1.1): a kept document must
+    * contain at least [[gopherMinStops]] of these. The paper's
+    * threshold is 2; this synthetic vocabulary contains only 'the'
+    * from the set, so the gate runs 1 — same dataflow, and with 2 the
+    * rule would zero out (no keep/drop signal to check). */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val gopherMinStops = 1L
+
+  /** Gopher quality-filter rule set (Rae et al. 2021, A1.1) — the most
+    * widely reused published pretraining filter, distinct from the
+    * generic rule ensemble above. Token-level rules, each decided in
+    * exact integer arithmetic (cross-multiplied ratios — no float in
+    * any decision):
+    *   1. 50 <= word count <= 100,000
+    *   2. 3 <= mean word length <= 10 (3·n <= char_sum <= 10·n)
+    *   3. symbol-to-word ratio <= 0.1 for '#' / '...' tokens
+    *   4. >= 80% of words contain an alphabetic character
+    *   5. contains >= 2 distinct [[gopherStops]] words
+    * The line-shape rules (bullet-start / ellipsis-end line ratios)
+    * don't apply to this corpus's single-line documents and are
+    * omitted — on real multi-line data they'd be two more counts in
+    * the same single codegen'd projection. No shuffle, linear at any
+    * corpus size. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val charSum = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    val symCnt = size(filter(t, x =>
+      instr(x, "#") > 0 || instr(x, "...") > 0)).cast("long")
+    val alphaCnt = size(filter(t, x => x.rlike("[A-Za-z]"))).cast("long")
+    val stopDis = gopherStops
+      .map(w => when(array_contains(t, w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val rCount = nTok >= 50L && nTok <= 100000L
+    val rWordLen = charSum >= nTok * 3L && charSum <= nTok * 10L
+    val rSymbol = symCnt * 10L <= nTok
+    val rAlpha = alphaCnt * 5L >= nTok * 4L
+    val rStops = stopDis >= gopherMinStops
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"), nTok.as("n_tok"),
+      rCount.as("r_count"), rWordLen.as("r_word_len"),
+      rSymbol.as("r_symbol"), rAlpha.as("r_alpha"), rStops.as("r_stops"),
+      (rCount && rWordLen && rSymbol && rAlpha && rStops).as("keep"))
+  }
+
   // --- PII redaction ------------------------------------------------------
 
   /** Redaction regexes (RE2-compatible, so the DuckDB oracle runs the
@@ -402,6 +449,7 @@ object TextAnalysis {
     "text_pmi" -> cooccurrence _,
     "pii_redact" -> piiRedact _,
     "text_quality_score" -> qualityScore _,
+    "text_gopher" -> gopherRules _,
     "text_clean" -> textClean _,
     "text_repetition" -> textRepetition _,
     "text_stats" -> textStats _,
@@ -511,6 +559,34 @@ object TextAnalysis {
       s"""WITH $qualityScoreCtes
          |SELECT doc_id, CAST(score AS BIGINT) AS score,
          |  score >= 6 AS keep FROM qs""".stripMargin,
+    "text_gopher" -> {
+      val stopSum = gopherStops
+        .map(w => s"(CASE WHEN list_contains(t, '$w') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH g AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+         |f AS (SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_tok,
+         |    CAST(list_sum(list_transform(t, x -> length(x)))
+         |      AS BIGINT) AS char_sum,
+         |    CAST(len(list_filter(t, x -> contains(x, '#')
+         |      OR contains(x, '...'))) AS BIGINT) AS sym_cnt,
+         |    CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+         |      AS BIGINT) AS alpha_cnt,
+         |    CAST($stopSum AS BIGINT) AS stop_dis
+         |  FROM g)
+         |SELECT doc_id, n_tok,
+         |  n_tok >= 50 AND n_tok <= 100000 AS r_count,
+         |  char_sum >= n_tok * 3 AND char_sum <= n_tok * 10 AS r_word_len,
+         |  sym_cnt * 10 <= n_tok AS r_symbol,
+         |  alpha_cnt * 5 >= n_tok * 4 AS r_alpha,
+         |  stop_dis >= $gopherMinStops AS r_stops,
+         |  (n_tok >= 50 AND n_tok <= 100000)
+         |    AND (char_sum >= n_tok * 3 AND char_sum <= n_tok * 10)
+         |    AND sym_cnt * 10 <= n_tok
+         |    AND alpha_cnt * 5 >= n_tok * 4
+         |    AND stop_dis >= $gopherMinStops AS keep
+         |FROM f""".stripMargin
+    },
     "pii_redact" ->
       s"""WITH p AS (SELECT doc_id,
          |  text || ' contact user' || doc_id || '@' || source ||

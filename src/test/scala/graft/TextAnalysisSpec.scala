@@ -93,6 +93,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher rules recompute sequentially and show real keep/drop signal") {
+    val sf = SparkTestSession.sf
+    val got = TextAnalysis.gopherRules(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7)))).toMap
+    val texts = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, text) =>
+      val t = text.split(" ", -1)
+      val n = t.length.toLong
+      val charSum = t.map(_.length.toLong).sum
+      val sym = t.count(x => x.contains("#") || x.contains("...")).toLong
+      val alpha = t.count(_.exists(_.isLetter)).toLong
+      val stops = TextAnalysis.gopherStops.count(t.contains(_)).toLong
+      val (gn, rc, rw, rs, ra, rst, keep) = got(id)
+      assert(gn == n, s"doc $id n_tok")
+      assert(rc == (n >= 50 && n <= 100000), s"doc $id r_count")
+      assert(rw == (charSum >= 3 * n && charSum <= 10 * n), s"doc $id r_word_len")
+      assert(rs == (sym * 10 <= n), s"doc $id r_symbol")
+      assert(ra == (alpha * 5 >= 4 * n), s"doc $id r_alpha")
+      assert(rst == (stops >= TextAnalysis.gopherMinStops), s"doc $id r_stops")
+      assert(keep == (rc && rw && rs && ra && rst), s"doc $id keep")
+    }
+    val keeps = got.values.count(_._7)
+    assert(keeps > 0 && keeps < got.size,
+      s"no signal: $keeps of ${got.size} kept")
+  }
+
   test("pii redaction masks planted email/ip/phone and counts them") {
     import spark.implicits._
     val raw = Seq(
