@@ -2,7 +2,7 @@ package graft.analytics
 
 import graft.Tables
 import graft.Tables.{dec, dsum}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** OLAP-surface extensions beyond the reference's declared queries:
@@ -415,7 +415,52 @@ object OlapQueries {
       .where(col("cnt") * 150 > lit(total))
   }
 
+  /** Count-min sketch geometry: depth x width counters. With w=256 the
+    * expected per-row overestimate is n/w; depth-4 takes the min over
+    * independent rows. LCG hash coefficients (integer-exact in both
+    * engines, same family as the MinHash permutations). */
+  val cmsDepth = 4
+  val cmsWidth = 256L
+  private[graft] val cmsP = 2147483647L
+  private[graft] val cmsA = Seq(1103515245L, 1103527591L, 1229782938L, 1301100263L)
+  private[graft] val cmsB = Seq(12345L, 54321L, 98765L, 13579L)
+
+  /** Count-min sketch frequency estimates — the frequency member of the
+    * sketch family (HLL = cardinality, Bloom = membership, Misra-Gries
+    * = heavy hitters): a fixed depth x width counter grid replaces the
+    * per-key exact count, so stream-side state is O(d·w) regardless of
+    * key cardinality (Cormode & Muthukrishnan 2005). Sketch BUILD is
+    * one map-side explode (d rows per event, all literals) + one hash
+    * agg over at most d·w cells — mergeable across partitions/streams
+    * by cell-wise addition, which is the whole point at 100 TB. The
+    * gate estimates the bounded query set user_id < 50 via d broadcast
+    * joins against the tiny counter grid and checks the one-sided
+    * error guarantee est >= exact per key. Deterministic: fixed LCG
+    * hash rows, so Spark and DuckDB build bit-identical grids. */
+  def cmsFrequency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events").select(col("user_id"))
+    def bucket(i: Int, c: Column): Column =
+      pmod(pmod(lit(cmsA(i)) * c + lit(cmsB(i)), lit(cmsP)), lit(cmsWidth))
+    val counters = ev
+      .select(explode(array((0 until cmsDepth).map(i =>
+        struct(lit(i).as("r"), bucket(i, col("user_id")).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val exact = ev.filter(col("user_id") < 50)
+      .groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+    val est = (0 until cmsDepth).foldLeft(exact) { (df, i) =>
+      df.join(broadcast(counters.filter(col("r") === i)
+          .select(col("b").as(s"b$i"), col("c").as(s"c$i"))),
+        bucket(i, col("user_id")) === col(s"b$i"))
+        .drop(s"b$i")
+    }
+    est.select(col("user_id"), col("exact_cnt"),
+      least((0 until cmsDepth).map(i => col(s"c$i")): _*).as("cms_est"))
+      .withColumn("overest_ok", col("cms_est") >= col("exact_cnt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cms" -> cmsFrequency _,
     "agg_winsorize" -> winsorize _,
     "agg_heavy_hitters" -> heavyHitters _,
     "agg_regression" -> regression _,
@@ -448,6 +493,26 @@ object OlapQueries {
     "agg_heavy_hitters" ->
       """SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
         |HAVING count(*) * 150 > (SELECT count(*) FROM events)""".stripMargin,
+    "agg_cms" -> {
+      val rows = (0 until cmsDepth)
+        .map(i => s"($i, ${cmsA(i)}, ${cmsB(i)})").mkString(", ")
+      s"""WITH h(r, ha, hb) AS (SELECT * FROM (VALUES $rows)),
+         |grid AS (SELECT h.r,
+         |    ((h.ha * e.user_id + h.hb) % $cmsP) % $cmsWidth AS b,
+         |    count(*) AS c
+         |  FROM events e CROSS JOIN h
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT user_id, count(*) AS exact_cnt FROM events
+         |  WHERE user_id < 50 GROUP BY 1),
+         |est AS (SELECT ex.user_id, ex.exact_cnt, min(g.c) AS cms_est
+         |  FROM ex
+         |  JOIN h ON TRUE
+         |  JOIN grid g ON g.r = h.r
+         |    AND g.b = ((h.ha * ex.user_id + h.hb) % $cmsP) % $cmsWidth
+         |  GROUP BY 1, 2)
+         |SELECT user_id, exact_cnt, cms_est,
+         |  cms_est >= exact_cnt AS overest_ok FROM est""".stripMargin
+    },
     "agg_regression" ->
       """WITH b AS (SELECT l_returnflag,
         |    CAST(round(l_quantity * 100) AS BIGINT) AS xc,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.Tables
 import graft.Tables.dsum
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -418,7 +418,52 @@ object EventStream {
     } finally q.stop()
   }
 
+  /** Streaming count-min sketch: the [[graft.analytics.OlapQueries
+    * .cmsFrequency]] grid maintained as complete-mode streaming state —
+    * the sketch's defining property (cell-wise mergeability) exercised
+    * for real: the corpus replays as two micro-batches (user_id
+    * parity), each batch's partial grid folds into state by cell-wise
+    * ADDITION, and the final snapshot must equal the batch-built grid
+    * over the full corpus. State is exactly the d·w cells — key-count
+    * independent, the O(1)-state streaming aggregation every
+    * high-cardinality stream wants. Shares the grid arithmetic (and
+    * hash rows) with the batch gate; the oracle rebuilds the grid from
+    * scratch. */
+  def streamCms(spark: SparkSession, dir: String): DataFrame =
+    withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
+    import graft.analytics.OlapQueries
+    val ev = Tables.load(spark, dir, "events").select(col("user_id"))
+    val staging = stageReplay(Seq(
+      ev.filter(col("user_id") % 2 === 0),
+      ev.filter(col("user_id") % 2 =!= 0)))
+    def bucket(i: Int, c: Column): Column =
+      pmod(pmod(lit(OlapQueries.cmsA(i)) * c + lit(OlapQueries.cmsB(i)),
+        lit(OlapQueries.cmsP)), lit(OlapQueries.cmsWidth))
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+      .select(explode(array((0 until OlapQueries.cmsDepth).map(i =>
+        struct(lit(i.toLong).as("r"),
+          bucket(i, col("user_id")).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val name = "graft_stream_cms"
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table(name).cache()
+      out.count()
+      out
+    } finally q.stop()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cms" -> streamCms _,
     "stream_sliding" -> streamSliding _,
     "stream_tumbling" -> streamTumbling _,
     "stream_tumbling_append" -> streamTumblingAppend _,
@@ -443,6 +488,19 @@ object EventStream {
       |FROM events WHERE event_id % 3 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the two-micro-batch replay must fold cell-wise into exactly the
+    // grid a from-scratch batch build produces
+    "stream_cms" -> {
+      import graft.analytics.OlapQueries.{cmsA, cmsB, cmsDepth, cmsP, cmsWidth}
+      val rows = (0 until cmsDepth)
+        .map(i => s"($i, ${cmsA(i)}, ${cmsB(i)})").mkString(", ")
+      s"""WITH h(r, ha, hb) AS (SELECT * FROM (VALUES $rows))
+         |SELECT CAST(h.r AS BIGINT) AS r,
+         |  ((h.ha * e.user_id + h.hb) % $cmsP) % $cmsWidth AS b,
+         |  count(*) AS c
+         |FROM events e CROSS JOIN h
+         |GROUP BY 1, 2""".stripMargin
+    },
     "stream_sliding" -> graft.analytics.BehaviorQueries.slidingOracle,
     "stream_tumbling" -> tumblingSql,
     // append mode flushes every real window (see harness above), so the

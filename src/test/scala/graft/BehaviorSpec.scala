@@ -65,6 +65,47 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out == exact)
   }
 
+  test("count-min estimates match a sequential sketch and never undercount") {
+    val uids = Tables.load(spark, sf, "events")
+      .select("user_id").collect().map(_.getLong(0))
+    // sequential reference grid, same LCG rows
+    val grid = Array.ofDim[Long](OlapQueries.cmsDepth, OlapQueries.cmsWidth.toInt)
+    uids.foreach { u =>
+      for (i <- 0 until OlapQueries.cmsDepth) {
+        val b = ((OlapQueries.cmsA(i) * u + OlapQueries.cmsB(i)) % 2147483647L
+          % OlapQueries.cmsWidth).toInt
+        grid(i)(b) += 1
+      }
+    }
+    val exact = uids.filter(_ < 50).groupBy(identity).map { case (u, xs) =>
+      u -> xs.length.toLong
+    }
+    val got = OlapQueries.cmsFrequency(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (u, cnt) =>
+      val ref = (0 until OlapQueries.cmsDepth).map { i =>
+        grid(i)(((OlapQueries.cmsA(i) * u + OlapQueries.cmsB(i)) % 2147483647L
+          % OlapQueries.cmsWidth).toInt)
+      }.min
+      val (ex, est, ok) = got(u)
+      assert(ex == cnt && est == ref && ok, s"user $u: ($ex,$est) vs ($cnt,$ref)")
+      assert(est >= cnt, s"undercount for $u")
+    }
+    // every grid row preserves the stream total — the cell-wise
+    // mergeability invariant
+    (0 until OlapQueries.cmsDepth).foreach { i =>
+      assert(grid(i).sum == uids.length, s"row $i lost counts")
+    }
+    // the sketch is lossy by construction once keys outnumber buckets;
+    // sf0.001 has only ~15 distinct users, so only then demand a
+    // visible collision among the queried keys
+    if (uids.distinct.length > OlapQueries.cmsWidth)
+      assert(got.exists { case (_, (ex, est, _)) => est > ex },
+        "no collision — sketch not exercised")
+  }
+
   test("fuzzy join equals the brute-force all-pairs answer") {
     val out = JoinQueries.fuzzyJoin(spark, sf)
       .select("name_a", "name_b").as[(String, String)].collect().toSet
