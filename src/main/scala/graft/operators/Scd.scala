@@ -25,21 +25,51 @@ import org.apache.spark.sql.functions._
   * here); ordering uses the raw timestamp with event_id tiebreak. */
 object Scd {
 
-  def scd2History(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val purchases = Tables.load(spark, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-    val changes = purchases
-      .withColumn("prev", lag(col("value"), 1).over(w))
-      .filter(col("prev").isNull || col("value") =!= col("prev"))
-    changes
-      .withColumn("next_ts", lead(col("ts"), 1).over(w))
-      .select(col("user_id"), col("value"),
-        date_trunc("second", col("ts")).as("valid_from"),
-        date_trunc("second", col("next_ts")).as("valid_to"),
-        col("next_ts").isNull.as("is_current"),
-        row_number().over(w).cast("long").as("version"))
+  private val w =
+    Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+
+  /** Change-point rows of a (user_id, ts, event_id, value) stream: the
+    * first row per key plus every row whose value differs from its
+    * predecessor. Idempotent — consecutive change rows differ by
+    * construction, so re-collapsing a change-row set is the identity —
+    * which is what lets [[scd2Apply]] keep ONLY change rows as state. */
+  def changePoints(rows: DataFrame): DataFrame = rows
+    .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    .withColumn("prev", lag(col("value"), 1).over(w))
+    .filter(col("prev").isNull || col("value") =!= col("prev"))
+    .drop("prev")
+
+  /** Validity intervals + version numbers derived from change rows. */
+  def deriveHistory(changes: DataFrame): DataFrame = changes
+    .withColumn("next_ts", lead(col("ts"), 1).over(w))
+    .select(col("user_id"), col("value"),
+      date_trunc("second", col("ts")).as("valid_from"),
+      date_trunc("second", col("next_ts")).as("valid_to"),
+      col("next_ts").isNull.as("is_current"),
+      row_number().over(w).cast("long").as("version"))
+
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    deriveHistory(changePoints(Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")))
+
+  /** Incremental SCD2 maintenance: fold a CDC batch into the change-row
+    * state, recomputing ONLY keys the batch touches. Sound because
+    * every raw row between two change points carries the last change
+    * point's value, so collapsing {state change rows ∪ new raw rows}
+    * per key equals collapsing the full raw history — and collapse is
+    * idempotent on untouched keys. Work per batch = touched keys
+    * (callers prune the state read to touched key buckets); the
+    * streaming deployment is [[graft.streaming.ForeachBatchSink
+    * .streamScd2]], whose gate pins incremental == full recompute. */
+  def scd2Apply(stateChanges: DataFrame, batch: DataFrame): DataFrame = {
+    val cols = Seq("user_id", "ts", "event_id", "value").map(col)
+    val touched = batch.select("user_id").distinct()
+    val affected = stateChanges.select(cols: _*)
+      .join(touched, Seq("user_id"), "left_semi")
+      .unionByName(batch.select(cols: _*))
+    changePoints(affected)
+      .unionByName(stateChanges.select(cols: _*)
+        .join(touched, Seq("user_id"), "left_anti"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -80,10 +80,63 @@ object ForeachBatchSink {
         date_trunc("second", col("ts")).as("ts_s"))
   }
 
+  /** Incremental SCD2 via foreachBatch — CDC-apply into a history
+    * table: each micro-batch folds into bucket-partitioned change-row
+    * state through [[graft.operators.Scd.scd2Apply]], reading back and
+    * dynamic-overwriting ONLY the key buckets the batch touches (same
+    * bounded-touch pattern as the LWW merge sink above — per-trigger
+    * work scales with the batch, never the history). The replay splits
+    * by event_id PARITY, so the second batch carries rows that land
+    * *between* existing state rows in event time — deliberate
+    * out-of-order delivery: the recompute-touched-keys fold is
+    * order-insensitive where a naive append-only closer would corrupt
+    * intervals. Final history must equal the from-scratch batch
+    * [[graft.operators.Scd.scd2History]]; the oracle is shared. */
+  def streamScd2(spark: SparkSession, dir: String): DataFrame =
+    withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
+    import graft.operators.Scd
+    val purchases = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val staging = stageReplay(Seq(
+      purchases.filter(col("event_id") % 2 === 0),
+      purchases.filter(col("event_id") % 2 =!= 0)))
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_scd").toString + "/state"
+    val applyBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
+      val touched = batch.select(pmod(col("user_id"), lit(8)).as("bucket"))
+        .distinct().collect().map(_.getLong(0)) // <= 8 bucket ids
+      val current =
+        if (new java.io.File(table).exists())
+          batch.sparkSession.read.parquet(table)
+            .filter(col("bucket").isin(touched.toIndexedSeq: _*))
+        else batch.limit(0)
+      val folded = Scd.scd2Apply(current, batch)
+        .withColumn("bucket", pmod(col("user_id"), lit(8)))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_scd_stage").toString
+      folded.write.mode("overwrite").parquet(stage)
+      Upsert.writePartitioned(
+        batch.sparkSession.read.parquet(stage), table, "bucket")
+    }
+    val q = spark.readStream.schema(purchases.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch(applyBatch)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Scd.deriveHistory(spark.read.parquet(table))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_foreachbatch_merge" -> streamForeachBatchMerge _)
+    "stream_foreachbatch_merge" -> streamForeachBatchMerge _,
+    "stream_scd2" -> streamScd2 _)
 
   val oracles: Map[String, String] = Map(
+    // incremental CDC apply == full-recompute SCD2 (shared oracle text)
+    "stream_scd2" -> graft.operators.Scd.oracles("scd2_history"),
     // the served table after the full replay == batch LWW per user
     "stream_foreachbatch_merge" ->
       """SELECT user_id, value,

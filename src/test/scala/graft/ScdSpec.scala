@@ -34,6 +34,26 @@ class ScdSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental scd2Apply equals full recompute under out-of-order batches") {
+    val purchases = Tables.load(spark, SparkTestSession.sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    // three arbitrary interleaved batches (mod-3 split: each batch's
+    // rows land between the others' in event time)
+    val state = (0L until 3L).foldLeft(purchases.limit(0)) { (st, i) =>
+      Scd.scd2Apply(st, purchases.filter(col("event_id") % 3 === i))
+    }
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getDouble(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4), r.getLong(5))
+    }.toSet
+    assert(key(Scd.deriveHistory(state))
+      == key(Scd.scd2History(spark, SparkTestSession.sf)))
+    // idempotence: re-applying an empty batch leaves the state fixed
+    val again = Scd.scd2Apply(state, purchases.limit(0))
+    assert(again.collect().toSet == state.collect().toSet)
+  }
+
   test("scd2 point-in-time lookup equals the forward-fill answer") {
     // reconstruct "the user's purchase amount as of t" from history and
     // from the raw stream independently, for one mid-corpus instant
