@@ -124,8 +124,61 @@ object CoreQueries {
     spark.sql(sqlSurfaceText)
   }
 
+  /** Subquery surface: correlated EXISTS (plans as a left-semi join),
+    * uncorrelated IN (semi join), a scalar subquery threshold, and
+    * HAVING — the four subquery shapes an analyst reaches for first.
+    * The above-average-balance predicate is cross-multiplied in exact
+    * DECIMAL (balance·n > Σbalance) so the threshold cannot drift by a
+    * float ulp between engines. Same text runs in both. */
+  private val sqlSubqueriesText: String =
+    """SELECT c_mktsegment, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderstatus = 'F')
+      |  AND c_nationkey IN (SELECT n_nationkey FROM nation
+      |                      WHERE n_regionkey <= 2)
+      |  AND CAST(c_acctbal AS DECIMAL(18,2))
+      |        * (SELECT count(*) FROM customer)
+      |      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer)
+      |GROUP BY c_mktsegment
+      |HAVING count(*) >= 2""".stripMargin
+
+  def sqlSubqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir, "customer", "orders", "nation")
+    spark.sql(sqlSubqueriesText)
+  }
+
+  /** TPC-H Q5-flavored star join: region -> nation -> supplier ->
+    * lineitem -> orders, five tables in one query. Catalyst broadcasts
+    * the three dimension tables and shuffles only the lineitem-orders
+    * fact-fact edge; the join ORDER in the text is deliberately
+    * dimension-first to show reordering is the optimizer's job, not
+    * the author's. Exact-decimal revenue. */
+  private val sqlStarJoinText: String =
+    """SELECT n_name AS nation, o_orderpriority, count(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |           * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS revenue
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN supplier ON s_nationkey = n_nationkey
+      |JOIN lineitem ON l_suppkey = s_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |WHERE r_name IN ('ASIA', 'EUROPE') AND o_orderstatus <> 'P'
+      |GROUP BY n_name, o_orderpriority""".stripMargin
+
+  def sqlStarJoin(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir, "region", "nation", "supplier", "lineitem",
+      "orders")
+    spark.sql(sqlStarJoinText)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_surface" -> sqlSurface _,
+    "sql_subqueries" -> sqlSubqueries _,
+    "sql_star_join" -> sqlStarJoin _,
     "core_records_per_group" -> recordsPerGroup _,
     "core_summary_stats" -> summaryStats _,
     "core_recent_by_group" -> recentByGroup _,
@@ -139,6 +192,8 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     // the same SQL text runs in DuckDB unchanged
     "sql_surface" -> sqlSurfaceText,
+    "sql_subqueries" -> sqlSubqueriesText,
+    "sql_star_join" -> sqlStarJoinText,
     "core_records_per_group" ->
       """SELECT l_returnflag, count(*) AS cnt, max(l_shipdate) AS max_shipdate
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,

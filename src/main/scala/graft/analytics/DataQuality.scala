@@ -50,10 +50,60 @@ object DataQuality {
     tall.unionByName(dupKeys).unionByName(orphans)
   }
 
+  /** Quarantine routing — the enforcement half of the audit: every row
+    * is labeled with the ordered CSV of rules it violates (empty =
+    * clean) in ONE pass — conditional expressions for the row-local
+    * rules, a key-partition window count for duplicate keys, one left
+    * join against distinct order keys for referential integrity. In
+    * production the labeled frame splits into clean/quarantine sinks
+    * with a partitioned write; the gate reports the reason-combination
+    * census so output stays O(distinct combinations) while the full
+    * routing dataflow runs. */
+  def quarantine(spark: SparkSession, dir: String): DataFrame = {
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"), col("l_linenumber"))
+    val ok = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey")).distinct()
+    Tables.load(spark, dir, "lineitem")
+      .withColumn("key_n", count(lit(1)).over(wk))
+      .join(ok, col("l_orderkey") === col("o_orderkey"), "left")
+      .withColumn("reasons", concat_ws(",",
+        when(col("l_quantity") <= 0 || col("l_quantity") > 100,
+          lit("range_quantity")),
+        when(col("l_discount") < 0 || col("l_discount") > 1,
+          lit("range_discount")),
+        when(col("l_shipdate") < lit("1990-01-01").cast("timestamp"),
+          lit("stale_shipdate")),
+        when(col("key_n") > 1, lit("dup_key")),
+        when(col("o_orderkey").isNull, lit("orphan"))))
+      .groupBy(col("reasons"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("quarantined", col("reasons") =!= "")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dq_audit" -> audit _)
+    "dq_audit" -> audit _,
+    "dq_quarantine" -> quarantine _)
 
   val oracles: Map[String, String] = Map(
+    "dq_quarantine" ->
+      """WITH k AS (SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+        |    l_shipdate,
+        |    count(*) OVER (PARTITION BY l_orderkey, l_linenumber) AS key_n
+        |  FROM lineitem),
+        |r AS (SELECT concat_ws(',',
+        |    CASE WHEN l_quantity <= 0 OR l_quantity > 100
+        |      THEN 'range_quantity' END,
+        |    CASE WHEN l_discount < 0 OR l_discount > 1
+        |      THEN 'range_discount' END,
+        |    CASE WHEN l_shipdate < TIMESTAMP '1990-01-01 00:00:00'
+        |      THEN 'stale_shipdate' END,
+        |    CASE WHEN key_n > 1 THEN 'dup_key' END,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'orphan' END) AS reasons
+        |  FROM k LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON k.l_orderkey = o.o_orderkey)
+        |SELECT reasons, count(*) AS n_rows, reasons <> '' AS quarantined
+        |FROM r GROUP BY reasons""".stripMargin,
     "dq_audit" ->
       """SELECT 'null_quantity' AS check, count(*) FILTER (l_quantity IS NULL)
         |  AS violations FROM lineitem
