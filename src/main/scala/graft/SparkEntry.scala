@@ -50,7 +50,9 @@ object SparkEntry {
       streaming.ForeachBatchSink.queries ++
       operators.TableDiff.queries ++
       analytics.BehaviorQueries.queries ++
-      analytics.DataQuality.queries
+      analytics.DataQuality.queries ++
+      store.Partitioned.queries ++
+      store.Compaction.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -85,5 +87,7 @@ object SparkEntry {
       streaming.ForeachBatchSink.oracles ++
       operators.TableDiff.oracles ++
       analytics.BehaviorQueries.oracles ++
-      analytics.DataQuality.oracles
+      analytics.DataQuality.oracles ++
+      store.Partitioned.oracles ++
+      store.Compaction.oracles
 }

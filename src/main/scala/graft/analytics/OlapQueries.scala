@@ -459,7 +459,84 @@ object OlapQueries {
       .withColumn("overest_ok", col("cms_est") >= col("exact_cnt"))
   }
 
+  // --- Pairwise correlation sufficient statistics -------------------------
+
+  /** Per-group correlation/covariance SUFFICIENT STATISTICS for
+    * (quantity, price) — n, Σx, Σy, Σxy on exact integer grids (price
+    * in cents) plus the covariance numerator n·Σxy − Σx·Σy and its
+    * sign. The split matters at 100 TB: the five sums are algebraic
+    * (map-side partial agg, mergeable across any partitioning — the
+    * same (n, Σ…) shape every distributed stats system ships), while
+    * the float r itself is a driver-side epilogue. The numerator
+    * exceeds BIGINT at scale, so it rides DECIMAL(38,0) and is emitted
+    * as a STRING — hash-comparable digit-for-digit with DuckDB's
+    * HUGEINT, where a DOUBLE would round (~1e19 > 2^53) and a decimal
+    * would hash as a different type. */
+  def corrStats(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    val y = (dec(col("l_extendedprice")) * 100).cast("long")
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_qty"),
+        sum(col("y")).as("sum_price_cents"),
+        sum(col("x") * col("y")).as("sum_xy"))
+      .withColumn("cov_num",
+        (col("n").cast("decimal(38,0)") * col("sum_xy")
+          - col("sum_qty").cast("decimal(38,0)") * col("sum_price_cents"))
+          .cast("string"))
+      .withColumn("cov_pos",
+        col("n").cast("decimal(38,0)") * col("sum_xy")
+          > col("sum_qty").cast("decimal(38,0)") * col("sum_price_cents"))
+  }
+
+  // --- KMV distinct-count sketch ------------------------------------------
+
+  /** Sketch size for [[kmvDistinct]]. */
+  val kmvK = 64
+
+  /** K-minimum-values cardinality sketch (Bar-Yossef et al. 2002) —
+    * the third cardinality estimator next to HLL (`agg_approx_distinct`)
+    * and exact distinct, and unlike HLL its entire computation
+    * reproduces bit-identically in the oracle: hash every key with the
+    * LCG permutation, keep the k smallest DISTINCT hash values per
+    * group, estimate (k−1)·M / h_k (M = the hash modulus). The min-k
+    * buffer rides the same bounded `Aggregator` as top-k — the
+    * exchange carries O(groups·k) rows; a production sketch folds the
+    * dedup into the buffer itself, here it is a pre-aggregation so the
+    * gate shares [[graft.functions.TopK.TopKAgg]] unchanged. Groups
+    * smaller than k report exactly. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopK
+    val mink = udaf(new TopK.TopKAgg(kmvK),
+      org.apache.spark.sql.Encoders.product[TopK.Scored])
+    val base = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        pmod(col("l_partkey") * lit(1103515245L) + lit(12345L),
+          lit(2147483648L)).as("h"))
+    val exact = base.groupBy("l_returnflag")
+      .agg(countDistinct(col("h")).as("n_distinct_h"))
+    // distinct (group, h) once; min-k = top-k on the negated hash
+    val sketch = base.distinct()
+      .groupBy("l_returnflag")
+      .agg(mink((-col("h")).cast("double"), col("h")).as("mins"))
+      .select(col("l_returnflag"),
+        element_at(col("mins"), -1).getField("key").as("kth_min"),
+        size(col("mins")).as("m"))
+    exact.join(sketch, "l_returnflag")
+      .select(col("l_returnflag"), col("n_distinct_h"),
+        when(col("m") < kmvK, col("n_distinct_h"))
+          // integer DIV, not floor(double /): the double quotient
+          // rounds at 53 bits and can cross an integer boundary the
+          // exact quotient doesn't; DuckDB's // is exact
+          .otherwise(expr(s"${(kmvK - 1) * 2147483648L}L DIV kth_min"))
+          .cast("long").as("kmv_est"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_corr_stats" -> corrStats _,
+    "agg_kmv_distinct" -> kmvDistinct _,
     "agg_cms" -> cmsFrequency _,
     "agg_winsorize" -> winsorize _,
     "agg_heavy_hitters" -> heavyHitters _,
@@ -481,6 +558,39 @@ object OlapQueries {
     "func_array" -> arrayFuncs _)
 
   val oracles: Map[String, String] = Map(
+    "agg_corr_stats" ->
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sum_qty,
+        |    CAST(sum(y) AS BIGINT) AS sum_price_cents,
+        |    CAST(sum(x * y) AS BIGINT) AS sum_xy
+        |  FROM s GROUP BY 1)
+        |SELECT l_returnflag, n, sum_qty, sum_price_cents, sum_xy,
+        |  CAST(CAST(n AS HUGEINT) * sum_xy
+        |    - CAST(sum_qty AS HUGEINT) * sum_price_cents AS VARCHAR)
+        |    AS cov_num,
+        |  CAST(n AS HUGEINT) * sum_xy
+        |    > CAST(sum_qty AS HUGEINT) * sum_price_cents AS cov_pos
+        |FROM a""".stripMargin,
+    "agg_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT l_returnflag,
+         |    (l_partkey * 1103515245 + 12345) % 2147483648 AS h
+         |  FROM lineitem),
+         |r AS (SELECT l_returnflag, h,
+         |    CAST(row_number() OVER (PARTITION BY l_returnflag
+         |      ORDER BY h) AS BIGINT) AS rn,
+         |    count(*) OVER (PARTITION BY l_returnflag) AS m
+         |  FROM h),
+         |k AS (SELECT l_returnflag, m, max(h) AS kth_min
+         |  FROM r WHERE rn <= $kmvK GROUP BY 1, 2)
+         |SELECT l_returnflag, m AS n_distinct_h,
+         |  CAST(CASE WHEN m < $kmvK THEN m
+         |    ELSE ${(kmvK - 1) * 2147483648L} // kth_min END AS BIGINT)
+         |    AS kmv_est
+         |FROM k""".stripMargin,
     "agg_winsorize" ->
       """WITH b AS (SELECT l_returnflag,
         |    quantile_cont(l_extendedprice, 0.05) AS p05,

@@ -307,7 +307,159 @@ object TrainPrep {
     spark.sql(mixTemperatureText)
   }
 
+  // --- Weighted reservoir-style sampling ----------------------------------
+
+  /** Rows kept by the weighted-sample gate. */
+  val weightedK = 200
+
+  /** Deterministic weighted sampling without replacement: every doc
+    * gets priority `h * w` — the LCG permutation of doc_id scaled by an
+    * integer weight — and the global top-[[weightedK]] priorities win.
+    * Selection probability is monotone in the weight (a weight-10 doc
+    * outranks a weight-1 doc unless its draw was 10x worse), which is
+    * the quality-weighted corpus subsample recipe ("sample proportional
+    * to the classifier score") in exact integer arithmetic; the
+    * float-exact A-ES key u^(1/w) (Efraimidis-Spirakis) is the
+    * production refinement and changes only this priority expression.
+    * The weight here is a content-derived stand-in (1 + n_chars mod
+    * 10) so the gate exercises a non-uniform integer weight domain.
+    *
+    * Scale shape: priority is pure map-side arithmetic and the global
+    * top-k plans as TakeOrderedAndProject — per-partition heaps of k
+    * rows, one k-row merge at the driver side of the exchange; no
+    * global sort materializes. */
+  def weightedSample(docs: DataFrame, k: Int = weightedK): DataFrame =
+    docs.select(col("doc_id"),
+        (lit(1L) + pmod(col("n_chars"), lit(10L))).as("weight"))
+      .withColumn("pri",
+        pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
+          lit(2147483648L)) * col("weight"))
+      .orderBy(col("pri").desc, col("doc_id"))
+      .limit(k)
+
+  def weightedQuery(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.load(spark, dir, "documents"))
+
+  // --- Fixed-width stride chunking ----------------------------------------
+
+  /** Chunk width / stride (tokens) for the chunking gate: 32-token
+    * windows every 24 tokens = 8 tokens of overlap, the standard
+    * context-window chunking for training and for retrieval indexing
+    * (overlap so no span is ever split across a boundary without a
+    * chunk that contains it whole). */
+  val chunkWidth = 32
+  val chunkStride = 24
+
+  /** Cut every document into fixed-width token chunks on a stride —
+    * the map from documents to training/index rows. Pure map-side
+    * column work: tokenize once, explode an arithmetic start-offset
+    * sequence, slice — no shuffle, no state; 100 TB chunks exactly as
+    * fast as 100 TB scans. Chunk starts are 0, stride, 2*stride, ...
+    * while < n_tokens, so every token is covered and the final chunk
+    * may run short (never empty). */
+  def chunkDocs(docs: DataFrame, width: Int = chunkWidth,
+      stride: Int = chunkStride): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr(
+          s"sequence(0L, ((n - 1) DIV $stride) * $stride, $stride)"))
+          .as("chunk_start"))
+      .withColumn("chunk", expr(s"slice(toks, chunk_start + 1, $width)"))
+      .select(col("doc_id"),
+        (col("chunk_start") / stride).cast("long").as("chunk_id"),
+        col("chunk_start"),
+        size(col("chunk")).cast("long").as("n_chunk"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+
+  def chunkQuery(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(Tables.load(spark, dir, "documents"))
+
+  // --- DSIR importance scoring --------------------------------------------
+
+  /** Hashed-feature bucket count for [[dsirScore]]. Production uses
+    * 10k-100k buckets; 1024 keeps the model frame trivially
+    * broadcastable at gate scale (the dataflow is bucket-count
+    * independent). */
+  val dsirBuckets = 1024L
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed unigram features are,
+    * log p_target(doc) - log p_raw(doc) under bag-of-buckets unigram
+    * models — here in the engine's exact integer bit arithmetic
+    * (surprisal = flog2(N) - flog2(c), as [[TextAnalysis.lmScore]]),
+    * with `lang = 'en'` standing in for the target corpus. Positive
+    * bits = looks more like the target than like the average raw doc;
+    * downstream selection keeps the top slice (resampling on these
+    * scores is the published method's Gumbel step).
+    *
+    * Scale shape: one (doc, bucket) hash-agg over tokenized text (the
+    * tf-idf plan), two BOUNDED per-bucket aggregates (≤ [[dsirBuckets]]
+    * rows — the totals ride vocabulary-bounded windows exactly like
+    * lmScore's), and the model re-joins map-side as a broadcast. Works
+    * at any corpus size because the model frame is fixed-size by
+    * construction — that is the point of hashed features. Buckets the
+    * target never saw carry no evidence and drop from the model (inner
+    * join), mirroring the published estimator's shared-support
+    * assumption.
+    *
+    * On THIS synthetic corpus every language shares one 31-token
+    * vocabulary with near-identical frequencies, so the target and raw
+    * unigram models coincide and every importance weight is exactly 0
+    * — the estimator correctly reporting "no distribution shift to
+    * exploit" (sub-bit frequency wobble is below floor-log2
+    * resolution by design: libm-free gates round to whole bits). The
+    * gate therefore pins the distributed dataflow and the oracle
+    * agreement; the SEMANTIC discrimination is pinned by the spec on a
+    * planted two-vocabulary corpus, where target-vocab docs separate
+    * by tens of bits (the multimodal-decode pattern: deterministic
+    * harness corpus for the behavior, real corpus for the plan). */
+  def dsirScore(spark: SparkSession, dir: String): DataFrame =
+    dsirScoreDocs(Tables.load(spark, dir, "documents"))
+
+  /** [[dsirScore]] over an explicit docs frame (doc_id, text, lang);
+    * `targetLang` selects the target corpus. */
+  def dsirScoreDocs(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    import graft.functions.TextAnalysis.flog2
+    val tf = docs
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("term"))
+      .withColumn("b",
+        pmod(Dedup.charPolyHash(col("term"), 31L, 2000000011L),
+          lit(dsirBuckets)))
+      .groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val raw = tf.groupBy("b").agg(sum("tf").as("c_r"))
+      .withColumn("n_r", sum(col("c_r")).over(wAll))
+    val tgt = tf.filter(col("lang") === targetLang)
+      .groupBy("b").agg(sum("tf").as("c_t"))
+      .withColumn("n_t", sum(col("c_t")).over(wAll))
+    val model = raw.join(tgt, "b")
+      .select(col("b"),
+        ((flog2(col("n_r")) - flog2(col("c_r")))
+          - (flog2(col("n_t")) - flog2(col("c_t")))).as("lam"))
+    val scored = tf.join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_feat"),
+        sum(col("tf") * col("lam")).as("dsir_bits"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        coalesce(col("dsir_bits"), lit(0L)).as("dsir_bits"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "train_sample_weighted" -> weightedQuery _,
+    "train_chunks" -> chunkQuery _,
+    "curate_dsir" -> dsirScore _,
     "train_mix_temperature" -> mixTemperature _,
     "curate_ppl_buckets" -> pplBuckets _,
     "curate_source_cap" -> sourceCap _,
@@ -372,6 +524,51 @@ object TrainPrep {
   }
 
   val oracles: Map[String, String] = Map(
+    "train_sample_weighted" ->
+      s"""SELECT doc_id, 1 + n_chars % 10 AS weight,
+         |  ((doc_id * 1103515245 + 12345) % 2147483648)
+         |    * (1 + n_chars % 10) AS pri
+         |FROM documents
+         |ORDER BY pri DESC, doc_id
+         |LIMIT $weightedK""".stripMargin,
+    "train_chunks" ->
+      s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS toks,
+         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents),
+         |s AS (SELECT doc_id, toks, n,
+         |    unnest(range(0, n, $chunkStride)) AS chunk_start
+         |  FROM d)
+         |SELECT doc_id, chunk_start // $chunkStride AS chunk_id,
+         |  chunk_start,
+         |  CAST(len(list_slice(toks, chunk_start + 1,
+         |    chunk_start + $chunkWidth)) AS BIGINT) AS n_chunk,
+         |  array_to_string(list_slice(toks, chunk_start + 1,
+         |    chunk_start + $chunkWidth), ' ') AS chunk_text
+         |FROM s""".stripMargin,
+    "curate_dsir" -> {
+      val h = Dedup.polySql("term", 31L, 2000000011L)
+      def fl(x: String) = s"(length(printf('%b', CAST($x AS BIGINT))) - 1)"
+      s"""WITH tf AS (SELECT doc_id, lang, ($h) % $dsirBuckets AS b,
+         |    count(*) AS tf FROM (
+         |    SELECT doc_id, lang, unnest(str_split(text, ' ')) AS term
+         |    FROM documents) x GROUP BY 1, 2, 3),
+         |raw AS (SELECT b, CAST(sum(tf) AS BIGINT) AS c_r FROM tf GROUP BY b),
+         |tgt AS (SELECT b, CAST(sum(tf) AS BIGINT) AS c_t
+         |  FROM tf WHERE lang = 'en' GROUP BY b),
+         |nr AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r FROM raw),
+         |nt AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t FROM tgt),
+         |model AS (SELECT b,
+         |    (${fl("nr.n_r")} - ${fl("raw.c_r")})
+         |      - (${fl("nt.n_t")} - ${fl("tgt.c_t")}) AS lam
+         |  FROM raw JOIN tgt USING (b) CROSS JOIN nr CROSS JOIN nt),
+         |sc AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_feat,
+         |    CAST(sum(tf.tf * model.lam) AS BIGINT) AS dsir_bits
+         |  FROM tf JOIN model USING (b) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(sc.n_feat, 0) AS n_feat,
+         |  coalesce(sc.dsir_bits, 0) AS dsir_bits
+         |FROM (SELECT doc_id FROM documents) d
+         |LEFT JOIN sc USING (doc_id)""".stripMargin
+    },
     "train_mix_temperature" -> mixTemperatureText,
     "curate_ppl_buckets" -> pplBucketsText(
       "quantile_cont(avg_bits, 0.25)", "quantile_cont(avg_bits, 0.75)",

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.AsofJoin
 import graft.analytics.OlapQueries
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class AsofOlapSpec extends AnyFunSuite {
@@ -194,6 +195,62 @@ class AsofOlapSpec extends AnyFunSuite {
     out.sliding(2).foreach { case Array(a, b2) =>
       assert(a._4 <= b2._3, s"bins ${a._1},${b2._1} overlap")
       assert(a._3 <= a._4)
+    }
+  }
+
+  test("corr sufficient stats agree with a double reference") {
+    val rows = Tables.load(spark, SparkTestSession.sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val got = analytics.OlapQueries.corrStats(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), BigInt(r.getString(5)), r.getBoolean(6))).toMap
+    rows.groupBy(_._1).foreach { case (flag, xs) =>
+      val x = xs.map(_._2.toLong)
+      val y = xs.map(t => BigDecimal(t._3).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact)
+      val (n, sx, sy) = (xs.length.toLong, x.sum, y.sum)
+      val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+      val cov = BigInt(n) * sxy - BigInt(sx) * sy
+      val (gn, gsx, gsy, gsxy, gcov, gpos) = got(flag)
+      assert((gn, gsx, gsy, gsxy) == (n, sx, sy, sxy))
+      assert(gcov == cov && gpos == (cov > 0))
+      // the exact integer sign agrees with the float covariance sign
+      val mx = sx.toDouble / n; val my = sy.toDouble / n
+      val covD = x.zip(y).map { case (a, b) =>
+        (a - mx) * (b - my) }.sum / n
+      assert((covD > 0) == gpos, s"flag=$flag covD=$covD")
+    }
+  }
+
+  test("kmv estimate is deterministic and within 2/sqrt(k) of exact") {
+    val got = analytics.OlapQueries.kmvDistinct(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    for ((flag, exact, est) <- got) {
+      if (exact < analytics.OlapQueries.kmvK)
+        assert(est == exact, s"small group $flag must report exactly")
+      else {
+        val rel = math.abs(est - exact).toDouble / exact
+        val bound = 2.0 / math.sqrt(analytics.OlapQueries.kmvK.toDouble)
+        assert(rel <= bound, s"flag=$flag exact=$exact est=$est rel=$rel")
+      }
+    }
+    // sketch reference: kth-smallest distinct LCG hash reproduces est
+    val rows = Tables.load(spark, SparkTestSession.sf, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    rows.groupBy(_._1).foreach { case (flag, xs) =>
+      val hs = xs.map(t => (t._2 * 1103515245L + 12345L) % 2147483648L)
+        .distinct.sorted
+      val k = analytics.OlapQueries.kmvK
+      val exp =
+        if (hs.length < k) hs.length.toLong
+        else (k - 1).toLong * 2147483648L / hs(k - 1)
+      assert(got.find(_._1 == flag).get._3 == exp, s"flag=$flag")
     }
   }
 }

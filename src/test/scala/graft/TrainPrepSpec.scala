@@ -204,4 +204,89 @@ class TrainPrepSpec extends AnyFunSuite {
       assert(rows.size <= TrainPrep.sourceCapK, s"source $src over cap")
     }
   }
+
+  test("weighted sample equals the sequential weighted-priority top-k") {
+    val docs = Tables.load(spark, SparkTestSession.sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def pri(id: Long, nc: Long): Long =
+      ((id * 1103515245L + 12345L) % 2147483648L) * (1L + nc % 10L)
+    val expected = docs
+      .map { case (id, nc) => (id, 1L + nc % 10L, pri(id, nc)) }
+      .sortBy { case (id, _, p) => (-p, id) }
+      .take(TrainPrep.weightedK).toSet
+    val got = TrainPrep.weightedQuery(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // selection skews toward heavy weights: the kept mean weight must
+    // exceed the corpus mean (weights 1..10, uniform-ish hash draws)
+    val keptMean = got.toSeq.map(_._2).sum.toDouble / got.size
+    val corpusMean = docs.map(d => 1L + d._2 % 10L).sum.toDouble / docs.length
+    assert(keptMean > corpusMean, s"kept=$keptMean corpus=$corpusMean")
+  }
+
+  test("chunking covers every token, aligns to the stride, rebuilds the doc") {
+    val docs = Tables.load(spark, SparkTestSession.sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val chunks = TrainPrep.chunkQuery(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet)
+    for ((id, text) <- docs) {
+      val toks = text.split(" ", -1)
+      val cs = byDoc(id).sortBy(_._2)
+      // starts are 0, stride, ... while < n
+      assert(cs.map(_._3).toSeq ==
+        (0L until toks.length.toLong by TrainPrep.chunkStride).toSeq)
+      for ((_, _, start, nChunk, ctext) <- cs) {
+        val exp = toks.slice(start.toInt,
+          math.min(start.toInt + TrainPrep.chunkWidth, toks.length))
+        assert(nChunk == exp.length)
+        assert(ctext == exp.mkString(" "))
+      }
+      // stride-aligned reconstruction: dropping each chunk's overlap
+      // tail re-concatenates to the document
+      val rebuilt = cs.map { case (_, _, start, _, ctext) =>
+        ctext.split(" ", -1).take(TrainPrep.chunkStride)
+      }.flatten
+      assert(rebuilt.toSeq == toks.toSeq)
+    }
+  }
+
+  test("dsir separates a planted distribution shift; uniform corpus scores 0") {
+    // planted two-vocabulary corpus: target-language docs draw from a
+    // disjoint vocabulary, so the log ratio is large and whole-bit
+    // quantization cannot hide it
+    val prose = Seq("river", "meadow", "willow", "amber", "lantern")
+    val code = Seq("mutex", "opcode", "segfault", "syscall", "endian")
+    def doc(id: Long, vocab: Seq[String], lang: String) =
+      (id, (0 until 40).map(i => vocab((i + id.toInt) % vocab.size))
+        .mkString(" "), lang)
+    val docs = ((0L until 30L).map(doc(_, prose, "en"))
+      ++ (30L until 60L).map(doc(_, code, "de")))
+      .toDF("doc_id", "text", "lang")
+    val scored = TrainPrep.dsirScoreDocs(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val proseScores = (0L until 30L).map(scored)
+    val codeScores = (30L until 60L).map(scored)
+    // every prose doc outranks every code doc — code-vocab buckets
+    // never appear in the target model, so code docs carry no target
+    // evidence at all, while prose docs score log(N_r/N_t) > 0 bits
+    // per token
+    assert(proseScores.min > codeScores.max,
+      s"prose=${proseScores.min} code=${codeScores.max}")
+    assert(proseScores.forall(_ > 0))
+
+    // real corpus: every doc is scored (census form), and the shared
+    // 31-token near-uniform vocabulary means NO distribution shift —
+    // the correct importance weight is exactly 0 everywhere (sub-bit
+    // wobble rounds away under floor-log2)
+    val real = TrainPrep.dsirScore(spark, SparkTestSession.sf).collect()
+    assert(real.length ==
+      Tables.load(spark, SparkTestSession.sf, "documents").count())
+    assert(real.forall(_.getLong(2) == 0L))
+    assert(real.forall(_.getLong(1) > 0L)) // but every doc has features
+  }
 }
