@@ -52,7 +52,9 @@ object SparkEntry {
       analytics.BehaviorQueries.queries ++
       analytics.DataQuality.queries ++
       store.Partitioned.queries ++
-      store.Compaction.queries
+      store.Compaction.queries ++
+      store.ZoneMap.queries ++
+      analytics.Retrieval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -89,5 +91,7 @@ object SparkEntry {
       analytics.BehaviorQueries.oracles ++
       analytics.DataQuality.oracles ++
       store.Partitioned.oracles ++
-      store.Compaction.oracles
+      store.Compaction.oracles ++
+      store.ZoneMap.oracles ++
+      analytics.Retrieval.oracles
 }

@@ -77,6 +77,36 @@ object JoinQueries {
       .agg(count(col("o_orderkey")).as("n_orders"))
   }
 
+  /** Full-outer join with unmatched rows on BOTH sides: per-customer
+    * counts of finished ('F') orders against the high-balance customer
+    * roster. Customers who never placed an F order survive from the
+    * right, F-order customers below the balance cut survive from the
+    * left, and the `side` column labels which — the reconciliation
+    * shape (ledger vs ledger) that left/semi/anti can't express.
+    * Both inputs pre-aggregate/filter BEFORE the join, so the full
+    * outer shuffles two already-small keyed frames, and a full outer
+    * over a shared hash partitioning is one exchange per side — same
+    * cost as the inner join at any scale. */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_f_orders"),
+        dsum(col("o_totalprice")).as("f_total"))
+    val c = Tables.load(spark, dir, "customer")
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_name"))
+    f.join(c, f("o_custkey") === c("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        coalesce(col("n_f_orders"), lit(0L)).as("n_f_orders"),
+        coalesce(col("f_total"), lit(0.0)).as("f_total"),
+        col("c_name"),
+        when(col("o_custkey").isNull, "right_only")
+          .when(col("c_custkey").isNull, "left_only")
+          .otherwise("both").as("side"))
+  }
+
   /** Distinct aggregation: exact distinct suppliers/parts per line status. */
   def aggDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
@@ -208,6 +238,7 @@ object JoinQueries {
     "join_semi" -> semiJoin _,
     "join_anti" -> antiJoin _,
     "join_outer" -> outerJoin _,
+    "join_full_outer" -> fullOuterJoin _,
     "agg_distinct" -> aggDistinct _,
     "window_topn" -> windowTopn _,
     "window_running_sum" -> runningSum _,
@@ -253,6 +284,20 @@ object JoinQueries {
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """WITH f AS (SELECT o_custkey, count(*) AS n_f_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS f_total
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        |c AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000)
+        |SELECT coalesce(f.o_custkey, c.c_custkey) AS custkey,
+        |  coalesce(f.n_f_orders, 0) AS n_f_orders,
+        |  coalesce(f.f_total, 0.0) AS f_total,
+        |  c.c_name,
+        |  CASE WHEN f.o_custkey IS NULL THEN 'right_only'
+        |    WHEN c.c_custkey IS NULL THEN 'left_only'
+        |    ELSE 'both' END AS side
+        |FROM f FULL OUTER JOIN c ON f.o_custkey = c.c_custkey""".stripMargin,
     "agg_distinct" ->
       """SELECT l_linestatus,
         |  count(DISTINCT l_suppkey) AS n_supp,

@@ -1,0 +1,138 @@
+package graft.analytics
+
+import graft.Tables
+import graft.functions.TextAnalysis.tokens
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over the documents corpus — the query-side
+  * complement of `text_inverted_index`: given a small set of keyword
+  * queries, rank every matching document by Okapi BM25 (Robertson et
+  * al., TREC-3) and keep the top-k per query. A curation pipeline runs
+  * exactly this shape for corpus search, targeted decontamination
+  * ("find the docs that look like this benchmark prompt") and
+  * retrieval-augmented dataset construction.
+  *
+  * Exact-arithmetic scoring: BM25 is a product of floats in every
+  * textbook, and floats don't hash-compare across engines. With
+  * k1 = 6/5 and b = 3/4 the per-term score
+  *
+  *   idf · tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+  *
+  * multiplied through by 10·T (T = corpus token count, avgdl = T/N)
+  * becomes the integer rational
+  *
+  *   idf20 · 22·tf·T  /  (10·T·tf + 3·T + 9·dl·N)
+  *
+  * and the gate emits its floor at 1e4 scale via integer DIV — exact
+  * in both engines. idf20 is the floor-log2 idf at 2^20 scale
+  * (flog2((N<<20) DIV df)), the same libm-free surrogate every other
+  * scoring gate here uses: whole-bit resolution for the rarity factor,
+  * full integer resolution for the tf/length saturation that does the
+  * in-query ranking work. Magnitude bound: idf20·22·tf·T·10^4 needs
+  * T·tf ≲ 4e13 — fine to ~10^11 corpus tokens; past that the scale
+  * factor drops or the numerator rides DECIMAL(38,0) (ordering is
+  * unaffected either way).
+  *
+  * Scale shape: query terms are a handful of literals, so the doc-term
+  * explode FILTERS to them before the (doc, term) hash-agg — the
+  * shuffled tf frame is O(docs·|q|), not O(corpus tokens). Per-term df
+  * aggregates to ≤|q| rows and re-joins as a broadcast. N and T are two
+  * longs collected once (the Zorder min/max pattern). Top-k per query
+  * is a |q|-partition window rank — WindowGroupLimit pushes the k cut
+  * below the sort at every executor.
+  */
+object Retrieval {
+
+  /** Fixed keyword query set (query_id → terms). Term choice spans the
+    * df spectrum of the synthetic vocabulary: `dup` is rare (high idf),
+    * the rest are common terms ranked purely by tf/length saturation. */
+  val bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("dup", "merge"),
+    1L -> Seq("fast", "query", "scan"),
+    2L -> Seq("spark", "window"))
+
+  /** Results kept per query. */
+  val bm25K = 10
+
+  /** Scaled-integer BM25 top-[[bm25K]] per query. Emits
+    * (query_id, rank, doc_id, n_hit, score_q4): `n_hit` = how many of
+    * the query's terms the doc contains, `score_q4` = the summed
+    * per-term floor-scaled scores. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    // two bounded longs to the driver (same pattern as Zorder min/max)
+    val Array(n, t) = docs.agg(count(lit(1)), sum(col("dl")))
+      .collect()(0).toSeq.map(_.toString.toLong).toArray
+
+    val qterms = bm25Queries
+      .flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "term")
+    val termSet = bm25Queries.flatMap(_._2).distinct
+
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isInCollection(termSet))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf20",
+        graft.functions.TextAnalysis.flog2(expr(s"${n << 20}L DIV df")))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_q4").desc, col("doc_id"))
+    tf.join(broadcast(df), "term")
+      .join(broadcast(qterms), "term")
+      .withColumn("score_term_q4", expr(
+        s"(idf20 * 22L * tf * ${t}L * 10000L)" +
+          s" DIV (10L * ${t}L * tf + 3L * ${t}L + 9L * dl * ${n}L)"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hit"),
+        sum(col("score_term_q4")).as("score_q4"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= bm25K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_hit"), col("score_q4"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> bm25TopK _)
+
+  val oracles: Map[String, String] = Map(
+    "text_bm25" -> {
+      val qvals = bm25Queries
+        .flatMap { case (qid, ts) =>
+          ts.map(t => s"(CAST($qid AS BIGINT), '$t')") }
+        .mkString(", ")
+      s"""WITH q(query_id, term) AS (VALUES $qvals),
+         |d AS (SELECT doc_id, str_split(text, ' ') AS toks,
+         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+         |  FROM documents),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(dl) AS BIGINT) AS t FROM d),
+         |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
+         |    SELECT doc_id, dl, unnest(toks) AS term FROM d) x
+         |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+         |idf AS (SELECT term, count(*) AS df,
+         |    (length(printf('%b',
+         |      (SELECT n FROM nt) * 1048576 // count(*))) - 1) AS idf20
+         |  FROM tf GROUP BY term),
+         |s AS (SELECT q.query_id, tf.doc_id, count(*) AS n_hit,
+         |    CAST(sum((idf.idf20 * 22 * tf.tf * nt.t * 10000)
+         |      // (10 * nt.t * tf.tf + 3 * nt.t + 9 * tf.dl * nt.n))
+         |      AS BIGINT) AS score_q4
+         |  FROM tf JOIN idf USING (term) JOIN q USING (term)
+         |    CROSS JOIN nt
+         |  GROUP BY 1, 2)
+         |SELECT query_id, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score_q4 DESC, doc_id)
+         |    AS BIGINT) AS rank,
+         |  doc_id, n_hit, score_q4
+         |FROM s
+         |QUALIFY rank <= $bm25K""".stripMargin
+    })
+}
