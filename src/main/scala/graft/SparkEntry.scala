@@ -54,7 +54,8 @@ object SparkEntry {
       store.Partitioned.queries ++
       store.Compaction.queries ++
       store.ZoneMap.queries ++
-      analytics.Retrieval.queries
+      analytics.Retrieval.queries ++
+      analytics.StatsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -93,5 +94,6 @@ object SparkEntry {
       store.Partitioned.oracles ++
       store.Compaction.oracles ++
       store.ZoneMap.oracles ++
-      analytics.Retrieval.oracles
+      analytics.Retrieval.oracles ++
+      analytics.StatsQueries.oracles
 }

@@ -1,0 +1,138 @@
+package graft.analytics
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Optimizer-grade table statistics — the ANALYZE TABLE side of the
+  * engine. A cost-based optimizer (join reorder, broadcast decisions,
+  * skew detection) runs on exactly these numbers: row counts, per-column
+  * null counts, distinct counts, min/max. At 100 TB the stats job IS a
+  * query — it must be one scan, not one scan per column.
+  */
+object StatsQueries {
+
+  /** Columns profiled by [[analyzeTable]]. */
+  val analyzeCols = Seq("l_returnflag", "l_linestatus", "l_suppkey",
+    "l_shipdate")
+
+  /** One-scan multi-column profile of `lineitem`, one output row per
+    * column: rows, nulls, exact ndv, lexicographic min/max (values as
+    * strings so heterogeneous column types share one schema — the
+    * catalog-stats storage shape). The exact `countDistinct`s make the
+    * gate oracle-checkable; Spark plans the n-distinct aggregate via
+    * one Expand (×|cols| row multiplication) — the documented cost of
+    * exactness. The production variant swaps `approx_count_distinct`
+    * (HLL, no Expand, one true pass) with identical dataflow; the HLL
+    * error-bound pattern is gated separately (`agg_approx_distinct`).
+    * Min/max/null-count are always algebraic single-pass. */
+  def analyzeTable(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val aggs = analyzeCols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c).cast("string")).as(s"min_$c"),
+        max(col(c).cast("string")).as(s"max_$c"))
+    }
+    val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    // stack by exploding structs over the ONE aggregated row — a
+    // union of per-column selects would re-plan the scan per column
+    wide.select(explode(array(analyzeCols.map(c =>
+        struct(lit(c).as("column_name"), col("n_rows"),
+          (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+          col(s"ndv_$c").as("ndv"),
+          col(s"min_$c").as("min_s"),
+          col(s"max_$c").as("max_s"))): _*)).as("s"))
+      .select(col("s.*"))
+  }
+
+  /** AMS/CMS join-size estimation (Alon-Matias-Szegedy moments;
+    * Cormode-Muthukrishnan inner products) — the sketch a CBO consults
+    * before picking a join strategy: |A ⋈ B| on key k is the inner
+    * product Σ_k f_A(k)·f_B(k), and the CMS row-wise inner product
+    * Σ_j cA[r][j]·cB[r][j] OVERESTIMATES it for every hash row r
+    * (colliding keys only add cross terms), so min over rows is a
+    * one-sided estimate — same guarantee family as `agg_cms`. Both
+    * sketches build in one map-side pass each (d literal-hash rows per
+    * input row, hash-agg to ≤ d·w cells), merge by cell-wise addition
+    * across any partitioning, and the estimate itself joins two d·w
+    * grids — the whole decision costs sketch-size work, never a real
+    * join. The gate estimates |events ⋈ orders| on user/customer key
+    * and emits per-row estimates, their min, the exact join size, and
+    * the guarantee bit; everything is integer-exact LCG arithmetic, so
+    * DuckDB rebuilds the identical grids. */
+  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import OlapQueries.{cmsA, cmsB, cmsDepth, cmsP, cmsWidth}
+    def bucket(i: Int, c: Column): Column =
+      pmod(pmod(lit(cmsA(i)) * c + lit(cmsB(i)), lit(cmsP)), lit(cmsWidth))
+    def sketch(keyed: DataFrame, k: String): DataFrame = keyed
+      .select(explode(array((0 until cmsDepth).map(i =>
+        struct(lit(i).as("r"), bucket(i, col(k)).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val ev = Tables.load(spark, dir, "events").select(col("user_id"))
+    val od = Tables.load(spark, dir, "orders").select(col("o_custkey"))
+    val est = sketch(ev, "user_id").as("a")
+      .join(sketch(od, "o_custkey").withColumnRenamed("c", "c2").as("bb"),
+        Seq("r", "b"))
+      .groupBy("r").agg(sum(col("c") * col("c2")).as("est_r"))
+    // exact inner product from the two per-key frequency maps — a
+    // grouped join, never the materialized join itself; ONE long
+    // reaches the driver (the Zorder scalar pattern — a 1-row
+    // crossJoin(broadcast) would plan as the banned BNLJ)
+    val exactJoin: Long = ev.groupBy("user_id").agg(count(lit(1)).as("fa"))
+      .join(od.groupBy("o_custkey").agg(count(lit(1)).as("fb")),
+        col("user_id") === col("o_custkey"))
+      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_join"))
+      .collect()(0).getLong(0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    est.withColumn("est_min", min(col("est_r")).over(wAll))
+      .select(col("r"), col("est_r"), col("est_min"),
+        lit(exactJoin).as("exact_join"))
+      .withColumn("overest_ok", col("est_r") >= col("exact_join"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_analyze" -> analyzeTable _,
+    "stats_join_size" -> joinSizeEstimate _)
+
+  val oracles: Map[String, String] = Map(
+    "stats_analyze" -> {
+      val selects = analyzeCols.map { c =>
+        s"""SELECT '$c' AS column_name,
+           |  (SELECT count(*) FROM lineitem) AS n_rows,
+           |  count(*) FILTER (WHERE $c IS NULL) AS n_nulls,
+           |  count(DISTINCT $c) AS ndv,
+           |  min(CAST($c AS VARCHAR)) AS min_s,
+           |  max(CAST($c AS VARCHAR)) AS max_s
+           |FROM lineitem""".stripMargin
+      }
+      selects.mkString("\nUNION ALL\n")
+    },
+    "stats_join_size" -> {
+      import OlapQueries.{cmsA, cmsB, cmsDepth, cmsP, cmsWidth}
+      def grid(src: String, k: String) = (0 until cmsDepth).map { i =>
+        s"""SELECT $i AS r,
+           |  ((${cmsA(i)} * $k + ${cmsB(i)}) % $cmsP) % $cmsWidth AS b,
+           |  count(*) AS c
+           |FROM $src GROUP BY 1, 2""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ga AS (${grid("events", "user_id")}),
+         |gb AS (${grid("orders", "o_custkey")}),
+         |est AS (SELECT ga.r, CAST(sum(ga.c * gb.c) AS BIGINT) AS est_r
+         |  FROM ga JOIN gb ON ga.r = gb.r AND ga.b = gb.b GROUP BY 1),
+         |ex AS (SELECT coalesce(CAST(sum(fa.c * fb.c) AS BIGINT), 0)
+         |    AS exact_join
+         |  FROM (SELECT user_id, count(*) AS c FROM events GROUP BY 1) fa
+         |  JOIN (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1) fb
+         |    ON fa.user_id = fb.o_custkey)
+         |SELECT est.r, est.est_r,
+         |  min(est.est_r) OVER () AS est_min,
+         |  ex.exact_join,
+         |  est.est_r >= ex.exact_join AS overest_ok
+         |FROM est CROSS JOIN ex""".stripMargin
+    })
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.analytics.StatsQueries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatsQueriesSpec extends AnyFunSuite {
+  val spark = SparkTestSession.spark
+
+  test("analyze profile matches per-column reference aggregates") {
+    val li = Tables.load(spark, SparkTestSession.sf, "lineitem")
+    val n = li.count()
+    val got = StatsQueries.analyzeTable(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(got.keySet == StatsQueries.analyzeCols.toSet)
+    for (c <- StatsQueries.analyzeCols) {
+      val ref = li.agg(count(col(c)), countDistinct(col(c)),
+        min(col(c).cast("string")), max(col(c).cast("string"))).collect()(0)
+      val (gn, gnull, gndv, gmin, gmax) = got(c)
+      assert(gn == n)
+      assert(gnull == n - ref.getLong(0))
+      assert(gndv == ref.getLong(1))
+      assert(gmin == ref.getString(2) && gmax == ref.getString(3))
+    }
+  }
+
+  test("analyze is one scan: a single Expand, no union of scans") {
+    val plan = StatsQueries.analyzeTable(spark, SparkTestSession.sf)
+      .queryExecution.executedPlan.toString
+    // the n-distinct rewrite introduces Expand; the stack of per-column
+    // output rows must come from Union over the SAME aggregated row,
+    // not one FileScan per column
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 scan, got $scans")
+  }
+
+  test("cms join-size estimate: per-row overestimates, min row tightest") {
+    val rows = StatsQueries.joinSizeEstimate(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.length == analytics.OlapQueries.cmsDepth)
+    val exact = rows.head._4
+    assert(rows.forall(_._4 == exact))
+    // the one-sided guarantee, the reason a CBO can trust the sketch
+    assert(rows.forall(r => r._2 >= exact && r._5))
+    assert(rows.forall(r => r._3 == rows.map(_._2).min))
+    // reference: exact inner product computed sequentially
+    val fa = Tables.load(spark, SparkTestSession.sf, "events")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fb = Tables.load(spark, SparkTestSession.sf, "orders")
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = fa.keySet.intersect(fb.keySet).toSeq
+      .map(k => fa(k) * fb(k)).sum
+    assert(exact == ref)
+  }
+}
