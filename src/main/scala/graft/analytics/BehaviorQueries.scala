@@ -106,7 +106,30 @@ object BehaviorQueries {
       .select(col("wd").cast("int").as("day_index"), col("wau"))
   }
 
+  /** Markov transition matrix over per-user event sequences: order each
+    * user's events by time (event_id breaks ts ties deterministically),
+    * pair each event with its successor via `lag`, count every
+    * (from_type, to_type) edge plus the distinct users traversing it.
+    * This is the path-analysis primitive behind "what do users do after
+    * X" dashboards and behavioral Markov models. One user-keyed window
+    * (each partition holds ONE user's events — high cardinality, no hot
+    * partition) and one 25-cell hash agg; sequence work never leaves
+    * the user's partition, so the shape is scan-bound at any corpus
+    * size. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "behavior_transitions" -> transitions _,
     "funnel" -> funnel _,
     "cohort_retention" -> cohortRetention _,
     "window_rolling_distinct" -> rollingActiveUsers _,
@@ -126,6 +149,15 @@ object BehaviorQueries {
       |FROM x GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "behavior_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events)
+        |SELECT from_type, event_type AS to_type, count(*) AS cnt,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM s WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     "funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |    CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -145,9 +145,80 @@ object StreamJoin {
     } finally q.stop()
   }
 
+  /** FULL OUTER stream-stream join — both sides' unmatched rows are
+    * watermark-driven: an unmatched click emits null-padded on click-
+    * state eviction (as in the left join) AND an unmatched purchase
+    * emits null-padded on purchase-state eviction. The left join's
+    * replay-correctness argument must therefore hold symmetrically, so
+    * BOTH sides are split into time-ordered files (early/late around
+    * the same cut) — each side's eviction then only ever happens after
+    * every event that could have matched the evicted row was processed
+    * — and both sides carry tail sentinels to flush the final state.
+    * Emitted set == the batch FULL JOIN on the same interval predicate
+    * (the oracle); user_id coalesces across sides since either may be
+    * null-padded. */
+  def streamStreamFullOuter(spark: SparkSession, dir: String): DataFrame =
+    withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("pts"))
+    val cut = lit(Sessionize.streamCut).cast("timestamp")
+    def sentC(ts: String) =
+      Seq((-1L, -1L, java.sql.Timestamp.valueOf(ts)))
+        .toDF("click_id", "user_id", "cts")
+    def sentP(ts: String) =
+      Seq((-1L, -1L, java.sql.Timestamp.valueOf(ts)))
+        .toDF("purchase_id", "p_user", "pts")
+    val clickStaging = stageReplay(Seq(
+      clicks.filter(col("cts") < cut),
+      clicks.filter(col("cts") >= cut),
+      sentC("2200-01-01 00:00:00"), sentC("2200-01-02 00:00:00")))
+    val purchaseStaging = stageReplay(Seq(
+      purchases.filter(col("pts") < cut),
+      purchases.filter(col("pts") >= cut),
+      sentP("2200-01-01 00:00:00"), sentP("2200-01-02 00:00:00")))
+    val cs = spark.readStream.schema(clicks.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(clickStaging)
+      .withWatermark("cts", "1 second")
+    val ps = spark.readStream.schema(purchases.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(purchaseStaging)
+      .withWatermark("pts", "1 second")
+    val gap = unix_timestamp(col("pts")) - unix_timestamp(col("cts"))
+    val joined = cs.join(ps,
+        col("user_id") === col("p_user")
+          && col("pts") >= col("cts")
+          && col("pts") <= col("cts") + expr("interval 3601 seconds")
+          && gap.between(1, 3600),
+        "fullOuter")
+      .select(col("click_id"), col("purchase_id"),
+        coalesce(col("user_id"), col("p_user")).as("uid"),
+        gap.as("gap_s"))
+    val name = "graft_stream_stream_full"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table(name).filter(col("uid") >= 0).cache()
+      out.count()
+      out
+    } finally q.stop()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_stream_join" -> streamStreamJoin _,
-    "stream_stream_left" -> streamStreamLeftOuter _)
+    "stream_stream_left" -> streamStreamLeftOuter _,
+    "stream_stream_full" -> streamStreamFullOuter _)
 
   val oracles: Map[String, String] = Map(
     // the emitted match set == the batch interval join
@@ -164,5 +235,16 @@ object StreamJoin {
         |FROM events c LEFT JOIN events p ON c.user_id = p.user_id
         |  AND p.event_type = 'purchase'
         |  AND date_diff('second', c.ts, p.ts) BETWEEN 1 AND 3600
-        |WHERE c.event_type = 'click'""".stripMargin)
+        |WHERE c.event_type = 'click'""".stripMargin,
+    // matches + exactly-once null rows on BOTH sides == batch FULL join
+    "stream_stream_full" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS pts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, p.purchase_id,
+        |  coalesce(c.user_id, p.p_user) AS uid,
+        |  date_diff('second', c.cts, p.pts) AS gap_s
+        |FROM c FULL JOIN p ON c.user_id = p.p_user
+        |  AND date_diff('second', c.cts, p.pts) BETWEEN 1 AND 3600""".stripMargin)
 }

@@ -21,6 +21,20 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows("view") > 0)
   }
 
+  test("transition matrix conserves mass: sum(cnt) == events - users") {
+    val tr = BehaviorQueries.transitions(spark, SparkTestSession.sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(2), r.getLong(3)))
+    val ev = Tables.load(spark, SparkTestSession.sf, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    // each user's k-event sequence contributes exactly k-1 transitions
+    assert(tr.map(_._2).sum == nEvents - nUsers)
+    // edges are unique and user counts are bounded by edge counts
+    assert(tr.map(_._1).distinct.length == tr.length)
+    assert(tr.forall(t => t._3 <= t._2 && t._3 >= 1))
+  }
+
   test("every event lands in exactly 4 sliding-window slots") {
     val out = BehaviorQueries.slidingWindow(spark, sf)
     val slotRows = out.agg(sum("cnt")).as[Long].head()

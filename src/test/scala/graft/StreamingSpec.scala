@@ -166,6 +166,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(unmatched.select("click_id").distinct().count() == unmatched.count())
   }
 
+  test("full-outer stream-stream join: null rows exactly once on both sides") {
+    val sf = SparkTestSession.sf
+    val streamed = graft.streaming.StreamJoin.streamStreamFullOuter(spark, sf)
+    val ev = Tables.load(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("pts"))
+    val gap = unix_timestamp(col("pts")) - unix_timestamp(col("cts"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user") && gap.between(1, 3600),
+        "full_outer")
+      .select(col("click_id"), col("purchase_id"),
+        org.apache.spark.sql.functions.coalesce(
+          col("user_id"), col("p_user")).as("uid"),
+        gap.as("gap_s"))
+    assert(streamed.exceptAll(batch).isEmpty
+      && batch.exceptAll(streamed).isEmpty)
+    // unmatched rows exist and are exactly-once on EACH side
+    val noMatchC = streamed.filter(col("purchase_id").isNull)
+    val noMatchP = streamed.filter(col("click_id").isNull)
+    assert(noMatchC.count() > 0 && noMatchP.count() > 0)
+    assert(noMatchC.select("click_id").distinct().count() == noMatchC.count())
+    assert(noMatchP.select("purchase_id").distinct().count()
+      == noMatchP.count())
+  }
+
   test("transformWithState LWW deltas equal the flatMapGroupsWithState form") {
     import graft.streaming.EventStream
     val sf = SparkTestSession.sf
