@@ -55,7 +55,9 @@ object SparkEntry {
       store.Compaction.queries ++
       store.ZoneMap.queries ++
       analytics.Retrieval.queries ++
-      analytics.StatsQueries.queries
+      analytics.StatsQueries.queries ++
+      analytics.Skyline.queries ++
+      operators.GramMatrix.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -95,5 +97,7 @@ object SparkEntry {
       store.Compaction.oracles ++
       store.ZoneMap.oracles ++
       analytics.Retrieval.oracles ++
-      analytics.StatsQueries.oracles
+      analytics.StatsQueries.oracles ++
+      analytics.Skyline.oracles ++
+      operators.GramMatrix.oracles
 }
