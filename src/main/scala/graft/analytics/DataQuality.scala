@@ -81,11 +81,65 @@ object DataQuality {
       .withColumn("quarantined", col("reasons") =!= "")
   }
 
+  /** Referential-integrity audit: for each declared FK edge, count the
+    * child rows (and distinct child keys) with no matching parent —
+    * the orphan scan a warehouse runs after every load. Each edge is
+    * one left-anti join; the parent side projects its key only, and
+    * dim-sized parents broadcast, so an edge costs at most one child
+    * shuffle — at 100 TB the audit is scan-bound like any other join.
+    * All three declared edges in this corpus are clean, and the audit
+    * PROVES it (a clean report is the audit's normal product); the
+    * spec plants a broken edge to pin that orphans are counted. */
+  def referential(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val ev = Tables.load(spark, dir, "events")
+    auditEdge("lineitem.l_orderkey->orders", li, "l_orderkey",
+        o, "o_orderkey")
+      .union(auditEdge("orders.o_custkey->customer", o, "o_custkey",
+        c, "c_custkey"))
+      .union(auditEdge("events.user_id->customer", ev, "user_id",
+        c, "c_custkey"))
+  }
+
+  /** One FK edge of [[referential]]: one LEFT join against the
+    * (unique-keyed) parent, one agg — a null parent key marks an
+    * orphan, so rows/orphans/orphan-keys all fold in a single pass. */
+  def auditEdge(name: String, child: DataFrame, ck: String,
+      parent: DataFrame, pk: String): DataFrame =
+    child.select(col(ck))
+      .join(broadcast(parent.select(col(pk))), col(ck) === col(pk), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col(pk).isNull, lit(1))).as("n_orphan_rows"),
+        countDistinct(when(col(pk).isNull, col(ck))).as("n_orphan_keys"))
+      .select(lit(name).as("fk"), col("n_rows"),
+        col("n_orphan_rows"), col("n_orphan_keys"),
+        (col("n_orphan_rows") === 0).as("ok"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_audit" -> audit _,
+    "dq_referential" -> referential _,
     "dq_quarantine" -> quarantine _)
 
   val oracles: Map[String, String] = Map(
+    "dq_referential" -> {
+      def edgeSql(name: String, child: String, ck: String,
+          parent: String, pk: String) =
+        s"""SELECT '$name' AS fk, count(*) AS n_rows,
+           |  count(*) FILTER (WHERE p.$pk IS NULL) AS n_orphan_rows,
+           |  count(DISTINCT CASE WHEN p.$pk IS NULL THEN c.$ck END)
+           |    AS n_orphan_keys,
+           |  count(*) FILTER (WHERE p.$pk IS NULL) = 0 AS ok
+           |FROM $child c LEFT JOIN $parent p ON c.$ck = p.$pk""".stripMargin
+      Seq(
+        edgeSql("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        edgeSql("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        edgeSql("events.user_id->customer", "events", "user_id",
+          "customer", "c_custkey")).mkString("\nUNION ALL\n")
+    },
     "dq_quarantine" ->
       """WITH k AS (SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
         |    l_shipdate,

@@ -456,7 +456,30 @@ object TrainPrep {
         coalesce(col("dsir_bits"), lit(0L)).as("dsir_bits"))
   }
 
+  // --- Corpus report card -------------------------------------------------
+
+  /** Per-source corpus report — the "datasheet" table every training
+    * run logs before touching a corpus: document and token volumes,
+    * exact token-length percentiles, language breadth and the max
+    * single-document weight. One tokenize pass, one source-keyed hash
+    * agg; the percentiles ride Spark's exact `percentile` (matched by
+    * DuckDB's `quantile_cont` on the same integer lengths, the
+    * `agg_percentiles` convention). Sources are few, so the group-by
+    * is exchange-light; every other stat is algebraic. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        expr("percentile(n_tok, 0.5)").as("tok_p50"),
+        expr("percentile(n_tok, 0.9)").as("tok_p90"),
+        max(col("n_tok")).as("tok_max"),
+        countDistinct(col("lang")).as("n_langs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_report" -> corpusReport _,
     "train_sample_weighted" -> weightedQuery _,
     "train_chunks" -> chunkQuery _,
     "curate_dsir" -> dsirScore _,
@@ -524,6 +547,17 @@ object TrainPrep {
   }
 
   val oracles: Map[String, String] = Map(
+    "corpus_report" ->
+      """WITH d AS (SELECT source, lang,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  quantile_cont(n_tok, 0.5) AS tok_p50,
+        |  quantile_cont(n_tok, 0.9) AS tok_p90,
+        |  max(n_tok) AS tok_max,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM d GROUP BY source""".stripMargin,
     "train_sample_weighted" ->
       s"""SELECT doc_id, 1 + n_chars % 10 AS weight,
          |  ((doc_id * 1103515245 + 12345) % 2147483648)
