@@ -57,7 +57,8 @@ object SparkEntry {
       analytics.Retrieval.queries ++
       analytics.StatsQueries.queries ++
       analytics.Skyline.queries ++
-      operators.GramMatrix.queries
+      operators.GramMatrix.queries ++
+      store.MaterializedView.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -99,5 +100,6 @@ object SparkEntry {
       analytics.Retrieval.oracles ++
       analytics.StatsQueries.oracles ++
       analytics.Skyline.oracles ++
-      operators.GramMatrix.oracles
+      operators.GramMatrix.oracles ++
+      store.MaterializedView.oracles
 }
