@@ -58,7 +58,8 @@ object SparkEntry {
       analytics.StatsQueries.queries ++
       analytics.Skyline.queries ++
       operators.GramMatrix.queries ++
-      store.MaterializedView.queries
+      store.MaterializedView.queries ++
+      analytics.MarketBasket.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -101,5 +102,6 @@ object SparkEntry {
       analytics.StatsQueries.oracles ++
       analytics.Skyline.oracles ++
       operators.GramMatrix.oracles ++
-      store.MaterializedView.oracles
+      store.MaterializedView.oracles ++
+      analytics.MarketBasket.oracles
 }

@@ -117,12 +117,57 @@ object DataQuality {
         col("n_orphan_rows"), col("n_orphan_keys"),
         (col("n_orphan_rows") === 0).as("ok"))
 
+  /** k for the k-anonymity gate. */
+  val anonK = 5
+
+  /** k-anonymity suppression (Sweeney 2002) over the customer table:
+    * every released row must share its quasi-identifier combination —
+    * (nation, market segment), the classic "not a name but narrows you
+    * down" columns — with at least k−1 others. Rows in groups smaller
+    * than k get their QIs suppressed (−1 / '*'), the baseline
+    * release-safety transform for sharing curation metadata or
+    * per-cohort stats derived from user data.
+    *
+    * Shape: group sizes aggregate to at most |nations|·|segments| rows
+    * — a broadcast back onto the row stream regardless of corpus size,
+    * so anonymization is one scan + one map-side join. */
+  def kAnonymize(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long"),
+        col("c_mktsegment"))
+    val groups = c.groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("qi_n"))
+    c.join(broadcast(groups), Seq("c_nationkey", "c_mktsegment"))
+      .select(col("c_custkey"),
+        when(col("qi_n") >= anonK, col("c_nationkey")).otherwise(-1L)
+          .as("nation_anon"),
+        when(col("qi_n") >= anonK, col("c_mktsegment")).otherwise("*")
+          .as("segment_anon"),
+        col("qi_n"),
+        (col("qi_n") >= anonK).as("released"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_audit" -> audit _,
     "dq_referential" -> referential _,
-    "dq_quarantine" -> quarantine _)
+    "dq_quarantine" -> quarantine _,
+    "dq_kanonymity" -> kAnonymize _)
 
   val oracles: Map[String, String] = Map(
+    "dq_kanonymity" ->
+      s"""WITH g AS (SELECT c_nationkey, c_mktsegment,
+         |    count(*) AS qi_n
+         |  FROM customer GROUP BY 1, 2)
+         |SELECT c.c_custkey,
+         |  CASE WHEN g.qi_n >= $anonK
+         |    THEN CAST(c.c_nationkey AS BIGINT)
+         |    ELSE CAST(-1 AS BIGINT) END AS nation_anon,
+         |  CASE WHEN g.qi_n >= $anonK THEN c.c_mktsegment
+         |    ELSE '*' END AS segment_anon,
+         |  g.qi_n, g.qi_n >= $anonK AS released
+         |FROM customer c JOIN g
+         |  ON c.c_nationkey = g.c_nationkey
+         |    AND c.c_mktsegment = g.c_mktsegment""".stripMargin,
     "dq_referential" -> {
       def edgeSql(name: String, child: String, ck: String,
           parent: String, pk: String) =

@@ -78,14 +78,46 @@ object FunctionQueries {
         cume_dist().over(w).as("cume"))
   }
 
+  /** Unpivot/melt (`Dataset.unpivot`, SQL `UNPIVOT`): rotate a wide
+    * per-group summary into (group, metric, value) long form — the
+    * standard last step before charting/export layers that want tidy
+    * data. Runs as a generate over the aggregated frame: |groups|·k
+    * rows, no extra shuffle beyond the aggregation's own. */
+  def unpivotFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val summary = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(Tables.dsum(col("l_quantity")).as("sum_qty"),
+        Tables.dsum(col("l_extendedprice")).as("sum_price"),
+        Tables.dsum(col("l_discount")).as("sum_disc"))
+    summary.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+      "metric", "value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "func_json" -> jsonFuncs _,
     "func_datetime" -> datetimeFuncs _,
     "func_string" -> stringFuncs _,
     "func_window" -> windowFuncs _,
-    "func_rank_stats" -> rankStats _)
+    "func_rank_stats" -> rankStats _,
+    "func_unpivot" -> unpivotFuncs _)
 
   val oracles: Map[String, String] = Map(
+    "func_unpivot" ->
+      """WITH s AS (SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM s
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM s
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_disc', sum_disc FROM s""".stripMargin,
     "func_rank_stats" ->
       """SELECT o_orderkey, o_orderpriority,
         |  percent_rank() OVER w AS pct_rank,

@@ -99,40 +99,115 @@ object Retrieval {
         col("n_hit"), col("score_q4"))
   }
 
+  /** RRF constant (Cormack & Clarke SIGIR'09 use 60) and the integer
+    * scale: a rank-r hit contributes floor(1e6 / (60 + r)). */
+  val rrfK = 60
+  val rrfScale = 1000000L
+
+  /** Hybrid search: BM25 keyword ranks fused with embedding-cosine
+    * ranks by Reciprocal Rank Fusion — the standard way modern search
+    * stacks (Elastic, Vespa, every RAG pipeline) combine lexical and
+    * dense retrieval without score calibration. Query q's vector side
+    * uses the embedding of vec_id = q (probe ids 0..2 mirror
+    * [[bm25Queries]] ids).
+    *
+    * RRF score = Σ_systems 1/(k + rank), here as the exact integer
+    * floor(1e6/(60+rank)) so fusion is order-independent and
+    * hash-comparable. Each system contributes only its top
+    * [[bm25K]] list, so fusion joins two k-row-per-query frames —
+    * O(q·k) work regardless of corpus size; the heavy lifting stays
+    * in the two retrievers, each already scale-shaped (filtered tf
+    * shuffle; broadcast-probe corpus pass). */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val t = bm25TopK(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rank").as("trank"))
+    val v = graft.operators.Similarity
+      .cosineTopK(spark, dir, maxProbeId = bm25Queries.length.toLong,
+        k = bm25K)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    t.join(v, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"$rrfScale DIV (${rrfK}L + trank)"), lit(0L)) +
+          coalesce(expr(s"$rrfScale DIV (${rrfK}L + vrank)"), lit(0L)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        coalesce(col("trank"), lit(0L)).as("text_rank"),
+        coalesce(col("vrank"), lit(0L)).as("vec_rank"),
+        col("rrf_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_bm25" -> bm25TopK _)
+    "text_bm25" -> bm25TopK _,
+    "search_hybrid_rrf" -> hybridRrf _)
+
+  /** Shared BM25 scoring CTE chain (ends at `s(query_id, doc_id,
+    * n_hit, score_q4)`), reused by the bm25 and hybrid oracles. */
+  private def bm25Ctes: String = {
+    val qvals = bm25Queries
+      .flatMap { case (qid, ts) =>
+        ts.map(t => s"(CAST($qid AS BIGINT), '$t')") }
+      .mkString(", ")
+    s"""q(query_id, term) AS (VALUES $qvals),
+       |d AS (SELECT doc_id, str_split(text, ' ') AS toks,
+       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(dl) AS BIGINT) AS t FROM d),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
+       |    SELECT doc_id, dl, unnest(toks) AS term FROM d) x
+       |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+       |idf AS (SELECT term, count(*) AS df,
+       |    (length(printf('%b',
+       |      (SELECT n FROM nt) * 1048576 // count(*))) - 1) AS idf20
+       |  FROM tf GROUP BY term),
+       |s AS (SELECT q.query_id, tf.doc_id, count(*) AS n_hit,
+       |    CAST(sum((idf.idf20 * 22 * tf.tf * nt.t * 10000)
+       |      // (10 * nt.t * tf.tf + 3 * nt.t + 9 * tf.dl * nt.n))
+       |      AS BIGINT) AS score_q4
+       |  FROM tf JOIN idf USING (term) JOIN q USING (term)
+       |    CROSS JOIN nt
+       |  GROUP BY 1, 2)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
-    "text_bm25" -> {
-      val qvals = bm25Queries
-        .flatMap { case (qid, ts) =>
-          ts.map(t => s"(CAST($qid AS BIGINT), '$t')") }
-        .mkString(", ")
-      s"""WITH q(query_id, term) AS (VALUES $qvals),
-         |d AS (SELECT doc_id, str_split(text, ' ') AS toks,
-         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
-         |  FROM documents),
-         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(dl) AS BIGINT) AS t FROM d),
-         |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
-         |    SELECT doc_id, dl, unnest(toks) AS term FROM d) x
-         |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
-         |idf AS (SELECT term, count(*) AS df,
-         |    (length(printf('%b',
-         |      (SELECT n FROM nt) * 1048576 // count(*))) - 1) AS idf20
-         |  FROM tf GROUP BY term),
-         |s AS (SELECT q.query_id, tf.doc_id, count(*) AS n_hit,
-         |    CAST(sum((idf.idf20 * 22 * tf.tf * nt.t * 10000)
-         |      // (10 * nt.t * tf.tf + 3 * nt.t + 9 * tf.dl * nt.n))
-         |      AS BIGINT) AS score_q4
-         |  FROM tf JOIN idf USING (term) JOIN q USING (term)
-         |    CROSS JOIN nt
-         |  GROUP BY 1, 2)
+    "text_bm25" ->
+      s"""WITH $bm25Ctes
          |SELECT query_id, CAST(row_number() OVER (
          |    PARTITION BY query_id ORDER BY score_q4 DESC, doc_id)
          |    AS BIGINT) AS rank,
          |  doc_id, n_hit, score_q4
          |FROM s
-         |QUALIFY rank <= $bm25K""".stripMargin
-    })
+         |QUALIFY rank <= $bm25K""".stripMargin,
+    "search_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |t AS (SELECT query_id, doc_id, trank FROM (
+         |    SELECT query_id, doc_id, CAST(row_number() OVER (
+         |        PARTITION BY query_id ORDER BY score_q4 DESC, doc_id)
+         |        AS BIGINT) AS trank
+         |    FROM s) x WHERE trank <= $bm25K),
+         |qv AS (SELECT vec_id AS query_id,
+         |    CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < ${bm25Queries.length}),
+         |v AS (SELECT query_id, doc_id, vrank FROM (
+         |    SELECT qv.query_id, e.vec_id AS doc_id,
+         |      CAST(row_number() OVER (PARTITION BY qv.query_id
+         |        ORDER BY list_cosine_similarity(
+         |          CAST(e.embedding AS DOUBLE[]), qv.qv) DESC,
+         |          e.vec_id ASC) AS BIGINT) AS vrank
+         |    FROM embeddings e CROSS JOIN qv
+         |    WHERE e.vec_id <> qv.query_id) x WHERE vrank <= $bm25K),
+         |f AS (SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+         |    COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         |    COALESCE(t.trank, 0) AS text_rank,
+         |    COALESCE(v.vrank, 0) AS vec_rank,
+         |    COALESCE($rrfScale // ($rrfK + t.trank), 0)
+         |      + COALESCE($rrfScale // ($rrfK + v.vrank), 0) AS rrf_score
+         |  FROM t FULL JOIN v
+         |    ON t.query_id = v.query_id AND t.doc_id = v.doc_id)
+         |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, text_rank, vec_rank, rrf_score
+         |FROM f""".stripMargin)
 }

@@ -101,6 +101,24 @@ object Similarity {
     }
   }
 
+  /** Exact cosine top-k ranks for an arbitrary (small) probe-id set —
+    * the vector half of hybrid retrieval ([[graft.analytics.Retrieval
+    * .hybridRrf]]). Same single-corpus-pass broadcast kernel as
+    * [[knnBrute]]; emits (query_id, doc_id, vrank). */
+  def cosineTopK(spark: SparkSession, dir: String, maxProbeId: Long,
+      k: Int): DataFrame = {
+    val ds = vecDs(spark, dir)
+    val probes = ds.filter(col("id") < maxProbeId).collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+    pairSims(ds, probes, (c, q) => c != q, minSim = -2.0)
+      .select(col("b").as("query_id"), col("a").as("doc_id"), col("sim"))
+      .withColumn("vrank", row_number().over(w).cast("long"))
+      .filter(col("vrank") <= k)
+      .select(col("query_id"), col("doc_id"), col("vrank"))
+  }
+
   /** Exact top-5 cosine neighbors for queries vec_id < 20. */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     val ds = vecDs(spark, dir)
