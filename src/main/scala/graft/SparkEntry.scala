@@ -59,7 +59,9 @@ object SparkEntry {
       analytics.Skyline.queries ++
       operators.GramMatrix.queries ++
       store.MaterializedView.queries ++
-      analytics.MarketBasket.queries
+      analytics.MarketBasket.queries ++
+      store.BloomIndex.queries ++
+      streaming.StreamEwma.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -103,5 +105,7 @@ object SparkEntry {
       analytics.Skyline.oracles ++
       operators.GramMatrix.oracles ++
       store.MaterializedView.oracles ++
-      analytics.MarketBasket.oracles
+      analytics.MarketBasket.oracles ++
+      store.BloomIndex.oracles ++
+      streaming.StreamEwma.oracles
 }

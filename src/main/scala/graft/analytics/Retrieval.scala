@@ -138,9 +138,79 @@ object Retrieval {
         col("rrf_score"))
   }
 
+  /** MMR pool size per query, results kept, and query count. */
+  val mmrPoolK = 20
+  val mmrK = 5
+  val mmrQueries = 3
+
+  case class MmrCand(query_id: Long, doc_id: Long, sim_q6: Long)
+  case class MmrPair(query_id: Long, a: Long, b: Long, psim_q6: Long)
+  case class MmrPick(query_id: Long, step: Long, doc_id: Long,
+      score_q6: Long)
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98): greedily build a top-k that balances query relevance
+    * against redundancy with what's already picked —
+    * argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), here λ = 1/2 so the
+    * integer form is score = 5·sim_q6 − 5·maxsel_q6 (both sims
+    * quantized at 1e-6 before ANY decision: selection is exact integer
+    * arithmetic, hash-identical across engines).
+    *
+    * Shape: candidate generation — the only corpus-size-dependent part
+    * — is the broadcast-probe corpus pass ([[graft.operators
+    * .Similarity.mmrCandidates]]); the pool pairwise sims are a
+    * per-query self-join of a k-bounded frame. Selection itself is
+    * inherently sequential (each pick depends on all previous), but
+    * its state is O(k²) per query, so it runs INSIDE a per-query
+    * cogroup — millions of queries parallelize across the cluster and
+    * no candidate ever reaches the driver. */
+  def mmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.cosine_sim
+    val cand = graft.operators.Similarity
+      .mmrCandidates(spark, dir, mmrQueries.toLong, mmrPoolK).persist()
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = cand.select(col("query_id"), col("doc_id").as("a"))
+      .join(cand.select(col("query_id"), col("doc_id").as("b")), "query_id")
+      .filter(col("a") =!= col("b"))
+      .join(e.select(col("vec_id").as("a"), col("v").as("va")), "a")
+      .join(e.select(col("vec_id").as("b"), col("v").as("vb")), "b")
+      .select(col("query_id"), col("a"), col("b"),
+        round(cosine_sim(col("va"), col("vb")) * 1e6, 0).cast("long")
+          .as("psim_q6"))
+    val picks = cand.as[MmrCand].groupByKey(_.query_id)
+      .cogroup(pairs.as[MmrPair].groupByKey(_.query_id)) { (q, cs, psIt) =>
+        val cArr = cs.toArray
+        val ps = psIt.map(p => (p.a, p.b) -> p.psim_q6).toMap
+        val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+        val k = math.min(mmrK, cArr.length)
+        while (sel.length < k) {
+          var best: MmrCand = null
+          var bestScore = Long.MinValue
+          for (c <- cArr if !sel.contains(c.doc_id)) {
+            val maxp =
+              if (sel.isEmpty) 0L
+              else sel.iterator.map(s => ps((c.doc_id, s))).max
+            val score = 5L * c.sim_q6 - 5L * maxp
+            if (score > bestScore ||
+                (score == bestScore && c.doc_id < best.doc_id)) {
+              best = c; bestScore = score
+            }
+          }
+          sel += best.doc_id
+          out += MmrPick(q, sel.length.toLong, best.doc_id, bestScore)
+        }
+        out
+      }
+    picks.toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> bm25TopK _,
-    "search_hybrid_rrf" -> hybridRrf _)
+    "search_hybrid_rrf" -> hybridRrf _,
+    "search_mmr" -> mmrDiversify _)
 
   /** Shared BM25 scoring CTE chain (ends at `s(query_id, doc_id,
     * n_hit, score_q4)`), reused by the bm25 and hybrid oracles. */
@@ -209,5 +279,64 @@ object Retrieval {
          |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank,
          |  doc_id, text_rank, vec_rank, rrf_score
-         |FROM f""".stripMargin)
+         |FROM f""".stripMargin,
+    "search_mmr" -> {
+      // greedy selection unrolled to mmrK non-recursive CTE levels:
+      // sel_i = picks so far, m_i = per-candidate max pool-sim into
+      // sel_i, s_i = integer-argmax pick — plain SQL, no recursion
+      val steps = (2 to mmrK).map { i =>
+        val prevSel = if (i == 2) "SELECT query_id, doc_id FROM s1"
+          else s"SELECT query_id, doc_id FROM sel${i - 1} " +
+            s"UNION ALL SELECT query_id, doc_id FROM s${i - 1}"
+        s"""sel$i AS ($prevSel),
+           |m$i AS (SELECT c.query_id, c.doc_id, c.sim_q6,
+           |    max(p.psim_q6) AS mx
+           |  FROM cand c
+           |  JOIN sel$i sl ON sl.query_id = c.query_id
+           |  JOIN p ON p.query_id = c.query_id AND p.a = c.doc_id
+           |    AND p.b = sl.doc_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel$i x
+           |    WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id)
+           |  GROUP BY 1, 2, 3),
+           |s$i AS (SELECT query_id, doc_id,
+           |    5 * sim_q6 - 5 * mx AS score_q6 FROM (
+           |    SELECT query_id, doc_id, sim_q6, mx, row_number() OVER (
+           |      PARTITION BY query_id
+           |      ORDER BY 5 * sim_q6 - 5 * mx DESC, doc_id) AS rn
+           |    FROM m$i) x WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to mmrK).map(i =>
+        s"SELECT query_id, CAST($i AS BIGINT) AS step, doc_id, score_q6 " +
+          s"FROM s$i").mkString("\nUNION ALL\n")
+      s"""WITH qv AS (SELECT vec_id AS query_id,
+         |    CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < $mmrQueries),
+         |cand AS (SELECT query_id, doc_id,
+         |    CAST(round(sim * 1000000) AS BIGINT) AS sim_q6 FROM (
+         |    SELECT qv.query_id, e.vec_id AS doc_id,
+         |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |        qv.v) AS sim,
+         |      row_number() OVER (PARTITION BY qv.query_id
+         |        ORDER BY list_cosine_similarity(
+         |          CAST(e.embedding AS DOUBLE[]), qv.v) DESC,
+         |          e.vec_id) AS rn
+         |    FROM embeddings e CROSS JOIN qv
+         |    WHERE e.vec_id <> qv.query_id) x
+         |  WHERE rn <= $mmrPoolK),
+         |p AS (SELECT c1.query_id, c1.doc_id AS a, c2.doc_id AS b,
+         |    CAST(round(list_cosine_similarity(
+         |      CAST(ea.embedding AS DOUBLE[]),
+         |      CAST(eb.embedding AS DOUBLE[])) * 1000000) AS BIGINT)
+         |      AS psim_q6
+         |  FROM cand c1 JOIN cand c2 ON c1.query_id = c2.query_id
+         |    AND c1.doc_id <> c2.doc_id
+         |  JOIN embeddings ea ON ea.vec_id = c1.doc_id
+         |  JOIN embeddings eb ON eb.vec_id = c2.doc_id),
+         |s1 AS (SELECT query_id, doc_id, 5 * sim_q6 AS score_q6 FROM (
+         |    SELECT query_id, doc_id, sim_q6, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim_q6 DESC, doc_id) AS rn
+         |    FROM cand) x WHERE rn = 1),
+         |$steps
+         |$union""".stripMargin
+    })
 }

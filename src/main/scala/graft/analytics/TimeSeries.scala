@@ -144,6 +144,24 @@ object TimeSeries {
         col("x").cast("double").as("val_sum"), col("ewma"))
   }
 
+  /** The truncated-EWMA oracle — shared with the streaming form
+    * ([[graft.streaming.StreamEwma]]), which reproduces the identical
+    * exact-decimal sum from keyed state. */
+  def ewmaSql: String = {
+    val terms = (0 until ewmaK).map { j =>
+      val w = java.math.BigDecimal.ONE.divide(
+        java.math.BigDecimal.valueOf(1L << j)).toPlainString
+      s"coalesce(lag(x, $j) OVER w * $w, 0)"
+    }.mkString("\n  + ")
+    s"""WITH h AS (
+       |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS x
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, h AS hour_start, CAST(x AS DOUBLE) AS val_sum,
+       |  CAST($terms AS DOUBLE) AS ewma
+       |FROM h WINDOW w AS (PARTITION BY event_type ORDER BY h)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_gap_fill" -> gapFill _,
     "ts_fill_forward" -> fillForward _,
@@ -191,20 +209,7 @@ object TimeSeries {
         |SELECT event_type, h AS hour_start, cnt, trail_sum, trail_n,
         |  cnt * trail_n > trail_sum * 2 AS anomaly
         |FROM w WHERE trail_n > 0""".stripMargin,
-    "ts_ewma" -> {
-      val terms = (0 until ewmaK).map { j =>
-        val w = java.math.BigDecimal.ONE.divide(
-          java.math.BigDecimal.valueOf(1L << j)).toPlainString
-        s"coalesce(lag(x, $j) OVER w * $w, 0)"
-      }.mkString("\n  + ")
-      s"""WITH h AS (
-         |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
-         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS x
-         |  FROM events GROUP BY 1, 2)
-         |SELECT event_type, h AS hour_start, CAST(x AS DOUBLE) AS val_sum,
-         |  CAST($terms AS DOUBLE) AS ewma
-         |FROM h WINDOW w AS (PARTITION BY event_type ORDER BY h)""".stripMargin
-    },
+    "ts_ewma" -> ewmaSql,
     "ts_fill_forward" ->
       """SELECT event_id, user_id,
         |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,

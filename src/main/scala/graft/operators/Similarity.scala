@@ -119,6 +119,26 @@ object Similarity {
       .select(col("query_id"), col("doc_id"), col("vrank"))
   }
 
+  /** Candidate pool for MMR re-ranking ([[graft.analytics.Retrieval
+    * .mmrDiversify]]): top-`poolK` cosine candidates per probe with
+    * the similarity quantized to integer q6 (1e-6 resolution), so
+    * every downstream selection decision is integer-exact. Same
+    * broadcast-probe corpus-pass kernel as [[knnBrute]]. */
+  def mmrCandidates(spark: SparkSession, dir: String, nProbes: Long,
+      poolK: Int): DataFrame = {
+    val ds = vecDs(spark, dir)
+    val probes = ds.filter(col("id") < nProbes).collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+    pairSims(ds, probes, (c, q) => c != q, minSim = -2.0)
+      .select(col("b").as("query_id"), col("a").as("doc_id"), col("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= poolK)
+      .select(col("query_id"), col("doc_id"),
+        round(col("sim") * 1e6, 0).cast("long").as("sim_q6"))
+  }
+
   /** Exact top-5 cosine neighbors for queries vec_id < 20. */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     val ds = vecDs(spark, dir)
