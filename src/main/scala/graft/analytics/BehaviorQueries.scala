@@ -128,10 +128,45 @@ object BehaviorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Last-touch attribution: every purchase is credited to the most
+    * recent non-purchase event by the same user within the preceding
+    * hour ('direct' if none) — the classic marketing-attribution
+    * query, and a representative "latest qualifying row within a time
+    * bound" window shape (the windowed sibling of the as-of join).
+    *
+    * Determinism without engine-specific arg_max semantics: the
+    * candidate is picked by a plain `max` over STRINGS
+    * "zero-padded-sort-key|event_type", where the sort key is
+    * second-epoch·10^8 + event_id (unique, time-ordered, < 2^63) —
+    * zero-padding makes lexicographic order equal numeric order in
+    * any engine. One per-user RANGE window, no self-join; the frame
+    * bound (3600·10^8 key units = 1 hour) holds per-user state only. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val keyScale = 100000000L // event_id < 1e8 at every SF
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"),
+        (unix_timestamp(date_trunc("second", col("ts"))) * keyScale +
+          col("event_id")).as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("k")
+      .rangeBetween(-3600L * keyScale, 0L)
+    ev.withColumn("touch",
+        max(when(col("event_type") =!= "purchase",
+          concat(format_string("%018d", col("k")), lit("|"),
+            col("event_type")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(substring_index(col("touch"), "|", -1),
+        lit("direct")).as("attributed_to"))
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum(col("value")).as("val_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "behavior_transitions" -> transitions _,
     "funnel" -> funnel _,
     "cohort_retention" -> cohortRetention _,
+    "behavior_attribution" -> attribution _,
     "window_rolling_distinct" -> rollingActiveUsers _,
     "window_sliding" -> slidingWindow _)
 
@@ -194,5 +229,22 @@ object BehaviorQueries {
         |  count(DISTINCT e.user_id) AS users
         |FROM e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
-    "window_sliding" -> slidingOracle)
+    "window_sliding" -> slidingOracle,
+    "behavior_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |    CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+        |      AS BIGINT) * 100000000 + event_id AS k
+        |  FROM events),
+        |t AS (SELECT *, max(CASE WHEN event_type <> 'purchase'
+        |      THEN printf('%018d', k) || '|' || event_type END)
+        |    OVER (PARTITION BY user_id ORDER BY k
+        |      RANGE BETWEEN 360000000000 PRECEDING AND CURRENT ROW)
+        |    AS touch
+        |  FROM e)
+        |SELECT CASE WHEN touch IS NULL THEN 'direct'
+        |    ELSE split_part(touch, '|', 2) END AS attributed_to,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin)
 }

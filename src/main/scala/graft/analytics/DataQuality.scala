@@ -147,13 +147,44 @@ object DataQuality {
         (col("qi_n") >= anonK).as("released"))
   }
 
+  /** Join-key skew profiler — the diagnostic run before choosing
+    * between a plain shuffle join and the salted/AQE path
+    * ([[graft.operators.SkewJoin]]): per-key frequencies of the join
+    * key, the 5 hottest keys with their corpus share, and the skew
+    * factor (hot-key count ÷ mean per-key count, q4 fixed-point). A
+    * skew factor near 10000 says uniform; orders of magnitude above
+    * says salt this key. One key-keyed hash agg (the same shuffle the
+    * join itself would pay) + a global top-5 (TakeOrderedAndProject —
+    * per-partition heaps); the two corpus totals are bounded driver
+    * scalars (the Zorder min/max pattern). */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val Array(total, nKeys) = counts
+      .agg(sum(col("n")), count(lit(1)))
+      .collect()(0).toSeq.map(_.toString.toLong).toArray
+    counts.orderBy(col("n").desc, col("user_id")).limit(5)
+      .select(col("user_id"), col("n"),
+        expr(s"10000L * n DIV ${total}L").as("share_q4"),
+        expr(s"10000L * n * ${nKeys}L DIV ${total}L").as("skew_q4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_audit" -> audit _,
     "dq_referential" -> referential _,
     "dq_quarantine" -> quarantine _,
-    "dq_kanonymity" -> kAnonymize _)
+    "dq_kanonymity" -> kAnonymize _,
+    "dq_skew_profile" -> skewProfile _)
 
   val oracles: Map[String, String] = Map(
+    "dq_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |    count(*) AS nk FROM c)
+        |SELECT user_id, n, 10000 * n // t.total AS share_q4,
+        |  10000 * n * t.nk // t.total AS skew_q4
+        |FROM c, t ORDER BY n DESC, user_id LIMIT 5""".stripMargin,
     "dq_kanonymity" ->
       s"""WITH g AS (SELECT c_nationkey, c_mktsegment,
          |    count(*) AS qi_n

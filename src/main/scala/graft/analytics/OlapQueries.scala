@@ -534,7 +534,105 @@ object OlapQueries {
           .cast("long").as("kmv_est"))
   }
 
+  /** KMV sketch SET ALGEBRA — the property that makes distinct-count
+    * sketches a data type rather than a one-off answer (Theta sketches,
+    * Beyer et al. SIGMOD'07): the k smallest hashes of A ∪ B are
+    * computable from the two k-min sketches alone, so union/intersect
+    * cardinalities of 100 TB segments cost sketch-sized work. Emits
+    * (metric ∈ a|b|union|intersect, exact, est): per-segment KMV
+    * estimates, the union estimate from the merged sketch's k-th min
+    * θ ((k−1)·M DIV θ), and the intersection estimate
+    * |common ∩ [0,θ]|·M DIV θ — every decision in LCG-hash integer
+    * space. When the merged sketch holds < k members both estimates
+    * collapse to their exact values by construction.
+    *
+    * Shape: segment sketches are the bounded top-k Aggregator
+    * (O(segments·k) exchange); ALL set algebra then runs on the ≤2k
+    * member frame — the single-partition window over it is bounded by
+    * sketch geometry, never data. Exact counterparts (the gate's
+    * ground truth) are plain distinct aggregates. The final collapse
+    * is a union + max-of-one-non-null per metric, so no single-row
+    * frame ever joins anything. */
+  def kmvSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopK
+    val k = kmvK
+    val M = 2147483648L
+    val mink = udaf(new TopK.TopKAgg(k),
+      org.apache.spark.sql.Encoders.product[TopK.Scored])
+    val nullL = lit(null).cast("long")
+    val base = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(when(col("event_type") === "click", "a").otherwise("b")
+        .as("seg"),
+        pmod(col("user_id") * lit(1103515245L) + lit(12345L), lit(M))
+          .as("h"))
+      .distinct()
+    val segExact = base.groupBy("seg")
+      .agg(count(lit(1)).as("exact"))
+      .select(col("seg").as("metric"), col("exact"), nullL.as("est"))
+    val unionExact = base.select("h").distinct()
+      .agg(count(lit(1)).as("exact"))
+      .select(lit("union").as("metric"), col("exact"), nullL.as("est"))
+    val interExact = base.groupBy("h")
+      .agg(countDistinct(col("seg")).as("s")).filter(col("s") === 2)
+      .agg(count(lit(1)).as("exact"))
+      .select(lit("intersect").as("metric"), col("exact"), nullL.as("est"))
+    val sk = base.groupBy("seg")
+      .agg(mink((-col("h")).cast("double"), col("h")).as("mins"))
+    val segEst = sk.select(col("seg").as("metric"), nullL.as("exact"),
+      when(size(col("mins")) < k, size(col("mins")).cast("long"))
+        .otherwise(expr(s"${(k - 1) * M}L DIV " +
+          "element_at(mins, -1).key")).as("est"))
+    val members = sk
+      .select(col("seg"), explode(col("mins")).as("m"))
+      .select(col("seg"), col("m.key").as("h"))
+    // bounded single-partition tail: <= 2k sketch members
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy("h")
+    val merged = members.groupBy("h")
+      .agg(max(col("seg") === "a").as("in_a"),
+        max(col("seg") === "b").as("in_b"))
+      .withColumn("rn", row_number().over(wAll))
+      .agg(count(lit(1)).as("m"),
+        max(when(col("rn") === k, col("h"))).as("theta"),
+        count(when(col("in_a") && col("in_b"), 1)).as("inter_all"),
+        count(when(col("in_a") && col("in_b") && col("rn") <= k, 1))
+          .as("inter_below"))
+    val unionEst = merged.select(lit("union").as("metric"),
+      nullL.as("exact"),
+      when(col("m") < k, col("m"))
+        .otherwise(expr(s"${(k - 1) * M}L DIV theta")).as("est"))
+    val interEst = merged.select(lit("intersect").as("metric"),
+      nullL.as("exact"),
+      when(col("m") < k, col("inter_all"))
+        .otherwise(expr(s"inter_below * ${M}L DIV theta")).as("est"))
+    segExact.unionAll(unionExact).unionAll(interExact)
+      .unionAll(segEst).unionAll(unionEst).unionAll(interEst)
+      .groupBy("metric")
+      .agg(max(col("exact")).as("exact"), max(col("est")).as("est"))
+  }
+
+  /** Rolling median over a trailing 11-row frame — the robust moving
+    * location estimate (rolling mean breaks on outliers). Emitted as
+    * 2·median of integer cents: for odd frames that's an element
+    * doubled, for even frames the two middle values' SUM — integers
+    * in both engines, so the even-frame interpolation convention
+    * (low + (high−low)/2 vs (low+high)/2) can never skew a bit. One
+    * keyed sort, frame state O(11) per partition. */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority").orderBy("o_orderkey")
+      .rowsBetween(-10, 0)
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (Tables.dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .withColumn("med2_cents",
+        (percentile(col("cents"), lit(0.5)).over(w) * 2).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_kmv_setops" -> kmvSetOps _,
+    "window_rolling_median" -> rollingMedian _,
     "agg_corr_stats" -> corrStats _,
     "agg_kmv_distinct" -> kmvDistinct _,
     "agg_cms" -> cmsFrequency _,
@@ -558,6 +656,64 @@ object OlapQueries {
     "func_array" -> arrayFuncs _)
 
   val oracles: Map[String, String] = Map(
+    "agg_kmv_setops" ->
+      s"""WITH s AS (SELECT CASE WHEN event_type = 'click' THEN 'a'
+         |      ELSE 'b' END AS seg,
+         |    (user_id * 1103515245 + 12345) % 2147483648 AS h
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |d AS (SELECT DISTINCT seg, h FROM s),
+         |r AS (SELECT seg, h, row_number() OVER (PARTITION BY seg
+         |    ORDER BY h) AS rn FROM d),
+         |sk AS (SELECT seg, h, rn FROM r WHERE rn <= $kmvK),
+         |segest AS (SELECT seg,
+         |    CASE WHEN max(rn) < $kmvK THEN max(rn)
+         |      ELSE ${(kmvK - 1) * 2147483648L}
+         |        // max(CASE WHEN rn = $kmvK THEN h END) END AS est
+         |  FROM sk GROUP BY seg),
+         |segexact AS (SELECT seg, count(*) AS exact FROM d GROUP BY seg),
+         |f AS (SELECT h,
+         |    max(CASE WHEN seg = 'a' THEN 1 ELSE 0 END) = 1 AS in_a,
+         |    max(CASE WHEN seg = 'b' THEN 1 ELSE 0 END) = 1 AS in_b
+         |  FROM sk GROUP BY h),
+         |f2 AS (SELECT h, in_a, in_b,
+         |    row_number() OVER (ORDER BY h) AS rn FROM f),
+         |u AS (SELECT count(*) AS m,
+         |    max(CASE WHEN rn = $kmvK THEN h END) AS theta,
+         |    count(CASE WHEN in_a AND in_b THEN 1 END) AS inter_all,
+         |    count(CASE WHEN in_a AND in_b AND rn <= $kmvK THEN 1 END)
+         |      AS inter_below
+         |  FROM f2),
+         |uest AS (SELECT
+         |    CASE WHEN m < $kmvK THEN m
+         |      ELSE ${(kmvK - 1) * 2147483648L} // theta END AS est_u,
+         |    CASE WHEN m < $kmvK THEN inter_all
+         |      ELSE inter_below * 2147483648 // theta END AS est_i
+         |  FROM u),
+         |uexact AS (SELECT count(DISTINCT h) AS ex FROM d),
+         |iexact AS (SELECT count(*) AS ex FROM (
+         |  SELECT h FROM d GROUP BY h
+         |  HAVING count(DISTINCT seg) = 2) x)
+         |SELECT 'a' AS metric,
+         |  (SELECT exact FROM segexact WHERE seg = 'a') AS exact,
+         |  (SELECT est FROM segest WHERE seg = 'a') AS est
+         |UNION ALL SELECT 'b',
+         |  (SELECT exact FROM segexact WHERE seg = 'b'),
+         |  (SELECT est FROM segest WHERE seg = 'b')
+         |UNION ALL SELECT 'union',
+         |  (SELECT ex FROM uexact), (SELECT est_u FROM uest)
+         |UNION ALL SELECT 'intersect',
+         |  (SELECT ex FROM iexact), (SELECT est_i FROM uest)""".stripMargin,
+    "window_rolling_median" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders WHERE o_orderkey < 2000)
+        |SELECT o_orderkey, o_orderpriority, cents,
+        |  CAST(median(cents) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderkey
+        |    ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) * 2 AS BIGINT)
+        |    AS med2_cents
+        |FROM o""".stripMargin,
     "agg_corr_stats" ->
       """WITH s AS (SELECT l_returnflag,
         |    CAST(l_quantity AS BIGINT) AS x,
