@@ -162,7 +162,37 @@ object BehaviorQueries {
         dsum(col("value")).as("val_sum"))
   }
 
+  /** Top user-journey paths — the "what do sessions look like" census
+    * behind every product-analytics path/sankey view: each (user, day)
+    * contributes its first 3 event types in time order as a "a>b>c"
+    * path string, and the gate emits the 10 commonest paths. Ordering
+    * rides the same engine-portable unique sort key as [[attribution]]
+    * (second-epoch·10^8 + event_id). Plan: one (user, day)-keyed
+    * row_number window (rows ≤3 survive), a per-journey pivot to
+    * (e1,e2,e3) via max-of-when — both algebraic — then a path-keyed
+    * census whose domain is bounded by |types|³, and a global top-10
+    * as TakeOrderedAndProject (per-partition heaps, no global sort). */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val keyScale = 100000000L
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        col("event_type"),
+        (unix_timestamp(date_trunc("second", col("ts"))) * keyScale +
+          col("event_id")).as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "day").orderBy("k")
+    ev.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .groupBy("user_id", "day")
+      .agg(max(when(col("rn") === 1, col("event_type"))).as("e1"),
+        max(when(col("rn") === 2, col("event_type"))).as("e2"),
+        max(when(col("rn") === 3, col("event_type"))).as("e3"))
+      .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .agg(count(lit(1)).as("n_journeys"))
+      .orderBy(col("n_journeys").desc, col("path")).limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "behavior_paths" -> topPaths _,
     "behavior_transitions" -> transitions _,
     "funnel" -> funnel _,
     "cohort_retention" -> cohortRetention _,
@@ -230,6 +260,25 @@ object BehaviorQueries {
         |FROM e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
     "window_sliding" -> slidingOracle,
+    "behavior_paths" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |      AS day,
+        |    event_type,
+        |    CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+        |      AS BIGINT) * 100000000 + event_id AS k
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, day
+        |    ORDER BY k) AS rn FROM e),
+        |j AS (SELECT user_id, day,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+        |    max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+        |    max(CASE WHEN rn = 3 THEN event_type END) AS e3
+        |  FROM r WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT concat_ws('>', e1, e2, e3) AS path,
+        |  count(*) AS n_journeys
+        |FROM j GROUP BY 1
+        |ORDER BY n_journeys DESC, path LIMIT 10""".stripMargin,
     "behavior_attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,
         |    CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))

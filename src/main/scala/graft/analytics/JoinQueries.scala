@@ -231,7 +231,44 @@ object JoinQueries {
       .where(col("dist") <= 2)
   }
 
+  /** Interval-overlap join — the temporal join with NO equi key:
+    * purchase attention windows [ts, ts+1h) against error windows
+    * [ts, ts+30m) (both sides capped to a pilot user cohort so the
+    * quadratic TRUE output stays gate-sized). The naive plan is a
+    * cartesian product with a range predicate (banned by the plan
+    * audit); this op bucketizes time into hour cells, explodes each
+    * interval to the ≤2 cells it covers (map-side, fanout bounded by
+    * interval length ÷ cell width), EQUI-joins on the cell, verifies
+    * the exact half-open overlap, and `distinct`s away multi-cell
+    * double-hits. Any overlapping pair shares the cell containing
+    * max(starts), so the cell join loses nothing; cell width tunes the
+    * candidate-fanout/selectivity trade exactly like the range-join
+    * bucketizer ([[rangeJoin]]'s sibling with BOTH sides interval). */
+  def intervalOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("user_id") < 5)
+      .select(col("event_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("s"))
+    def side(et: String, mins: Int, p: String) = ev
+      .filter(col("event_type") === et)
+      .select(col("event_id").as(s"${p}_id"), col("s").as(s"${p}_s"),
+        (col("s") + expr(s"interval $mins minutes")).as(s"${p}_e"))
+    val a = side("purchase", 60, "a")
+    val b = side("error", 30, "b")
+    def cells(df: DataFrame, p: String) = df.withColumn("cell",
+      explode(sequence(date_trunc("hour", col(s"${p}_s")),
+        date_trunc("hour", col(s"${p}_e")), expr("interval 1 hour"))))
+    cells(a, "a").join(cells(b, "b"), "cell")
+      .where(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select(col("a_id"), col("b_id"), col("a_s"), col("b_s"),
+        (unix_timestamp(least(col("a_e"), col("b_e")))
+          - unix_timestamp(greatest(col("a_s"), col("b_s"))))
+          .as("overlap_s"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_interval_overlap" -> intervalOverlapJoin _,
     "join_fuzzy" -> fuzzyJoin _,
     "join_agg" -> joinAgg _,
     "join_broadcast_dim" -> broadcastDim _,
@@ -248,6 +285,21 @@ object JoinQueries {
     "yearly_revenue" -> yearlyRevenue _)
 
   val oracles: Map[String, String] = Map(
+    "join_interval_overlap" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(date_trunc('second', CAST(ts AS TIMESTAMP))
+        |      AS TIMESTAMP) AS s
+        |  FROM events WHERE user_id < 5),
+        |a AS (SELECT event_id AS a_id, s AS a_s,
+        |    s + INTERVAL 60 MINUTE AS a_e
+        |  FROM e WHERE event_type = 'purchase'),
+        |b AS (SELECT event_id AS b_id, s AS b_s,
+        |    s + INTERVAL 30 MINUTE AS b_e
+        |  FROM e WHERE event_type = 'error')
+        |SELECT a_id, b_id, a_s, b_s,
+        |  CAST(epoch(least(a_e, b_e)) AS BIGINT)
+        |    - CAST(epoch(greatest(a_s, b_s)) AS BIGINT) AS overlap_s
+        |FROM a JOIN b ON a_s < b_e AND b_s < a_e""".stripMargin,
     "join_fuzzy" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)
         |SELECT a.p_name AS name_a, b.p_name AS name_b,

@@ -630,8 +630,38 @@ object OlapQueries {
         (percentile(col("cents"), lit(0.5)).over(w) * 2).cast("long"))
   }
 
+  /** Bitmap-index distinct count — the roaring-bitmap technique every
+    * serious OLAP engine (Druid, ClickHouse, Kylin) uses when the key
+    * domain is dense integers: pack presence into 62-bit words keyed by
+    * `id DIV 62`, OR words together, population-count the result. Two
+    * hash aggs; the first's output is bounded by keyspace/62 PER GROUP
+    * regardless of row count (a 10^9-user corpus is ~16M words — the
+    * whole "distinct" fits in executor memory as a bitmap), and both
+    * `bit_or` and the word census are algebraic, so map-side combine
+    * does the heavy lifting. 62 bits per word keeps `1L << off`
+    * strictly positive in every engine (no sign-bit conventions).
+    * Emits the bitmap count AND plain `countDistinct` so the gate
+    * itself proves the bitmap path exact. */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id"))
+      .groupBy(col("event_type"), expr("user_id DIV 62").as("wi"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+        "CAST(pmod(user_id, 62) AS INT)))").as("word"))
+      .groupBy("event_type")
+      .agg(sum(bit_count(col("word"))).cast("long").as("n_users_bitmap"),
+        count(lit(1)).as("n_words"))
+    val exact = Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users_exact"))
+    words.join(exact, Seq("event_type"))
+      .withColumn("bitmap_exact_match",
+        col("n_users_bitmap") === col("n_users_exact"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_kmv_setops" -> kmvSetOps _,
+    "agg_bitmap_distinct" -> bitmapDistinct _,
     "window_rolling_median" -> rollingMedian _,
     "agg_corr_stats" -> corrStats _,
     "agg_kmv_distinct" -> kmvDistinct _,
@@ -656,6 +686,20 @@ object OlapQueries {
     "func_array" -> arrayFuncs _)
 
   val oracles: Map[String, String] = Map(
+    "agg_bitmap_distinct" ->
+      """WITH w AS (SELECT event_type, user_id // 62 AS wi,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INT))
+        |      AS word
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type,
+        |    CAST(sum(bit_count(word)) AS BIGINT) AS n_users_bitmap,
+        |    count(*) AS n_words
+        |  FROM w GROUP BY 1),
+        |e AS (SELECT event_type, count(DISTINCT user_id)
+        |    AS n_users_exact FROM events GROUP BY 1)
+        |SELECT b.event_type, n_users_bitmap, n_words, n_users_exact,
+        |  n_users_bitmap = n_users_exact AS bitmap_exact_match
+        |FROM b JOIN e ON b.event_type = e.event_type""".stripMargin,
     "agg_kmv_setops" ->
       s"""WITH s AS (SELECT CASE WHEN event_type = 'click' THEN 'a'
          |      ELSE 'b' END AS seg,

@@ -95,11 +95,67 @@ object StatsQueries {
       .withColumn("overest_ok", col("est_r") >= col("exact_join"))
   }
 
+  /** Chi-square contingency statistic — the independence test behind
+    * every A/B readout and feature-selection pass, here over the
+    * (event_type × ISO day-of-week) contingency table: is activity mix
+    * independent of weekday? Per-cell contribution (O−E)²/E is emitted
+    * as the EXACT integer `1e6·(O·n − R·C)² DIV (n·R·C)` — the classic
+    * statistic times n, cross-multiplied so no float division ever
+    * happens; squares run in DECIMAL(38,0) (HUGEINT in the oracle), so
+    * a 100 TB corpus (n ~ 10^12) still fits with 14 digits to spare.
+    * Plan: one scan → bounded |types|×7 cell agg; marginals are
+    * windows over that bounded frame (the stats_join_size pattern), so
+    * nothing after the first agg scales with data. The day-of-week is
+    * epoch-day arithmetic ((d+3) mod 7: 0=Mon), not an engine DOW
+    * convention. */
+  def chi2Contingency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        expr("pmod(unix_timestamp(date_trunc('DAY', ts)) DIV 86400 + 3, 7)")
+          .as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val wR = Window.partitionBy("event_type")
+    val wC = Window.partitionBy("dow")
+    val wN = Window.partitionBy()
+    cells
+      .withColumn("r_tot", sum(col("o")).over(wR))
+      .withColumn("c_tot", sum(col("o")).over(wC))
+      .withColumn("n", sum(col("o")).over(wN))
+      .withColumn("d", (col("o") * col("n") - col("r_tot") * col("c_tot"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .select(col("event_type"), col("dow"), col("o"), col("r_tot"),
+        col("c_tot"), col("n"),
+        expr("CAST(d * d * 1000000 DIV " +
+          "(CAST(n AS DECIMAL(38,0)) * r_tot * c_tot) AS BIGINT)")
+          .as("chi2_cell_q6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_analyze" -> analyzeTable _,
+    "stats_chi2" -> chi2Contingency _,
     "stats_join_size" -> joinSizeEstimate _)
 
   val oracles: Map[String, String] = Map(
+    "stats_chi2" ->
+      """WITH c AS (SELECT event_type,
+        |    (CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP)))
+        |      AS BIGINT) // 86400 + 3) % 7 AS dow,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, dow, o,
+        |    CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS r_tot,
+        |    CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS c_tot,
+        |    CAST(sum(o) OVER () AS BIGINT) AS n
+        |  FROM c),
+        |d AS (SELECT *, CAST(o * n - r_tot * c_tot AS HUGEINT) AS dd
+        |  FROM m)
+        |SELECT event_type, dow, o, r_tot, c_tot, n,
+        |  CAST(dd * dd * 1000000 //
+        |    (CAST(n AS HUGEINT) * r_tot * c_tot) AS BIGINT)
+        |    AS chi2_cell_q6
+        |FROM d""".stripMargin,
     "stats_analyze" -> {
       val selects = analyzeCols.map { c =>
         s"""SELECT '$c' AS column_name,

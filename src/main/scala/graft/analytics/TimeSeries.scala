@@ -162,7 +162,50 @@ object TimeSeries {
        |FROM h WINDOW w AS (PARTITION BY event_type ORDER BY h)""".stripMargin
   }
 
+  /** Autocorrelation lags emitted by [[acf]]. */
+  val acfLags = 5
+
+  /** Autocorrelation sufficient statistics — the seasonality detector
+    * (a daily-seasonal hourly series spikes at lag 24; here lags 1..5
+    * keep the gate frame small). For each (event_type, lag k) over the
+    * hourly-count series this emits the EXACT integer sufficient
+    * statistics of the lag-k Pearson correlation on aligned pairs
+    * (x_i, x_{i-k}): n, Σx, Σy, Σxy, Σx², Σy², and the covariance
+    * numerator n·Σxy − Σx·Σy — the [[OlapQueries.corrStats]]
+    * convention, so no sqrt/float enters the gate and the stats merge
+    * across any partitioning. Plan: one hash agg to hourly counts
+    * (bounded by the time grid), ONE per-type window computing all K
+    * lags in a single pass, a map-side explode to (lag, y) pairs, and
+    * a bounded |types|·K final agg. Gaps in the hourly grid are real
+    * gaps: lag is "k rows earlier in the observed series" (the same
+    * series [[volumeAnomaly]] emits); densify with [[gapFill]] first
+    * if calendar-lag semantics are wanted. */
+  def acf(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    // window lags land in plain columns first (generators cannot host
+    // window expressions), then one map-side explode to (lag, y) pairs
+    val lagged = (1 to acfLags).foldLeft(hourly) { (df, k) =>
+      df.withColumn(s"y$k", lag(col("x"), k).over(w))
+    }
+    val pairs = lagged
+      .select(col("event_type"), col("x"),
+        explode(array((1 to acfLags).map(k =>
+          struct(lit(k.toLong).as("lag"), col(s"y$k").as("y"))): _*)).as("p"))
+      .select(col("event_type"), col("x"), col("p.lag"), col("p.y"))
+      .filter(col("y").isNotNull)
+    pairs.groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("cov_num", col("n") * col("sxy") - col("sx") * col("sy"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_acf" -> acf _,
     "ts_gap_fill" -> gapFill _,
     "ts_fill_forward" -> fillForward _,
     "ts_ohlc" -> ohlcResample _,
@@ -170,6 +213,25 @@ object TimeSeries {
     "ts_ewma" -> ewma _)
 
   val oracles: Map[String, String] = Map(
+    "ts_acf" -> {
+      val lagSelects = (1 to acfLags).map(k =>
+        s"SELECT event_type, x, $k AS lag, " +
+          s"lag(x, $k) OVER (PARTITION BY event_type ORDER BY h) AS y FROM h")
+        .mkString("\nUNION ALL\n")
+      s"""WITH h AS (
+         |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+         |    count(*) AS x
+         |  FROM events GROUP BY 1, 2),
+         |p AS ($lagSelects)
+         |SELECT event_type, CAST(lag AS BIGINT) AS lag, count(*) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx,
+         |  CAST(sum(y * y) AS BIGINT) AS syy,
+         |  count(*) * CAST(sum(x * y) AS BIGINT)
+         |    - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS cov_num
+         |FROM p WHERE y IS NOT NULL GROUP BY 1, 2""".stripMargin
+    },
     "ts_gap_fill" ->
       """WITH h AS (
         |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
