@@ -191,7 +191,39 @@ object BehaviorQueries {
       .orderBy(col("n_journeys").desc, col("path")).limit(10)
   }
 
+  /** Longest activity streak per user — the canonical gaps-and-islands
+    * idiom (retention/engagement metric): consecutive active days form
+    * an island because day − row_number is constant inside a run. One
+    * distinct (user, epoch-day) agg, one user-keyed window, a
+    * user+island agg (islands are bounded by the user's day count),
+    * then an argmax packed into a single integer key (len·10^6 +
+    * (10^6−1−start_day)) so "longest streak, earliest on ties" needs
+    * no engine-specific arg_max — epoch days stay < 10^6 until the
+    * year 4707. Everything after the distinct is bounded by active
+    * days per user, never events. */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    val enc = 1000000L
+    val days = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        expr("unix_timestamp(date_trunc('DAY', ts)) DIV 86400").as("d"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("d")
+    days.withColumn("isl", col("d") - row_number().over(w))
+      .groupBy("user_id", "isl")
+      .agg(count(lit(1)).as("len"), min(col("d")).as("d0"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"), sum(col("len")).as("n_active_days"),
+        max(col("len") * enc + (lit(enc - 1) - col("d0"))).as("key"))
+      .select(col("user_id"), col("n_streaks"), col("n_active_days"),
+        expr(s"key DIV $enc").as("longest_streak"),
+        to_date(timestamp_seconds(
+          (lit(enc - 1) - pmod(col("key"), lit(enc))) * 86400L))
+          .as("streak_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "behavior_streaks" -> streaks _,
     "behavior_paths" -> topPaths _,
     "behavior_transitions" -> transitions _,
     "funnel" -> funnel _,
@@ -260,6 +292,26 @@ object BehaviorQueries {
         |FROM e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
     "window_sliding" -> slidingOracle,
+    "behavior_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP)))
+        |      AS BIGINT) // 86400 AS d
+        |  FROM events),
+        |i AS (SELECT user_id, d,
+        |    d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS isl
+        |  FROM d),
+        |s AS (SELECT user_id, isl, count(*) AS len, min(d) AS d0
+        |  FROM i GROUP BY 1, 2),
+        |a AS (SELECT user_id, count(*) AS n_streaks,
+        |    CAST(sum(len) AS BIGINT) AS n_active_days,
+        |    CAST(max(len * 1000000 + (999999 - d0)) AS BIGINT) AS key
+        |  FROM s GROUP BY 1)
+        |SELECT user_id, n_streaks, n_active_days,
+        |  key // 1000000 AS longest_streak,
+        |  CAST(to_timestamp((999999 - key % 1000000) * 86400) AS DATE)
+        |    AS streak_start
+        |FROM a""".stripMargin,
     "behavior_paths" ->
       """WITH e AS (SELECT user_id,
         |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)

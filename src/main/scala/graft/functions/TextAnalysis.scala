@@ -418,6 +418,47 @@ object TextAnalysis {
           .as("avg_bits"))
   }
 
+  /** Bigram language-model scoring with add-one smoothing — the
+    * second-order upgrade of [[lmScore]]: a document full of common
+    * words in IMPLAUSIBLE order (shuffled text, keyword stuffing,
+    * template glitches) scores low on a unigram model but high here,
+    * because P(w_i | w_{i-1}) = (c(w_{i-1}w_i)+1) / (c(w_{i-1}·)+V)
+    * sees the broken transitions. Surprisal stays exact integer bits:
+    * flog2(c_prefix + V) − flog2(c_bigram + 1), with V the corpus
+    * unigram vocabulary (the add-one denominator convention). Plan
+    * mirrors [[lmScore]] with bigram keys: tokens split once, bigrams
+    * materialize map-side (a `transform` over index positions — no
+    * self-join of the token stream), one persisted (doc, w1, w2) agg
+    * feeds both model aggregates and the scoring join, and V is a
+    * bounded driver scalar (the Zorder pattern). Shuffle keys are
+    * (w1, w2) pairs — Zipf-skewed like all token keys; the salting
+    * note on [[tfIdf]] applies identically. */
+  def lmBigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> " +
+          "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+        .as("b"))
+      .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocabV: Long = Tables.load(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+    val cb = bg.groupBy("w1", "w2").agg(sum("tf").as("cb"))
+    val cp = bg.groupBy("w1").agg(sum("tf").as("cp"))
+    bg.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * (flog2(col("cp") + lit(vocabV))
+          - flog2(col("cb") + 1))).as("bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("bits"),
+        (col("bits").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_bits"))
+  }
+
   /** Character-diversity score — the entropy-flavored repetition /
     * gibberish signal, in the same exact bit arithmetic as
     * [[lmScore]]: ent_num = n*flog2(n) - Σ c_i*flog2(c_i) over
@@ -443,6 +484,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lm_score" -> lmScore _,
+    "text_lm_bigram" -> lmBigramScore _,
     "text_entropy" -> charEntropy _,
     "text_inverted_index" -> invertedIndex _,
     "text_tokens_bpe" -> tokensBpe _,
@@ -485,6 +527,27 @@ object TextAnalysis {
     s"(length(printf('%b', CAST($x AS BIGINT))) - 1)"
 
   val oracles: Map[String, String] = Map(
+    "text_lm_bigram" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS t
+         |  FROM documents),
+         |bg AS (SELECT doc_id, t[g] AS w1, t[g+1] AS w2, count(*) AS tf
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS g) s
+         |  WHERE len(t) >= 2 GROUP BY 1, 2, 3),
+         |v AS (SELECT count(DISTINCT w) AS vv FROM (
+         |  SELECT unnest(str_split(text, ' ')) AS w FROM documents)),
+         |cb AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cb
+         |  FROM bg GROUP BY 1, 2),
+         |cp AS (SELECT w1, CAST(sum(tf) AS BIGINT) AS cp
+         |  FROM bg GROUP BY 1)
+         |SELECT bg.doc_id, CAST(sum(bg.tf) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(bg.tf * (${flog2Sql("cp.cp + v.vv")}
+         |    - ${flog2Sql("cb.cb + 1")})) AS BIGINT) AS bits,
+         |  CAST(sum(bg.tf * (${flog2Sql("cp.cp + v.vv")}
+         |    - ${flog2Sql("cb.cb + 1")})) AS DOUBLE)
+         |    / CAST(sum(bg.tf) AS DOUBLE) AS avg_bits
+         |FROM bg JOIN cb USING (w1, w2) JOIN cp USING (w1)
+         |  CROSS JOIN v
+         |GROUP BY 1""".stripMargin,
     "text_lm_score" ->
       s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
          |    SELECT doc_id, unnest(str_split(text, ' ')) AS term

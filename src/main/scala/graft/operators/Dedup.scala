@@ -1027,7 +1027,7 @@ object Dedup {
     * reachable id per node, the same fixpoint hash-min propagation
     * computes. Shared by the clustering and canonical-selection
     * oracles. */
-  private def closureCtes: String =
+  private[operators] def closureCtes: String =
     s"""${minhashCtes()},
        |bands AS (
        |${minhashBandsUnion()}

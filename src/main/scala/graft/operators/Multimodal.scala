@@ -130,12 +130,98 @@ object Multimodal {
         col("kind"), col("rn"), round(col("sim"), 4).as("sim_r4"))
   }
 
+  /** Perceptual hash (aHash family): 16 bits, bit b set iff byte-
+    * histogram bucket b is at or above the bucket mean — the
+    * cross-multiplied integer comparison 16·c_b ≥ n, so the hash is
+    * bit-portable. A real pHash swaps the histogram for DCT
+    * coefficients of the decoded image; the dataflow (binary in,
+    * small int out, map-side) is identical. */
+  def phashStub(payload: Array[Byte]): Long = {
+    val c = new Array[Long](16)
+    var i = 0
+    while (i < payload.length) { c((payload(i) & 0xff) / 16) += 1; i += 1 }
+    var h = 0L
+    var b = 0
+    while (b < 16) {
+      if (16L * c(b) >= payload.length) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
+  case class AssetHash(asset_id: Long, kind: String, phash: Long)
+
+  /** Near-duplicate media detection — the [[graft.operators.Dedup]]
+    * pipeline shape applied to the multimodal column: per-asset
+    * perceptual hash (map-side, [[phashStub]]), LSH banding of the 16
+    * bits into 4 nibbles (any pair within Hamming distance 3 leaves
+    * ≥1 nibble untouched — pigeonhole, so banding loses nothing at
+    * the gate threshold), an EQUI-join on (kind, band, value), and an
+    * exact `bit_count(xor)` verify. Never an all-pairs comparison;
+    * candidate fanout is governed by band-bucket occupancy exactly as
+    * in `dedup_simhash_pairs` (the bucket-cap guard there applies
+    * verbatim if media collections cluster). The gate probes the
+    * newly-ingested batch (asset_id % 10 = 0) against the FULL
+    * collection — the incremental-ingest shape of `dedup_containment`
+    * — because a 16-bit histogram hash on a template-heavy corpus has
+    * quadratic true all-pairs output; production widens the hash to
+    * 64 DCT bits (8-bit bands, same dataflow) before widening the
+    * probe side. */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = assets(spark, dir)
+      .mapPartitions(_.map(a => AssetHash(a.asset_id, a.kind,
+        phashStub(a.payload)))).toDF()
+    def bands(df: DataFrame) = df
+      .select(col("asset_id"), col("kind"), col("phash"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("bi"),
+          expr(s"(phash DIV ${1L << (4 * i)}L) % 16").as("bv"))): _*))
+          .as("b"))
+      .select(col("asset_id"), col("kind"), col("phash"),
+        col("b.bi"), col("b.bv"))
+    bands(h.filter(pmod(col("asset_id"), lit(10)) === 0)).as("x")
+      .join(bands(h).as("y"),
+        col("x.kind") === col("y.kind") && col("x.bi") === col("y.bi")
+          && col("x.bv") === col("y.bv")
+          && col("x.asset_id") =!= col("y.asset_id"))
+      .select(col("x.asset_id").as("probe_id"),
+        col("y.asset_id").as("match_id"),
+        col("x.kind").as("kind"),
+        col("x.phash").as("a_hash"), col("y.phash").as("b_hash"))
+      .distinct()
+      .withColumn("dist",
+        bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).cast("long"))
+      .filter(col("dist") <= 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> metaQuery _,
     "multimodal_frames" -> frameSample _,
+    "multimodal_phash_pairs" -> phashPairs _,
     "multimodal_feature_knn" -> featureKnn _)
 
   val oracles: Map[String, String] = Map(
+    // ASCII corpus => byte histogram == char histogram (see
+    // multimodal_feature_knn); the oracle brute-forces all same-kind
+    // pairs, which the banded join provably equals at dist <= 3.
+    "multimodal_phash_pairs" ->
+      """WITH f AS (SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+        |      AS kind,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(16), b -> CASE WHEN
+        |        16 * len(list_filter(string_split_regex(text, ''),
+        |          c -> ascii(c) // 16 = b)) >= length(text)
+        |        THEN CAST(1 AS BIGINT) << b ELSE 0 END)),
+        |      (p, q) -> p | q) AS phash
+        |  FROM documents)
+        |SELECT a.id AS probe_id, b.id AS match_id, a.kind,
+        |  a.phash AS a_hash, b.phash AS b_hash,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
+        |FROM f a JOIN f b
+        |  ON a.kind = b.kind AND a.id <> b.id AND a.id % 10 = 0
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

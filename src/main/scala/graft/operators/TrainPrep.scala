@@ -61,6 +61,23 @@ object TrainPrep {
   def splitQuery(spark: SparkSession, dir: String): DataFrame =
     splitAssign(Tables.load(spark, dir, "documents"), reproducible = true)
 
+  /** Cluster-safe split — the NEAR-dup upgrade of [[splitAssign]]'s
+    * leakage guarantee: the content-keyed split keeps byte-identical
+    * copies together, but a near-duplicate (one word changed) still
+    * straddles train/eval and leaks. Here the fold key is the
+    * document's duplicate-CLUSTER id (connected components over LSH
+    * candidates, [[Dedup.dupClusters]]), LCG-permuted then mod 10 —
+    * so an entire near-dup cluster lands in one fold by construction.
+    * The extra cost over the plain split is exactly the clustering
+    * (linear-shuffle per its own SCALE.md entry); the fold assignment
+    * itself stays a pure per-row expression. */
+  def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clustersQuery(spark, dir)
+      .select(col("doc_id"), col("cluster_id"),
+        pmod(pmod(col("cluster_id") * lit(1103515245L) + lit(12345L),
+          lit(2147483648L)), lit(10L)).as("fold"))
+      .withColumn("is_eval", col("fold") === 0L)
+
   // --- Stratified sampling ------------------------------------------------
 
   /** Keep fraction for the stratified-sample gate. */
@@ -487,6 +504,7 @@ object TrainPrep {
     "curate_ppl_buckets" -> pplBuckets _,
     "curate_source_cap" -> sourceCap _,
     "train_split" -> splitQuery _,
+    "train_split_safe" -> clusterSafeSplit _,
     "train_sample_stratified" -> sampleQuery _,
     "train_mix" -> mixQuery _,
     "train_pack" -> packQuery _,
@@ -636,6 +654,14 @@ object TrainPrep {
          |LEFT JOIN h ON h.doc_id = d.doc_id
          |WHERE coalesce(h.n_hits, 0) = 0""".stripMargin
     },
+    "train_split_safe" ->
+      s"""WITH RECURSIVE ${Dedup.closureCtes}
+         |SELECT doc_id, cluster_id,
+         |  ((cluster_id * 1103515245 + 12345) % 2147483648) % 10
+         |    AS fold,
+         |  ((cluster_id * 1103515245 + 12345) % 2147483648) % 10 = 0
+         |    AS is_eval
+         |FROM cl""".stripMargin,
     "train_shuffle" ->
       s"""WITH s AS (SELECT doc_id,
          |    (doc_id * 1103515245 + 12345) % 2147483648 AS skey
