@@ -44,11 +44,19 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // two passes, min per query: single-pass numbers at local[32] swing
     // 2-4x with JIT/GC timing and which heavy query runs first; the min
-    // of two runs is a far more stable estimate of the plan's cost
+    // of two runs is a far more stable estimate of the plan's cost.
+    // A query that THROWS records -1, never an elapsed time — round 4's
+    // corpus drift turned 63 crashes into fake 0.05 s "speedups" because
+    // the old catch timed the failure.
     def pass(): Map[String, Double] = benched.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      val secs = (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(2).mkString(" | ")}")
+          false
+        }
+      val secs = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // queries persist intermediates (shingles, tf) scoped to their own
       // run; drop them so later queries aren't timed under the memory
       // pressure of earlier ones
@@ -56,7 +64,12 @@ object Bench {
       name -> secs
     }
     val (p1, p2) = (pass(), pass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    // min of the passes that succeeded; -1 only if BOTH failed
+    val results = p1.map { case (k, v) =>
+      val w = p2(k)
+      k -> (if (v < 0) w else if (w < 0) v else math.min(v, w))
+    }
+    val errored = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     def fmt(v: Double): String = f"$v%.2f"
     def toJson(m: Map[String, Double], prec: String => String): String =
       m.toSeq.sortBy(_._1)
@@ -67,10 +80,30 @@ object Bench {
     // operator family, heavies included); the COMPLETE per-query map goes
     // to BENCH_FULL.json in the repo root. Round 3's full map overflowed
     // the tail window and the driver recorded parsed:null.
-    val full = toJson(results, identity)
+    val okResults = results.filter(_._2 >= 0)
+    val full = toJson(okResults, identity)
+    // round-over-round deltas vs the PREVIOUS BENCH_FULL.json (read
+    // before we overwrite it): regressions like r4's 8x
+    // dedup_simhash_pairs get caught by the builder, not the judge
+    val prevQueries: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_FULL.json")))
+        val qStart = txt.indexOf("\"queries\":{")
+        if (qStart < 0) Map.empty
+        else {
+          val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
+          """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    val deltas = okResults.collect {
+      case (k, v) if prevQueries.get(k).exists(_ >= 0) => k -> (v - prevQueries(k))
+    }
+    val errJson = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
-      try w.println(s"""{"metric":"total","value":${fmt(results.values.sum)},"unit":"sec","n":${results.size},"queries":$full,"sf":"${sfDir.split('/').last}"}""")
+      try w.println(s"""{"metric":"total","value":${fmt(okResults.values.sum)},"unit":"sec","n":${okResults.size},"errors":$errJson,"queries":$full,"prev_delta":${toJson(deltas, identity)},"sf":"${sfDir.split('/').last}"}""")
       finally w.close()
     } catch { case _: Throwable => () }
     val headline = Set(
@@ -85,10 +118,10 @@ object Bench {
       "stream_dedup", "stream_upsert_deltas_tws", "pipeline_run",
       "ingest_parse", "yearly_revenue", "knn_pq_adc", "asof_join_native",
       "text_lm_score", "curate_source_cap", "knn_filtered")
-    val qs = toJson(results.view.filterKeys(headline).toMap, identity)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = toJson(okResults.view.filterKeys(headline).toMap, identity)
+    val total = if (okResults.nonEmpty) okResults.values.sum else 0.0
     val sfTag = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfTag"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${okResults.size},"errors":$errJson,"queries":$qs,"sf":"$sfTag"}""")
     spark.stop()
   }
 }

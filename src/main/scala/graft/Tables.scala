@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DataType, DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Table access + shared helpers.
   *
@@ -16,36 +16,61 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Normalizer for the physical `ts` column of `events`, whatever the
+    * corpus generator produced this round. The driver has shipped the
+    * column as nanosecond int64 (rounds 1-3) and as `timestamp[us]` NTZ
+    * (round 4+); hard-coding either breaks every events query when the
+    * corpus regenerates, so we branch on the *loaded* type:
+    *  - `LongType` (legacy ns via `nanosAsLong`): truncate to micros.
+    *    Truncation cannot move a value across the whole-second
+    *    boundaries downstream logic uses, so results stay
+    *    oracle-equivalent (DuckDB keeps full ns).
+    *  - `TimestampNTZType`: cast to session-TZ timestamp. The session
+    *    runs in UTC everywhere (Verify/Bench/tests), so the wall-clock
+    *    reinterpretation is value-identical.
+    *  - `TimestampType`: already the engine's logical type; pass through.
+    */
+  def tsNormalizer(dt: DataType): Column = dt match {
+    case LongType         => expr("timestamp_micros(ts DIV 1000)")
+    case TimestampNTZType => col("ts").cast(TimestampType)
+    case TimestampType    => col("ts")
+    case other => throw new IllegalStateException(
+      s"events.ts has unsupported physical type $other; extend Tables.tsNormalizer")
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is nanosecond parquet, which Spark rejects (or reads as
-    // Long with the legacy flag). Read ns as Long and convert to a
-    // microsecond timestamp; truncation cannot move a value across the
-    // whole-second boundaries all downstream logic uses, so results
-    // stay oracle-equivalent (DuckDB keeps full ns).
     if (name == "events") {
+      // harmless when ts is already a timestamp; required to read the
+      // legacy nanosecond-int64 corpus at all
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts", tsNormalizer(raw.schema("ts").dataType))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Events with a time filter applied on the RAW nanosecond column,
-    * before the micros conversion. Filtering after the conversion
-    * defeats parquet predicate pushdown (the converted column is an
-    * expression, not a scan column); this form pushes a plain
-    * `ts >= <ns>` range onto the bigint column, so row groups outside
-    * the window are skipped at the scan — the difference between
-    * reading a retention window and reading 100 TB. Semantically
-    * identical to filtering on the full-precision ns value (which is
-    * exactly what the DuckDB oracle does). */
+  /** Events with a time filter applied on the RAW `ts` column, before
+    * any conversion. Filtering after a conversion defeats parquet
+    * predicate pushdown (the converted column is an expression, not a
+    * scan column); this form pushes a plain range predicate onto the
+    * stored column — ns-long comparison for the legacy corpus,
+    * timestamp-literal comparison for the timestamp corpus (parquet
+    * pushes both natively) — so row groups outside the window are
+    * skipped at the scan: the difference between reading a retention
+    * window and reading 100 TB. Semantically identical to the DuckDB
+    * oracle's filter on the stored values. */
   def eventsFrom(spark: SparkSession, dir: String, cutoffUtc: String): DataFrame = {
-    val i = java.time.LocalDateTime.parse(cutoffUtc.replace(' ', 'T'))
-      .toInstant(java.time.ZoneOffset.UTC)
-    val cutoffNs = i.getEpochSecond * 1000000000L + i.getNano
+    val ldt = java.time.LocalDateTime.parse(cutoffUtc.replace(' ', 'T'))
+    val i = ldt.toInstant(java.time.ZoneOffset.UTC)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .filter(col("ts") >= lit(cutoffNs))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val filtered = raw.schema("ts").dataType match {
+      case LongType =>
+        val cutoffNs = i.getEpochSecond * 1000000000L + i.getNano
+        raw.filter(col("ts") >= lit(cutoffNs))
+      case TimestampNTZType => raw.filter(col("ts") >= lit(ldt))
+      case _                => raw.filter(col("ts") >= lit(java.sql.Timestamp.from(i)))
+    }
+    filtered.withColumn("ts", tsNormalizer(raw.schema("ts").dataType))
   }
 
   /** Register every table as a temp view so spark.sql(...) works too. */

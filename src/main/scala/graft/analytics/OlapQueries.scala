@@ -70,11 +70,14 @@ object OlapQueries {
     * doubles; both engines interpolate linearly over the same sorted
     * doubles. */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
+    // one array-percentile aggregate: a single sorted buffer per group
+    // serves both quantiles (two scalar percentile aggregates each
+    // keep their own copy of every value — 2x the memory and sort)
     Tables.load(spark, dir, "orders")
       .groupBy("o_orderpriority")
-      .agg(
-        expr("percentile(o_totalprice, 0.5)").as("p50"),
-        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .agg(expr("percentile(o_totalprice, array(0.5D, 0.9D))").as("ps"))
+      .select(col("o_orderpriority"),
+        col("ps").getItem(0).as("p50"), col("ps").getItem(1).as("p90"))
 
   /** HLL sketch cardinality vs exact — the scale path for distinct
     * counts (no exact-distinct shuffle). The sketch value itself has no
@@ -83,15 +86,24 @@ object OlapQueries {
     * error bound — Spark's HLL++ is deterministic for fixed input, so
     * the boolean is too, and the oracle simply states TRUE: a drifting
     * sketch becomes a hash mismatch instead of an unchecked value. */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "lineitem")
-      .groupBy("l_returnflag")
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    // Dedup (flag, partkey) pairs first, then aggregate the distinct
+    // rows: mixing countDistinct with a non-distinct HLL aggregate makes
+    // Catalyst rewrite through Expand (every input row duplicated per
+    // aggregate class — the r4 5.1 s regression); the pre-dedup form is
+    // two plain hash aggregates with map-side combine. The HLL sketch is
+    // duplicate-insensitive (registers are max-of-hashes), so running it
+    // over distinct values yields the bit-identical estimate.
+    val pairs = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+    pairs.groupBy("l_returnflag")
       .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("exact_parts"),
         (abs(approx_count_distinct(col("l_partkey"), 0.02)
-            - countDistinct(col("l_partkey"))).cast("double")
-          / countDistinct(col("l_partkey")).cast("double") <= 0.05)
+            - count(lit(1))).cast("double")
+          / count(lit(1)).cast("double") <= 0.05)
           .as("within_bound"))
+  }
 
   /** Exact 3-sigma outlier detection with NO floating point in the
     * decision: cent-grid values become integers (x_c = round(100x)),

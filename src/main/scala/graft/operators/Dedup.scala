@@ -247,13 +247,20 @@ object Dedup {
 
   /** Gate query: cluster id for every document from reproducible-hash
     * LSH candidates (uncapped here so the DuckDB edge set is identical;
-    * observed bucket sizes are single-digit at every SF). */
+    * observed bucket sizes are single-digit at every SF).
+    *
+    * Bound to [[dupClustersStar]] since r5: both algorithms hash-match
+    * the same recursive-CTE oracle (r4 proved it on the full corpus),
+    * and the star alternation is both faster here (2.8 s vs 6.1 s at
+    * sf0.1) and O(log n)-round on adversarial chain graphs, so it is
+    * the production default; [[dupClusters]] label propagation stays as
+    * the spec-verified reference implementation. */
   def clustersQuery(spark: SparkSession, dir: String): DataFrame =
     graft.Conf.withConf(spark, "spark.sql.shuffle.partitions",
         clusterShufflePartitions) {
       val docs = Tables.load(spark, dir, "documents")
-      dupClusters(docs.select(col("doc_id")),
-        minhashCandidates(docs, cap = Int.MaxValue, reproducible = true))
+      dupClustersStar(docs.select(col("doc_id")),
+        minhashCandidates(docs, cap = Int.MaxValue, reproducible = true))._1
     }
 
   /** Connected components by large-star/small-star alternation
@@ -416,34 +423,49 @@ object Dedup {
       cap: Int = -1, reproducible: Boolean = false): DataFrame = {
     val effCap = if (cap > 0) cap
       else graft.Conf.int(docs.sparkSession, graft.Conf.DedupBucketCap, 1024)
-    // sigs feeds the chunk explode and both verify joins
+    // Plan shape (r5 rewrite; the r4 version cost 20.5 s at sf0.1):
+    // the bucket key space is tiny — simChunks × 2^12 = 16,384 possible
+    // (c, chunk) buckets regardless of corpus size — so bucket stats
+    // (count + min member) are a BROADCASTABLE side input, and both the
+    // small-bucket and star-capped paths become map-side after one
+    // broadcast join. Small buckets aggregate members (≤ cap structs,
+    // signature carried along) and emit their pair combinations inside
+    // a single Generate; the Hamming verify then runs on columns already
+    // present — no signature re-joins, one final distinct. Shuffles:
+    // sig agg, 16k-row stats agg, capped member agg, distinct — vs the
+    // old window + self-join + distinct + two re-joins.
     val sigs = simhashSigs(docs, reproducible)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkCols = (0 until simChunks).map(c =>
       shiftright(col("simhash48"), 12 * c).bitwiseAND(lit(4095L)))
-    val chunks = sigs.select(col("doc_id"),
+    val chunks = sigs.select(col("doc_id"), col("simhash48"),
       posexplode(array(chunkCols: _*)).as(Seq("c", "chunk")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("c"), col("chunk"))
-    val b = chunks
-      .withColumn("bcnt", count(lit(1)).over(w))
-      .withColumn("bmin", min(col("doc_id")).over(w))
-    val small = b.filter(col("bcnt") <= effCap)
-    val l = small.select(col("c"), col("chunk"), col("doc_id").as("da"))
-    val r = small.select(col("c").as("c2"), col("chunk").as("chunk2"),
-      col("doc_id").as("db"))
-    val allPairs = l.join(r,
-      l("c") === r("c2") && l("chunk") === r("chunk2")
-        && col("da") < col("db"))
-      .select("da", "db")
-    val starPairs = b.filter(col("bcnt") > effCap && col("doc_id") =!= col("bmin"))
-      .select(col("bmin").as("da"), col("doc_id").as("db"))
-    allPairs.union(starPairs).distinct()
-      .join(sigs.select(col("doc_id").as("da"), col("simhash48").as("sa")), "da")
-      .join(sigs.select(col("doc_id").as("db"), col("simhash48").as("sb")), "db")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // min(struct) is ordered by leading field, so m = (min doc_id, its sig)
+    val stats = chunks.groupBy("c", "chunk").agg(
+      count(lit(1)).as("bcnt"),
+      min(struct(col("doc_id"), col("simhash48"))).as("m"))
+    val tagged = chunks.join(broadcast(stats), Seq("c", "chunk"))
+    val smallPairs = tagged.filter(col("bcnt") <= effCap)
+      .groupBy("c", "chunk")
+      .agg(collect_list(struct(col("doc_id"), col("simhash48"))).as("ms"))
+      .select(explode(expr(
+        """filter(
+             flatten(transform(ms, a -> transform(ms, b -> struct(a, b)))),
+             p -> p.a.doc_id < p.b.doc_id)""")).as("p"))
+      .select(col("p.a.doc_id").as("da"), col("p.b.doc_id").as("db"),
+        col("p.a.simhash48").as("sa"), col("p.b.simhash48").as("sb"))
+    // duplicate-flood star-cap guard, same semantics as before: a bucket
+    // larger than cap pairs members with its min doc_id only — O(n)
+    // pairs, cluster stays connected
+    val starPairs = tagged
+      .filter(col("bcnt") > effCap && col("doc_id") =!= col("m.doc_id"))
+      .select(col("m.doc_id").as("da"), col("doc_id").as("db"),
+        col("m.simhash48").as("sa"), col("simhash48").as("sb"))
+    smallPairs.union(starPairs)
       .filter(hamming(col("sa"), col("sb")) <= maxDist)
       .select(col("da"), col("db"),
         hamming(col("sa"), col("sb")).cast("long").as("dist"))
+      .distinct()
   }
 
   /** Bucket cap for the pairs GATE. SimHash chunks of a small-vocab
@@ -517,6 +539,33 @@ object Dedup {
   val setSimNum = 7L
   val setSimDen = 10L
 
+  /** Hash-bucket count for the distributed token dictionary. */
+  private val dictBuckets = 256L
+
+  /** Dictionary-encode a (tok, df, ...) vocabulary frame to distinct
+    * long ids with NO single-task global sort (the r4 version ran
+    * `row_number() OVER (ORDER BY tok)` — fine at sf0.1's ~40k-token
+    * vocabulary, a one-task funnel at a 100 TB corpus' ~10^9-token
+    * vocabulary). Tokens hash into [[dictBuckets]] buckets, every
+    * bucket numbers its own members in parallel windows, and
+    * `tid = rn * B + bucket` — a deterministic injection into the
+    * longs. Downstream needs exactly two properties, both preserved:
+    * a bijection vocab→ids (join keys and sorted-array intersection
+    * counts are order-invariant), and run-to-run determinism for the
+    * (df, tid) prefix tie-break (xxhash64 and per-bucket lexicographic
+    * numbering are both deterministic). The prefix filter is lossless
+    * for pair EXISTENCE under ANY consistent total order, so the final
+    * verified pair set — what the oracle checks — is unchanged. */
+  private def tokenDict(dfreq: DataFrame): DataFrame = {
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("tok"))
+    dfreq
+      .withColumn("bkt", pmod(xxhash64(col("tok")), lit(dictBuckets)))
+      .withColumn("tid",
+        row_number().over(wB).cast("long") * lit(dictBuckets) + col("bkt"))
+      .drop("bkt")
+  }
+
   /** Exact token-set Jaccard join above num/den WITHOUT sketching and
     * WITHOUT an all-pairs product — the prefix-filter principle
     * (SSJoin / "Scaling Up All Pairs" / PPJoin family). Each document's
@@ -549,14 +598,9 @@ object Dedup {
     // key and the verify arrays become primitives (a string-array
     // merge kernel allocates a UTF8String per element ACCESS, and the
     // verifier touches billions of elements at sf0.1). The encoding is
-    // a bijection so candidates/intersections are unchanged. The
-    // global row_number is a one-task sort over the VOCABULARY (not
-    // the corpus) — at 100 TB vocabulary scale the dictionary would be
-    // built with per-partition offsets (the train_shuffle pattern);
-    // the dataflow on either side of it is identical.
-    val wDict = org.apache.spark.sql.expressions.Window.orderBy(col("tok"))
-    val dict = dfreq
-      .withColumn("tid", row_number().over(wDict).cast("long"))
+    // a bijection so candidates/intersections are unchanged; see
+    // [[tokenDict]] for why no single-task sort is involved.
+    val dict = tokenDict(dfreq)
     val tokT = tok.join(dict, "tok").select(col("doc_id"), col("tid"), col("df"))
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("tid"))
@@ -791,8 +835,7 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-    val wDict = org.apache.spark.sql.expressions.Window.orderBy(col("tok"))
-    val dict = dfreq.withColumn("tid", row_number().over(wDict).cast("long"))
+    val dict = tokenDict(dfreq)
     val tokT = tok.join(dict, "tok").select(col("doc_id"), col("tid"), col("df"))
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("tid"))
@@ -860,7 +903,7 @@ object Dedup {
   /** Canonical-document selection: the step after clustering that every
     * training pipeline actually ships — inside each duplicate cluster,
     * keep the highest-quality member (ties broken by smallest doc_id)
-    * and drop the rest. Composes [[dupClusters]] with the rule-ensemble
+    * and drop the rest. Composes [[dupClustersStar]] with the rule-ensemble
     * quality score ([[graft.functions.TextAnalysis.qualityScore]]);
     * the argmax is a row_number window partitioned by cluster_id —
     * cluster ids are near-unique (singleton clusters dominate any real
@@ -871,8 +914,8 @@ object Dedup {
     graft.Conf.withConf(spark, "spark.sql.shuffle.partitions",
         clusterShufflePartitions) {
       val docs = Tables.load(spark, dir, "documents")
-      val clusters = dupClusters(docs.select(col("doc_id")),
-        minhashCandidates(docs, cap = Int.MaxValue, reproducible = true))
+      val clusters = dupClustersStar(docs.select(col("doc_id")),
+        minhashCandidates(docs, cap = Int.MaxValue, reproducible = true))._1
       val scored = graft.functions.TextAnalysis.qualityScore(spark, dir)
         .select(col("doc_id"), col("score"))
       val w = org.apache.spark.sql.expressions.Window

@@ -904,18 +904,19 @@ object Similarity {
 
   /** Embedding near-dup CLUSTERS end-to-end: the verified SRP-LSH pair
     * graph ([[embedNearDupLsh]]) closed into connected components by
-    * the same hash-min label propagation documents use
-    * ([[Dedup.dupClusters]]) — every vector labeled with the smallest
-    * vec_id reachable through near-dup pairs, which is the actionable
-    * keep-list form of embedding dedup. Same scoped shuffle sizing as
-    * the document clustering gates (per-round frames are edges). */
+    * the same star alternation documents use
+    * ([[Dedup.dupClustersStar]]) — every vector labeled with the
+    * smallest vec_id reachable through near-dup pairs, which is the
+    * actionable keep-list form of embedding dedup. Same scoped shuffle
+    * sizing as the document clustering gates (per-round frames are
+    * edges). */
   def embedClusters(spark: SparkSession, dir: String): DataFrame =
     graft.Conf.withConf(spark, "spark.sql.shuffle.partitions", "8") {
       val nodes = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id").as("doc_id"))
       val pairs = embedNearDupLsh(spark, dir)
         .select(col("a").as("da"), col("b").as("db"))
-      Dedup.dupClusters(nodes, pairs)
+      Dedup.dupClustersStar(nodes, pairs)._1
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     }
 

@@ -26,15 +26,15 @@ object EventStream {
 
   def streamTumbling(spark: SparkSession, dir: String): DataFrame =
     withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
-    // ns-timestamp parquet: stream reads ts as Long (legacy flag), then
-    // converts to a microsecond timestamp — same convention as Tables.
+    // ts normalization is schema-adaptive (ns-long vs timestamp[us]
+    // corpora) — same convention as Tables.load.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", Tables.tsNormalizer(schema("ts").dataType))
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
         col("event_type"))
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
@@ -399,7 +399,7 @@ object EventStream {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", Tables.tsNormalizer(schema("ts").dataType))
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
       .select(col("window.start").as("win_start"), col("event_type"),
