@@ -20,10 +20,11 @@ class RangeJoinSpec extends AnyFunSuite {
       && bucketed.exceptAll(naive).isEmpty)
   }
 
-  test("eventsFrom pushes the ns time predicate into the parquet scan") {
+  test("eventsFrom pushes the time predicate into the parquet scan") {
     // SCALE.md claims pushed-down retention scans; pin it. The filter
-    // must reach the scan as a PushedFilter on the RAW ns bigint column
-    // (filtering after the micros conversion would defeat pushdown).
+    // must reach the scan as a PushedFilter on the RAW stored column —
+    // ns bigint or timestamp, whichever the corpus ships (filtering
+    // after Tables.tsNormalizer would defeat pushdown either way).
     val plan = Tables.eventsFrom(spark, SparkTestSession.sf,
         "2024-01-15 00:00:00")
       .queryExecution.executedPlan.toString
