@@ -131,12 +131,127 @@ object StatsQueries {
           .as("chi2_cell_q6"))
   }
 
+  /** Pre/post split for [[cupedAb]] — mid-corpus so both periods carry
+    * real mass at every SF. */
+  val cupedSplit = "2024-01-16 00:00:00"
+
+  /** CUPED variance-reduced A/B readout (Deng et al., WSDM'13:
+    * "Improving the Sensitivity of Online Controlled Experiments by
+    * Utilizing Pre-Experiment Data") — the experimentation query every
+    * metrics platform runs: per-user post-period metric Y adjusted by
+    * the pre-period covariate X via theta = cov(X,Y)/var(X), which
+    * shrinks arm-mean variance by the squared correlation without
+    * biasing the treatment delta (theta is computed pooled, applied
+    * identically to both arms).
+    *
+    * Determinism discipline (the chi2/outliers pattern): money values
+    * become cents (exact longs), all moments are DECIMAL(38,0) sums —
+    * order-independent, partitioning-independent — and every published
+    * number is an integer cross-multiplication quantized by a final
+    * `1e6·num DIV den` (both engines truncate toward zero), so no
+    * float ever enters a comparison. The adjusted mean is published
+    * from the identity
+    *   mean_adj = [sya·td·n − tn·(sxa·n − sx·na)] / (na·n·td)
+    * with tn = n·sxy − sx·sy, td = n·sxx − sx² — pure integers.
+    * Headroom: cents ≤ ~1e6 per user-period keeps every product under
+    * 10^32 even at 10^7 users; beyond that a production job rescales
+    * the covariate unit (dataflow unchanged).
+    *
+    * Plan: one events scan → per-user conditional-sum agg (the only
+    * corpus-scale shuffle) → cached user frame feeds one global and
+    * one per-arm aggregate; the five pooled scalars reach the driver
+    * as ONE row (the Zorder scalar pattern — a 1-row crossJoin would
+    * plan as the banned BNLJ). Arm assignment is the LCG parity of
+    * user_id — engine-portable, balanced, and stable under resharding. */
+  def cupedAb(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val pre = col("ts") < to_timestamp(lit(cupedSplit))
+    val cents = round(col("value") * 100).cast("long")
+    val users = Tables.load(spark, dir, "events")
+      .select(col("user_id"), pre.as("pre"), cents.as("c"))
+      .groupBy("user_id")
+      .agg(
+        coalesce(sum(when(col("pre"), col("c"))), lit(0L)).as("x"),
+        coalesce(sum(when(!col("pre"), col("c"))), lit(0L)).as("y"))
+      .withColumn("arm",
+        pmod(col("user_id") * lit(1103515245L) + lit(12345L),
+          lit(2147483648L)) % 2)
+      .cache() // one row per user — bounded, feeds both aggregates
+    val g = users.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum((col("x") * col("x")).cast(d38)).as("sxx"),
+      sum((col("x") * col("y")).cast(d38)).as("sxy"))
+      .head() // ONE row of pooled scalars
+    val (n, sx, sy, sxx, sxy) = (g.getLong(0), g.getDecimal(1),
+      g.getDecimal(2), g.getDecimal(3), g.getDecimal(4))
+    val nB = java.math.BigDecimal.valueOf(n)
+    val tn = sxy.multiply(nB).subtract(sx.multiply(sy))
+    val td = sxx.multiply(nB).subtract(sx.multiply(sx))
+    require(td.signum != 0, "CUPED: degenerate covariate (var(X) = 0)")
+    // quantization uses SQL DIV, not a decimal cast: Spark's
+    // decimal→decimal(38,0) cast ROUNDS half-up while DuckDB `//`
+    // truncates toward zero — DIV truncates in both engines (the
+    // stats_chi2 pattern). Pooled scalars are spliced in as decimal
+    // literals; all arithmetic stays DECIMAL(38,0), scale 0.
+    def d(v: java.math.BigDecimal): String =
+      s"CAST('${v.toPlainString}' AS DECIMAL(38,0))"
+    val (tnS, tdS, sxS) = (d(tn), d(td), d(sx))
+    users.groupBy("arm")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("y")).as("sum_post_cents"),
+        sum(col("x").cast(d38)).as("sxa"),
+        sum(col("y").cast(d38)).as("sya"))
+      .selectExpr(
+        "arm", "n_users", "sum_post_cents",
+        "CAST((1000000 * sya) DIV CAST(n_users AS DECIMAL(38,0)) AS BIGINT)" +
+          " AS mean_post_q6",
+        s"""CAST((1000000 * (sya * $tdS * $n
+           |  - $tnS * (sxa * $n - $sxS * CAST(n_users AS DECIMAL(38,0)))))
+           |  DIV (CAST(n_users AS DECIMAL(38,0)) * $n * $tdS)
+           |  AS BIGINT) AS mean_adj_q6""".stripMargin,
+        s"CAST((1000000 * $tnS) DIV $tdS AS BIGINT) AS theta_q6")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_cuped" -> cupedAb _,
     "stats_analyze" -> analyzeTable _,
     "stats_chi2" -> chi2Contingency _,
     "stats_join_size" -> joinSizeEstimate _)
 
   val oracles: Map[String, String] = Map(
+    "stats_cuped" ->
+      s"""WITH u AS (SELECT user_id,
+         |    CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '$cupedSplit'
+         |      THEN CAST(round(value * 100) AS BIGINT) END), 0)
+         |      AS BIGINT) AS x,
+         |    CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '$cupedSplit'
+         |      THEN CAST(round(value * 100) AS BIGINT) END), 0)
+         |      AS BIGINT) AS y,
+         |    ((user_id * 1103515245 + 12345) % 2147483648) % 2 AS arm
+         |  FROM events GROUP BY user_id),
+         |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS sx,
+         |    CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+         |  FROM u),
+         |t AS (SELECT n, sx, n * sxy - sx * sy AS tn,
+         |    n * sxx - sx * sx AS td FROM g),
+         |a AS (SELECT arm, CAST(count(*) AS HUGEINT) AS na,
+         |    CAST(sum(y) AS BIGINT) AS sum_post_cents,
+         |    CAST(sum(x) AS HUGEINT) AS sxa,
+         |    CAST(sum(y) AS HUGEINT) AS sya
+         |  FROM u GROUP BY arm)
+         |SELECT arm, CAST(na AS BIGINT) AS n_users, sum_post_cents,
+         |  CAST((1000000 * sya) // na AS BIGINT) AS mean_post_q6,
+         |  CAST((1000000 * (sya * td * n - tn * (sxa * n - sx * na)))
+         |    // (na * n * td) AS BIGINT) AS mean_adj_q6,
+         |  CAST((1000000 * tn) // td AS BIGINT) AS theta_q6
+         |FROM a CROSS JOIN t""".stripMargin,
     "stats_chi2" ->
       """WITH c AS (SELECT event_type,
         |    (CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP)))

@@ -349,6 +349,59 @@ object Similarity {
         round(col("sim"), 4).as("sim_r4"))
   }
 
+  /** Training-sample modulus for [[knnIvfSampled]]: the coarse
+    * quantizer trains on the ~1/ivfSampleMod hash-slice of the corpus. */
+  val ivfSampleMod = 4L
+
+  /** Deterministic hash-sample of the quantizer TRAINING set: keep
+    * vectors whose LCG permutation of vec_id lands in residue 0 mod
+    * [[ivfSampleMod]]. A different multiplier than the init
+    * permutation (69069 vs 1103515245) so membership in the sample is
+    * uncorrelated with init order. Engine-portable integer arithmetic
+    * (the oracle computes the same residues). */
+  private def trainSample(e: DataFrame): DataFrame =
+    e.filter(pmod(pmod(col("vec_id") * lit(69069L) + lit(1L),
+      lit(2147483648L)), lit(ivfSampleMod)) === 0)
+
+  private val sampledQuantizerMemo =
+    new scala.collection.concurrent.TrieMap[String, Seq[(Long, Seq[Double])]]
+  private def kmeansCentroidsSampledFor(dir: String,
+      e: DataFrame): Seq[(Long, Seq[Double])] =
+    sampledQuantizerMemo.getOrElseUpdate(dir, kmeansCentroids(trainSample(e)))
+
+  /** [[knnIvf]] with the quantizer trained on a deterministic ~25%
+    * hash-sample instead of the full corpus — THE production shape at
+    * 100 TB: Lloyd's rounds cost O(|sample|·k) instead of O(n·k) while
+    * the assignment and probe dataflow over the full corpus is
+    * untouched. (At gate scale both variants run end-to-end so the
+    * oracle can rebuild each bit-identically; in production the
+    * trained centroids ship as a broadcast artifact, which is exactly
+    * what the per-dir quantizer memo models.) Results differ from
+    * [[knnIvf]] only through centroid positions; recall vs the exact
+    * top-k stays governed by k and nprobe, not by training-set size —
+    * the sample only has to place 64 centroids, not memorize vectors. */
+  def knnIvfSampled(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions.cosine_sim
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("v"))
+      .cache() // scanned once per Lloyd round + once for final assignment
+    val assigned =
+      assignToCentroids(e, kmeansCentroidsSampledFor(dir, e)).cache()
+    val queries = assigned.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("cent_id").as("qcent"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    assigned.join(broadcast(queries), col("cent_id") === col("qcent")
+        && col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine_sim(col("v"), col("qv")))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rn"),
+        round(col("sim"), 4).as("sim_r4"))
+  }
+
   /** In-cluster near-duplicate threshold for [[semanticDedup]] — same
     * 0.4 regime as [[embedNearDup]] so the corpus has real drop signal. */
   val semThreshold = 0.4
@@ -1070,6 +1123,7 @@ object Similarity {
     "embed_neardup_lsh" -> embedNearDupLsh _,
     "embed_clusters" -> embedClusters _,
     "knn_ivf" -> knnIvf _,
+    "knn_ivf_sampled" -> knnIvfSampled _,
     "knn_ivf_probe2" -> knnIvfProbe _,
     "dedup_semantic" -> semanticDedup _,
     "embed_project" -> projectEmbeddings _,
@@ -1321,6 +1375,22 @@ object Similarity {
          |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
          |      AS BIGINT) AS rn
          |  FROM cand) WHERE rn <= 3""".stripMargin,
+    "knn_ivf_sampled" ->
+      s"""WITH $eCte,
+         |es AS (SELECT * FROM e
+         |       WHERE (vec_id * 69069 + 1) % 2147483648 % $ivfSampleMod = 0),
+         |${assignedCtesBody("es")},
+         |q AS (SELECT vec_id AS query_id, v AS qv, cent_id AS qcent
+         |      FROM assigned WHERE vec_id < 20),
+         |cand AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+         |           ${cosSql("a.v", "q.qv")} AS sim
+         |         FROM assigned a
+         |         JOIN q ON a.cent_id = q.qcent AND a.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, rn, round(sim, 4) AS sim_r4 FROM (
+         |  SELECT query_id, neighbor_id, sim, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
+         |      AS BIGINT) AS rn
+         |  FROM cand) WHERE rn <= 3""".stripMargin,
     "knn_ivf_probe2" ->
       s"""WITH $assignedCtes,
          |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
@@ -1431,7 +1501,7 @@ object Similarity {
       val sumExpr = (0 until pqSub)
         .foldLeft("CAST(0 AS DOUBLE)")((acc, s) => s"($acc + s$s)")
       s"""WITH $eCte,
-         |$assignedCtesBody,
+         |${assignedCtesBody()},
          |$pqCtesBody,
          |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
          |qc AS (SELECT q.query_id, c.cent_id,
@@ -1466,8 +1536,11 @@ object Similarity {
     * the `knn_ivf` and `dedup_semantic` oracles. Each Lloyd round
     * re-assigns against the previous centroid table and recomputes the
     * integer-quantized per-dimension means, bit-identically to the
-    * Spark job. Assumes `e` is already defined ([[eCte]]). */
-  private def assignedCtesBody: String = {
+    * Spark job. Assumes `e` is already defined ([[eCte]]).
+    * `train` names the CTE the quantizer TRAINS on (init + Lloyd
+    * rounds); the final assignment always covers full `e` — this is
+    * how the sampled-training oracle reuses the whole pyramid. */
+  private def assignedCtesBody(train: String = "e"): String = {
     // one Lloyd round: assignment vs centroid table `prev`, then the
     // same integer-quantized per-dimension mean as kmeansCentroids
     def lloydCtes(t: Int, prev: String): String =
@@ -1476,7 +1549,7 @@ object Similarity {
          |    SELECT e.vec_id, e.v, c.cent_id, row_number() OVER (
          |      PARTITION BY e.vec_id
          |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cent_id ASC) AS crn
-         |    FROM e CROSS JOIN $prev c) WHERE crn = 1),
+         |    FROM $train e CROSS JOIN $prev c) WHERE crn = 1),
          |ks$t AS (
          |  SELECT cent_id, i.range AS p,
          |    sum(CAST(floor(a.v[CAST(i.range + 1 AS INTEGER)] * 1000000.0)
@@ -1492,7 +1565,7 @@ object Similarity {
     val rounds = (1 to ivfIters)
       .map(t => lloydCtes(t, if (t == 1) "kc0" else s"kc${t - 1}"))
       .mkString(",\n")
-    s"""kc0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+    s"""kc0 AS (SELECT vec_id AS cent_id, v AS cv FROM $train
        |      ORDER BY (vec_id * 1103515245 + 12345) % 2147483648, vec_id
        |      LIMIT $ivfK),
        |$rounds,
@@ -1506,5 +1579,5 @@ object Similarity {
        |    FROM a0) WHERE crn = 1)""".stripMargin
   }
 
-  private def assignedCtes: String = s"$eCte,\n$assignedCtesBody"
+  private def assignedCtes: String = s"$eCte,\n${assignedCtesBody()}"
 }

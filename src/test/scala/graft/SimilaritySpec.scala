@@ -372,4 +372,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(dims.length == 64)
   }
+
+  test("sampled-training IVF: full probe structure over sample-trained centroids") {
+    val spark = SparkTestSession.spark
+    val got = Similarity.knnIvfSampled(spark, SparkTestSession.sf)
+      .collect()
+    // every query (vec_id < 20 that landed in a non-singleton cell)
+    // returns rank 1..k with sims in [-1, 1]; ranks are contiguous
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    for ((q, rows) <- byQ) {
+      val rns = rows.map(_.getLong(2)).sorted.toSeq
+      assert(rns == (1L to rns.length), s"query $q ranks $rns")
+      assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    }
+    // the sampled quantizer must actually differ from the full one —
+    // otherwise the gate silently degenerates into a knn_ivf copy
+    val full = Similarity.knnIvf(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sampled = got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full != sampled,
+      "sample-trained centroids produced identical neighbor sets — sampling is a no-op?")
+  }
 }

@@ -58,4 +58,34 @@ class StatsQueriesSpec extends AnyFunSuite {
       .map(k => fa(k) * fb(k)).sum
     assert(exact == ref)
   }
+
+  test("cuped: theta matches a sequential recompute and reduces variance") {
+    import org.apache.spark.sql.functions._
+    val split = java.sql.Timestamp.valueOf(StatsQueries.cupedSplit)
+    // independent per-user recompute (plain Scala, no shared code path)
+    val users = Tables.load(spark, SparkTestSession.sf, "events")
+      .select(col("user_id"), col("ts"), col("value")).collect()
+      .groupBy(_.getLong(0)).map { case (uid, rows) =>
+        val cents = rows.map(r =>
+          (r.getTimestamp(1).before(split), math.round(r.getDouble(2) * 100)))
+        (uid,
+          cents.collect { case (true, c) => c }.sum,
+          cents.collect { case (false, c) => c }.sum)
+      }.toSeq
+    val n = users.size.toDouble
+    val (mx, my) = (users.map(_._2).sum / n, users.map(_._3).sum / n)
+    val cov = users.map(u => (u._2 - mx) * (u._3 - my)).sum / n
+    val varx = users.map(u => (u._2 - mx) * (u._2 - mx)).sum / n
+    val thetaRef = cov / varx
+    val got = StatsQueries.cupedAb(spark, SparkTestSession.sf).collect()
+    assert(got.length == 2)
+    val thetaGot = got.head.getLong(5) / 1e6
+    assert(math.abs(thetaGot - thetaRef) < 1e-3,
+      s"theta $thetaGot vs reference $thetaRef")
+    // the point of CUPED: adjusted per-user metric has lower variance
+    val vary = users.map(u => (u._3 - my) * (u._3 - my)).sum / n
+    val varAdj = users.map(u =>
+      (u._3 - thetaRef * u._2) - (my - thetaRef * mx)).map(d => d * d).sum / n
+    assert(varAdj < vary, s"adjusted variance $varAdj !< raw $vary")
+  }
 }
