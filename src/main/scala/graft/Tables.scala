@@ -106,4 +106,19 @@ object Tables {
   /** Order-independent average of a money-like double column. */
   def davg(c: Column): Column =
     (sum(dec(c)) / count(c)).cast("double")
+
+  /** Order-independent revenue-style sum of a PRODUCT of two money-like
+    * doubles (`sum(price * (1 - discount))` et al.): exact decimal
+    * multiply (scale 8), exact sum, then round back to scale 4 BEFORE
+    * the double conversion. The rounding is numerically a no-op
+    * (2-decimal inputs make the product carry ≤ 4 meaningful decimals)
+    * but is load-bearing for cross-engine determinism: a scale-8 sum at
+    * 10-digit magnitude exceeds 2^53 once scaled, and DuckDB converts
+    * int128 → double → ÷10^8 with TWO roundings (observed 1-ulp
+    * divergence on `join_bloom` at sf0.1), while at scale 4 the scaled
+    * integer is exactly representable so both engines round once,
+    * identically. Oracle SQL must apply the same
+    * `CAST(CAST(SUM(..) AS DECIMAL(38,4)) AS DOUBLE)` wrapper. */
+  def dprodsum(a: Column, b: Column): Column =
+    sum(dec(a) * dec(b)).cast(DecimalType(38, 4)).cast("double")
 }

@@ -105,8 +105,9 @@ object CoreQueries {
     * decimal-exact pattern as every revenue gate. */
   private val sqlSurfaceText: String =
     """SELECT n_name AS nation, count(*) AS n_items,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-      |           * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |           * CAST(1 - l_discount AS DECIMAL(18,4)))
+      |    AS DECIMAL(38,4)) AS DOUBLE) AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -158,8 +159,9 @@ object CoreQueries {
     * the author's. Exact-decimal revenue. */
   private val sqlStarJoinText: String =
     """SELECT n_name AS nation, o_orderpriority, count(*) AS n_items,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-      |           * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |           * CAST(1 - l_discount AS DECIMAL(18,4)))
+      |    AS DECIMAL(38,4)) AS DOUBLE)
       |    AS revenue
       |FROM region
       |JOIN nation ON n_regionkey = r_regionkey

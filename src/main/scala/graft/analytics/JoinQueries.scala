@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.Tables
-import graft.Tables.{dec, dsum}
+import graft.Tables.{dec, dprodsum, dsum}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -32,8 +32,7 @@ object JoinQueries {
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(
-        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
-          .cast("double").as("revenue"),
+        dprodsum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -195,8 +194,7 @@ object JoinQueries {
       .filter(col("l_shipdate").between(
         lit("1996-01-01").cast("timestamp"), lit("1998-12-31").cast("timestamp")))
       .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
-      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
-        .cast("double").as("revenue"))
+      .agg(dprodsum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
 
   /** Edit-distance (Levenshtein <= 2) similarity self-join over the
     * distinct part-name vocabulary, via the SYMMETRIC-DELETE
@@ -308,8 +306,9 @@ object JoinQueries {
         |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
     "join_agg" ->
       """SELECT c_mktsegment,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-        |           * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |           * CAST(1 - l_discount AS DECIMAL(18,4)))
+        |    AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -394,8 +393,9 @@ object JoinQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "yearly_revenue" ->
       """SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-        |           * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |           * CAST(1 - l_discount AS DECIMAL(18,4)))
+        |    AS DECIMAL(38,4)) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
         |                     AND TIMESTAMP '1998-12-31 00:00:00'

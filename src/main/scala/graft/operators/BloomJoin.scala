@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.Tables.dec
+import graft.Tables.{dec, dprodsum}
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.functions._
@@ -82,8 +82,7 @@ object BloomJoin {
         "left_semi")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_items"),
-        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
-          .cast("double").as("revenue"))
+        dprodsum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -92,8 +91,9 @@ object BloomJoin {
   val oracles: Map[String, String] = Map(
     "join_bloom" ->
       """SELECT l_returnflag, count(*) AS n_items,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-        |           * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |           * CAST(1 - l_discount AS DECIMAL(18,4)))
+        |    AS DECIMAL(38,4)) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')

@@ -1,7 +1,7 @@
 package graft.store
 
 import graft.Tables
-import graft.Tables.dec
+import graft.Tables.{dec, dprodsum}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -70,8 +70,7 @@ object Bucketing {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus")
       .agg(
-        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
-          .cast("double").as("revenue"),
+        dprodsum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -81,8 +80,9 @@ object Bucketing {
   val oracles: Map[String, String] = Map(
     "join_bucketed" ->
       """SELECT o_orderstatus,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-        |           * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |           * CAST(1 - l_discount AS DECIMAL(18,4)))
+        |    AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus""".stripMargin)
