@@ -482,7 +482,67 @@ object TextAnalysis {
         ((col("n_chars") * flog2(col("n_chars")) - col("sum_clog"))
           .cast("double") / col("n_chars").cast("double")).as("ent_bits"))
 
+  /** Merge rounds learned by [[bpeTrain]]. */
+  val bpeMergeRounds = 6
+
+  /** Distributed BPE merge training (Sennrich et al., ACL'16: "Neural
+    * Machine Translation of Rare Words with Subword Units") — the
+    * tokenizer-TRAINING side of the pipeline ([[tokensBpe]] only counts
+    * with a fixed pretokenizer; this learns the merge table itself).
+    *
+    * Scale shape — the reason BPE training distributes at all: the ONE
+    * corpus-scale stage is the word-count aggregation (map-side
+    * combine, one shuffle); every merge round then runs on the WORD
+    * VOCABULARY weighted by corpus counts — pair counting is a
+    * vocab-bounded hash agg, the argmax is a 1-row TakeOrdered collect
+    * (total order (count DESC, left, right) — deterministic across
+    * partitionings), and applying the merge is one map-side string
+    * replace. A 10^9-word vocab at 100 TB keeps every round
+    * shuffle-light while the corpus is never rescanned.
+    *
+    * Symbol sequences are stored as `_sym_` concatenations so a merge
+    * is ONE literal `replace(s, '_a__b_', '_ab_')`: both engines scan
+    * left-to-right over non-overlapping matches, which IS greedy BPE
+    * pair application ("aaaa" + (a,a) → [aa][aa]); per-symbol wrapping
+    * keeps replacements boundary-aligned even across adjacent merges.
+    * localCheckpoint per round truncates the growing plan (the
+    * dupClusters discipline). Output: the learned merge table
+    * (rank, left_sym, right_sym, pair_count). */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    var vocab = Tables.load(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .withColumn("s", regexp_replace(col("w"), "(.)", "_$1_"))
+      .localCheckpoint() // vocab-bounded
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    for (t <- 1 to bpeMergeRounds) {
+      // adjacent symbol pairs, weighted by corpus word count:
+      // transform-with-index pairs sy[i] with sy[i+1]; element_at
+      // past the end yields null, filtered before the explode
+      val pairs = vocab
+        .select(col("wc"), split(expr("btrim(s, '_')"), "__").as("sy"))
+        .select(col("wc"), explode(expr(
+          """filter(transform(sy, (x, i) ->
+             |  struct(x AS a, element_at(sy, i + 2) AS b)),
+             |  p -> p.b IS NOT NULL)""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("c"))
+      val top = pairs
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()(0) // ONE row: the argmax merge
+      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((t.toLong, a, b, c))
+      vocab = vocab.withColumn("s",
+          expr(s"replace(s, '_${a}__${b}_', '_${a}${b}_')"))
+        .localCheckpoint()
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train" -> bpeTrain _,
     "text_lm_score" -> lmScore _,
     "text_lm_bigram" -> lmBigramScore _,
     "text_entropy" -> charEntropy _,
@@ -526,7 +586,41 @@ object TextAnalysis {
   private def flog2Sql(x: String): String =
     s"(length(printf('%b', CAST($x AS BIGINT))) - 1)"
 
+  /** DuckDB rendering of the [[bpeTrain]] loop: one CTE triple per
+    * merge round (pair counts from the split symbol string, the
+    * (c DESC, a, b) argmax, the boundary-aligned replace), unrolled
+    * [[bpeMergeRounds]] times. range(1, 64) bounds adjacent-pair
+    * positions — corpus words are ≤ 8 chars and the WHERE truncates
+    * to the true length regardless. */
+  private def bpeTrainOracle: String = {
+    val base = """v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wc,
+      |  regexp_replace(w, '(.)', '_\1_', 'g') AS s
+      |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w)""".stripMargin
+    val rounds = (1 to bpeMergeRounds).map { t =>
+      val prev = if (t == 1) "v0" else s"v${t - 1}"
+      s"""p$t AS (
+         |  SELECT sy[CAST(i AS INTEGER)] AS a,
+         |    sy[CAST(i + 1 AS INTEGER)] AS b,
+         |    CAST(sum(wc) AS BIGINT) AS c
+         |  FROM (SELECT wc, str_split(trim(s, '_'), '__') AS sy FROM $prev)
+         |  CROSS JOIN range(1, 64) r(i) WHERE i < len(sy)
+         |  GROUP BY 1, 2),
+         |m$t AS (SELECT a, b, c FROM p$t ORDER BY c DESC, a ASC, b ASC
+         |  LIMIT 1),
+         |v$t AS (SELECT w, wc,
+         |  replace(s, '_' || m.a || '__' || m.b || '_',
+         |    '_' || m.a || m.b || '_') AS s
+         |  FROM $prev CROSS JOIN m$t m)""".stripMargin
+    }
+    val finals = (1 to bpeMergeRounds).map(t =>
+      s"""SELECT CAST($t AS BIGINT) AS rank, a AS left_sym,
+         |  b AS right_sym, c AS pair_count FROM m$t""".stripMargin)
+    s"WITH $base,\n${rounds.mkString(",\n")}\n${finals.mkString(" UNION ALL ")}"
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_bpe_train" -> bpeTrainOracle,
     "text_lm_bigram" ->
       s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS t
          |  FROM documents),

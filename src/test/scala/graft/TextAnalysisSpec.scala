@@ -283,4 +283,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     val got0 = rows.find(_._1 == id0).get
     assert(got0._3 == expected, s"doc $id0 entropy numerator")
   }
+
+  test("bpe training matches a sequential reference implementation") {
+    val spark = SparkTestSession.spark
+    // reference: classic sequential BPE over the word-count vocab
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    Tables.load(spark, SparkTestSession.sf, "documents")
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" "))
+      .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1)
+    var vocab: Map[Vector[String], Long] =
+      wc.toMap.map { case (w, c) => w.split("").toVector -> c }
+    val refMerges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to TextAnalysis.bpeMergeRounds) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1)); pc(k) = pc.getOrElse(k, 0L) + c
+      }
+      val ((a, b), c) = pc.toSeq.sortBy { case ((x, y), n) => (-n, x, y) }.head
+      refMerges += ((a, b, c))
+      // greedy left-to-right non-overlapping application
+      vocab = vocab.map { case (syms, n) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toVector -> n
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    }
+    val got = TextAnalysis.bpeTrain(spark, SparkTestSession.sf)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == refMerges.toSeq, s"got $got\nref $refMerges")
+  }
 }
