@@ -117,7 +117,8 @@ object Bench {
       "train_pipeline", "decontaminate", "stream_tumbling_append",
       "stream_dedup", "stream_upsert_deltas_tws", "pipeline_run",
       "ingest_parse", "yearly_revenue", "knn_pq_adc", "asof_join_native",
-      "text_lm_score", "curate_source_cap", "knn_filtered")
+      "text_lm_score", "curate_source_cap", "knn_filtered",
+      "knn_ivf_sampled", "stats_cuped", "text_bpe_train")
     val qs = toJson(okResults.view.filterKeys(headline).toMap, identity)
     val total = if (okResults.nonEmpty) okResults.values.sum else 0.0
     val sfTag = sfDir.split('/').last
