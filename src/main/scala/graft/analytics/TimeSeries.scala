@@ -162,6 +162,99 @@ object TimeSeries {
        |FROM h WINDOW w AS (PARTITION BY event_type ORDER BY h)""".stripMargin
   }
 
+  /** Truncation depth of the Holt impulse-response expansion. */
+  val holtK = 8
+
+  /** Exact impulse response of the α=β=1/2 Holt (double-exponential)
+    * recursion, computed once with BigDecimal halvings — every step
+    * multiplies by 0.5 (a terminating decimal), so the lag-j level and
+    * trend weights are EXACT decimals of scale ≤ 2·holtK. Zero
+    * pre-history: the weights are those of the linear time-invariant
+    * filter the recursion converges to, which is exactly what the
+    * truncated window sum applies. */
+  lazy val holtWeights: (Seq[java.math.BigDecimal], Seq[java.math.BigDecimal]) = {
+    val half = new java.math.BigDecimal("0.5")
+    var (lPrev, bPrev) = (java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO)
+    val (lw, bw) = (Seq.newBuilder[java.math.BigDecimal],
+      Seq.newBuilder[java.math.BigDecimal])
+    for (i <- 0 until holtK) {
+      val x = if (i == 0) java.math.BigDecimal.ONE else java.math.BigDecimal.ZERO
+      val l = x.add(lPrev).add(bPrev).multiply(half)
+      val b = l.subtract(lPrev).multiply(half).add(bPrev.multiply(half))
+      lw += l; bw += b
+      lPrev = l; bPrev = b
+    }
+    (lw.result(), bw.result())
+  }
+
+  /** Holt double-exponential smoothing (level + trend) over the hourly
+    * series — the trend-aware sibling of [[ewma]], and the one-step
+    * forecast every capacity/monitoring dashboard draws. Same
+    * scalability/determinism discipline: the sequential recursion
+    * l_t = (x_t + l_{t-1} + b_{t-1})/2, b_t = (l_t − l_{t-1})/2 +
+    * b_{t-1}/2 is expanded into its exact impulse response
+    * ([[holtWeights]]) truncated at [[holtK]] lags, so the whole
+    * operator is O(K) codegen'd `lag`s inside the one per-key window
+    * exchange — no sequential scan, no state, and NO float in any
+    * published smoothing value: weight scale ≤ 16 puts the exact
+    * decimal sums far past double's 2^53 once scaled, and the engines
+    * disagree on decimal downscaling (Spark casts round half-up,
+    * DuckDB casts truncate), so level/trend/forecast are published as
+    * `·10^6 DIV 1` BIGINTs — integer truncation toward zero in both
+    * engines (the chi2/CUPED quantization); 10^-6 is far below the
+    * 2^-K truncation error the kernel carries by design. */
+  def holt(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(Tables.dec(col("value")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    def series(ws: Seq[java.math.BigDecimal]) = ws.zipWithIndex.map {
+      case (wt, j) => coalesce(lag(col("x"), j).over(w) * lit(wt), lit(0))
+    }.reduceLeft(_ + _)
+    val (lw, bw) = holtWeights
+    hourly
+      .withColumn("lvl", series(lw))
+      .withColumn("trd", series(bw))
+      .select(col("event_type"), col("h").as("hour_start"),
+        col("x").cast("double").as("val_sum"),
+        // the (30,20) narrowing is lossless (values ~1e4) and keeps the
+        // *10^6 product inside decimal width 38 in BOTH engines
+        expr("CAST((CAST(lvl AS DECIMAL(30,20)) * 1000000) DIV 1 AS BIGINT)")
+          .as("holt_level_q6"),
+        expr("CAST((CAST(trd AS DECIMAL(30,20)) * 1000000) DIV 1 AS BIGINT)")
+          .as("holt_trend_q6"),
+        expr("CAST((CAST(lvl + trd AS DECIMAL(30,20)) * 1000000) DIV 1" +
+          " AS BIGINT)").as("holt_forecast_q6"))
+  }
+
+  /** DuckDB rendering of [[holt]] — identical literal weights,
+    * identical `·10^6 // 1` integer quantization. */
+  def holtSql: String = {
+    // x widened to DECIMAL(22,4): DuckDB multiplication width is
+    // w1 + w2 and the weights carry up to 16 digits — 22 + 16 = 38
+    // exactly fills the cap, while the bare (18,4) × literal pair
+    // overflows DuckDB's int64 fast path
+    def terms(ws: Seq[java.math.BigDecimal]) = ws.zipWithIndex.map {
+      case (wt, j) =>
+        s"coalesce(lag(CAST(x AS DECIMAL(22,4)), $j) OVER w" +
+          s" * ${wt.toPlainString}, 0)"
+    }.mkString("\n  + ")
+    val (lw, bw) = holtWeights
+    s"""WITH h AS (
+       |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS x
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, h AS hour_start, CAST(x AS DOUBLE) AS val_sum,
+       |  CAST(trunc(CAST((${terms(lw)}) AS DECIMAL(30,20)) * 1000000)
+       |    AS BIGINT) AS holt_level_q6,
+       |  CAST(trunc(CAST((${terms(bw)}) AS DECIMAL(30,20)) * 1000000)
+       |    AS BIGINT) AS holt_trend_q6,
+       |  CAST(trunc(CAST((${terms(lw)}) + (${terms(bw)})
+       |    AS DECIMAL(30,20)) * 1000000) AS BIGINT) AS holt_forecast_q6
+       |FROM h WINDOW w AS (PARTITION BY event_type ORDER BY h)""".stripMargin
+  }
+
   /** Autocorrelation lags emitted by [[acf]]. */
   val acfLags = 5
 
@@ -210,7 +303,8 @@ object TimeSeries {
     "ts_fill_forward" -> fillForward _,
     "ts_ohlc" -> ohlcResample _,
     "ts_anomaly" -> volumeAnomaly _,
-    "ts_ewma" -> ewma _)
+    "ts_ewma" -> ewma _,
+    "ts_holt" -> holt _)
 
   val oracles: Map[String, String] = Map(
     "ts_acf" -> {
@@ -272,6 +366,7 @@ object TimeSeries {
         |  cnt * trail_n > trail_sum * 2 AS anomaly
         |FROM w WHERE trail_n > 0""".stripMargin,
     "ts_ewma" -> ewmaSql,
+    "ts_holt" -> holtSql,
     "ts_fill_forward" ->
       """SELECT event_id, user_id,
         |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,

@@ -111,4 +111,38 @@ class TimeSeriesSpec extends AnyFunSuite {
     // a series exists whose smoothed head differs from its raw value
     assert(out.exists { case (_, (x, e)) => math.abs(x - e) > 1e-6 })
   }
+
+  test("holt weights are the exact recursion impulse response; gate matches the filter") {
+    // first rounds by hand: l = 1/2, 3/8, 7/32; b = 1/4, 1/16, -3/64
+    val (lw, bw) = TimeSeries.holtWeights
+    def f(n: Long, d: Long) =
+      new java.math.BigDecimal(n).divide(new java.math.BigDecimal(d))
+    assert(lw.take(3).map(_.stripTrailingZeros) ==
+      Seq(f(1, 2), f(3, 8), f(7, 32)).map(_.stripTrailingZeros))
+    assert(bw.take(3).map(_.stripTrailingZeros) ==
+      Seq(f(1, 4), f(1, 16), f(-3, 64)).map(_.stripTrailingZeros))
+    // gate output equals the truncated filter applied sequentially
+    val rows = TimeSeries.holt(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val m6 = new java.math.BigDecimal(1000000)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_._2.getTime)
+      val xs = ordered.map(r => new java.math.BigDecimal(r._3.toString))
+      ordered.indices.foreach { i =>
+        def filt(ws: Seq[java.math.BigDecimal]) = ws.zipWithIndex.map {
+          case (wt, j) =>
+            if (i - j < 0) java.math.BigDecimal.ZERO else xs(i - j).multiply(wt)
+        }.reduce(_ add _)
+        val (l, b) = (filt(lw), filt(bw))
+        def q6(v: java.math.BigDecimal) =
+          v.multiply(m6).toBigInteger.longValueExact
+        assert(ordered(i)._4 == q6(l), s"level at ${ordered(i)._2}")
+        assert(ordered(i)._5 == q6(b), s"trend at ${ordered(i)._2}")
+        assert(ordered(i)._6 == q6(l.add(b)), s"forecast at ${ordered(i)._2}")
+      }
+    }
+    // trend is genuinely informative somewhere (non-zero on real data)
+    assert(rows.exists(_._5 != 0L))
+  }
 }
