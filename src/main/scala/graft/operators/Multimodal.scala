@@ -71,6 +71,38 @@ object Multimodal {
       .select(col("asset_id"), col("width"), col("height"),
         explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
 
+  /** Resize-planning output: original dims, thumbnail dims fit into
+    * [[thumbBox]]² (aspect preserved, never upscaled), and the RGB
+    * byte estimate the downstream batch writer sizes buffers by. */
+  case class ResizedMeta(asset_id: Long, kind: String, width: Long,
+      height: Long, out_w: Long, out_h: Long, out_bytes: Long)
+
+  val thumbBox = 256L
+
+  /** Thumbnail/resize stage — the standard preprocessing step between
+    * decode and featurize in any image pipeline. The pixel work is the
+    * stub (no codecs here); the REAL contract is the plumbing: dims
+    * arrive from [[decodeAll]], the fit computation is pure integer
+    * arithmetic (floor scaling, no upscale, 1px floor — so the oracle
+    * reproduces it bit-for-bit), and execution is the same
+    * per-partition typed batch stage (`mapPartitions`) a real resizer
+    * amortizes its buffer/codec setup across. No shuffle anywhere:
+    * decode → resize is one fused narrow stage at any corpus size. */
+  def resizePlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeAll(assets(spark, dir)).mapPartitions { batch =>
+      // per-partition resize buffer init would go here
+      batch.map { m =>
+        val longSide = math.max(m.width, m.height)
+        val (ow, oh) =
+          if (longSide <= thumbBox) (m.width, m.height)
+          else (math.max(1L, m.width * thumbBox / longSide),
+            math.max(1L, m.height * thumbBox / longSide))
+        ResizedMeta(m.asset_id, m.kind, m.width, m.height, ow, oh, ow * oh * 3L)
+      }
+    }.toDF()
+  }
+
   // --- feature extraction + similarity composition ----------------------
 
   /** Deterministic fake featurizer: 16-bucket byte histogram, L1
@@ -197,6 +229,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> metaQuery _,
     "multimodal_frames" -> frameSample _,
+    "multimodal_resize" -> resizePlan _,
     "multimodal_phash_pairs" -> phashPairs _,
     "multimodal_feature_knn" -> featureKnn _)
 
@@ -222,6 +255,26 @@ object Multimodal {
         |FROM f a JOIN f b
         |  ON a.kind = b.kind AND a.id <> b.id AND a.id % 10 = 0
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
+    "multimodal_resize" ->
+      s"""WITH m AS (SELECT doc_id AS asset_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+         |    CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT)
+         |      AS height
+         |  FROM documents),
+         |r AS (SELECT *, greatest(width, height) AS ls FROM m)
+         |SELECT asset_id, kind, width, height,
+         |  CASE WHEN ls <= $thumbBox THEN width
+         |       ELSE greatest(1, width * $thumbBox // ls) END AS out_w,
+         |  CASE WHEN ls <= $thumbBox THEN height
+         |       ELSE greatest(1, height * $thumbBox // ls) END AS out_h,
+         |  (CASE WHEN ls <= $thumbBox THEN width
+         |        ELSE greatest(1, width * $thumbBox // ls) END)
+         |  * (CASE WHEN ls <= $thumbBox THEN height
+         |          ELSE greatest(1, height * $thumbBox // ls) END) * 3
+         |    AS out_bytes
+         |FROM r""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

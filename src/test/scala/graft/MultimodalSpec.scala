@@ -29,4 +29,26 @@ class MultimodalSpec extends AnyFunSuite {
     val kinds = Set("image", "audio", "video")
     assert(rows.forall(r => kinds.contains(r.getString(2))))
   }
+
+  test("resize plan: fits the box, preserves aspect within floor error, never upscales") {
+    val rows = Multimodal.resizePlan(SparkTestSession.spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6)))
+    assert(rows.nonEmpty)
+    for ((w, h, ow, oh, ob) <- rows) {
+      assert(ow <= Multimodal.thumbBox && oh <= Multimodal.thumbBox)
+      assert(ow <= w && oh <= h, "upscaled")
+      assert(ob == ow * oh * 3)
+      if (math.max(w, h) > Multimodal.thumbBox) {
+        // floor-scaled: out = floor(in * box / longSide), 1px floor
+        val ls = math.max(w, h)
+        assert(ow == math.max(1L, w * Multimodal.thumbBox / ls))
+        assert(oh == math.max(1L, h * Multimodal.thumbBox / ls))
+      } else assert(ow == w && oh == h)
+    }
+    // the corpus actually exercises the downscale branch
+    assert(rows.exists { case (w, h, _, _, _) =>
+      math.max(w, h) > Multimodal.thumbBox })
+  }
 }
