@@ -255,6 +255,39 @@ object TimeSeries {
        |FROM h WINDOW w AS (PARTITION BY event_type ORDER BY h)""".stripMargin
   }
 
+  /** Hour-of-day seasonal decomposition — the STL-lite primitive
+    * behind every "is this spike real or just 9am" readout: each
+    * hourly bucket gets its type's hour-of-day seasonal index
+    * (seasonal mean over overall mean) and its deseasonalized value
+    * (count over seasonal mean). Published numbers are ratios of
+    * exact integer sums quantized `·10^6 DIV` in DECIMAL(38,0)/HUGEINT
+    * (both truncate toward zero for integral types; decimal `//` in
+    * DuckDB would NOT — see ts_holt) — no float anywhere, the chi2
+    * marginal pattern with trillion-row headroom.
+    * Plan: one corpus-scale hash agg to the hourly grid; both
+    * marginals are windows over that bounded frame (|types| × hours),
+    * so nothing after the first agg scales with data. */
+  def seasonal(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("hod", hour(col("h")).cast("long"))
+    val wS = Window.partitionBy(col("event_type"), col("hod"))
+    val wO = Window.partitionBy(col("event_type"))
+    hourly
+      .withColumn("s_num", sum(col("cnt")).over(wS))
+      .withColumn("s_den", count(lit(1)).over(wS))
+      .withColumn("o_num", sum(col("cnt")).over(wO))
+      .withColumn("o_den", count(lit(1)).over(wO))
+      .select(col("event_type"), col("h").as("hour_start"), col("hod"),
+        col("cnt"),
+        expr("CAST(1000000 * CAST(s_num AS DECIMAL(38,0)) * o_den" +
+          " DIV (CAST(s_den AS DECIMAL(38,0)) * o_num) AS BIGINT)")
+          .as("seasonal_q6"),
+        expr("CAST(1000000 * CAST(cnt AS DECIMAL(38,0)) * s_den" +
+          " DIV s_num AS BIGINT)").as("deseason_q6"))
+  }
+
   /** Autocorrelation lags emitted by [[acf]]. */
   val acfLags = 5
 
@@ -304,7 +337,8 @@ object TimeSeries {
     "ts_ohlc" -> ohlcResample _,
     "ts_anomaly" -> volumeAnomaly _,
     "ts_ewma" -> ewma _,
-    "ts_holt" -> holt _)
+    "ts_holt" -> holt _,
+    "ts_seasonal" -> seasonal _)
 
   val oracles: Map[String, String] = Map(
     "ts_acf" -> {
@@ -367,6 +401,28 @@ object TimeSeries {
         |FROM w WHERE trail_n > 0""".stripMargin,
     "ts_ewma" -> ewmaSql,
     "ts_holt" -> holtSql,
+    "ts_seasonal" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, h, CAST(hour(h) AS BIGINT) AS hod,
+        |    CAST(cnt AS BIGINT) AS cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, hour(h))
+        |      AS HUGEINT) AS s_num,
+        |    CAST(count(*) OVER (PARTITION BY event_type, hour(h))
+        |      AS HUGEINT) AS s_den,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS HUGEINT)
+        |      AS o_num,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT)
+        |      AS o_den
+        |  FROM h)
+        |SELECT event_type, h AS hour_start, hod, cnt,
+        |  CAST(1000000 * s_num * o_den // (s_den * o_num) AS BIGINT)
+        |    AS seasonal_q6,
+        |  CAST(1000000 * CAST(cnt AS HUGEINT) * s_den // s_num AS BIGINT)
+        |    AS deseason_q6
+        |FROM m""".stripMargin,
     "ts_fill_forward" ->
       """SELECT event_id, user_id,
         |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,

@@ -145,4 +145,29 @@ class TimeSeriesSpec extends AnyFunSuite {
     // trend is genuinely informative somewhere (non-zero on real data)
     assert(rows.exists(_._5 != 0L))
   }
+
+  test("seasonal indexes match a BigInt reference and average to ~1 per type") {
+    val rows = TimeSeries.seasonal(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (_, rs) =>
+      val oNum = BigInt(rs.map(_._3).sum); val oDen = BigInt(rs.size)
+      rs.groupBy(_._2).foreach { case (_, hs) =>
+        val sNum = BigInt(hs.map(_._3).sum); val sDen = BigInt(hs.size)
+        val wantIdx = (BigInt(1000000) * sNum * oDen) / (sDen * oNum)
+        hs.foreach { case (_, _, cnt, idx, des) =>
+          assert(idx == wantIdx.toLong)
+          assert(des == (BigInt(1000000) * BigInt(cnt) * sDen / sNum).toLong)
+        }
+      }
+      // bucket-weighted mean of the seasonal index is 1 by construction
+      // (up to quantization): sum over buckets of s_num/s_den equals
+      // o_num scaled by o_den
+      val meanIdx = rs.map(_._4).sum / rs.size
+      assert(math.abs(meanIdx - 1000000L) < 20000L,
+        s"mean seasonal index $meanIdx far from 1e6")
+    }
+  }
 }
