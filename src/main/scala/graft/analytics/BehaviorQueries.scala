@@ -27,6 +27,61 @@ import org.apache.spark.sql.functions._
   * aggregation; no self-join, no range join. */
 object BehaviorQueries {
 
+  /** RFM customer segmentation — the retention-marketing workhorse:
+    * per user, Recency (days since last purchase, against the corpus
+    * max purchase timestamp), Frequency (purchase count), Monetary
+    * (cents sum), each bucketed into VALUE-BASED quintiles against the
+    * exact percentile edges of the user population, plus the familiar
+    * 3-digit segment code (5 = best on every axis).
+    *
+    * Deliberately NOT `ntile`: a global ntile is a total order over
+    * all users — a single-partition sort at billion-user scale.
+    * Percentile-edge bucketing is the agg_equidepth shape instead: one
+    * per-user hash agg, one exact-percentile aggregate producing FOUR
+    * edges per metric (scalar subquery — broadcasts, no sort), and a
+    * map-side comparison per user. Exact-percentile interpolation
+    * agrees across engines (pinned by `agg_percentiles`); recency is
+    * integer epoch-day arithmetic; monetary is exact cents; edge ties
+    * land deterministically on the lower bucket in both engines. Users
+    * sharing a metric value share a bucket (the honest semantics of
+    * value-based quantiles under ties). */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir, "events")
+    val qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+    def above(c: String, arr: String) = (1 to 4)
+      .map(k => s"(CASE WHEN $c > element_at($arr, $k) THEN 1L ELSE 0L END)")
+      .mkString(" + ")
+    def below(c: String, arr: String) = (1 to 4)
+      .map(k => s"(CASE WHEN $c < element_at($arr, $k) THEN 1L ELSE 0L END)")
+      .mkString(" + ")
+    spark.sql(
+      s"""WITH p AS (
+         |  SELECT user_id, unix_timestamp(ts) AS es,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |u AS (
+         |  SELECT user_id,
+         |    CAST(((SELECT max(es) FROM p) - max(es)) DIV 86400 AS BIGINT)
+         |      AS recency_days,
+         |    count(1) AS frequency,
+         |    CAST(sum(cents) AS BIGINT) AS monetary_cents
+         |  FROM p GROUP BY user_id),
+         |b AS (
+         |  SELECT u.*,
+         |    (SELECT percentile(recency_days, $qs) FROM u) AS re,
+         |    (SELECT percentile(frequency, $qs) FROM u) AS fe,
+         |    (SELECT percentile(monetary_cents, $qs) FROM u) AS me
+         |  FROM u)
+         |SELECT user_id, recency_days, frequency, monetary_cents,
+         |  1L + ${below("recency_days", "re")} AS r_bucket,
+         |  1L + ${above("frequency", "fe")} AS f_bucket,
+         |  1L + ${above("monetary_cents", "me")} AS m_bucket,
+         |  (1L + ${below("recency_days", "re")}) * 100
+         |    + (1L + ${above("frequency", "fe")}) * 10
+         |    + (1L + ${above("monetary_cents", "me")}) AS segment
+         |FROM b""".stripMargin)
+  }
+
   /** Ordered conversion funnel: first 'view', first 'click' strictly
     * after it, first 'purchase' strictly after that, per user; output
     * is the user count per stage. Each stage is MIN-reducible, so at
@@ -223,6 +278,7 @@ object BehaviorQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "behavior_rfm" -> rfm _,
     "behavior_streaks" -> streaks _,
     "behavior_paths" -> topPaths _,
     "behavior_transitions" -> transitions _,
@@ -246,6 +302,40 @@ object BehaviorQueries {
       |FROM x GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "behavior_rfm" -> {
+      val qs = "[0.2, 0.4, 0.6, 0.8]"
+      def above(c: String, arr: String) = (1 to 4)
+        .map(k => s"(CASE WHEN $c > $arr[$k] THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      def below(c: String, arr: String) = (1 to 4)
+        .map(k => s"(CASE WHEN $c < $arr[$k] THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH p AS (
+         |  SELECT user_id, CAST(epoch(ts) AS BIGINT) AS es,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |u AS (
+         |  SELECT user_id,
+         |    CAST(((SELECT max(es) FROM p) - max(es)) // 86400 AS BIGINT)
+         |      AS recency_days,
+         |    count(1) AS frequency,
+         |    CAST(sum(cents) AS BIGINT) AS monetary_cents
+         |  FROM p GROUP BY user_id),
+         |b AS (
+         |  SELECT u.*,
+         |    (SELECT quantile_cont(recency_days, $qs) FROM u) AS re,
+         |    (SELECT quantile_cont(frequency, $qs) FROM u) AS fe,
+         |    (SELECT quantile_cont(monetary_cents, $qs) FROM u) AS me
+         |  FROM u)
+         |SELECT user_id, recency_days, frequency, monetary_cents,
+         |  CAST(1 + ${below("recency_days", "re")} AS BIGINT) AS r_bucket,
+         |  CAST(1 + ${above("frequency", "fe")} AS BIGINT) AS f_bucket,
+         |  CAST(1 + ${above("monetary_cents", "me")} AS BIGINT) AS m_bucket,
+         |  CAST((1 + ${below("recency_days", "re")}) * 100
+         |    + (1 + ${above("frequency", "fe")}) * 10
+         |    + (1 + ${above("monetary_cents", "me")}) AS BIGINT) AS segment
+         |FROM b""".stripMargin
+    },
     "behavior_transitions" ->
       """WITH s AS (SELECT user_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id

@@ -191,6 +191,27 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out == Set((2L, "bb", 22.0), (3L, "c", 30.0), (9L, "new", 90.0)))
   }
 
+  test("rfm: buckets in range, segment arithmetic holds, no sort/window in plan") {
+    val spark = SparkTestSession.spark
+    val df = analytics.BehaviorQueries.rfm(spark, SparkTestSession.sf)
+    // value-based quintiles need no total order: the plan must carry
+    // neither a window nor a global sort (the whole point vs ntile)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan)
+    assert(!plan.contains("SortExec"), plan)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (rb, fb, mb, seg) =
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(rb >= 1 && rb <= 5 && fb >= 1 && fb <= 5 && mb >= 1 && mb <= 5)
+      assert(seg == rb * 100 + fb * 10 + mb)
+    }
+    // the population genuinely spreads across buckets on each axis
+    assert(rows.map(_.getLong(4)).distinct.length >= 2)
+    assert(rows.map(_.getLong(6)).distinct.length >= 3)
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
