@@ -105,6 +105,26 @@ object OlapQueries {
           .as("within_bound"))
   }
 
+  /** Exact per-group MODE with a deterministic tie-break — the
+    * categorical summary statistic `percentile` can't give. Two hash
+    * aggregations, both map-side-combining: (group, value) counts,
+    * then per-group `min(struct(-count, value))` — struct ordering is
+    * lexicographic in both engines, so the mode is the highest-count
+    * value with the SMALLEST value on ties, independent of
+    * partitioning. No window, no sort, no join. */
+  def modeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy("o_orderstatus")
+      .agg(
+        min(struct((-col("cnt")).as("nc"), col("o_orderpriority").as("v")))
+          .as("m"),
+        sum(col("cnt")).as("n_rows"))
+      .select(col("o_orderstatus"), col("m.v").as("mode_priority"),
+        (-col("m.nc")).as("mode_count"), col("n_rows"))
+  }
+
   /** Exact 3-sigma outlier detection with NO floating point in the
     * decision: cent-grid values become integers (x_c = round(100x)),
     * and (x - mean)^2 > 9*var is cross-multiplied by n^2 into
@@ -691,6 +711,7 @@ object OlapQueries {
     "agg_percentiles" -> percentiles _,
     "agg_approx_distinct" -> approxDistinct _,
     "agg_approx_percentile" -> approxPercentile _,
+    "agg_mode" -> modeQuery _,
     "agg_outliers" -> outliers _,
     "agg_moments" -> momentStats _,
     "agg_cube" -> cubeCounts _,
@@ -948,6 +969,17 @@ object OlapQueries {
         |  CAST(embedding[1:3][3] AS DOUBLE) AS slice3_last,
         |  CAST(label AS BIGINT) AS label_l
         |FROM embeddings""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT o_orderstatus,
+        |    min(struct_pack(nc := -cnt, v := v)) AS m,
+        |    CAST(sum(cnt) AS BIGINT) AS n_rows
+        |  FROM c GROUP BY 1)
+        |SELECT o_orderstatus, (m).v AS mode_priority,
+        |  -(m).nc AS mode_count, n_rows
+        |FROM m""".stripMargin,
     "agg_outliers" ->
       """WITH e AS (SELECT event_id, event_type, value,
         |    CAST(round(value * 100) AS HUGEINT) AS xc FROM events),
