@@ -66,7 +66,7 @@ object TrainPrep {
     * copies together, but a near-duplicate (one word changed) still
     * straddles train/eval and leaks. Here the fold key is the
     * document's duplicate-CLUSTER id (connected components over LSH
-    * candidates, [[Dedup.dupClusters]]), LCG-permuted then mod 10 —
+    * candidates, [[Dedup.dupClustersStar]] via [[Dedup.clustersQuery]]), LCG-permuted then mod 10 —
     * so an entire near-dup cluster lands in one fold by construction.
     * The extra cost over the plain split is exactly the clustering
     * (linear-shuffle per its own SCALE.md entry); the fold assignment
