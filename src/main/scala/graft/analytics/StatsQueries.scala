@@ -216,13 +216,239 @@ object StatsQueries {
         s"CAST((1000000 * $tnS) DIV $tdS AS BIGINT) AS theta_q6")
   }
 
+  /** Value bins for [[psiDrift]]/[[ksTwoSample]]: cents DIV this, capped
+    * at [[psiBins]]−1. events.value spans [0.01, 490.02] → 10 bins. */
+  val psiBinCents = 5000L
+  val psiBins = 10
+
+  /** Population Stability Index — THE model-monitoring drift metric:
+    * how far has the value distribution of each event type moved
+    * between the pre and post periods (the CUPED split)? Per bin,
+    * PSI_i = (p_i − q_i)·ln(p_i/q_i), summed over bins; cells above
+    * ~0.1 flag drift.
+    *
+    * Exactness discipline (the lm/entropy floor-log2 pattern,
+    * `TextAnalysis.flog2`): proportions are Laplace-smoothed integer
+    * rationals (c+1)/(n+B); the delta ships as a q6 integer by
+    * cross-multiplied DIV, and the log-ratio as SIGNED FLOOR-BITS
+    * sign·floor(log2(big/small)) — floor(log2(a/b)) = flog2(a DIV b)
+    * exactly for a ≥ b, so no libm log enters the comparison. The
+    * per-cell statistic |delta_q6|·bits is non-negative exactly like
+    * the real PSI cell ((p−q) and ln(p/q) share sign).
+    *
+    * Plan: one scan → (type × bin) cell agg (≤ |types|·10 rows
+    * REGARDLESS of corpus size); totals are windows over that bounded
+    * frame (the stats_chi2 pattern). Integer headroom: products are
+    * ≤ (n+1)², ~10^10 here; a 10^12-row corpus needs the same DECIMAL
+    * (38,0) lift as chi2 (14 digits spare). */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pre = col("ts") < to_timestamp(lit(cupedSplit))
+    val bin = least(
+      expr(s"CAST(round(value * 100) AS BIGINT) DIV $psiBinCents"),
+      lit(psiBins - 1L))
+    val cells = Tables.load(spark, dir, "events")
+      .select(col("event_type"), bin.as("bin"), pre.as("pre"))
+      .groupBy("event_type", "bin")
+      .agg(
+        coalesce(sum(when(col("pre"), 1L)), lit(0L)).as("pre_cnt"),
+        coalesce(sum(when(!col("pre"), 1L)), lit(0L)).as("post_cnt"))
+    val wT = Window.partitionBy("event_type")
+    cells
+      .withColumn("n_pre", sum(col("pre_cnt")).over(wT))
+      .withColumn("n_post", sum(col("post_cnt")).over(wT))
+      // Laplace-smoothed numerators/denominators: every observed cell
+      // has strictly positive mass on both sides
+      .withColumn("a", (col("pre_cnt") + 1) * (col("n_post") + psiBins))
+      .withColumn("b", (col("post_cnt") + 1) * (col("n_pre") + psiBins))
+      .selectExpr("event_type", "bin", "pre_cnt", "post_cnt",
+        "n_pre", "n_post",
+        s"(1000000 * (pre_cnt + 1)) DIV (n_pre + $psiBins)" +
+          s" - (1000000 * (post_cnt + 1)) DIV (n_post + $psiBins)" +
+          " AS delta_q6",
+        "CAST(CASE WHEN a >= b THEN 1 ELSE -1 END" +
+          " * (length(conv(greatest(a, b) DIV least(a, b), 10, 2)) - 1)" +
+          " AS BIGINT) AS lr_bits",
+        s"CAST(abs((1000000 * (pre_cnt + 1)) DIV (n_pre + $psiBins)" +
+          s" - (1000000 * (post_cnt + 1)) DIV (n_post + $psiBins))" +
+          " * (length(conv(greatest(a, b) DIV least(a, b), 10, 2)) - 1)" +
+          " AS BIGINT) AS psi_cell_bits_q6")
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic per event type between
+    * the pre/post periods: D = max_x |F_pre(x) − F_post(x)| over the
+    * empirical CDFs of the value column (in exact cents). The
+    * classical distribution-shift test to PSI's binned heuristic —
+    * this one is binless and exact.
+    *
+    * All integers: per distinct cent value, cumulative counts cross-
+    * multiply (|cum_p·n_q − cum_q·n_p|) so no division happens until
+    * the final q6 quantization; the argmax cent value ships alongside
+    * (smallest cent achieving the max — deterministic). Plan: one scan
+    * → (type, cent) cell agg; CDFs are ONE ordered window per type
+    * over the cell frame, whose cardinality is bounded by the cent
+    * DOMAIN (≤ 49k distinct values), not the row count — at 100 TB
+    * the frame is the same size. Output: one row per event type. */
+  def ksTwoSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pre = col("ts") < to_timestamp(lit(cupedSplit))
+    val cells = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"), pre.as("pre"))
+      .groupBy("event_type", "cents")
+      .agg(
+        coalesce(sum(when(col("pre"), 1L)), lit(0L)).as("cp"),
+        coalesce(sum(when(!col("pre"), 1L)), lit(0L)).as("cq"))
+    val wCum = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wT = Window.partitionBy("event_type")
+    cells
+      .withColumn("cum_p", sum(col("cp")).over(wCum))
+      .withColumn("cum_q", sum(col("cq")).over(wCum))
+      .withColumn("n_p", sum(col("cp")).over(wT))
+      .withColumn("n_q", sum(col("cq")).over(wT))
+      .withColumn("d_num", abs(col("cum_p") * col("n_q") - col("cum_q") * col("n_p")))
+      .groupBy("event_type")
+      .agg(
+        max(col("n_p")).as("n_pre"),
+        max(col("n_q")).as("n_post"),
+        max(col("d_num")).as("max_d"),
+        min(struct(negate(col("d_num")).as("nd"), col("cents").as("cents")))
+          .as("am"))
+      .selectExpr("event_type", "n_pre", "n_post",
+        "(1000000 * max_d) DIV (n_pre * n_post) AS ks_q6",
+        "am.cents AS ks_at_cents")
+  }
+
+  /** Bootstrap replicates for [[poissonBootstrap]]. */
+  val bootReps = 32
+
+  /** Poisson(1) CDF thresholds scaled to 2^31 (floor-exact literals),
+    * capped at weight 4. */
+  val bootThresholds = Seq(790015084L, 1580030168L, 1975037710L, 2106706891L)
+
+  /** Poisson bootstrap of the mean order value (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams", Google 2012 —
+    * the resampling scheme that works when data does not fit on one
+    * machine): instead of drawing n rows with replacement (which needs
+    * global coordination), every row independently contributes
+    * Poisson(1) copies to each of B replicates. Replicate means then
+    * estimate the sampling distribution of the mean.
+    *
+    * Deterministic twist for the oracle: the per-(row, replicate)
+    * Poisson draw inverts the CDF at a uniform LCG value — integer
+    * literals, both engines compute bit-identical draws (same LCG
+    * family as the CUPED arm split; key folded mod 2^31 BEFORE the
+    * multiply so a 10^12-key corpus cannot overflow). Plan: one scan,
+    * B-way map-side explode, hash-agg to B rows — the shuffle carries
+    * B partial rows per partition, independent of corpus size; no
+    * collect, no global sample. */
+  def poissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val reps = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        explode(sequence(lit(0), lit(bootReps - 1))).as("rep"))
+      .withColumn("u",
+        pmod((pmod(col("o_orderkey"), lit(2147483648L)) * lit(1103515245L)
+          + col("rep") * lit(1234567L) + lit(999983L)), lit(2147483648L)))
+      .withColumn("w",
+        when(col("u") < bootThresholds(0), 0L)
+          .when(col("u") < bootThresholds(1), 1L)
+          .when(col("u") < bootThresholds(2), 2L)
+          .when(col("u") < bootThresholds(3), 3L)
+          .otherwise(4L))
+    reps.groupBy("rep")
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("cents")).as("sum_cents"))
+      // the q6 scale-up overflows a long at sf0.1 (Σcents ~ 10^13);
+      // DECIMAL(38,0) for the intermediate, BIGINT out (HUGEINT in the
+      // oracle)
+      .selectExpr("CAST(rep AS BIGINT) AS rep", "n_eff", "sum_cents",
+        "CAST((1000000 * CAST(sum_cents AS DECIMAL(38,0))) DIV n_eff" +
+          " AS BIGINT) AS mean_q6")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_psi" -> psiDrift _,
+    "stats_ks" -> ksTwoSample _,
+    "stats_bootstrap" -> poissonBootstrap _,
     "stats_cuped" -> cupedAb _,
     "stats_analyze" -> analyzeTable _,
     "stats_chi2" -> chi2Contingency _,
     "stats_join_size" -> joinSizeEstimate _)
 
   val oracles: Map[String, String] = Map(
+    "stats_psi" ->
+      s"""WITH c AS (SELECT event_type,
+         |    least(CAST(round(value * 100) AS BIGINT) // $psiBinCents,
+         |      ${psiBins - 1}) AS bin,
+         |    count(*) FILTER (WHERE ts < TIMESTAMP '$cupedSplit')
+         |      AS pre_cnt,
+         |    count(*) FILTER (WHERE ts >= TIMESTAMP '$cupedSplit')
+         |      AS post_cnt
+         |  FROM events GROUP BY 1, 2),
+         |m AS (SELECT *,
+         |    CAST(sum(pre_cnt) OVER (PARTITION BY event_type) AS BIGINT)
+         |      AS n_pre,
+         |    CAST(sum(post_cnt) OVER (PARTITION BY event_type) AS BIGINT)
+         |      AS n_post
+         |  FROM c),
+         |x AS (SELECT *, (pre_cnt + 1) * (n_post + $psiBins) AS a,
+         |    (post_cnt + 1) * (n_pre + $psiBins) AS b FROM m)
+         |SELECT event_type, bin, pre_cnt, post_cnt, n_pre, n_post,
+         |  (1000000 * (pre_cnt + 1)) // (n_pre + $psiBins)
+         |    - (1000000 * (post_cnt + 1)) // (n_post + $psiBins) AS delta_q6,
+         |  CAST((CASE WHEN a >= b THEN 1 ELSE -1 END)
+         |    * ${graft.functions.TextAnalysis.flog2Sql(
+               "greatest(a, b) // least(a, b)")} AS BIGINT) AS lr_bits,
+         |  CAST(abs((1000000 * (pre_cnt + 1)) // (n_pre + $psiBins)
+         |      - (1000000 * (post_cnt + 1)) // (n_post + $psiBins))
+         |    * ${graft.functions.TextAnalysis.flog2Sql(
+               "greatest(a, b) // least(a, b)")} AS BIGINT)
+         |    AS psi_cell_bits_q6
+         |FROM x""".stripMargin,
+    "stats_ks" ->
+      s"""WITH c AS (SELECT event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS cents,
+         |    count(*) FILTER (WHERE ts < TIMESTAMP '$cupedSplit') AS cp,
+         |    count(*) FILTER (WHERE ts >= TIMESTAMP '$cupedSplit') AS cq
+         |  FROM events GROUP BY 1, 2),
+         |w AS (SELECT *,
+         |    CAST(sum(cp) OVER (PARTITION BY event_type ORDER BY cents)
+         |      AS BIGINT) AS cum_p,
+         |    CAST(sum(cq) OVER (PARTITION BY event_type ORDER BY cents)
+         |      AS BIGINT) AS cum_q,
+         |    CAST(sum(cp) OVER (PARTITION BY event_type) AS BIGINT) AS n_p,
+         |    CAST(sum(cq) OVER (PARTITION BY event_type) AS BIGINT) AS n_q
+         |  FROM c),
+         |d AS (SELECT *, abs(cum_p * n_q - cum_q * n_p) AS d_num FROM w),
+         |d2 AS (SELECT *,
+         |    max(d_num) OVER (PARTITION BY event_type) AS md FROM d)
+         |SELECT event_type, max(n_p) AS n_pre, max(n_q) AS n_post,
+         |  (1000000 * max(d_num)) // (max(n_p) * max(n_q)) AS ks_q6,
+         |  min(cents) FILTER (WHERE d_num = md) AS ks_at_cents
+         |FROM d2 GROUP BY 1""".stripMargin,
+    "stats_bootstrap" ->
+      s"""WITH r AS (SELECT o_orderkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         |    rep.range AS rep
+         |  FROM orders CROSS JOIN range($bootReps) rep),
+         |u AS (SELECT rep, cents,
+         |    ((o_orderkey % 2147483648) * 1103515245
+         |      + rep * 1234567 + 999983) % 2147483648 AS u
+         |  FROM r),
+         |w AS (SELECT rep, cents,
+         |    CASE WHEN u < ${bootThresholds(0)} THEN 0
+         |         WHEN u < ${bootThresholds(1)} THEN 1
+         |         WHEN u < ${bootThresholds(2)} THEN 2
+         |         WHEN u < ${bootThresholds(3)} THEN 3
+         |         ELSE 4 END AS w
+         |  FROM u)
+         |SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+         |  CAST(sum(w * cents) AS BIGINT) AS sum_cents,
+         |  CAST((1000000 * CAST(sum(w * cents) AS HUGEINT))
+         |    // CAST(sum(w) AS BIGINT) AS BIGINT) AS mean_q6
+         |FROM w GROUP BY rep""".stripMargin,
     "stats_cuped" ->
       s"""WITH u AS (SELECT user_id,
          |    CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '$cupedSplit'

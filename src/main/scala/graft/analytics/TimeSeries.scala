@@ -330,7 +330,43 @@ object TimeSeries {
       .withColumn("cov_num", col("n") * col("sxy") - col("sx") * col("sy"))
   }
 
+  /** CUSUM changepoint scan (Page 1954) over the daily revenue series,
+    * one series per order priority: S_t = Σ_{i≤t}(x_i − x̄) peaks at
+    * the most likely level-shift point — the structural-break detector
+    * behind data-quality regression alarms ("did volume step-change on
+    * deploy day?"). Published scaled by n to stay integer-exact:
+    * n·S_t = n·prefix_t − t·total (no division, order-independent);
+    * `is_peak` marks |n·S_t| maxima (ties keep every tied day —
+    * deterministic, data-defined). Plan: one corpus-scale hash agg to
+    * the (priority × day) grid; rank/prefix/total are windows over
+    * that bounded calendar frame (days × priorities, NOT rows — a
+    * 100 TB year is still ≤ 366 cells per series). Headroom:
+    * n·prefix ≤ days·Σcents ~ 10^16 at sf0.1; a 1000× corpus lifts
+    * the products to DECIMAL(38,0) (the chi2 pattern, 20 digits
+    * spare). */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderdate").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("rev_cents"))
+    val wOrd = Window.partitionBy("o_orderpriority").orderBy("day")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wT = Window.partitionBy("o_orderpriority")
+    daily
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("pfx", sum(col("rev_cents")).over(wCum))
+      .withColumn("n", count(lit(1)).over(wT))
+      .withColumn("tot", sum(col("rev_cents")).over(wT))
+      .withColumn("cusum_scaled",
+        col("n") * col("pfx") - col("rn") * col("tot"))
+      .withColumn("is_peak",
+        abs(col("cusum_scaled")) === max(abs(col("cusum_scaled"))).over(wT))
+      .select("o_orderpriority", "day", "rev_cents", "cusum_scaled",
+        "is_peak")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_changepoint" -> cusumChangepoint _,
     "ts_acf" -> acf _,
     "ts_gap_fill" -> gapFill _,
     "ts_fill_forward" -> fillForward _,
@@ -341,6 +377,26 @@ object TimeSeries {
     "ts_seasonal" -> seasonal _)
 
   val oracles: Map[String, String] = Map(
+    "ts_changepoint" ->
+      """WITH d AS (SELECT o_orderpriority, o_orderdate AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY day) AS BIGINT) AS rn,
+        |    CAST(sum(rev_cents) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY day) AS BIGINT) AS pfx,
+        |    CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+        |      AS n,
+        |    CAST(sum(rev_cents) OVER (PARTITION BY o_orderpriority)
+        |      AS BIGINT) AS tot
+        |  FROM d),
+        |c AS (SELECT *, n * pfx - rn * tot AS cusum_scaled FROM w)
+        |SELECT o_orderpriority, day, rev_cents, cusum_scaled,
+        |  abs(cusum_scaled) = max(abs(cusum_scaled))
+        |    OVER (PARTITION BY o_orderpriority) AS is_peak
+        |FROM c""".stripMargin,
     "ts_acf" -> {
       val lagSelects = (1 to acfLags).map(k =>
         s"SELECT event_type, x, $k AS lag, " +

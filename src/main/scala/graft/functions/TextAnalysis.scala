@@ -541,7 +541,34 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
   }
 
+  /** Terms filtered by [[blocklistFilter]] — a stand-in for the
+    * content-policy/NSFW wordlists every pretraining pipeline screens
+    * against (here drawn from the corpus vocabulary so the gate has
+    * real hits). */
+  val blockedTerms = Seq("slow", "big", "hash")
+
+  /** Blocklist screening: per document, the number of blocked token
+    * INSTANCES, the number of distinct blocked terms, and the keep
+    * verdict (zero hits). A literal-IN predicate over the exploded
+    * token stream — fully codegen'd, one hash agg, no join at this
+    * list size; a production-scale list (10^5+ phrases) swaps the IN
+    * for a broadcast-hash semi-join against a blocklist table with the
+    * identical downstream agg, and phrase (multi-token) entries ride
+    * the [[graft.operators.Dedup.shingleRows]] generator instead of
+    * single tokens. */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    val hit = col("tok").isin(blockedTerms: _*)
+    graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id")
+      .agg(
+        coalesce(sum(when(hit, 1L)), lit(0L)).as("n_hits"),
+        countDistinct(when(hit, col("tok"))).as("n_blocked_terms"),
+        (coalesce(sum(when(hit, 1L)), lit(0L)) === 0).as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_blocklist" -> blocklistFilter _,
     "text_bpe_train" -> bpeTrain _,
     "text_lm_score" -> lmScore _,
     "text_lm_bigram" -> lmBigramScore _,
@@ -583,7 +610,7 @@ object TextAnalysis {
        |  FROM qf)""".stripMargin
 
   /** DuckDB rendering of [[flog2]]. */
-  private def flog2Sql(x: String): String =
+  private[graft] def flog2Sql(x: String): String =
     s"(length(printf('%b', CAST($x AS BIGINT))) - 1)"
 
   /** DuckDB rendering of the [[bpeTrain]] loop: one CTE triple per
@@ -621,6 +648,18 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_bpe_train" -> bpeTrainOracle,
+    "text_blocklist" -> {
+      val inList = blockedTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(count(*) FILTER (WHERE tok IN ($inList)) AS BIGINT)
+         |    AS n_hits,
+         |  CAST(count(DISTINCT tok) FILTER (WHERE tok IN ($inList))
+         |    AS BIGINT) AS n_blocked_terms,
+         |  count(*) FILTER (WHERE tok IN ($inList)) = 0 AS keep
+         |FROM t GROUP BY 1""".stripMargin
+    },
     "text_lm_bigram" ->
       s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS t
          |  FROM documents),

@@ -964,7 +964,158 @@ object Dedup {
         (col("ex").isNull && col("nr").isNull).as("novel"))
   }
 
+  // --- Exact TF-IDF cosine near-dup join ---------------------------------
+
+  /** Cosine-duplicate threshold `cosSimNum/cosSimDen` (= 0.9). */
+  val cosSimNum = 9L
+  val cosSimDen = 10L
+
+  /** Integer TF-IDF document vectors: per (doc, token) weight
+    * `tf · (1 + flog2(N) − flog2(df))` — the floor-log2 idf of the
+    * text-analysis family ([[graft.functions.TextAnalysis.flog2]]),
+    * chosen over real-log idf so every downstream dot product and norm
+    * is EXACT integer arithmetic (libm log is not bit-identical across
+    * engines; floats would make cosine order-dependent under Spark's
+    * arbitrary aggregation order). The +1 keeps corpus-saturating
+    * tokens (df = N ⇒ idf 0) at weight tf instead of vanishing.
+    *
+    * Output is one row per document: the vector as a kernel-ready
+    * packed array (tid << 20 | w, sorted — see
+    * [[graft.functions.SortedWeightedDot]]), the exact squared norm,
+    * and the token count. Tokens are dictionary-encoded by
+    * [[tokenDict]] (bijective, no single-task sort), so packing fits
+    * any vocabulary; weights are < 2^20 by construction for docs under
+    * ~70k repetitions of one token. */
+  private[graft] def cosineVectors(docs: DataFrame): DataFrame = {
+    import graft.functions.TextAnalysis.flog2
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE scalar to the driver (the Zorder pattern — a 1-row
+    // crossJoin(broadcast) would plan as the banned BNLJ)
+    val nDocs: Long = tf.select(countDistinct(col("doc_id"))).collect()(0).getLong(0)
+    val dict = tokenDict(tf.groupBy("tok").agg(count(lit(1)).as("df")))
+    tf.join(dict, "tok")
+      .select(col("doc_id"), col("tid"),
+        (col("tf") * (lit(1L) + flog2(lit(nDocs)) - flog2(col("df")))).as("w"))
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(
+          graft.functions.SortedWeightedDot.pack(col("tid"), col("w")))).as("vec"),
+        sum(col("w") * col("w")).as("n2"))
+  }
+
+  /** Exact-cosine verification of a candidate pair frame (da, db):
+    * attaches both packed vectors, computes the exact integer dot with
+    * the codegen'd two-pointer kernel (one row per pair end-to-end —
+    * the dedup_setsim verify shape; no token-explode join), and
+    * publishes `cos² · 10^12` plus the duplicate bit, both by integer
+    * cross-multiplication in DECIMAL(38,0) so no float or sqrt is ever
+    * compared (cos ≥ t ⟺ den²·dot² ≥ num²·|a|²·|b|², weights being
+    * non-negative). */
+  private def cosineVerify(vecs: DataFrame, cand: DataFrame): DataFrame = {
+    import graft.functions.SortedWeightedDot.sorted_weighted_dot
+    cand
+      .join(vecs.select(col("doc_id").as("da"), col("vec").as("va"),
+        col("n2").as("na2")), "da")
+      .join(vecs.select(col("doc_id").as("db"), col("vec").as("vb"),
+        col("n2").as("nb2")), "db")
+      .withColumn("dot", sorted_weighted_dot(col("va"), col("vb")))
+      .selectExpr("da", "db", "dot",
+        "CAST(CAST(dot AS DECIMAL(38,0)) * dot * 1000000000000" +
+          " DIV (CAST(na2 AS DECIMAL(38,0)) * nb2) AS BIGINT) AS cos2_q12",
+        s"CAST(dot AS DECIMAL(38,0)) * dot * ${cosSimDen * cosSimDen}" +
+          s" >= CAST(na2 AS DECIMAL(38,0)) * nb2 * ${cosSimNum * cosSimNum}" +
+          " AS dup")
+  }
+
+  /** Gate query: exact integer TF-IDF cosine over the SimHash
+    * chunk-banded candidate set (reproducible hash + star cap, so the
+    * DuckDB oracle rebuilds the identical candidates) — the 100 TB
+    * cosine near-dup path: LSH generates candidates in banded buckets
+    * (SimHash IS the cosine LSH — signature agreement concentrates
+    * around angular similarity), the exact verifier then scores each
+    * candidate pair in one codegen'd kernel call. Recall is the
+    * banding's, stated and bounded (pigeonhole at Hamming ≤ 3 for
+    * 4×12-bit chunks); precision is exact.
+    *
+    * The LOSSLESS alternative ([[cosineAllPairsExact]], Bayardo et
+    * al.'s prefix-filtered all-pairs) is in the library with its spec,
+    * but NOT the gate: on this deliberately self-similar corpus (7M of
+    * 12.5M doc pairs exceed cosine 0.6 at sf0.1) the suffix-norm bound
+    * cannot prune — prefixes stay near-full and candidate volume
+    * approaches Σ df² ≈ 300M rows. Measured where it wins: Zipfian df
+    * distributions, where prefixes hold only rare tokens. That
+    * trade-off is the operator's real 100 TB story. */
+  def cosinePairsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    cosineVerify(cosineVectors(docs),
+      simhashCandidates(docs, cap = simPairsGateCap, reproducible = true)
+        .select("da", "db"))
+  }
+
+  /** Lossless all-pairs cosine join above `num/den` (Bayardo, Ma &
+    * Srikant, "Scaling Up All Pairs Similarity Search", WWW'07),
+    * integer-sound throughout: candidates are pairs sharing a token in
+    * either side's PREFIX under the global (df asc, tid) order, where a
+    * document's prefix keeps positions whose remaining suffix could
+    * still reach the threshold against any corpus vector — the
+    * Cauchy-Schwarz bound Σ_suffix (w/|d|)·maxwn(tok). All bound
+    * arithmetic rounds CONSERVATIVELY in integers (norm lower bound
+    * `isqrt_lb = max(floor(sqrt(n2)) − 1, 1)` absorbs double-sqrt ulp
+    * error; weights ceil-scaled to q3; token maxima are maxima of
+    * ceils), so pruning is sound — a pruned pair provably cannot reach
+    * the threshold — and the verified output equals brute force
+    * exactly (CosinePairsSpec proves it per SF). Verification is
+    * [[cosineVerify]]'s kernel, filtered to dup only. */
+  def cosineAllPairsExact(docs: DataFrame, num: Long = cosSimNum,
+      den: Long = cosSimDen): DataFrame = {
+    val vecs = cosineVectors(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // re-derive (doc, tid, w, df-order) rows from the packed vectors:
+    // posexplode keeps the pack order only per doc; global order needs
+    // df, so unpack and rejoin df via the tid itself is impossible —
+    // instead recompute the exploded weight rows (cheap relative to
+    // the join) with df carried for ordering.
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val nDocs: Long =
+      tf.select(countDistinct(col("doc_id"))).collect()(0).getLong(0)
+    val dict = tokenDict(tf.groupBy("tok").agg(count(lit(1)).as("df")))
+    val w = tf.join(dict, "tok")
+      .select(col("doc_id"), col("tid"), col("df"),
+        (col("tf") * (lit(1L)
+          + graft.functions.TextAnalysis.flog2(lit(nDocs))
+          - graft.functions.TextAnalysis.flog2(col("df")))).as("w"))
+      .join(vecs.select(col("doc_id"), col("n2")), "doc_id")
+      // norm LOWER bound ⇒ normalized-weight UPPER bound (sound)
+      .withColumn("lb",
+        greatest(floor(sqrt(col("n2").cast("double"))).cast("long") - 1, lit(1L)))
+      .withColumn("wn_q3", expr("(1000 * w + lb - 1) DIV lb"))
+    val maxwn = w.groupBy("tid").agg(max(col("wn_q3")).as("maxwn_q3"))
+    val wSuf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // prefix = positions where the remaining suffix bound still
+    // reaches t: den·rem_q6 ≥ num·10^6
+    val pref = w.join(maxwn, "tid")
+      .withColumn("rem_q6", sum(col("wn_q3") * col("maxwn_q3")).over(wSuf))
+      .filter(lit(den) * col("rem_q6") >= lit(num) * lit(1000000L))
+      .select(col("tid"), col("doc_id"))
+    val full = w.select(col("tid"), col("doc_id").as("dbf"))
+    val cand = pref.join(full, Seq("tid"))
+      .filter(col("doc_id") =!= col("dbf"))
+      .select(least(col("doc_id"), col("dbf")).as("da"),
+        greatest(col("doc_id"), col("dbf")).as("db"))
+      .distinct()
+    cosineVerify(vecs, cand).filter(col("dup")).drop("dup")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cosine" -> cosinePairsQuery _,
     "dedup_incremental" -> incrementalDedup _,
     "dedup_canonical" -> canonicalQuery _,
     "dedup_blocks" -> blockDedup _,
@@ -1040,16 +1191,19 @@ object Dedup {
   private def simhashOracle: String =
     s"WITH $simhashCtes\nSELECT doc_id, simhash48 FROM sig"
 
-  private def simhashPairsOracle: String =
-    s"""WITH $simhashCtes,
-       |ch AS (SELECT doc_id, c.range AS c,
+  /** Chunk-banded star-capped candidate pairs verified at
+    * Hamming <= [[simMaxDist]], as CTEs ending in `scand(da, db, dist)`
+    * — shared by the pairs gate and the exact-cosine gate (which
+    * verifies the SAME candidate set with a different measure). */
+  private def simhashCandCtes: String =
+    s"""ch AS (SELECT doc_id, c.range AS c,
        |    (simhash48 >> CAST(12 * c.range AS INTEGER)) & 4095 AS chunk,
        |    count(*) OVER (PARTITION BY c.range,
        |      (simhash48 >> CAST(12 * c.range AS INTEGER)) & 4095) AS bcnt,
        |    min(doc_id) OVER (PARTITION BY c.range,
        |      (simhash48 >> CAST(12 * c.range AS INTEGER)) & 4095) AS bmin
        |  FROM sig CROSS JOIN range($simChunks) c),
-       |pairs AS (
+       |prs AS (
        |  SELECT DISTINCT da, db FROM (
        |    SELECT x.doc_id AS da, y.doc_id AS db
        |    FROM ch x JOIN ch y
@@ -1057,13 +1211,53 @@ object Dedup {
        |    WHERE x.bcnt <= $simPairsGateCap AND y.bcnt <= $simPairsGateCap
        |    UNION ALL
        |    SELECT bmin AS da, doc_id AS db FROM ch
-       |    WHERE bcnt > $simPairsGateCap AND doc_id <> bmin))
-       |SELECT p.da, p.db,
-       |  CAST(bit_count(xor(a.simhash48, b.simhash48)) AS BIGINT) AS dist
-       |FROM pairs p
-       |JOIN sig a ON a.doc_id = p.da
-       |JOIN sig b ON b.doc_id = p.db
-       |WHERE bit_count(xor(a.simhash48, b.simhash48)) <= $simMaxDist""".stripMargin
+       |    WHERE bcnt > $simPairsGateCap AND doc_id <> bmin)),
+       |scand AS (SELECT p.da, p.db,
+       |    CAST(bit_count(xor(a.simhash48, b.simhash48)) AS BIGINT) AS dist
+       |  FROM prs p
+       |  JOIN sig a ON a.doc_id = p.da
+       |  JOIN sig b ON b.doc_id = p.db
+       |  WHERE bit_count(xor(a.simhash48, b.simhash48)) <= $simMaxDist)""".stripMargin
+
+  private def simhashPairsOracle: String =
+    s"""WITH $simhashCtes,
+       |$simhashCandCtes
+       |SELECT da, db, dist FROM scand""".stripMargin
+
+  /** Oracle for [[cosinePairsQuery]]: identical candidates, then the
+    * integer TF-IDF cosine (floor-log2 idf, HUGEINT cross-multiplied
+    * threshold). Candidates with no shared token score dot 0. */
+  private def cosineOracle: String = {
+    import graft.functions.TextAnalysis.flog2Sql
+    s"""WITH $simhashCtes,
+       |$simhashCandCtes,
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+       |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+       |wt AS (SELECT tf.doc_id, tf.tok,
+       |    tf.tf * (1 + ${flog2Sql("(SELECT n FROM nd)")}
+       |      - ${flog2Sql("dfq.df")}) AS w
+       |  FROM tf JOIN dfq USING (tok)),
+       |nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+       |  FROM wt GROUP BY 1),
+       |dt AS (SELECT c.da, c.db, CAST(sum(wa.w * wb.w) AS BIGINT) AS dot
+       |  FROM scand c
+       |  JOIN wt wa ON wa.doc_id = c.da
+       |  JOIN wt wb ON wb.doc_id = c.db AND wb.tok = wa.tok
+       |  GROUP BY 1, 2)
+       |SELECT c.da, c.db, coalesce(dt.dot, 0) AS dot,
+       |  CAST(CAST(coalesce(dt.dot, 0) AS HUGEINT) * coalesce(dt.dot, 0)
+       |    * 1000000000000
+       |    // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT) AS cos2_q12,
+       |  CAST(coalesce(dt.dot, 0) AS HUGEINT) * coalesce(dt.dot, 0)
+       |      * ${cosSimDen * cosSimDen}
+       |    >= CAST(na.n2 AS HUGEINT) * nb.n2 * ${cosSimNum * cosSimNum}
+       |    AS dup
+       |FROM scand c
+       |LEFT JOIN dt ON dt.da = c.da AND dt.db = c.db
+       |JOIN nrm na ON na.doc_id = c.da
+       |JOIN nrm nb ON nb.doc_id = c.db""".stripMargin
+  }
 
   /** Recursive closure of the (identical, uncapped) candidate edge set
     * as a flat CTE list ending in `cl(doc_id, cluster_id)` — min
@@ -1216,6 +1410,7 @@ object Dedup {
     "dedup_minhash_bands" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
+    "dedup_cosine" -> cosineOracle,
     "dedup_jaccard_exact" ->
       s"""WITH ${minhashCtes()},
         |bands AS (
