@@ -101,7 +101,12 @@ object Bench {
       case (k, v) if prevQueries.get(k).exists(_ >= 0) => k -> (v - prevQueries(k))
     }
     val errJson = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
-    try {
+    // BENCH_FULL.json is the round's committed sf0.1 artifact; a smoke
+    // run (other SF, or a SPARK_GRAFT_ONLY subset) must not clobber it
+    // — that would both lose the artifact and poison prev_delta.
+    val isArtifactRun =
+      sfDir.split('/').last == "sf0.1" && only.isEmpty
+    try if (isArtifactRun) {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(s"""{"metric":"total","value":${fmt(okResults.values.sum)},"unit":"sec","n":${okResults.size},"errors":$errJson,"queries":$full,"prev_delta":${toJson(deltas, identity)},"sf":"${sfDir.split('/').last}"}""")
       finally w.close()

@@ -61,7 +61,8 @@ object SparkEntry {
       store.MaterializedView.queries ++
       analytics.MarketBasket.queries ++
       store.BloomIndex.queries ++
-      streaming.StreamEwma.queries
+      streaming.StreamEwma.queries ++
+      streaming.StreamDrift.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -107,5 +108,6 @@ object SparkEntry {
       store.MaterializedView.oracles ++
       analytics.MarketBasket.oracles ++
       store.BloomIndex.oracles ++
-      streaming.StreamEwma.oracles
+      streaming.StreamEwma.oracles ++
+      streaming.StreamDrift.oracles
 }

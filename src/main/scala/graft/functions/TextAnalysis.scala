@@ -567,7 +567,37 @@ object TextAnalysis {
         (coalesce(sum(when(hit, 1L)), lit(0L)) === 0).as("keep"))
   }
 
+  /** N-gram novelty scoring — the "how much of this document is new
+    * text" signal dedup pipelines use to RANK documents rather than
+    * just drop them (a doc that is 95% boilerplate but 5% novel may
+    * still be worth keeping; one that is 0% novel is not): a trigram
+    * is OWNED by the smallest doc_id containing it, and a document's
+    * novelty is the fraction of its distinct trigrams it owns,
+    * published q6. First-occurrence-by-corpus-order is the same
+    * deterministic convention as `dedup_blocks`.
+    *
+    * Plan: the shuffle-free shingle generator → distinct (doc, gram)
+    * → one gram-keyed agg for owners → one gram-keyed join to hand
+    * each (doc, gram) its owner → one doc-keyed agg. Work and shuffle
+    * are linear in corpus shingle volume; a boilerplate gram shared by
+    * d docs costs d join rows against its ONE owner row (the d-vs-d²
+    * distinction of the Jaccard verifier — never a gram self-join). */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.operators.Dedup
+      .shingleRows(graft.Tables.load(spark, dir, "documents"))
+      .distinct()
+    val owners = g.groupBy("g").agg(min(col("doc_id")).as("owner"))
+    g.join(owners, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(when(col("owner") === col("doc_id"), 1L)), lit(0L))
+          .as("n_owned"))
+      .selectExpr("doc_id", "n_grams", "n_owned",
+        "(1000000 * n_owned) DIV n_grams AS novelty_q6")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_novelty" -> ngramNovelty _,
     "text_blocklist" -> blocklistFilter _,
     "text_bpe_train" -> bpeTrain _,
     "text_lm_score" -> lmScore _,
@@ -648,6 +678,20 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_bpe_train" -> bpeTrainOracle,
+    "text_novelty" ->
+      """WITH d AS (SELECT doc_id, str_split(text, ' ') AS t
+        |  FROM documents WHERE len(str_split(text, ' ')) >= 3),
+        |g AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+        |  FROM d)),
+        |o AS (SELECT g, min(doc_id) AS owner FROM g GROUP BY 1)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(count(*) FILTER (WHERE o.owner = g.doc_id) AS BIGINT)
+        |    AS n_owned,
+        |  (1000000 * CAST(count(*) FILTER (WHERE o.owner = g.doc_id)
+        |    AS BIGINT)) // count(*) AS novelty_q6
+        |FROM g JOIN o USING (g) GROUP BY 1""".stripMargin,
     "text_blocklist" -> {
       val inList = blockedTerms.map(t => s"'$t'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok

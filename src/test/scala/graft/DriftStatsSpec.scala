@@ -70,6 +70,62 @@ class DriftStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("novelty: min doc owns everything, owned counts partition grams") {
+    val rows = TextAnalysis.ngramNovelty(spark, sf).collect()
+    val minDoc = rows.map(_.getLong(0)).min
+    val first = rows.find(_.getLong(0) == minDoc).get
+    assert(first.getLong(3) == 1000000L,
+      "the smallest doc_id must own all its shingles")
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    // every distinct corpus gram has exactly one owner
+    val totalOwned = rows.map(_.getLong(2)).sum
+    val distinctGrams = graft.operators.Dedup
+      .shingleRows(Tables.load(spark, sf, "documents"))
+      .select("g").distinct().count()
+    assert(totalOwned == distinctGrams)
+  }
+
+  test("pca power iterate: unit-q6 normalized, Rayleigh near reference") {
+    val rows = graft.operators.GramMatrix.pcaPower(spark, sf).collect()
+    assert(rows.length == 64)
+    assert(rows.map(r => math.abs(r.getLong(1))).max == 1000000L,
+      "final iterate must be renormalized to max |v| = 1e6")
+    val lam = rows.head.getLong(2).toDouble / 1e6
+    assert(lam > 0.0, "Gram matrix is PSD; dominant eigenvalue > 0")
+    // double-precision reference power iteration on the same Gram
+    val d = 64
+    val g = Array.ofDim[Double](d, d)
+    graft.operators.GramMatrix.gram(spark, sf).collect().foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      g(i)(j) = r.getLong(2).toDouble
+      g(j)(i) = r.getLong(2).toDouble
+    }
+    var x = Array.fill(d)(1.0)
+    for (_ <- 1 to 400) {
+      val y = Array.tabulate(d)(i =>
+        (0 until d).map(j => g(i)(j) * x(j)).sum)
+      val n = math.sqrt(y.map(v => v * v).sum)
+      x = y.map(_ / n)
+    }
+    val refLam = (0 until d).map(i =>
+      x(i) * (0 until d).map(j => g(i)(j) * x(j)).sum).sum
+    assert(math.abs(lam - refLam) / refLam < 0.01,
+      s"q6 Rayleigh $lam vs double reference $refLam")
+  }
+
+  test("stream psi snapshot: non-negative cells, consistent marginals") {
+    val rows = graft.streaming.StreamDrift.streamPsi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(8) >= 0L, "psi cell must be non-negative")
+      assert(r.getLong(2) >= 0L && r.getLong(2) < StatsQueries.psiBins)
+    }
+    rows.groupBy(r => (r.get(0), r.getString(1))).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).sum == rs.head.getLong(5),
+        "per-(day,type) cell counts must sum to n_day")
+    }
+  }
+
   test("blocklist: verdict consistent, full doc coverage") {
     val rows = TextAnalysis.blocklistFilter(spark, sf).collect()
     assert(rows.length == Tables.load(spark, sf, "documents").count())
