@@ -365,7 +365,53 @@ object TimeSeries {
         "is_peak")
   }
 
+  /** Linear interpolation across the empty buckets of the hourly
+    * revenue grid — the third standard repair next to [[gapFill]]
+    * (zeros) and [[fillForward]] (carry-last): a missing bucket gets
+    * the straight line between its nearest observed neighbors, the
+    * fill a rate/price series wants where a zero would be a lie.
+    * Hourly sums are integer cents, and the published value is the
+    * exact rational `(prev·(next_rn−rn) + next·(rn−prev_rn)) /
+    * (next_rn−prev_rn)` quantized `·10^6 DIV` — all-integer (cents
+    * ~10^7 · 10^6 · gap ≤ 10^3 stays far inside int64), truncation
+    * toward zero in both engines on these positive series, no float
+    * anywhere. Grid rows before the first / after the last observed
+    * bucket cannot exist (the grid spans each type's observed range).
+    * Plan: one corpus-scale hash agg to hourly cents; the grid
+    * generation, neighbor windows (last/first IGNORE NULLS over the
+    * per-type order) and the interpolation itself all operate on the
+    * bounded calendar frame (|types| × hours), so nothing after the
+    * first agg scales with data — the [[seasonal]] shape. */
+  def interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val grid = hourly.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("h"))
+    val wOrd = Window.partitionBy("event_type").orderBy("h")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = wOrd.rowsBetween(1, Window.unboundedFollowing)
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("pc", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("pr", last(when(col("cents").isNotNull, col("rn")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nc", first(col("cents"), ignoreNulls = true).over(wNext))
+      .withColumn("nr", first(when(col("cents").isNotNull, col("rn")),
+        ignoreNulls = true).over(wNext))
+      .select(col("event_type"), col("h").as("hour_start"),
+        col("cents").isNotNull.as("observed"),
+        when(col("cents").isNotNull, col("cents") * lit(1000000L))
+          .otherwise(expr(
+            "(1000000 * (pc * (nr - rn) + nc * (rn - pr))) DIV (nr - pr)"))
+          .as("interp_q6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_interpolate" -> interpolate _,
     "ts_changepoint" -> cusumChangepoint _,
     "ts_acf" -> acf _,
     "ts_gap_fill" -> gapFill _,
@@ -377,6 +423,39 @@ object TimeSeries {
     "ts_seasonal" -> seasonal _)
 
   val oracles: Map[String, String] = Map(
+    "ts_interpolate" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM h GROUP BY 1),
+        |g AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM b),
+        |j AS (SELECT g.event_type, g.h, cents
+        |  FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.h = h.h),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY h) AS BIGINT) AS rn FROM j),
+        |w AS (SELECT *,
+        |    last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pc,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY h
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pr,
+        |    first_value(cents IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY h ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS nc,
+        |    first_value(CASE WHEN cents IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY h
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nr
+        |  FROM r)
+        |SELECT event_type, h AS hour_start, cents IS NOT NULL AS observed,
+        |  CASE WHEN cents IS NOT NULL THEN cents * 1000000
+        |    ELSE (1000000 * (pc * (nr - rn) + nc * (rn - pr))) // (nr - pr)
+        |  END AS interp_q6
+        |FROM w""".stripMargin,
     "ts_changepoint" ->
       """WITH d AS (SELECT o_orderpriority, o_orderdate AS day,
         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

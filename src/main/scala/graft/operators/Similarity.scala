@@ -955,6 +955,31 @@ object Similarity {
       .select(col("a"), col("b"))
   }
 
+  /** LSH recall scorecard — the one-row eval every approximate-dedup
+    * deployment needs before trusting the sub-quadratic path: exact
+    * near-dup pairs ([[embedNearDup]]) vs the SRP-LSH pair set
+    * ([[embedNearDupLsh]]) at the same 0.4 threshold, joined on the
+    * pair key, published as integer counts plus `recall_q6 =
+    * 10^6·hits DIV exact` (positive integers, truncation identical in
+    * both engines). LSH verifies candidates exactly, so its pairs are
+    * a subset of the exact set and n_hit = n_lsh — the gate PROVES
+    * that containment rather than assuming it. Plan: one full-outer
+    * equi-join of two pair frames and a scalar agg; the exact side is
+    * the corpus-quadratic baseline, so at 100 TB this runs on a fixed
+    * EVALUATION SAMPLE (a few 10^5 vectors), not the corpus — recall
+    * is a statistical property and sampling it is the standard
+    * practice; the LSH side alone remains the production path. */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = embedNearDup(spark, dir).withColumn("in_e", lit(1L))
+    val lsh = embedNearDupLsh(spark, dir).withColumn("in_l", lit(1L))
+    exact.join(lsh, Seq("a", "b"), "full_outer")
+      .agg(sum("in_e").as("n_exact"), sum("in_l").as("n_lsh"),
+        sum(coalesce(col("in_e"), lit(0L)) * coalesce(col("in_l"), lit(0L)))
+          .as("n_hit"))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        expr("1000000 * n_hit DIV n_exact").as("recall_q6"))
+  }
+
   /** Embedding near-dup CLUSTERS end-to-end: the verified SRP-LSH pair
     * graph ([[embedNearDupLsh]]) closed into connected components by
     * the same star alternation documents use
@@ -1121,6 +1146,7 @@ object Similarity {
     "knn_brute" -> knnBrute _,
     "embed_neardup" -> embedNearDup _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
+    "embed_lsh_recall" -> lshRecall _,
     "embed_clusters" -> embedClusters _,
     "knn_ivf" -> knnIvf _,
     "knn_ivf_sampled" -> knnIvfSampled _,
@@ -1323,6 +1349,23 @@ object Similarity {
     "embed_neardup_lsh" ->
       s"""WITH $lshPairCtes
          |SELECT a, b FROM vp""".stripMargin,
+    "embed_lsh_recall" ->
+      s"""WITH $lshPairCtes,
+         |exact AS (SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                               CAST(b.embedding AS DOUBLE[])) >= 0.4),
+         |j AS (SELECT
+         |    CASE WHEN exact.a IS NOT NULL THEN 1 ELSE 0 END AS in_e,
+         |    CASE WHEN vp.a IS NOT NULL THEN 1 ELSE 0 END AS in_l
+         |  FROM exact FULL OUTER JOIN vp
+         |    ON exact.a = vp.a AND exact.b = vp.b)
+         |SELECT CAST(sum(in_e) AS BIGINT) AS n_exact,
+         |  CAST(sum(in_l) AS BIGINT) AS n_lsh,
+         |  CAST(sum(in_e * in_l) AS BIGINT) AS n_hit,
+         |  CAST(1000000 * sum(in_e * in_l) // sum(in_e) AS BIGINT)
+         |    AS recall_q6
+         |FROM j""".stripMargin,
     "embed_clusters" ->
       s"""WITH RECURSIVE $lshPairCtes,
          |edges AS (SELECT a AS u, b AS v FROM vp

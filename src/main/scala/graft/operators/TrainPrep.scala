@@ -495,7 +495,67 @@ object TrainPrep {
         max(col("n_tok")).as("tok_max"),
         countDistinct(col("lang")).as("n_langs"))
 
+  /** Priority-band width for the [[tokenBudget]] distributed prefix
+    * sum: prio_q6 ∈ [0, 10^6] DIV 10^4 → ≤ 101 bands. */
+  val budgetBandWidth = 10000L
+
+  /** Token-budget curation cut — "take the best documents until the
+    * budget is spent", the selection rule every pretraining mix ends
+    * with once per-source caps and quality gates have run. Documents
+    * are ordered by fluency priority (stopword density, `10^6·stops
+    * DIV tokens` — the [[curate]] signal as an integer rate), doc_id
+    * tie-break, and kept while the running token total stays within
+    * the budget (here: half the corpus' tokens, so the gate is
+    * scale-factor-independent).
+    *
+    * The running total is the scale hazard: a naive
+    * `sum OVER (ORDER BY prio)` is ONE task sorting the corpus. This
+    * is the classic two-level distributed prefix sum instead: rows
+    * prefix-sum WITHIN their priority band (a partitioned window,
+    * parallel across [[budgetBandWidth]]-wide bands), band totals
+    * prefix-sum ACROSS bands (a window over the ≤101-row band frame —
+    * bounded by construction, not by data), and the global cumulative
+    * is `band offset + in-band prefix`. Band order (band DESC, then
+    * prio DESC within) equals global prio DESC exactly because the
+    * band is a monotone function of the priority. One tokenize scan,
+    * one band-keyed exchange, one broadcast of the 101-row offsets. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+        size(filter(t, x => x.isInCollection(TextAnalysis.stopEn)))
+          .cast("long").as("stop_cnt"))
+      .withColumn("prio_q6", expr("1000000 * stop_cnt DIV n_tokens"))
+      .withColumn("band", expr(s"prio_q6 DIV $budgetBandWidth"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("band")
+      .orderBy(col("prio_q6").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val withCum = d.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+    // band frame: ≤101 rows by construction — the global windows below
+    // are bounded-frame, the ts_seasonal pattern
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("band").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("band").agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .withColumn("total", sum(col("btot")).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("band"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .select(col("band"), col("off"), col("total"))
+    withCum.join(broadcast(offsets), "band")
+      .withColumn("cum_tokens", col("off") + col("cum_in"))
+      .filter(col("cum_tokens") * 2 <= col("total"))
+      .select(col("doc_id"), col("n_tokens"), col("prio_q6"),
+        col("cum_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "train_token_budget" -> tokenBudget _,
     "corpus_report" -> corpusReport _,
     "train_sample_weighted" -> weightedQuery _,
     "train_chunks" -> chunkQuery _,
@@ -565,6 +625,21 @@ object TrainPrep {
   }
 
   val oracles: Map[String, String] = Map(
+    "train_token_budget" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(1000000 * CAST(len(list_filter(str_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+        |      // len(str_split(text, ' ')) AS BIGINT) AS prio_q6
+        |  FROM documents),
+        |c AS (SELECT *,
+        |    CAST(sum(n_tokens) OVER (ORDER BY prio_q6 DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens,
+        |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+        |  FROM s)
+        |SELECT doc_id, n_tokens, prio_q6, cum_tokens
+        |FROM c WHERE cum_tokens * 2 <= total""".stripMargin,
     "corpus_report" ->
       """WITH d AS (SELECT source, lang,
         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok

@@ -107,6 +107,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"lsh recall $recall")
   }
 
+  test("lsh recall scorecard agrees with the set arithmetic of its inputs") {
+    val exact = Similarity.embedNearDup(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embedNearDupLsh(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val row = Similarity.lshRecall(spark, SparkTestSession.sf).collect()(0)
+    assert(row.getLong(0) == exact.size && row.getLong(1) == lsh.size)
+    assert(row.getLong(2) == (lsh & exact).size)
+    // verified LSH pairs are a subset of exact, so hit == lsh
+    assert(row.getLong(2) == row.getLong(1))
+    assert(row.getLong(3) == 1000000L * (lsh & exact).size / exact.size)
+  }
+
   test("knn_ivf recall vs brute-force top-3 clears the floor") {
     // top-3 exact neighbors per query from the brute-force gate query
     val brute = Similarity.knnBrute(spark, SparkTestSession.sf)

@@ -33,6 +33,32 @@ class TimeSeriesSpec extends AnyFunSuite {
       .exceptAll(observed).isEmpty)
   }
 
+  test("linear interpolation matches a local recomputation of every series") {
+    val sf = SparkTestSession.sf
+    val out = TimeSeries.interpolate(spark, sf).cache()
+    assert(out.filter(col("interp_q6").isNull).count() == 0,
+      "grid spans observed range — no row may lack neighbors")
+    val gaps = out.filter(!col("observed")).count()
+    assert(gaps > 0, "corpus has no hourly gaps — interp branch is vacuous")
+    // driver-side reference: grid frame is bounded (|types| x hours)
+    val rows = out.select("event_type", "hour_start", "observed", "interp_q6")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getBoolean(2), r.getLong(3)))
+      .groupBy(_._1)
+    rows.foreach { case (_, series) =>
+      val s = series.sortBy(_._2)
+      val obs = s.zipWithIndex.filter(_._1._3)
+      s.zipWithIndex.filter(!_._1._3).foreach { case ((_, _, _, got), i) =>
+        val (pv, pi) = { val (t, j) = obs.takeWhile(_._2 < i).last; (t._4, j) }
+        val (nv, ni) = { val (t, j) = obs.dropWhile(_._2 < i).head; (t._4, j) }
+        // observed rows publish cents * 1e6, so the line is in q6 units
+        val want = (pv * (ni - i) + nv * (i - pi)) / (ni - pi)
+        assert(got == want, s"gap at index $i")
+      }
+    }
+  }
+
   test("ohlc bars are internally consistent and volumes sum to the corpus") {
     val sf = SparkTestSession.sf
     val bars = TimeSeries.ohlcResample(spark, sf).cache()

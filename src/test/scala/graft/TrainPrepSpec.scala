@@ -8,6 +8,32 @@ class TrainPrepSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("token budget cut equals the sequential prefix-sum selection") {
+    val sf = SparkTestSession.sf
+    val out = TrainPrep.tokenBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // sequential reference: global sort by (prio desc, doc_id), running
+    // sum, keep while cum * 2 <= total — the single-task plan the
+    // banded prefix sum replaces
+    val t = graft.functions.TextAnalysis.tokens(col("text"))
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+        expr("1000000 * CAST(size(filter(split(text, ' '), " +
+          "x -> array_contains(array('the','a','of','and','to','in','is')," +
+          " x))) AS BIGINT) DIV size(split(text, ' '))").as("prio_q6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ordered = docs.sortBy { case (id, _, p) => (-p, id) }
+    val total = docs.map(_._2).sum
+    var cum = 0L
+    val want = ordered.flatMap { case (id, n, p) =>
+      cum += n
+      if (cum * 2 <= total) Some((id, n, p, cum)) else None
+    }.toSet
+    assert(out.toSet == want)
+    assert(want.nonEmpty && want.size < docs.length,
+      "budget cut must be a strict, non-empty subset")
+  }
+
   test("content-hash split sends byte-identical duplicates to the same split") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again"),
