@@ -217,6 +217,53 @@ object BehaviorQueries {
         dsum(col("value")).as("val_sum"))
   }
 
+  /** Linear multi-touch attribution — the credit-sharing sibling of
+    * last-touch [[attribution]]: every non-purchase touch in the hour
+    * before a purchase receives an equal share of that purchase's
+    * value, and the gate reports total credit per touch channel. Each
+    * share is the exact integer `10^6·cents DIV n_touches`, so the
+    * per-channel sums are sums of integers — order-free and engine-
+    * portable (the quantization remainder stays with the purchase,
+    * never double-counted). Purchases with no preceding touch earn
+    * nothing here (they are last-touch "direct" — visible in the
+    * sibling gate).
+    *
+    * Plan: the (purchase × touches-in-window) pair set via the banded
+    * interval join ([[graft.operators.RangeJoin]]'s idiom) — purchases
+    * replicate to their hour bucket and its predecessor (×2, never
+    * data-dependent), one (user, bucket)-keyed equi-join, exact range
+    * filter after. The per-purchase touch count is a window over the
+    * pair frame (bounded by touches-per-hour-per-user), then one
+    * bounded |types| agg. No per-user all-pairs, no RANGE window
+    * carrying purchase state across the corpus. */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val keyScale = 100000000L // event_id < 1e8 at every SF
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"),
+        (unix_timestamp(date_trunc("second", col("ts"))) * keyScale +
+          col("event_id")).as("k"))
+      .withColumn("hb", expr(s"(k DIV $keyScale) DIV 3600"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("k").as("pk"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        explode(array(col("hb") - 1, col("hb"))).as("jb"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("k").as("tk"),
+        col("event_type").as("touch_type"), col("hb").as("jb"))
+    val pairs = purchases.join(touches, Seq("user_id", "jb"))
+      .filter(col("tk") >= col("pk") - lit(3600L * keyScale)
+        && col("tk") < col("pk"))
+    val wP = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "pk")
+    pairs
+      .withColumn("n_touches", count(lit(1)).over(wP))
+      .withColumn("credit_q6", expr("(1000000 * cents) DIV n_touches"))
+      .groupBy(col("touch_type").as("event_type"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit_q6")).as("credit_q6_sum"))
+  }
+
   /** Top user-journey paths — the "what do sessions look like" census
     * behind every product-analytics path/sankey view: each (user, day)
     * contributes its first 3 event types in time order as a "a>b>c"
@@ -285,6 +332,7 @@ object BehaviorQueries {
     "funnel" -> funnel _,
     "cohort_retention" -> cohortRetention _,
     "behavior_attribution" -> attribution _,
+    "behavior_attribution_linear" -> attributionLinear _,
     "window_rolling_distinct" -> rollingActiveUsers _,
     "window_sliding" -> slidingWindow _)
 
@@ -437,5 +485,26 @@ object BehaviorQueries {
         |  count(*) AS n_purchases,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
         |FROM t WHERE event_type = 'purchase'
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    "behavior_attribution_linear" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |    CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+        |      AS BIGINT) * 100000000 + event_id AS k
+        |  FROM events),
+        |p AS (SELECT user_id, k AS pk,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, k AS tk, event_type AS touch_type
+        |  FROM e WHERE event_type <> 'purchase'),
+        |pr AS (SELECT p.user_id, p.pk, p.cents, t.tk, t.touch_type
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |   AND t.tk >= p.pk - 360000000000 AND t.tk < p.pk),
+        |c AS (SELECT *,
+        |    CAST(count(*) OVER (PARTITION BY user_id, pk) AS BIGINT)
+        |      AS n_touches
+        |  FROM pr)
+        |SELECT touch_type AS event_type, count(*) AS n_credits,
+        |  CAST(sum((1000000 * cents) // n_touches) AS BIGINT)
+        |    AS credit_q6_sum
+        |FROM c GROUP BY 1""".stripMargin)
 }

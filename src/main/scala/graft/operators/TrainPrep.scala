@@ -554,7 +554,48 @@ object TrainPrep {
         col("cum_tokens"))
   }
 
+  /** Epoch-schedule upsampling — the inverse of [[sourceCap]]: small
+    * sources REPEAT until every source contributes the token mass of
+    * the largest one (the "N epochs of the small domain per epoch of
+    * the big one" rule real pretraining mixes use). Each source's
+    * repeat factor is the exact rational `maxtot/stot` as an integer
+    * `rep_q6`; every document gets `rep_q6 DIV 10^6` full copies, and
+    * one extra copy when its LCG coordinate `(doc_id·69069 + 1) mod
+    * 2^31 mod 10^6` falls under the fractional part — the same
+    * engine-portable deterministic sampler as [[weightedQuery]] /
+    * [[sourceCap]], so expected upsampled token mass matches the
+    * target per source with zero RNG state. Output is one row per
+    * (doc, copy) with a dense copy_id — exactly the schedule a data
+    * loader consumes.
+    *
+    * Plan: one tokenize scan + a source-keyed agg (|sources| rows);
+    * the max ratio is a window over that bounded frame; repeat
+    * factors broadcast back and copies materialize MAP-SIDE via
+    * `sequence`/`explode` — output scales with the schedule, shuffles
+    * scale with |sources|. */
+  def upsample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    // |sources| rows — the global window below is bounded-frame
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("source"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val reps = d.groupBy("source").agg(sum(col("n_tokens")).as("stot"))
+      .withColumn("maxtot", max(col("stot")).over(wAll))
+      .withColumn("rep_q6", expr("1000000 * maxtot DIV stot"))
+      .select(col("source"), col("rep_q6"))
+    d.join(broadcast(reps), "source")
+      .withColumn("n_copies", expr("rep_q6 DIV 1000000") +
+        when(expr("(doc_id * 69069 + 1) % 2147483648 % 1000000") <
+          expr("rep_q6 % 1000000"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "train_upsample" -> upsample _,
     "train_token_budget" -> tokenBudget _,
     "corpus_report" -> corpusReport _,
     "train_sample_weighted" -> weightedQuery _,
@@ -625,6 +666,23 @@ object TrainPrep {
   }
 
   val oracles: Map[String, String] = Map(
+    "train_upsample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS stot
+        |  FROM d GROUP BY 1),
+        |m AS (SELECT source, stot,
+        |    CAST(max(stot) OVER () AS BIGINT) AS maxtot FROM s),
+        |r AS (SELECT source,
+        |    CAST(1000000 * maxtot // stot AS BIGINT) AS rep_q6 FROM m),
+        |x AS (SELECT d.doc_id, d.source, d.n_tokens,
+        |    rep_q6 // 1000000 + CASE
+        |      WHEN (d.doc_id * 69069 + 1) % 2147483648 % 1000000
+        |           < rep_q6 % 1000000 THEN 1 ELSE 0 END AS n_copies
+        |  FROM d JOIN r USING (source))
+        |SELECT doc_id, source, n_tokens, CAST(u.c AS BIGINT) AS copy_id
+        |FROM x, unnest(generate_series(0, n_copies - 1)) AS u(c)""".stripMargin,
     "train_token_budget" ->
       """WITH s AS (SELECT doc_id,
         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -12,6 +12,39 @@ class BehaviorSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = SparkTestSession.sf
 
+  test("linear attribution conserves purchase value up to quantization") {
+    val sf = SparkTestSession.sf
+    val out = BehaviorQueries.attributionLinear(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver-side reference over the bounded test corpus
+    val keyScale = 100000000L
+    val ev = Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+        s"unix_timestamp(date_trunc('second', ts)) * ${keyScale}L + event_id AS k")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4)))
+    val byUser = ev.groupBy(_._1)
+    val credits = scala.collection.mutable.Map
+      .empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    byUser.values.foreach { rows =>
+      val purchases = rows.filter(_._2 == "purchase")
+      val touches = rows.filter(_._2 != "purchase")
+      purchases.foreach { case (_, _, cents, pk) =>
+        val win = touches.filter(t => t._4 >= pk - 3600L * keyScale && t._4 < pk)
+        if (win.nonEmpty) {
+          val share = 1000000L * cents / win.length
+          win.foreach { case (_, tt, _, _) =>
+            val (n, c) = credits(tt); credits(tt) = (n + 1, c + share)
+          }
+        }
+      }
+    }
+    assert(out == credits.toMap)
+    // every credited purchase's value splits exactly: per-purchase loss
+    // to truncation is < n_touches micro-cents, and totals are positive
+    assert(out.values.forall { case (n, c) => n > 0 && c > 0 })
+  }
+
   test("funnel stages are monotonically non-increasing") {
     val rows = BehaviorQueries.funnel(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -8,6 +8,35 @@ class TrainPrepSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("upsample balances source token mass and numbers copies densely") {
+    val sf = SparkTestSession.sf
+    val out = TrainPrep.upsample(spark, sf).cache()
+    // copy ids are dense 0..n-1 per doc, and every doc appears
+    val perDoc = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), min("copy_id").as("lo"),
+        max("copy_id").as("hi")).collect()
+    assert(perDoc.forall(r => r.getLong(2) == 0L
+      && r.getLong(3) == r.getLong(1) - 1))
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(perDoc.length == nDocs, "every document must keep >= 1 copy")
+    // upsampled token mass per source lands within one max-doc of the
+    // biggest source's mass in EXPECTATION; deterministically it is
+    // >= stot (at least one full copy) and the largest source is
+    // exactly unchanged
+    val mass = out.groupBy("source").agg(sum("n_tokens").as("up"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = Tables.load(spark, sf, "documents")
+      .selectExpr("source", "CAST(size(split(text, ' ')) AS LONG) AS n")
+      .groupBy("source").agg(sum("n").as("stot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxSrc = base.maxBy(_._2)
+    assert(mass(maxSrc._1) == maxSrc._2, "largest source must not inflate")
+    base.foreach { case (s, stot) =>
+      assert(mass(s) >= stot, s"$s lost mass")
+      assert(mass(s) <= 2L * maxSrc._2, s"$s overshot the target")
+    }
+  }
+
   test("token budget cut equals the sequential prefix-sum selection") {
     val sf = SparkTestSession.sf
     val out = TrainPrep.tokenBudget(spark, sf).collect()
