@@ -1035,6 +1035,27 @@ object Similarity {
       count(lit(1)).as("n_vertices"),
       coalesce(max("n_tri"), lit(0L)).cast("long").as("max_per_vertex"))
 
+  /** Component-size census of the near-dup graph — the distribution
+    * readout a dedup run is judged by ("how big are the duplicate
+    * families?"): for each component size, how many components have
+    * it, how many vectors they hold in total, and the share of the
+    * corpus in components of that size (`·10^6 DIV`, exact integers).
+    * Size 1 = unique vectors; the long tail of big components is the
+    * boilerplate signal. Composes [[embedClusters]]' star-alternation
+    * labels with two bounded hash aggs (label → size, size → census);
+    * nothing beyond the clustering itself scales with data, and the
+    * census frame is at most |distinct sizes| rows. */
+  def componentSizes(spark: SparkSession, dir: String): DataFrame = {
+    val total = Tables.load(spark, dir, "embeddings").count() // scalar
+    embedClusters(spark, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_components"))
+      .select(col("size"), col("n_components"),
+        (col("size") * col("n_components")).as("n_vectors"),
+        expr(s"1000000 * (size * n_components) DIV $total")
+          .as("corpus_share_q6"))
+  }
+
   // --- Fixed-point PageRank over the near-dup graph ----------------------
 
   /** Fixed iteration count and fixed-point unit for [[pageRank]]. The
@@ -1143,6 +1164,7 @@ object Similarity {
     "embed_centroids" -> labelCentroids _,
     "graph_pagerank" -> pageRank _,
     "graph_triangles" -> triangles _,
+    "graph_component_sizes" -> componentSizes _,
     "knn_brute" -> knnBrute _,
     "embed_neardup" -> embedNearDup _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
@@ -1375,6 +1397,23 @@ object Similarity {
          |  UNION
          |  SELECT ed.u, reach.r FROM edges ed JOIN reach ON reach.n = ed.v)
          |SELECT n AS vec_id, min(r) AS cluster_id FROM reach GROUP BY n""".stripMargin,
+    "graph_component_sizes" ->
+      s"""WITH RECURSIVE $lshPairCtes,
+         |edges AS (SELECT a AS u, b AS v FROM vp
+         |          UNION SELECT b, a FROM vp),
+         |reach(n, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT ed.u, reach.r FROM edges ed JOIN reach ON reach.n = ed.v),
+         |lab AS (SELECT n, min(r) AS cluster_id FROM reach GROUP BY n),
+         |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+         |  FROM lab GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM embeddings)
+         |SELECT size, CAST(count(*) AS BIGINT) AS n_components,
+         |  CAST(size * count(*) AS BIGINT) AS n_vectors,
+         |  CAST(1000000 * size * count(*) // max(tot.total) AS BIGINT)
+         |    AS corpus_share_q6
+         |FROM cs, tot GROUP BY size""".stripMargin,
     "embed_quantize" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |    list_max(list_transform(CAST(embedding AS DOUBLE[]),

@@ -120,6 +120,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(row.getLong(3) == 1000000L * (lsh & exact).size / exact.size)
   }
 
+  test("component-size census conserves the corpus and matches the labels") {
+    val sf = SparkTestSession.sf
+    val labels = Similarity.embedClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = labels.groupBy(_._2).map(_._2.length.toLong)
+      .groupBy(identity).map { case (s, g) => (s, g.size.toLong) }
+    val out = Similarity.componentSizes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(t => t._1 -> t._2).toMap == sizes)
+    // every vector is in exactly one component
+    assert(out.map(_._3).sum == labels.length)
+    out.foreach { case (s, n, v, q) =>
+      assert(v == s * n)
+      assert(q == 1000000L * v / labels.length)
+    }
+  }
+
   test("knn_ivf recall vs brute-force top-3 clears the floor") {
     // top-3 exact neighbors per query from the brute-force gate query
     val brute = Similarity.knnBrute(spark, SparkTestSession.sf)
