@@ -154,6 +154,48 @@ object TextAnalysis {
       .select(col("doc_id"), fp.as("fingerprint"))
   }
 
+  /** Winnowing k-gram / selection-window widths (SWA 2003 §2: any
+    * match of length ≥ k + w − 1 tokens is guaranteed to share a
+    * selected fingerprint). */
+  val winnowK = 4
+  val winnowW = 4
+
+  /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken, the
+    * MOSS algorithm) — the position-robust sibling of the whole-doc
+    * [[fingerprint]]: hash every [[winnowK]]-token k-gram, slide a
+    * [[winnowW]]-wide window over the hash sequence, keep each
+    * window's MINIMUM, and emit the distinct selected values. Any
+    * shared passage of ≥ k+w−1 tokens between two documents is
+    * guaranteed to surface as a shared fingerprint — the
+    * plagiarism/near-dup index primitive that [[fingerprint]] (one
+    * order-sensitive hash of the whole doc) cannot provide. Min-VALUE
+    * selection per window is tie-safe (equal minima select the same
+    * value), so the distinct set is engine-portable with no
+    * tie-break convention at all.
+    *
+    * Everything is map-side per-document array arithmetic (token-term
+    * codes → k-gram polynomial hashes → windowed minima → distinct →
+    * explode): zero shuffles before the output, O(n·(k+w)) per doc,
+    * the same per-row HOF budget as [[tokensBpe]]. Docs shorter than
+    * k+w tokens have no full window and are filtered (none exist in
+    * this corpus — min length 10 ≥ 8 — but the guard keeps the
+    * operator total). */
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val p = 1000000007L
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        transform(tokens(col("text")), tokenTerm _).as("tm"))
+      .filter(size(col("tm")) >= winnowK + winnowW)
+      .withColumn("kg", expr(
+        s"transform(sequence(0, size(tm) - $winnowK), i -> " +
+          s"aggregate(slice(tm, i + 1, $winnowK), 0L, " +
+          s"(acc, x) -> (acc * 31 + x) % ${p}L))"))
+      .withColumn("sel", expr(
+        s"array_distinct(transform(sequence(0, size(kg) - $winnowW), " +
+          s"j -> array_min(slice(kg, j + 1, $winnowW))))"))
+      .select(col("doc_id"), explode(col("sel")).as("fp"))
+  }
+
   /** Corpus term frequencies: explode tokens -> hash-agg counts ->
     * top-25 by (count desc, term). The generator-shaped (UDTF-like)
     * operator from SURVEY.md §2.10: term expansion is `explode` of a
@@ -615,6 +657,7 @@ object TextAnalysis {
     "text_quality" -> textQuality _,
     "text_langid" -> langId _,
     "text_fingerprint" -> fingerprint _,
+    "text_winnowing" -> winnowing _,
     "text_terms" -> termFreq _,
     "text_tfidf" -> tfIdf _)
 
@@ -910,6 +953,25 @@ object TextAnalysis {
         |        x -> CAST(length(x) * 7 + ascii(x[1]) AS BIGINT))),
         |    (acc, term) -> (acc * 31 + term) % 1000000007) AS fingerprint
         |FROM documents""".stripMargin,
+    "text_winnowing" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_transform(str_split(text, ' '),
+         |      x -> CAST(length(x) * 7 + ascii(x[1]) AS BIGINT)) AS tm
+         |  FROM documents),
+         |f AS (SELECT doc_id, tm FROM t
+         |  WHERE len(tm) >= ${winnowK + winnowW}),
+         |kgr AS (SELECT doc_id,
+         |    list_transform(range(len(tm) - ${winnowK} + 1), i ->
+         |      list_reduce(
+         |        list_prepend(CAST(0 AS BIGINT), tm[i+1:i+${winnowK}]),
+         |        (acc, x) -> (acc * 31 + x) % 1000000007)) AS kg
+         |  FROM f),
+         |sel AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(len(kg) - ${winnowW} + 1),
+         |      j -> list_min(kg[j+1:j+${winnowW}]))) AS s
+         |  FROM kgr)
+         |SELECT doc_id, CAST(u.fp AS BIGINT) AS fp
+         |FROM sel, unnest(sel.s) AS u(fp)""".stripMargin,
     "text_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, term, count(*) AS tf FROM (

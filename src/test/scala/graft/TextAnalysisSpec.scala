@@ -5,6 +5,33 @@ import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class TextAnalysisSpec extends AnyFunSuite {
+
+  test("winnowing fingerprints match a sequential reference selection") {
+    val spark = SparkTestSession.spark
+    val sf = SparkTestSession.sf
+    val out = graft.functions.TextAnalysis.winnowing(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val (k, w) = (graft.functions.TextAnalysis.winnowK,
+      graft.functions.TextAnalysis.winnowW)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, text) =>
+      val tm = text.split(" ", -1).map(t =>
+        t.length.toLong * 7 + (if (t.isEmpty) 0 else t.charAt(0).toInt))
+      if (tm.length < k + w) None
+      else {
+        val kg = tm.sliding(k).map(
+          _.foldLeft(0L)((acc, x) => (acc * 31 + x) % 1000000007L)).toArray
+        Some(id -> kg.sliding(w).map(_.min).toSet)
+      }
+    }.toMap
+    assert(out == want)
+    // selection is a strict, non-empty subsample of the k-gram hashes
+    assert(want.values.forall(_.nonEmpty))
+  }
+
   lazy val spark = SparkTestSession.spark
 
   test("token stats: n_tokens/n_distinct/n_chars agree with Scala") {
