@@ -196,6 +196,39 @@ object TextAnalysis {
       .select(col("doc_id"), explode(col("sel")).as("fp"))
   }
 
+  /** Winnowing-pair knobs: fingerprints shared by more than
+    * [[winnowDfCap]] documents are boilerplate and dropped before the
+    * index join (the MOSS "too common to be interesting" rule — and
+    * the skew guard that keeps the per-fingerprint join fan-out
+    * ≤ cap²/2); pairs must share at least [[winnowMinShared]]
+    * selected fingerprints to be reported. */
+  val winnowDfCap = 20L
+  val winnowMinShared = 2L
+
+  /** Shared-passage candidate pairs from the winnowing index — what
+    * MOSS actually does with the fingerprints: documents that share ≥
+    * [[winnowMinShared]] selected (rare) fingerprints very likely
+    * share a passage of ≥ k+w−1 tokens each match guarantees.
+    * Composes [[winnowing]] with the inverted-index self-join idiom
+    * ([[Retrieval]]'s shape): one df hash-agg, the boilerplate cap
+    * (deterministic filter, not a sampling heuristic), one
+    * fingerprint-keyed equi-join whose fan-out the cap bounds, one
+    * pair-keyed count. All integers; no verify re-join needed because
+    * the count IS the payload. */
+  def winnowingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowing(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= winnowDfCap)
+      .select("fp")
+    val filtered = fps.join(rare, "fp")
+    filtered.as("x").join(filtered.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= winnowMinShared)
+  }
+
   /** Corpus term frequencies: explode tokens -> hash-agg counts ->
     * top-25 by (count desc, term). The generator-shaped (UDTF-like)
     * operator from SURVEY.md §2.10: term expansion is `explode` of a
@@ -658,6 +691,7 @@ object TextAnalysis {
     "text_langid" -> langId _,
     "text_fingerprint" -> fingerprint _,
     "text_winnowing" -> winnowing _,
+    "dedup_winnowing_pairs" -> winnowingPairs _,
     "text_terms" -> termFreq _,
     "text_tfidf" -> tfIdf _)
 
@@ -972,6 +1006,32 @@ object TextAnalysis {
          |  FROM kgr)
          |SELECT doc_id, CAST(u.fp AS BIGINT) AS fp
          |FROM sel, unnest(sel.s) AS u(fp)""".stripMargin,
+    "dedup_winnowing_pairs" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_transform(str_split(text, ' '),
+         |      x -> CAST(length(x) * 7 + ascii(x[1]) AS BIGINT)) AS tm
+         |  FROM documents),
+         |f AS (SELECT doc_id, tm FROM t
+         |  WHERE len(tm) >= ${winnowK + winnowW}),
+         |kgr AS (SELECT doc_id,
+         |    list_transform(range(len(tm) - ${winnowK} + 1), i ->
+         |      list_reduce(
+         |        list_prepend(CAST(0 AS BIGINT), tm[i+1:i+${winnowK}]),
+         |        (acc, x) -> (acc * 31 + x) % 1000000007)) AS kg
+         |  FROM f),
+         |sel AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(len(kg) - ${winnowW} + 1),
+         |      j -> list_min(kg[j+1:j+${winnowW}]))) AS s
+         |  FROM kgr),
+         |fps AS (SELECT doc_id, CAST(u.fp AS BIGINT) AS fp
+         |  FROM sel, unnest(sel.s) AS u(fp)),
+         |rare AS (SELECT fp FROM fps GROUP BY fp
+         |  HAVING count(*) <= $winnowDfCap),
+         |fr AS (SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp))
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(count(*) AS BIGINT) AS shared
+         |FROM fr x JOIN fr y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $winnowMinShared""".stripMargin,
     "text_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, term, count(*) AS tf FROM (

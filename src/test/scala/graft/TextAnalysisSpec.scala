@@ -6,6 +6,26 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class TextAnalysisSpec extends AnyFunSuite {
 
+  test("winnowing pairs equal the set-intersection counts of rare prints") {
+    val spark = SparkTestSession.spark
+    val sf = SparkTestSession.sf
+    val fps = graft.functions.TextAnalysis.winnowing(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dfm = fps.groupBy(_._2).view.mapValues(_.length).toMap
+    val cap = graft.functions.TextAnalysis.winnowDfCap
+    val byDoc = fps.filter(t => dfm(t._2) <= cap)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ids = byDoc.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      shared = (byDoc(ids(i)) & byDoc(ids(j))).size.toLong
+      if shared >= graft.functions.TextAnalysis.winnowMinShared
+    } yield (ids(i), ids(j), shared)).toSet
+    val out = graft.functions.TextAnalysis.winnowingPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == want)
+  }
+
   test("winnowing fingerprints match a sequential reference selection") {
     val spark = SparkTestSession.spark
     val sf = SparkTestSession.sf
