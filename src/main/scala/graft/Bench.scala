@@ -123,7 +123,9 @@ object Bench {
       "stream_dedup", "stream_upsert_deltas_tws", "pipeline_run",
       "ingest_parse", "yearly_revenue", "knn_pq_adc", "asof_join_native",
       "text_lm_score", "curate_source_cap", "knn_filtered",
-      "knn_ivf_sampled", "stats_cuped", "text_bpe_train")
+      "knn_ivf_sampled", "stats_cuped", "text_bpe_train",
+      "train_token_budget", "behavior_attribution_linear",
+      "dedup_winnowing_pairs", "embed_lsh_recall")
     val qs = toJson(okResults.view.filterKeys(headline).toMap, identity)
     val total = if (okResults.nonEmpty) okResults.values.sum else 0.0
     val sfTag = sfDir.split('/').last

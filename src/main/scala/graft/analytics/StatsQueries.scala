@@ -320,6 +320,46 @@ object StatsQueries {
         "am.cents AS ks_at_cents")
   }
 
+  /** Exact Mann–Whitney U (Wilcoxon rank-sum) between purchase and
+    * view values — the nonparametric "is one distribution
+    * stochastically larger" readout next to [[ksTwoSample]]'s
+    * max-CDF-gap. No ranks are ever materialized: with per-value
+    * counts on the integer cents domain, `2·U_A = Σ_v ca(v)·(2·#{b<v}
+    * + #{b=v})` — all integers, no ½-tie floats, published with the
+    * common-language effect size `auc_q6 = 10^6·2U_A DIV (2·n_a·n_b)`
+    * (the probability a random purchase exceeds a random view).
+    * Plan: one corpus-scale hash agg to the cents histogram; the
+    * strictly-less cumulative and the totals are windows over the
+    * VALUE-DOMAIN-bounded cell frame (≤ 49k cents cells — bounded by
+    * the price domain, not the data), then a one-row agg. Identity
+    * `u2_a + u2_b = 2·n_a·n_b` is published for free as u2_b.
+    * Headroom: u2 ≤ 2·n_a·n_b — int64-safe to n ~ 2·10^9 per arm; a
+    * 100 TB corpus lifts the products to DECIMAL(38,0) (the chi2
+    * pattern). */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isA = col("event_type") === "purchase"
+    val cells = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(round(col("value") * 100).cast("long").as("cents"), isA.as("a"))
+      .groupBy("cents")
+      .agg(coalesce(sum(when(col("a"), 1L)), lit(0L)).as("ca"),
+        coalesce(sum(when(!col("a"), 1L)), lit(0L)).as("cb"))
+    val wLt = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wT = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("lt_b", coalesce(sum(col("cb")).over(wLt), lit(0L)))
+      .withColumn("n_a", sum(col("ca")).over(wT))
+      .withColumn("n_b", sum(col("cb")).over(wT))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("ca") * (col("lt_b") * 2L + col("cb"))).as("u2_a"))
+      .selectExpr("n_a", "n_b", "u2_a",
+        "2 * n_a * n_b - u2_a AS u2_b",
+        "(1000000 * u2_a) DIV (2 * n_a * n_b) AS auc_q6")
+  }
+
   /** Bootstrap replicates for [[poissonBootstrap]]. */
   val bootReps = 32
 
@@ -371,6 +411,7 @@ object StatsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_psi" -> psiDrift _,
     "stats_ks" -> ksTwoSample _,
+    "stats_mannwhitney" -> mannWhitney _,
     "stats_bootstrap" -> poissonBootstrap _,
     "stats_cuped" -> cupedAb _,
     "stats_analyze" -> analyzeTable _,
@@ -378,6 +419,28 @@ object StatsQueries {
     "stats_join_size" -> joinSizeEstimate _)
 
   val oracles: Map[String, String] = Map(
+    "stats_mannwhitney" ->
+      """WITH cells AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+        |      AS ca,
+        |    CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+        |      AS cb
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1),
+        |m AS (SELECT *,
+        |    CAST(coalesce(sum(cb) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS lt_b,
+        |    CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+        |    CAST(sum(cb) OVER () AS BIGINT) AS n_b
+        |  FROM cells)
+        |SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+        |  CAST(sum(ca * (lt_b * 2 + cb)) AS BIGINT) AS u2_a,
+        |  CAST(2 * max(n_a) * max(n_b) - sum(ca * (lt_b * 2 + cb))
+        |    AS BIGINT) AS u2_b,
+        |  CAST(1000000 * sum(ca * (lt_b * 2 + cb))
+        |    // (2 * max(n_a) * max(n_b)) AS BIGINT) AS auc_q6
+        |FROM m""".stripMargin,
     "stats_psi" ->
       s"""WITH c AS (SELECT event_type,
          |    least(CAST(round(value * 100) AS BIGINT) // $psiBinCents,

@@ -7,6 +7,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class StatsQueriesSpec extends AnyFunSuite {
   val spark = SparkTestSession.spark
 
+  test("mann-whitney 2U equals the brute-force pairwise comparison count") {
+    val sf = SparkTestSession.sf
+    val vals = Tables.load(spark, sf, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .selectExpr("event_type = 'purchase' AS a",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    val as = vals.filter(_._1).map(_._2)
+    val bs = vals.filterNot(_._1).map(_._2)
+    // 2U_A = #{(a,b): a > b}*2 + #{a = b} — the rank-sum definition
+    var u2 = 0L
+    for (a <- as; b <- bs)
+      u2 += (if (a > b) 2L else if (a == b) 1L else 0L)
+    val row = StatsQueries.mannWhitney(spark, sf).collect()(0)
+    assert(row.getLong(0) == as.length.toLong
+      && row.getLong(1) == bs.length.toLong)
+    assert(row.getLong(2) == u2, "2U_A mismatch vs brute force")
+    assert(row.getLong(2) + row.getLong(3) ==
+      2L * as.length * bs.length, "U_A + U_B identity")
+    assert(row.getLong(4) == 1000000L * u2 / (2L * as.length * bs.length))
+  }
+
   test("analyze profile matches per-column reference aggregates") {
     val li = Tables.load(spark, SparkTestSession.sf, "lineitem")
     val n = li.count()
