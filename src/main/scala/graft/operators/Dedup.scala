@@ -58,6 +58,35 @@ object Dedup {
       .groupBy(sha2(col("text"), 256).as("content_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("cnt"))
 
+  /** Per-source duplicate-rate report card — the readout a corpus
+    * owner actually acts on ("which feed is flooding us with
+    * copies?"): for each source, document count, distinct-content
+    * count, surviving-representative count (min-doc_id rule), and the
+    * duplicate rate `10^6·(docs − uniques) DIV docs` (exact integers).
+    * A duplicate GROUP that spans sources counts its survivor in the
+    * survivor's source only — so `survivors ≤ uniques` per source and
+    * the gap is exactly the cross-source duplication, a column no
+    * single-source rate shows. Plan: one content-hash shuffle (keys +
+    * counts, never bodies — the [[curate]] discipline), then a
+    * |sources|-bounded agg; the per-hash frame joins back to sources
+    * by the min-doc_id representative, doc_id-keyed. */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("h"))
+    // per (source, hash): local counts; per hash: global survivor
+    val perSrc = docs.groupBy("source", "h")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("local_min"))
+    val surv = docs.groupBy("h").agg(min("doc_id").as("survivor_id"))
+    perSrc.join(surv, "h")
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(when(col("local_min") === col("survivor_id"), 1L)
+          .otherwise(0L)).as("n_survivors"))
+      .selectExpr("source", "n_docs", "n_unique", "n_survivors",
+        "(1000000 * (n_docs - n_unique)) DIV n_docs AS dup_rate_q6")
+  }
+
   // --- MinHash + LSH ----------------------------------------------------
 
   // Fixed pseudorandom permutation parameters (overflow-free: coefficients
@@ -1123,6 +1152,7 @@ object Dedup {
     "dedup_substring_rolling" -> substringDedupRolling _,
     "dedup_containment" -> containmentQuery _,
     "dedup_exact" -> exactDedup _,
+    "dedup_rate_by_source" -> dupRateBySource _,
     "dedup_minhash_bands" -> minhashQuery _,
     "dedup_simhash" -> simhashQuery _,
     "dedup_simhash_pairs" -> simhashPairsQuery _,
@@ -1407,6 +1437,20 @@ object Dedup {
       """SELECT sha256(text) AS content_hash,
         |  min(doc_id) AS keep_id, count(*) AS cnt
         |FROM documents GROUP BY sha256(text)""".stripMargin,
+    "dedup_rate_by_source" ->
+      """WITH d AS (SELECT doc_id, source, sha256(text) AS h
+        |  FROM documents),
+        |ps AS (SELECT source, h, CAST(count(*) AS BIGINT) AS n,
+        |    min(doc_id) AS local_min
+        |  FROM d GROUP BY 1, 2),
+        |sv AS (SELECT h, min(doc_id) AS survivor_id FROM d GROUP BY 1)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(sum(CASE WHEN local_min = survivor_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_survivors,
+        |  CAST((1000000 * (sum(n) - count(*))) // sum(n) AS BIGINT)
+        |    AS dup_rate_q6
+        |FROM ps JOIN sv USING (h) GROUP BY source""".stripMargin,
     "dedup_minhash_bands" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,

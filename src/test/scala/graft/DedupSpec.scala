@@ -5,6 +5,24 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class DedupSpec extends AnyFunSuite {
+
+  test("per-source dup rates reconcile with the corpus and exact dedup") {
+    val spark = SparkTestSession.spark
+    val sf = SparkTestSession.sf
+    val out = graft.operators.Dedup.dupRateBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(out.map(_._2).sum == nDocs, "doc counts must cover the corpus")
+    // survivors across sources == global distinct contents
+    val nContents = graft.operators.Dedup.exactDedup(spark, sf).count()
+    assert(out.map(_._4).sum == nContents)
+    out.foreach { case (s, docs, uniq, surv, rate) =>
+      assert(surv <= uniq && uniq <= docs, s"$s ordering")
+      assert(rate == 1000000L * (docs - uniq) / docs, s"$s rate")
+    }
+  }
+
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
