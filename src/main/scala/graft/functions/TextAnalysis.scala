@@ -175,25 +175,56 @@ object TextAnalysis {
     *
     * Everything is map-side per-document array arithmetic (token-term
     * codes → k-gram polynomial hashes → windowed minima → distinct →
-    * explode): zero shuffles before the output, O(n·(k+w)) per doc,
-    * the same per-row HOF budget as [[tokensBpe]]. Docs shorter than
-    * k+w tokens have no full window and are filtered (none exist in
-    * this corpus — min length 10 ≥ 8 — but the guard keeps the
-    * operator total). */
+    * explode): zero shuffles before the output, O(n·(k+w)) per doc.
+    * This is deliberately a typed per-row kernel, NOT chained SQL
+    * higher-order functions: the HOF formulation (`transform` over
+    * `sequence` with `slice`+`aggregate`, then a second windowed
+    * `transform`) LOOKS equivalent, but CollapseProject inlines each
+    * intermediate array into every lambda that references it, so the
+    * token array re-derives per k-gram and the k-gram array per
+    * window — O(n²·k·w) per document. Measured at sf0.1: 395 s
+    * inlined vs ~1 s here; winnowing is genuinely sequential per-row
+    * logic, the case the mapPartitions escape hatch exists for. Docs
+    * shorter than k+w tokens have no full window and are skipped
+    * (none exist in this corpus — min length 10 ≥ 8 — but the guard
+    * keeps the operator total). */
   def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val p = 1000000007L
+    val (k, w) = (winnowK, winnowW)
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
-        transform(tokens(col("text")), tokenTerm _).as("tm"))
-      .filter(size(col("tm")) >= winnowK + winnowW)
-      .withColumn("kg", expr(
-        s"transform(sequence(0, size(tm) - $winnowK), i -> " +
-          s"aggregate(slice(tm, i + 1, $winnowK), 0L, " +
-          s"(acc, x) -> (acc * 31 + x) % ${p}L))"))
-      .withColumn("sel", expr(
-        s"array_distinct(transform(sequence(0, size(kg) - $winnowW), " +
-          s"j -> array_min(slice(kg, j + 1, $winnowW))))"))
-      .select(col("doc_id"), explode(col("sel")).as("fp"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        // tokenTerm: length*7 + first-char code (identical to the SQL
+        // form for this ASCII corpus; ascii('') = 0 matches the guard)
+        val tm = text.split(" ", -1).map(t =>
+          t.length.toLong * 7 + (if (t.isEmpty) 0L else t.charAt(0).toLong))
+        if (tm.length < k + w) Iterator.empty
+        else {
+          val m = tm.length - k + 1
+          val kg = new Array[Long](m)
+          var i = 0
+          while (i < m) {
+            var acc = 0L
+            var j = 0
+            while (j < k) { acc = (acc * 31 + tm(i + j)) % p; j += 1 }
+            kg(i) = acc
+            i += 1
+          }
+          val sel = scala.collection.mutable.LinkedHashSet.empty[Long]
+          var jw = 0
+          while (jw <= m - w) {
+            var mn = kg(jw)
+            var t = 1
+            while (t < w) { if (kg(jw + t) < mn) mn = kg(jw + t); t += 1 }
+            sel += mn
+            jw += 1
+          }
+          sel.iterator.map(fp => (id, fp))
+        }
+      }
+      .toDF("doc_id", "fp")
   }
 
   /** Winnowing-pair knobs: fingerprints shared by more than
