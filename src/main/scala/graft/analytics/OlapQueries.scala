@@ -691,7 +691,52 @@ object OlapQueries {
         col("n_users_bitmap") === col("n_users_exact"))
   }
 
+  /** Band width (cents) for the [[percentileBanded]] two-level prefix
+    * sum: price domain ≤ 5·10⁷ cents DIV 10⁵ → ≤ 500 bands. */
+  val pctBandCents = 100000L
+
+  /** EXACT global percentiles (disc) of the order total at corpus
+    * scale — the scalable alternative to `percentile()`'s
+    * collect-and-sort (which holds each group's values in one task's
+    * memory: fine per-group, fatal for a global quantile over 10^12
+    * rows). The whole computation lives on the VALUE-DOMAIN-bounded
+    * cents histogram (≤ 5·10⁷ cells regardless of row count): one
+    * corpus-scale hash agg, the [[graft.operators.TrainPrep.tokenBudget]]
+    * banded prefix sum for the cumulative (per-band windows + a
+    * ≤500-row band-offset frame — no single-task sort over the
+    * cells), then each percentile is the unique histogram cell whose
+    * cumulative first crosses ceil(q·n/100), found by a map-side
+    * explode×3 and the integer crossing test `100·cum ≥ q·n AND
+    * 100·(cum−cnt) < q·n` — percentile_disc semantics, no float, no
+    * second pass. */
+  def percentileBanded(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.load(spark, dir, "orders")
+      .groupBy(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("band", expr(s"cents DIV $pctBandCents"))
+    val wIn = Window.partitionBy("band").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = h.withColumn("cum_in", sum(col("cnt")).over(wIn))
+    // ≤500-row band frame — bounded by the price domain, not the data
+    val wOff = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = h.groupBy("band").agg(sum(col("cnt")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("btot")).over(wTot))
+      .select(col("band"), col("off"), col("n"))
+    withCum.join(broadcast(offsets), "band")
+      .withColumn("cum", col("off") + col("cum_in"))
+      .withColumn("q", explode(array(lit(50L), lit(90L), lit(99L))))
+      .filter(col("cum") * 100 >= col("q") * col("n")
+        && (col("cum") - col("cnt")) * 100 < col("q") * col("n"))
+      .select(col("q"), col("cents").as("value_cents"), col("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_percentile_banded" -> percentileBanded _,
     "agg_kmv_setops" -> kmvSetOps _,
     "agg_bitmap_distinct" -> bitmapDistinct _,
     "window_rolling_median" -> rollingMedian _,
@@ -719,6 +764,18 @@ object OlapQueries {
     "func_array" -> arrayFuncs _)
 
   val oracles: Map[String, String] = Map(
+    "agg_percentile_banded" ->
+      """WITH h AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS cents,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT *,
+        |    CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+        |  FROM h)
+        |SELECT CAST(q.q AS BIGINT) AS q, cents AS value_cents, n
+        |FROM c, (SELECT unnest([50, 90, 99]) AS q) q
+        |WHERE cum * 100 >= q.q * n AND (cum - cnt) * 100 < q.q * n""".stripMargin,
     "agg_bitmap_distinct" ->
       """WITH w AS (SELECT event_type, user_id // 62 AS wi,
         |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INT))

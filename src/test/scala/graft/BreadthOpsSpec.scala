@@ -10,6 +10,22 @@ class BreadthOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = SparkTestSession.sf
 
+  test("banded percentiles equal the sorted-definition disc percentiles") {
+    val cents = Tables.load(spark, sf, "orders")
+      .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS c")
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    val out = OlapQueries.percentileBanded(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Seq(50L, 90L, 99L).map { q =>
+      // percentile_disc: smallest value whose cumulative count reaches
+      // ceil(q*n/100) — index ceil(q*n/100) - 1 in the sorted array
+      val idx = ((q * n + 99) / 100 - 1).toInt
+      (q, cents(idx), n)
+    }.toSet
+    assert(out == want)
+  }
+
   test("bitmap distinct equals exact countDistinct on every group") {
     val rows = OlapQueries.bitmapDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
