@@ -735,7 +735,48 @@ object OlapQueries {
       .select(col("q"), col("cents").as("value_cents"), col("n"))
   }
 
+  /** Exact Gini coefficient of the order totals — the inequality
+    * readout ("how concentrated is revenue?") on the same
+    * value-domain-bounded cents histogram as [[percentileBanded]].
+    * For ascending ranks the identity `G = (2·Σ i·xᵢ − (n+1)·Σx) /
+    * (n·Σx)` needs only per-cell arithmetic once the cumulative is
+    * known: a cell (v, c) at prior cumulative p contributes
+    * `v·(2·c·p + c·(c+1))` to `2·Σ i·xᵢ` — no per-row ranks, no sort
+    * of the data, ranks never exist. Products run in DECIMAL(38,0)
+    * (Spark) / HUGEINT (DuckDB) — the chi2 headroom pattern, since
+    * `2·Σ i·xᵢ` reaches n²·v̄ ≈ 10¹⁸ at sf0.1 alone — and the
+    * published `gini_q6` is an integral DIV of positive values,
+    * truncation-identical in both engines. Same plan as the
+    * percentile gate: one corpus hash agg, banded prefix, one-row
+    * readout. */
+  def giniBanded(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.load(spark, dir, "orders")
+      .groupBy(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("band", expr(s"cents DIV $pctBandCents"))
+    val wIn = Window.partitionBy("band").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = h.withColumn("cum_in", sum(col("cnt")).over(wIn))
+    val wOff = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = h.groupBy("band").agg(sum(col("cnt")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .select(col("band"), col("off"))
+    withCum.join(broadcast(offsets), "band")
+      .withColumn("cum", col("off") + col("cum_in"))
+      .agg(
+        sum(col("cnt")).as("n"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cnt")).as("t"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * " +
+          "(2 * cnt * (cum - cnt) + cnt * (cnt + 1))")).as("s2"))
+      .selectExpr("n", "CAST(t AS BIGINT) AS total_cents",
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(s2 - (n + 1) * t) DIV (n * t) AS BIGINT) AS gini_q6")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_gini" -> giniBanded _,
     "agg_percentile_banded" -> percentileBanded _,
     "agg_kmv_setops" -> kmvSetOps _,
     "agg_bitmap_distinct" -> bitmapDistinct _,
@@ -764,6 +805,23 @@ object OlapQueries {
     "func_array" -> arrayFuncs _)
 
   val oracles: Map[String, String] = Map(
+    "agg_gini" ->
+      """WITH h AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS cents,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT *,
+        |    CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum
+        |  FROM h),
+        |a AS (SELECT CAST(sum(cnt) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(cents AS HUGEINT) * cnt) AS HUGEINT) AS t,
+        |    CAST(sum(CAST(cents AS HUGEINT) *
+        |      (2 * cnt * (cum - cnt) + cnt * (cnt + 1))) AS HUGEINT) AS s2
+        |  FROM c)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS total_cents,
+        |  CAST((1000000 * (s2 - (n + 1) * t)) // (n * t) AS BIGINT)
+        |    AS gini_q6
+        |FROM a""".stripMargin,
     "agg_percentile_banded" ->
       """WITH h AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
         |      AS cents,

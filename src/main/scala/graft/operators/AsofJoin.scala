@@ -122,9 +122,36 @@ object AsofJoin {
           - unix_timestamp(col("v_ts"))).as("gap_s"))
   }
 
+  /** Max staleness (seconds) for the tolerance-bounded as-of gate. */
+  val asofToleranceS = 3600L
+
+  /** As-of with TOLERANCE (pandas `merge_asof(tolerance=...)`): the
+    * latest prior view still matches, but a match staler than
+    * [[asofToleranceS]] is nulled out — "the quote is too old to
+    * trust". The as-of match IS the nearest prior row, so nulling
+    * after the fact is exact (no nearer candidate can exist), which
+    * keeps the operator the same single union+window exchange with a
+    * post-projection — tolerance costs nothing at any scale. */
+  def purchaseToViewTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val gap = unix_timestamp(col("ts")) - unix_timestamp(col("_match.ts"))
+    val within = gap <= asofToleranceS
+    asof(views, purchases, "user_id", Seq("ts", "event_id"))
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        when(within, col("_match.event_id")).as("view_id"),
+        when(within, gap).as("gap_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> purchaseToView _,
     "asof_join_forward" -> purchaseToNextView _,
+    "asof_join_tolerance" -> purchaseToViewTolerance _,
     "asof_join_native" -> purchaseToViewNative _)
 
   val oracles: Map[String, String] = Map(
@@ -142,6 +169,16 @@ object AsofJoin {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
+    "asof_join_tolerance" ->
+      s"""SELECT p.event_id AS purchase_id, p.user_id,
+         |  CASE WHEN date_diff('second', v.ts, p.ts) <= $asofToleranceS
+         |    THEN v.event_id END AS view_id,
+         |  CASE WHEN date_diff('second', v.ts, p.ts) <= $asofToleranceS
+         |    THEN CAST(date_diff('second', v.ts, p.ts) AS BIGINT)
+         |  END AS gap_s
+         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
     "asof_join_forward" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         |  v.event_id AS view_id,

@@ -26,6 +26,23 @@ class BreadthOpsSpec extends AnyFunSuite {
     assert(out == want)
   }
 
+  test("banded gini equals the sorted-rank BigInt definition") {
+    val cents = Tables.load(spark, sf, "orders")
+      .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS c")
+      .collect().map(_.getLong(0)).sorted
+    val n = BigInt(cents.length)
+    val t = cents.map(BigInt(_)).sum
+    val s2 = cents.zipWithIndex
+      .map { case (x, i) => BigInt(2) * (i + 1) * x }.sum
+    val want = (BigInt(1000000) * (s2 - (n + 1) * t)) / (n * t)
+    val row = analytics.OlapQueries.giniBanded(spark, sf).collect()(0)
+    assert(row.getLong(0) == cents.length.toLong)
+    assert(BigInt(row.getLong(1)) == t)
+    assert(BigInt(row.getLong(2)) == want)
+    // inequality readout is a genuine fraction of [0, 1e6)
+    assert(row.getLong(2) > 0 && row.getLong(2) < 1000000L)
+  }
+
   test("bitmap distinct equals exact countDistinct on every group") {
     val rows = OlapQueries.bitmapDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
