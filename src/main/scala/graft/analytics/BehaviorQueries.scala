@@ -161,6 +161,28 @@ object BehaviorQueries {
       .select(col("wd").cast("int").as("day_index"), col("wau"))
   }
 
+  /** DAU/WAU stickiness — the product-analytics ratio every retention
+    * dashboard leads with ("what share of this week's users came back
+    * today?"): per day, distinct daily actives over distinct
+    * trailing-7-day actives, published as the exact integer
+    * `10^6·dau DIV wau` (dau ≤ wau, so the ratio is a true q6
+    * fraction). Composes the day-exploded WAU
+    * ([[rollingActiveUsers]] — ≤7× replication of the deduped
+    * (user, day) frame, never the raw events) with a second
+    * distinct-count over the same frame; both aggs are day-keyed
+    * shuffles of (user, day) pairs. */
+  def dauStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val dau = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("d"))
+      .distinct()
+      .groupBy("d").agg(countDistinct(col("user_id")).as("dau"))
+      .select(col("d").cast("int").as("day_index"), col("dau"))
+    rollingActiveUsers(spark, dir).join(dau, "day_index")
+      .selectExpr("day_index", "dau", "wau",
+        "(1000000 * dau) DIV wau AS stickiness_q6")
+  }
+
   /** Markov transition matrix over per-user event sequences: order each
     * user's events by time (event_id breaks ts ties deterministically),
     * pair each event with its successor via `lag`, count every
@@ -334,6 +356,7 @@ object BehaviorQueries {
     "behavior_attribution" -> attribution _,
     "behavior_attribution_linear" -> attributionLinear _,
     "window_rolling_distinct" -> rollingActiveUsers _,
+    "behavior_stickiness" -> dauStickiness _,
     "window_sliding" -> slidingWindow _)
 
   /** Shared by the batch gate and the streaming replay gate
@@ -419,6 +442,22 @@ object BehaviorQueries {
         |SELECT CAST(wd AS INT) AS day_index,
         |  count(DISTINCT user_id) AS wau
         |FROM x, mx WHERE wd <= dmax GROUP BY 1""".stripMargin,
+    "behavior_stickiness" ->
+      """WITH bd AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |mx AS (SELECT max(d) AS dmax FROM bd),
+        |x AS (SELECT user_id, d + j AS wd
+        |  FROM bd, unnest([0, 1, 2, 3, 4, 5, 6]) AS u(j)),
+        |w AS (SELECT CAST(wd AS INT) AS day_index,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM x, mx WHERE wd <= dmax GROUP BY 1),
+        |da AS (SELECT CAST(d AS INT) AS day_index,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM bd GROUP BY 1)
+        |SELECT day_index, dau, wau,
+        |  CAST((1000000 * dau) // wau AS BIGINT) AS stickiness_q6
+        |FROM w JOIN da USING (day_index)""".stripMargin,
     "cohort_retention" ->
       """WITH e AS (SELECT user_id,
         |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d

@@ -45,6 +45,21 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out.values.forall { case (n, c) => n > 0 && c > 0 })
   }
 
+  test("stickiness ratios reconcile dau against the trailing-week wau") {
+    val sf = SparkTestSession.sf
+    val out = BehaviorQueries.dauStickiness(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (day, dau, wau, q) =>
+      assert(dau >= 1 && dau <= wau, s"day $day: dau must not exceed wau")
+      assert(q == 1000000L * dau / wau, s"day $day ratio")
+    }
+    // every day with events is present
+    val nDays = Tables.load(spark, sf, "events")
+      .selectExpr("CAST(ts AS DATE) AS d").distinct().count()
+    assert(out.length == nDays)
+  }
+
   test("funnel stages are monotonically non-increasing") {
     val rows = BehaviorQueries.funnel(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
