@@ -775,7 +775,54 @@ object OlapQueries {
           "(s2 - (n + 1) * t) DIV (n * t) AS BIGINT) AS gini_q6")
   }
 
+  /** Lorenz-curve deciles — the pointwise companion to [[giniBanded]]
+    * ("the bottom 50% of orders carry 31% of revenue"): for each
+    * population decile threshold d, the revenue share held by the
+    * smallest orders up to it. Found on the same banded cents
+    * histogram with the [[percentileBanded]] crossing test at
+    * d·n/10; the share is the exact integer `10^6·cum_cents DIV
+    * total_cents` at the crossing cell (disc semantics: the cell
+    * that completes the decile is included — deterministic, no
+    * interpolation). DECIMAL(38,0)/HUGEINT for the cents cumulative
+    * products, as in the Gini gate. */
+  def lorenzDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.load(spark, dir, "orders")
+      .groupBy(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("band", expr(s"cents DIV $pctBandCents"))
+    val wIn = Window.partitionBy("band").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = h
+      .withColumn("cum_in", sum(col("cnt")).over(wIn))
+      .withColumn("cumc_in",
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cnt")).over(wIn))
+    val wOff = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = h.groupBy("band")
+      .agg(sum(col("cnt")).as("btot"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cnt")).as("bc"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .withColumn("offc", coalesce(sum(col("bc")).over(wOff),
+        expr("CAST(0 AS DECIMAL(38,0))")))
+      .withColumn("n", sum(col("btot")).over(wTot))
+      .withColumn("t", sum(col("bc")).over(wTot))
+      .select(col("band"), col("off"), col("offc"), col("n"), col("t"))
+    withCum.join(broadcast(offsets), "band")
+      .withColumn("cum", col("off") + col("cum_in"))
+      .withColumn("cumc", col("offc") + col("cumc_in"))
+      .withColumn("d", explode(array((1L to 9L).map(lit): _*)))
+      .filter(col("cum") * 10 >= col("d") * col("n")
+        && (col("cum") - col("cnt")) * 10 < col("d") * col("n"))
+      .selectExpr("d AS decile", "cum AS n_orders",
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * cumc DIV t AS BIGINT)" +
+          " AS revenue_share_q6")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_lorenz" -> lorenzDeciles _,
     "agg_gini" -> giniBanded _,
     "agg_percentile_banded" -> percentileBanded _,
     "agg_kmv_setops" -> kmvSetOps _,
@@ -805,6 +852,23 @@ object OlapQueries {
     "func_array" -> arrayFuncs _)
 
   val oracles: Map[String, String] = Map(
+    "agg_lorenz" ->
+      """WITH h AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS cents,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT *,
+        |    CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum,
+        |    CAST(sum(CAST(cents AS HUGEINT) * cnt) OVER (ORDER BY cents)
+        |      AS HUGEINT) AS cumc,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS n,
+        |    CAST(sum(CAST(cents AS HUGEINT) * cnt) OVER () AS HUGEINT)
+        |      AS t
+        |  FROM h)
+        |SELECT CAST(d.d AS BIGINT) AS decile, cum AS n_orders,
+        |  CAST(1000000 * cumc // t AS BIGINT) AS revenue_share_q6
+        |FROM c, (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS d) d
+        |WHERE cum * 10 >= d.d * n AND (cum - cnt) * 10 < d.d * n""".stripMargin,
     "agg_gini" ->
       """WITH h AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
         |      AS cents,

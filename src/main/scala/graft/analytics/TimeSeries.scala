@@ -410,7 +410,35 @@ object TimeSeries {
           .as("interp_q6"))
   }
 
+  /** Week-over-week growth per event type — the trend readout every
+    * weekly report opens with: this ISO-week's event count and value
+    * sum against the previous week's, growth published as the exact
+    * integer ratio `10^6·this DIV prev` (q6 of 1.0 = flat; no float,
+    * no null-division — the first week of each series has no prior
+    * and is dropped by the lag's null). Weeks are epoch-day DIV 7
+    * (fixed 7-day buckets from the epoch — no calendar-ISO
+    * disagreement between engines). Plan: one corpus-scale hash agg
+    * to the (type, week) grid; the lag is one window over that
+    * bounded calendar frame. */
+  def wowGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)" +
+          " DIV 7").as("week"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    weekly
+      .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .filter(col("prev_cnt").isNotNull)
+      .selectExpr("event_type", "week", "cnt", "cents",
+        "(1000000 * cnt) DIV prev_cnt AS cnt_wow_q6",
+        "(1000000 * cents) DIV prev_cents AS cents_wow_q6")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_wow_growth" -> wowGrowth _,
     "ts_interpolate" -> interpolate _,
     "ts_changepoint" -> cusumChangepoint _,
     "ts_acf" -> acf _,
@@ -423,6 +451,24 @@ object TimeSeries {
     "ts_seasonal" -> seasonal _)
 
   val oracles: Map[String, String] = Map(
+    "ts_wow_growth" ->
+      """WITH wk AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) // 7 AS week,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT *,
+        |    lag(cnt) OVER (PARTITION BY event_type ORDER BY week)
+        |      AS prev_cnt,
+        |    lag(cents) OVER (PARTITION BY event_type ORDER BY week)
+        |      AS prev_cents
+        |  FROM wk)
+        |SELECT event_type, week, cnt, cents,
+        |  CAST((1000000 * cnt) // prev_cnt AS BIGINT) AS cnt_wow_q6,
+        |  CAST((1000000 * cents) // prev_cents AS BIGINT) AS cents_wow_q6
+        |FROM l WHERE prev_cnt IS NOT NULL""".stripMargin,
     "ts_interpolate" ->
       """WITH h AS (
         |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,

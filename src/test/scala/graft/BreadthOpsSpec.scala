@@ -26,6 +26,32 @@ class BreadthOpsSpec extends AnyFunSuite {
     assert(out == want)
   }
 
+  test("lorenz deciles equal the sorted-prefix BigInt definition") {
+    val cents = Tables.load(spark, sf, "orders")
+      .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS c")
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    val t = cents.map(BigInt(_)).sum
+    val out = analytics.OlapQueries.lorenzDeciles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1L to 9L))
+    // shares are monotone and reproduce the crossing-cell definition:
+    // the decile's cell (last index with cum*10 >= d*n crossing) has
+    // cumulative count = n_orders and prefix revenue share = q6
+    out.foreach { case (d, nOrders, q) =>
+      // n_orders = count through the value that completes the decile:
+      // smallest prefix length whose count*10 >= d*n, extended through
+      // ties of the crossing value
+      val idx = cents.indices.find(i => (i + 1) * 10 >= d * n).get
+      val v = cents(idx)
+      val last = cents.lastIndexWhere(_ == v)
+      assert(nOrders == last + 1, s"decile $d count")
+      val share = BigInt(1000000) * cents.take(last + 1).map(BigInt(_)).sum / t
+      assert(BigInt(q) == share, s"decile $d share")
+    }
+    assert(out.map(_._3).sliding(2).forall(p => p.head <= p.last))
+  }
+
   test("banded gini equals the sorted-rank BigInt definition") {
     val cents = Tables.load(spark, sf, "orders")
       .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS c")

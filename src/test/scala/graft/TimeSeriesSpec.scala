@@ -59,6 +59,33 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("week-over-week growth matches a driver-side lag over weekly sums") {
+    val sf = SparkTestSession.sf
+    val out = TimeSeries.wowGrowth(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val weekly = Tables.load(spark, sf, "events")
+      .selectExpr("event_type",
+        "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)" +
+          " DIV 7 AS week",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, g) => k -> (g.length.toLong, g.map(_._3).sum) }
+    // lag(1) pairs each week with the previous OBSERVED week, so the
+    // reference walks the sorted observed sequence per type
+    val want = weekly.keys.groupBy(_._1).flatMap { case (ty, ks) =>
+      val wks = ks.map(_._2).toSeq.sorted
+      wks.zip(wks.drop(1)).map { case (pw, wk) =>
+        val (cnt, cents) = weekly((ty, wk))
+        val (pc, pcents) = weekly((ty, pw))
+        (ty, wk) -> (cnt, cents, 1000000L * cnt / pc, 1000000L * cents / pcents)
+      }
+    }
+    assert(out == want)
+    assert(out.nonEmpty)
+  }
+
   test("ohlc bars are internally consistent and volumes sum to the corpus") {
     val sf = SparkTestSession.sf
     val bars = TimeSeries.ohlcResample(spark, sf).cache()
