@@ -226,7 +226,37 @@ object Multimodal {
       .filter(col("dist") <= 3)
   }
 
+  /** Audio window width / stride (ms) and the fake bytes→duration
+    * rate for [[audioWindows]]. */
+  val audioWinMs = 1000L
+  val audioStrideMs = 600L
+  val audioMsPerByte = 40L
+
+  /** Overlapping window segmentation of the audio assets — the
+    * fixed-width/stride chunking an ASR/audio-embedding stage consumes
+    * ([[graft.operators.TrainPrep]] chunking, ported to the time
+    * axis): every window of [[audioWinMs]] ms starting each
+    * [[audioStrideMs]] ms with start < duration, the final window
+    * clamped to the asset end. Duration derives deterministically
+    * from payload size ([[decodeStub]]'s discipline — a real decoder
+    * swaps in). Map-side `sequence`/`explode` generation: window
+    * count is `(duration−1) DIV stride + 1` per asset, no shuffle at
+    * all — output IO is the whole cost at any corpus size. */
+  def audioWindows(spark: SparkSession, dir: String): DataFrame =
+    assets(spark, dir).toDF()
+      .filter(col("kind") === "audio")
+      .select(col("asset_id"),
+        (length(col("payload")) * audioMsPerByte).cast("long")
+          .as("duration_ms"))
+      .withColumn("window_idx", explode(expr(
+        s"sequence(0, (duration_ms - 1) DIV $audioStrideMs)")))
+      .select(col("asset_id"), col("duration_ms"), col("window_idx"),
+        (col("window_idx") * audioStrideMs).as("start_ms"),
+        least(col("window_idx") * audioStrideMs + audioWinMs,
+          col("duration_ms")).as("end_ms"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_audio_windows" -> audioWindows _,
     "multimodal_meta" -> metaQuery _,
     "multimodal_frames" -> frameSample _,
     "multimodal_resize" -> resizePlan _,
@@ -234,6 +264,17 @@ object Multimodal {
     "multimodal_feature_knn" -> featureKnn _)
 
   val oracles: Map[String, String] = Map(
+    "multimodal_audio_windows" ->
+      s"""WITH a AS (SELECT doc_id AS asset_id,
+         |    CAST(octet_length(encode(text)) * $audioMsPerByte AS BIGINT)
+         |      AS duration_ms
+         |  FROM documents WHERE doc_id % 3 = 1)
+         |SELECT asset_id, duration_ms, CAST(w.i AS BIGINT) AS window_idx,
+         |  CAST(w.i * $audioStrideMs AS BIGINT) AS start_ms,
+         |  least(w.i * $audioStrideMs + $audioWinMs, duration_ms)
+         |    AS end_ms
+         |FROM a, LATERAL (SELECT
+         |  unnest(range((duration_ms - 1) // $audioStrideMs + 1)) AS i) w""".stripMargin,
     // ASCII corpus => byte histogram == char histogram (see
     // multimodal_feature_knn); the oracle brute-forces all same-kind
     // pairs, which the banded join provably equals at dist <= 3.

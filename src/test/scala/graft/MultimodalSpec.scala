@@ -4,6 +4,29 @@ import graft.operators.Multimodal
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
+
+  test("audio windows tile every asset: full cover, stride-aligned, clamped") {
+    val spark = SparkTestSession.spark
+    val out = graft.operators.Multimodal
+      .audioWindows(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    val st = graft.operators.Multimodal.audioStrideMs
+    val wd = graft.operators.Multimodal.audioWinMs
+    out.groupBy(_._1).foreach { case (id, ws) =>
+      val d = ws.head._2
+      val sorted = ws.sortBy(_._3)
+      // dense indices, stride-aligned starts, clamped ends, full cover
+      assert(sorted.map(_._3).toSeq == sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, _, i, s, e) =>
+        assert(s == i * st && e == math.min(s + wd, d) && s < d)
+      }
+      assert(sorted.last._5 == d, s"asset $id last window must reach the end")
+      assert(sorted.last._4 + st >= d, s"asset $id no missing final window")
+    }
+  }
+
   lazy val spark = SparkTestSession.spark
 
   test("decode stub derives metadata deterministically from payload bytes") {
