@@ -177,7 +177,38 @@ object CoreQueries {
     spark.sql(sqlStarJoinText)
   }
 
+  /** Recursive CTE through the SQL front door (Spark 4's WITH
+    * RECURSIVE): each user walks its synthetic decimal-digit ancestor
+    * chain (`anc → floor(anc/10)`) to the root — the org-hierarchy /
+    * BOM-walk query shape, on a chain that STRICTLY DECREASES so the
+    * recursion provably terminates in ⌈log₁₀ id⌉ steps. Division is
+    * spelled `CAST(floor(anc / 10) AS BIGINT)` so the identical text
+    * runs in Spark and DuckDB (their integer `/` semantics agree on
+    * DOUBLE, not on `DIV` vs `//`); depths/counts are exact integers.
+    * Scale: recursion depth is bounded by the KEY WIDTH (≤ 7 for
+    * 10^7 users), each round a semi-bounded self-union — the general
+    * unbounded-graph closure stays on the star-alternation operator
+    * ([[graft.operators.Dedup.dupClustersStar]]); this gate pins the
+    * SQL surface. */
+  private val sqlRecursiveText: String =
+    """WITH RECURSIVE up(user_id, anc, depth) AS (
+      |  SELECT DISTINCT user_id, user_id AS anc,
+      |    CAST(0 AS BIGINT) AS depth
+      |  FROM events
+      |  UNION ALL
+      |  SELECT user_id, CAST(floor(anc / 10) AS BIGINT), depth + 1
+      |  FROM up WHERE anc > 0
+      |)
+      |SELECT user_id, max(depth) AS chain_len, count(*) AS n_steps
+      |FROM up GROUP BY user_id""".stripMargin
+
+  def sqlRecursive(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir, "events")
+    spark.sql(sqlRecursiveText)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_recursive_cte" -> sqlRecursive _,
     "sql_surface" -> sqlSurface _,
     "sql_subqueries" -> sqlSubqueries _,
     "sql_star_join" -> sqlStarJoin _,
@@ -194,6 +225,7 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     // the same SQL text runs in DuckDB unchanged
     "sql_surface" -> sqlSurfaceText,
+    "sql_recursive_cte" -> sqlRecursiveText,
     "sql_subqueries" -> sqlSubqueriesText,
     "sql_star_join" -> sqlStarJoinText,
     "core_records_per_group" ->

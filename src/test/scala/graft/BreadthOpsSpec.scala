@@ -26,6 +26,19 @@ class BreadthOpsSpec extends AnyFunSuite {
     assert(out == want)
   }
 
+  test("recursive CTE walks each user's digit chain to the root exactly") {
+    val rows = analytics.CoreQueries.sqlRecursive(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val users = Tables.load(spark, sf, "events")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == users)
+    rows.foreach { case (u, chain, steps) =>
+      val expected = if (u == 0) 0L else u.toString.length.toLong
+      assert(chain == expected, s"user $u depth")
+      assert(steps == chain + 1, s"user $u step count")
+    }
+  }
+
   test("lorenz deciles equal the sorted-prefix BigInt definition") {
     val cents = Tables.load(spark, sf, "orders")
       .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS c")
