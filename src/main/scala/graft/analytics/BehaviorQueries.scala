@@ -183,6 +183,29 @@ object BehaviorQueries {
         "(1000000 * dau) DIV wau AS stickiness_q6")
   }
 
+  /** Cumulative user-growth curve — "how many distinct users have we
+    * EVER seen, by day": each user contributes once at their first
+    * active day, and the cumulative over first-day counts is the
+    * growth curve (new_users per day + running total). The classic
+    * trap is a per-day `countDistinct` over an expanding window —
+    * O(days · users) state; first-day attribution is one user-keyed
+    * min-agg plus a prefix sum over the bounded calendar frame.
+    * Days with zero NEW users still appear when bracketed (the grid
+    * is each observed first-day; a gap day simply repeats the
+    * cumulative at its next observed day — no rows invented). */
+  def userGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstDay = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"))
+    val wCum = Window.orderBy("first_day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // calendar-bounded frame (≤ days rows) — the ts_seasonal pattern
+    firstDay.groupBy("first_day")
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(wCum))
+  }
+
   /** Markov transition matrix over per-user event sequences: order each
     * user's events by time (event_id breaks ts ties deterministically),
     * pair each event with its successor via `lag`, count every
@@ -357,6 +380,7 @@ object BehaviorQueries {
     "behavior_attribution_linear" -> attributionLinear _,
     "window_rolling_distinct" -> rollingActiveUsers _,
     "behavior_stickiness" -> dauStickiness _,
+    "behavior_user_growth" -> userGrowth _,
     "window_sliding" -> slidingWindow _)
 
   /** Shared by the batch gate and the streaming replay gate
@@ -442,6 +466,15 @@ object BehaviorQueries {
         |SELECT CAST(wd AS INT) AS day_index,
         |  count(DISTINCT user_id) AS wau
         |FROM x, mx WHERE wd <= dmax GROUP BY 1""".stripMargin,
+    "behavior_user_growth" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT first_day, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM f GROUP BY 1)
+        |SELECT first_day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY first_day) AS BIGINT)
+        |    AS cum_users
+        |FROM d""".stripMargin,
     "behavior_stickiness" ->
       """WITH bd AS (SELECT DISTINCT user_id,
         |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d

@@ -169,7 +169,31 @@ object DataQuality {
         expr(s"10000L * n * ${nKeys}L DIV ${total}L").as("skew_q4"))
   }
 
+  /** Event-order integrity check — "does arrival order agree with
+    * event time?": per user, count successive event_id-ordered pairs
+    * whose timestamps go BACKWARD (ts strictly decreases), the signal
+    * that an ingest path reordered or a producer clock skewed. One
+    * per-user lag window (the sessionize exchange), then a bounded
+    * per-type census of violation counts and total pairs — the
+    * monitoring number a pipeline alerts on, exact integers only. */
+  def orderViolations(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("ts") < col("prev_ts"), 1L).otherwise(0L))
+          .as("n_backward"))
+      .selectExpr("event_type", "n_pairs", "n_backward",
+        "(1000000 * n_backward) DIV n_pairs AS backward_q6")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_order_violations" -> orderViolations _,
     "dq_audit" -> audit _,
     "dq_referential" -> referential _,
     "dq_quarantine" -> quarantine _,
@@ -177,6 +201,17 @@ object DataQuality {
     "dq_skew_profile" -> skewProfile _)
 
   val oracles: Map[String, String] = Map(
+    "dq_order_violations" ->
+      """WITH l AS (SELECT user_id, event_id, event_type, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS prev_ts
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_backward,
+        |  CAST((1000000 * sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS backward_q6
+        |FROM l WHERE prev_ts IS NOT NULL GROUP BY 1""".stripMargin,
     "dq_skew_profile" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events
         |  GROUP BY 1),

@@ -60,6 +60,20 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out.length == nDays)
   }
 
+  test("user growth accumulates to the distinct-user total") {
+    val sf = SparkTestSession.sf
+    val out = BehaviorQueries.userGrowth(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val totalUsers = Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(out.map(_._2).sum == totalUsers)
+    assert(out.last._3 == totalUsers)
+    // running total is the prefix sum of new users
+    assert(out.map(_._2).scanLeft(0L)(_ + _).drop(1).toSeq ==
+      out.map(_._3).toSeq)
+  }
+
   test("funnel stages are monotonically non-increasing") {
     val rows = BehaviorQueries.funnel(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

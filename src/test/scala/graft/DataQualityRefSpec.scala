@@ -7,6 +7,33 @@ import org.scalatest.funsuite.AnyFunSuite
 class DataQualityRefSpec extends AnyFunSuite {
   val spark = SparkTestSession.spark
 
+  test("order violations match a driver-side per-user walk") {
+    val sf = SparkTestSession.sf
+    val out = DataQuality.orderViolations(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(ts) AS t")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val counts = scala.collection.mutable.Map
+      .empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    ev.groupBy(_._1).values.foreach { rows =>
+      val s = rows.sortBy(_._2)
+      s.zip(s.drop(1)).foreach { case ((_, _, _, pt), (_, _, ty, t)) =>
+        val (p, b) = counts(ty)
+        counts(ty) = (p + 1, b + (if (t < pt) 1 else 0))
+      }
+    }
+    assert(out == counts.map { case (ty, (p, b)) =>
+      ty -> (p, b, 1000000L * b / p)
+    }.toMap)
+    // total pairs = events - users (every non-first event forms a pair)
+    val users = ev.map(_._1).distinct.length
+    assert(out.values.map(_._1).sum == ev.length - users)
+  }
+
   test("referential audit: declared edges are clean and fully counted") {
     val rows = DataQuality.referential(spark, SparkTestSession.sf)
       .collect()
