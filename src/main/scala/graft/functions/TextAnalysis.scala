@@ -185,44 +185,56 @@ object TextAnalysis {
     * window — O(n²·k·w) per document. Measured at sf0.1: 395 s
     * inlined vs ~1 s here; winnowing is genuinely sequential per-row
     * logic, the case the mapPartitions escape hatch exists for. Docs
-    * shorter than k+w tokens have no full window and are skipped
+    * shorter than k+w−1 tokens have no full window and are skipped
     * (none exist in this corpus — min length 10 ≥ 8 — but the guard
     * keeps the operator total). */
+  /** The pure winnowing kernel: token-term codes → selected distinct
+    * fingerprints (empty when no full window exists). Factored out of
+    * the Dataset stage so the SWA guarantee — any shared run of
+    * ≥ k+w−1 tokens yields a shared fingerprint — is property-tested
+    * directly (TextAnalysisSpec), without a Spark job per case. */
+  private[graft] def winnowSelect(tm: Array[Long], k: Int, w: Int): Set[Long] = {
+    val p = 1000000007L
+    if (tm.length < k + w - 1) Set.empty
+    else {
+      val m = tm.length - k + 1
+      val kg = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        var acc = 0L
+        var j = 0
+        while (j < k) { acc = (acc * 31 + tm(i + j)) % p; j += 1 }
+        kg(i) = acc
+        i += 1
+      }
+      val sel = scala.collection.mutable.HashSet.empty[Long]
+      var jw = 0
+      while (jw <= m - w) {
+        var mn = kg(jw)
+        var t = 1
+        while (t < w) { if (kg(jw + t) < mn) mn = kg(jw + t); t += 1 }
+        sel += mn
+        jw += 1
+      }
+      sel.toSet
+    }
+  }
+
+  /** Token-term codes of a document (length*7 + first-char code —
+    * identical to the SQL rendering for this ASCII corpus;
+    * ascii('') = 0 matches the engine's empty-token guard). */
+  private[graft] def termCodes(text: String): Array[Long] =
+    text.split(" ", -1).map(t =>
+      t.length.toLong * 7 + (if (t.isEmpty) 0L else t.charAt(0).toLong))
+
   def winnowing(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val p = 1000000007L
     val (k, w) = (winnowK, winnowW)
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        // tokenTerm: length*7 + first-char code (identical to the SQL
-        // form for this ASCII corpus; ascii('') = 0 matches the guard)
-        val tm = text.split(" ", -1).map(t =>
-          t.length.toLong * 7 + (if (t.isEmpty) 0L else t.charAt(0).toLong))
-        if (tm.length < k + w) Iterator.empty
-        else {
-          val m = tm.length - k + 1
-          val kg = new Array[Long](m)
-          var i = 0
-          while (i < m) {
-            var acc = 0L
-            var j = 0
-            while (j < k) { acc = (acc * 31 + tm(i + j)) % p; j += 1 }
-            kg(i) = acc
-            i += 1
-          }
-          val sel = scala.collection.mutable.LinkedHashSet.empty[Long]
-          var jw = 0
-          while (jw <= m - w) {
-            var mn = kg(jw)
-            var t = 1
-            while (t < w) { if (kg(jw + t) < mn) mn = kg(jw + t); t += 1 }
-            sel += mn
-            jw += 1
-          }
-          sel.iterator.map(fp => (id, fp))
-        }
+        winnowSelect(termCodes(text), k, w).iterator.map(fp => (id, fp))
       }
       .toDF("doc_id", "fp")
   }
@@ -1024,7 +1036,7 @@ object TextAnalysis {
          |      x -> CAST(length(x) * 7 + ascii(x[1]) AS BIGINT)) AS tm
          |  FROM documents),
          |f AS (SELECT doc_id, tm FROM t
-         |  WHERE len(tm) >= ${winnowK + winnowW}),
+         |  WHERE len(tm) >= ${winnowK + winnowW - 1}),
          |kgr AS (SELECT doc_id,
          |    list_transform(range(len(tm) - ${winnowK} + 1), i ->
          |      list_reduce(
@@ -1043,7 +1055,7 @@ object TextAnalysis {
          |      x -> CAST(length(x) * 7 + ascii(x[1]) AS BIGINT)) AS tm
          |  FROM documents),
          |f AS (SELECT doc_id, tm FROM t
-         |  WHERE len(tm) >= ${winnowK + winnowW}),
+         |  WHERE len(tm) >= ${winnowK + winnowW - 1}),
          |kgr AS (SELECT doc_id,
          |    list_transform(range(len(tm) - ${winnowK} + 1), i ->
          |      list_reduce(

@@ -6,6 +6,32 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class TextAnalysisSpec extends AnyFunSuite {
 
+  test("winnowing guarantee: a shared k+w-1 token run forces a shared print") {
+    import graft.functions.TextAnalysis.{winnowK => k, winnowW => w, winnowSelect}
+    // SWA 2003 theorem 1: any common substring of >= k+w-1 tokens
+    // contains a full selection window of identical k-gram hashes, so
+    // both documents select (at least) one fingerprint from it.
+    // Deterministic LCG corpus: 200 random doc pairs with a shared
+    // passage of exactly k+w-1 tokens planted at random offsets.
+    var seed = 12345L
+    def nxt(m: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % m) + m).toInt % m }
+    for (_ <- 1 to 200) {
+      def randToks(n: Int) = Array.fill(n)(nxt(1000).toLong)
+      val passage = randToks(k + w - 1)
+      val (a0, b0) = (randToks(nxt(30) + k + w), randToks(nxt(30) + k + w))
+      val (ia, ib) = (nxt(a0.length), nxt(b0.length))
+      val a = a0.take(ia) ++ passage ++ a0.drop(ia)
+      val b = b0.take(ib) ++ passage ++ b0.drop(ib)
+      val shared = winnowSelect(a, k, w) & winnowSelect(b, k, w)
+      assert(shared.nonEmpty, "guaranteed shared fingerprint missing")
+    }
+    // degenerate inputs select nothing rather than crash
+    assert(winnowSelect(Array.fill(k + w - 1)(1L), k, w).nonEmpty)
+    assert(winnowSelect(Array.fill(k + w - 2)(1L), k, w).isEmpty)
+    assert(winnowSelect(Array.empty[Long], k, w).isEmpty)
+  }
+
   test("winnowing pairs equal the set-intersection counts of rare prints") {
     val spark = SparkTestSession.spark
     val sf = SparkTestSession.sf
