@@ -709,31 +709,53 @@ object OlapQueries {
     * explode×3 and the integer crossing test `100·cum ≥ q·n AND
     * 100·(cum−cnt) < q·n` — percentile_disc semantics, no float, no
     * second pass. */
-  def percentileBanded(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared scaffold of the three order-distribution gates
+    * ([[percentileBanded]], [[giniBanded]], [[lorenzDeciles]]): the
+    * cents histogram of `o_totalprice` with EXACT cumulatives via the
+    * two-level banded prefix sum — per-band windows in parallel, band
+    * offsets over the ≤500-row band frame (bounded by the price
+    * domain, not the data), broadcast back. Emits per cell: `cents`,
+    * `cnt`, `cum` (count cumulative), `cumc` (DECIMAL(38,0)
+    * cents·cnt cumulative), and the totals `n` / `t` on every row.
+    * Both measures ride the same windows, so a gate that needs only
+    * one pays a spare decimal column on the cell frame — nothing
+    * data-scaled. */
+  private def centsCumHistogram(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val ccnt = expr("CAST(cents AS DECIMAL(38,0)) * cnt")
     val h = Tables.load(spark, dir, "orders")
       .groupBy(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("band", expr(s"cents DIV $pctBandCents"))
     val wIn = Window.partitionBy("band").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCum = h.withColumn("cum_in", sum(col("cnt")).over(wIn))
-    // ≤500-row band frame — bounded by the price domain, not the data
     val wOff = Window.orderBy("band")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.orderBy("band")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offsets = h.groupBy("band").agg(sum(col("cnt")).as("btot"))
+    val offsets = h.groupBy("band")
+      .agg(sum(col("cnt")).as("btot"), sum(ccnt).as("bc"))
       .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .withColumn("offc", coalesce(sum(col("bc")).over(wOff),
+        expr("CAST(0 AS DECIMAL(38,0))")))
       .withColumn("n", sum(col("btot")).over(wTot))
-      .select(col("band"), col("off"), col("n"))
-    withCum.join(broadcast(offsets), "band")
-      .withColumn("cum", col("off") + col("cum_in"))
+      .withColumn("t", sum(col("bc")).over(wTot))
+      .select(col("band"), col("off"), col("offc"), col("n"), col("t"))
+    h.withColumn("cum_in", sum(col("cnt")).over(wIn))
+      .withColumn("cumc_in", sum(ccnt).over(wIn))
+      .join(broadcast(offsets), "band")
+      .select(col("cents"), col("cnt"),
+        (col("off") + col("cum_in")).as("cum"),
+        (col("offc") + col("cumc_in")).as("cumc"),
+        col("n"), col("t"))
+  }
+
+  def percentileBanded(spark: SparkSession, dir: String): DataFrame =
+    centsCumHistogram(spark, dir)
       .withColumn("q", explode(array(lit(50L), lit(90L), lit(99L))))
       .filter(col("cum") * 100 >= col("q") * col("n")
         && (col("cum") - col("cnt")) * 100 < col("q") * col("n"))
       .select(col("q"), col("cents").as("value_cents"), col("n"))
-  }
 
   /** Exact Gini coefficient of the order totals — the inequality
     * readout ("how concentrated is revenue?") on the same
@@ -749,31 +771,15 @@ object OlapQueries {
     * truncation-identical in both engines. Same plan as the
     * percentile gate: one corpus hash agg, banded prefix, one-row
     * readout. */
-  def giniBanded(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val h = Tables.load(spark, dir, "orders")
-      .groupBy(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("band", expr(s"cents DIV $pctBandCents"))
-    val wIn = Window.partitionBy("band").orderBy("cents")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCum = h.withColumn("cum_in", sum(col("cnt")).over(wIn))
-    val wOff = Window.orderBy("band")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = h.groupBy("band").agg(sum(col("cnt")).as("btot"))
-      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
-      .select(col("band"), col("off"))
-    withCum.join(broadcast(offsets), "band")
-      .withColumn("cum", col("off") + col("cum_in"))
+  def giniBanded(spark: SparkSession, dir: String): DataFrame =
+    centsCumHistogram(spark, dir)
       .agg(
-        sum(col("cnt")).as("n"),
-        sum(expr("CAST(cents AS DECIMAL(38,0)) * cnt")).as("t"),
+        max(col("n")).as("n"), max(col("t")).as("t"),
         sum(expr("CAST(cents AS DECIMAL(38,0)) * " +
           "(2 * cnt * (cum - cnt) + cnt * (cnt + 1))")).as("s2"))
       .selectExpr("n", "CAST(t AS BIGINT) AS total_cents",
         "CAST(CAST(1000000 AS DECIMAL(38,0)) * " +
           "(s2 - (n + 1) * t) DIV (n * t) AS BIGINT) AS gini_q6")
-  }
 
   /** Lorenz-curve deciles — the pointwise companion to [[giniBanded]]
     * ("the bottom 50% of orders carry 31% of revenue"): for each
@@ -785,41 +791,14 @@ object OlapQueries {
     * that completes the decile is included — deterministic, no
     * interpolation). DECIMAL(38,0)/HUGEINT for the cents cumulative
     * products, as in the Gini gate. */
-  def lorenzDeciles(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val h = Tables.load(spark, dir, "orders")
-      .groupBy(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("band", expr(s"cents DIV $pctBandCents"))
-    val wIn = Window.partitionBy("band").orderBy("cents")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCum = h
-      .withColumn("cum_in", sum(col("cnt")).over(wIn))
-      .withColumn("cumc_in",
-        sum(expr("CAST(cents AS DECIMAL(38,0)) * cnt")).over(wIn))
-    val wOff = Window.orderBy("band")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wTot = Window.orderBy("band")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offsets = h.groupBy("band")
-      .agg(sum(col("cnt")).as("btot"),
-        sum(expr("CAST(cents AS DECIMAL(38,0)) * cnt")).as("bc"))
-      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
-      .withColumn("offc", coalesce(sum(col("bc")).over(wOff),
-        expr("CAST(0 AS DECIMAL(38,0))")))
-      .withColumn("n", sum(col("btot")).over(wTot))
-      .withColumn("t", sum(col("bc")).over(wTot))
-      .select(col("band"), col("off"), col("offc"), col("n"), col("t"))
-    withCum.join(broadcast(offsets), "band")
-      .withColumn("cum", col("off") + col("cum_in"))
-      .withColumn("cumc", col("offc") + col("cumc_in"))
+  def lorenzDeciles(spark: SparkSession, dir: String): DataFrame =
+    centsCumHistogram(spark, dir)
       .withColumn("d", explode(array((1L to 9L).map(lit): _*)))
       .filter(col("cum") * 10 >= col("d") * col("n")
         && (col("cum") - col("cnt")) * 10 < col("d") * col("n"))
       .selectExpr("d AS decile", "cum AS n_orders",
         "CAST(CAST(1000000 AS DECIMAL(38,0)) * cumc DIV t AS BIGINT)" +
           " AS revenue_share_q6")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_lorenz" -> lorenzDeciles _,
