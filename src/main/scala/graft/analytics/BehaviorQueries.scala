@@ -105,6 +105,57 @@ object BehaviorQueries {
       .unionAll(stage(p, "purchase_after_click"))
   }
 
+  /** Within-session conversion funnel: the [[funnel]] stages scoped to
+    * a single 30-minute-gap session — "did the click happen in the SAME
+    * visit as the view it followed?", the session-attribution twin of
+    * the lifetime funnel (which credits a purchase to a view from weeks
+    * earlier). Stage times nest: t0 = first view in the session, t1 =
+    * first click strictly after t0, t2 = first purchase strictly after
+    * t1; output is one row of session counts per stage.
+    *
+    * Plan: the sessionize window pass (user-keyed sort exchange, lag +
+    * running-sum) assigns session ids, then the three stage times are
+    * whole-partition MIN windows over (user_id, session_id) — the
+    * hash partitioning on user_id already clusters (user, session), so
+    * Catalyst plans the session-scoped windows and the per-session
+    * collapse WITHOUT a second exchange: one shuffle total, then a
+    * single-row global aggregate. The chained windows (t1 reads t0,
+    * t2 reads t1) are consecutive Window operators over the same sort
+    * order — no join re-attaches anything. Hot-key ceiling is the same
+    * as `sessionize` (per-user sort), with `sessionize_chunked` as the
+    * documented escape hatch. */
+  def funnelSessionized(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val bySession = Window.partitionBy(col("user_id"), col("session_id"))
+    val sess = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull, 1L)
+          .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+            > graft.streaming.Sessionize.gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    sess
+      .withColumn("t0",
+        min(when(col("event_type") === "view", col("ts"))).over(bySession))
+      .withColumn("t1",
+        min(when(col("event_type") === "click" && col("ts") > col("t0"),
+          col("ts"))).over(bySession))
+      .withColumn("t2",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t1"),
+          col("ts"))).over(bySession))
+      .groupBy("user_id", "session_id")
+      .agg(max("t0").as("t0"), max("t1").as("t1"), max("t2").as("t2"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(col("t0")).as("s_view"),
+        count(col("t1")).as("s_click_after_view"),
+        count(col("t2")).as("s_purchase_after_click"))
+  }
+
   /** Weekly cohort retention: cohort = integer week (since 2024-01-01)
     * of the user's first event, cell = distinct users from that cohort
     * active k calendar weeks later. Two user-keyed hash aggs + one
@@ -375,6 +426,7 @@ object BehaviorQueries {
     "behavior_paths" -> topPaths _,
     "behavior_transitions" -> transitions _,
     "funnel" -> funnel _,
+    "funnel_sessionized" -> funnelSessionized _,
     "cohort_retention" -> cohortRetention _,
     "behavior_attribution" -> attribution _,
     "behavior_attribution_linear" -> attributionLinear _,
@@ -456,6 +508,51 @@ object BehaviorQueries {
         |SELECT 'click_after_view' AS stage, count(*) AS users FROM c
         |UNION ALL
         |SELECT 'purchase_after_click' AS stage, count(*) AS users FROM p""".stripMargin,
+    // session assignment is textually the sessionize oracle (same gap
+    // fixpoint); stage times nest via per-session joins — the window
+    // form Spark runs is equivalent because t0/t1/t2 are per-session
+    // scalars
+    "funnel_sessionized" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN prev_ts IS NULL THEN 1
+        |         WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts, event_type,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m),
+        |t0s AS (SELECT user_id, session_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+        |  FROM s GROUP BY 1, 2),
+        |t1s AS (SELECT s.user_id, s.session_id,
+        |    min(CASE WHEN s.event_type = 'click' AND s.ts > t0s.t0
+        |      THEN s.ts END) AS t1
+        |  FROM s JOIN t0s ON s.user_id = t0s.user_id
+        |    AND s.session_id = t0s.session_id
+        |  GROUP BY 1, 2),
+        |t2s AS (SELECT s.user_id, s.session_id,
+        |    min(CASE WHEN s.event_type = 'purchase' AND s.ts > t1s.t1
+        |      THEN s.ts END) AS t2
+        |  FROM s JOIN t1s ON s.user_id = t1s.user_id
+        |    AND s.session_id = t1s.session_id
+        |  GROUP BY 1, 2),
+        |g AS (SELECT t0s.t0, t1s.t1, t2s.t2
+        |  FROM t0s
+        |  JOIN t1s ON t0s.user_id = t1s.user_id
+        |    AND t0s.session_id = t1s.session_id
+        |  JOIN t2s ON t0s.user_id = t2s.user_id
+        |    AND t0s.session_id = t2s.session_id)
+        |SELECT count(*) AS n_sessions, count(t0) AS s_view,
+        |  count(t1) AS s_click_after_view,
+        |  count(t2) AS s_purchase_after_click
+        |FROM g""".stripMargin,
     "window_rolling_distinct" ->
       """WITH bd AS (SELECT DISTINCT user_id,
         |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d

@@ -330,6 +330,56 @@ object TimeSeries {
       .withColumn("cov_num", col("n") * col("sxy") - col("sx") * col("sy"))
   }
 
+  /** Cross-correlation lags for [[crossCorr]]. */
+  val xcorrLags = 5
+
+  /** Cross-correlation sufficient statistics between the hourly VIEW
+    * count series and the hourly PURCHASE count series at lags
+    * 0..[[xcorrLags]] — "does purchase volume echo view volume k hours
+    * later?", the lead-lag diagnostic behind attribution-window and
+    * campaign-latency choices (the cross-series twin of [[acf]]).
+    * Pair (x, y) = (views in hour h, purchases in hour h+k); hours
+    * with no events at all are absent from the grid, so a pair exists
+    * iff BOTH calendar hours were observed — calendar-lag semantics
+    * (unlike acf's observed-sequence lag), pinned by integer
+    * epoch-hour keys that both engines derive identically.
+    *
+    * Published as exact integer sufficient stats (n, Σx, Σy, Σxy, Σx²,
+    * Σy², and the covariance numerator n·Σxy − Σx·Σy) — the consumer
+    * divides; no float ever crosses the engine boundary. Plan: ONE
+    * corpus-scale hash agg to the hourly grid (conditional counts for
+    * both series in the same pass), then a ≤(lags+1)× map-side explode
+    * and an equi-join of two calendar-bounded frames (≤ 8,784 cells a
+    * year even at 100 TB — AQE broadcasts it), and a ≤(lags+1)-row
+    * final aggregate. Headroom: Σxy at 100 TB ~ (10⁹)² per cell pair
+    * — the BIGINT products survive to ~3·10⁹ events/hour; past that
+    * the chi2 DECIMAL(38,0) pattern applies. */
+  def crossCorr(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: both join sides read the grid, and without it Catalyst
+    // re-derives each side from its own corpus scan (2x the real cost);
+    // the grid itself is calendar-bounded. Bench/Verify clear caches
+    // per query, so the persist is scoped to this run.
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(expr("unix_timestamp(date_trunc('hour', ts)) DIV 3600")
+        .as("eh"))
+      .agg(count(when(col("event_type") === "view", 1)).as("x"),
+        count(when(col("event_type") === "purchase", 1)).as("y"))
+      .persist()
+    // y of hour eh re-keyed to the x-hour it pairs with at each lag:
+    // eh_x = eh_y - lag (map-side explode, no window over the grid)
+    val ylag = hourly
+      .select(col("eh"), col("y"),
+        explode(expr(s"sequence(0L, ${xcorrLags}L)")).as("lag"))
+      .select((col("eh") - col("lag")).as("eh"), col("lag"), col("y"))
+    hourly.select(col("eh"), col("x")).join(ylag, "eh")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("cov_num", col("n") * col("sxy") - col("sx") * col("sy"))
+  }
+
   /** CUSUM changepoint scan (Page 1954) over the daily revenue series,
     * one series per order priority: S_t = Σ_{i≤t}(x_i − x̄) peaks at
     * the most likely level-shift point — the structural-break detector
@@ -442,6 +492,7 @@ object TimeSeries {
     "ts_interpolate" -> interpolate _,
     "ts_changepoint" -> cusumChangepoint _,
     "ts_acf" -> acf _,
+    "ts_crosscorr" -> crossCorr _,
     "ts_gap_fill" -> gapFill _,
     "ts_fill_forward" -> fillForward _,
     "ts_ohlc" -> ohlcResample _,
@@ -541,6 +592,30 @@ object TimeSeries {
          |    - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS cov_num
          |FROM p WHERE y IS NOT NULL GROUP BY 1, 2""".stripMargin
     },
+    // calendar-lag pairing on integer epoch-hour keys; a pair exists
+    // iff both hours were observed (matches the Spark equi-join)
+    "ts_crosscorr" ->
+      s"""WITH h AS (
+         |  SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+         |      AS BIGINT) // 3600 AS eh,
+         |    CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+         |      AS BIGINT) AS x,
+         |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+         |      AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |p AS (
+         |  SELECT u.lag AS lag, a.x AS x, b.y AS y
+         |  FROM h a
+         |  CROSS JOIN unnest([${(0 to xcorrLags).mkString(", ")}]) AS u(lag)
+         |  JOIN h b ON b.eh = a.eh + u.lag)
+         |SELECT CAST(lag AS BIGINT) AS lag, count(*) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx,
+         |  CAST(sum(y * y) AS BIGINT) AS syy,
+         |  count(*) * CAST(sum(x * y) AS BIGINT)
+         |    - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS cov_num
+         |FROM p GROUP BY 1""".stripMargin,
     "ts_gap_fill" ->
       """WITH h AS (
         |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,

@@ -290,6 +290,48 @@ object TrainPrep {
       "explode(split(text, ' '))", fl))
   }
 
+  /** PER-LANGUAGE head/middle/tail bucketing — the full CCNet recipe
+    * (Wenzek et al. 2020 run their quality split per language, because
+    * one global threshold lets a high-resource language's score
+    * distribution define "low quality" for every other language).
+    * Scoring reuses the [[pplBucketsText]] surprisal (corpus-global
+    * unigram model — this synthetic corpus shares one vocabulary across
+    * langs; production swaps in per-language models by adding `lang` to
+    * the model key, same plan shape); the quartile THRESHOLDS are
+    * per-language aggregates, so a doc competes only against its own
+    * language. Plan deltas vs the global gate: one extra join to attach
+    * `lang` (documents is the probe side of a key join) and a
+    * |langs|-bounded threshold frame joined back broadcast-style —
+    * nothing new scales with the corpus. */
+  private[operators] def pplBucketsLangText(q25: String, q75: String,
+      splitTokens: String, flog2: String => String): String =
+    s"""WITH tf AS (SELECT doc_id, term, count(1) AS tf FROM (
+       |    SELECT doc_id, $splitTokens AS term FROM documents) x
+       |  GROUP BY doc_id, term),
+       |uni AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+       |sc AS (SELECT tf.doc_id,
+       |    CAST(sum(tf.tf * (${flog2("(SELECT n_total FROM tot)")}
+       |      - ${flog2("uni.c")})) AS DOUBLE)
+       |      / CAST(sum(tf.tf) AS DOUBLE) AS avg_bits
+       |  FROM tf JOIN uni ON tf.term = uni.term GROUP BY tf.doc_id),
+       |sl AS (SELECT sc.doc_id, d.lang, sc.avg_bits
+       |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+       |th AS (SELECT lang, $q25 AS q25, $q75 AS q75 FROM sl GROUP BY lang)
+       |SELECT sl.doc_id, sl.lang, sl.avg_bits,
+       |  CASE WHEN sl.avg_bits <= th.q25 THEN 'head'
+       |       WHEN sl.avg_bits >= th.q75 THEN 'tail'
+       |       ELSE 'middle' END AS bucket
+       |FROM sl JOIN th ON sl.lang = th.lang""".stripMargin
+
+  def pplBucketsLang(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir, "documents")
+    def fl(x: String) = s"(length(conv(CAST($x AS STRING), 10, 2)) - 1)"
+    spark.sql(pplBucketsLangText(
+      "percentile(avg_bits, 0.25D)", "percentile(avg_bits, 0.75D)",
+      "explode(split(text, ' '))", fl))
+  }
+
   /** Temperature-flattened language mixing — the multilingual-corpus
     * rebalancing recipe (mT5/XLM-R: sample language l with probability
     * ∝ p_l^α, α<1, to keep low-resource languages from vanishing).
@@ -603,6 +645,7 @@ object TrainPrep {
     "curate_dsir" -> dsirScore _,
     "train_mix_temperature" -> mixTemperature _,
     "curate_ppl_buckets" -> pplBuckets _,
+    "curate_ppl_buckets_lang" -> pplBucketsLang _,
     "curate_source_cap" -> sourceCap _,
     "train_split" -> splitQuery _,
     "train_split_safe" -> clusterSafeSplit _,
@@ -756,6 +799,10 @@ object TrainPrep {
     },
     "train_mix_temperature" -> mixTemperatureText,
     "curate_ppl_buckets" -> pplBucketsText(
+      "quantile_cont(avg_bits, 0.25)", "quantile_cont(avg_bits, 0.75)",
+      "unnest(str_split(text, ' '))",
+      x => s"(length(printf('%b', CAST($x AS BIGINT))) - 1)"),
+    "curate_ppl_buckets_lang" -> pplBucketsLangText(
       "quantile_cont(avg_bits, 0.25)", "quantile_cont(avg_bits, 0.75)",
       "unnest(str_split(text, ' '))",
       x => s"(length(printf('%b', CAST($x AS BIGINT))) - 1)"),
