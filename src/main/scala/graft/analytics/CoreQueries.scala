@@ -151,6 +151,31 @@ object CoreQueries {
     spark.sql(sqlSubqueriesText)
   }
 
+  /** Correlated LATERAL subquery (SQL:2016): top-2 most recent orders
+    * PER qualifying customer, written the way an analyst writes it —
+    * the lateral block references the outer row and carries its own
+    * ORDER BY + LIMIT. Catalyst decorrelates this into the same
+    * window-top-k shape `window_topn` pins (per-key rank, no
+    * per-customer re-execution), which is the point: the front door
+    * accepts the declarative form and the plan is still one keyed
+    * shuffle + WindowGroupLimit, never a nested loop over customers.
+    * Same text runs verbatim in DuckDB. */
+  private val sqlLateralText: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_orderdate, t.totalprice_cents
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_orderdate,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+      |  FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_orderdate DESC, o_orderkey
+      |  LIMIT 2) t
+      |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin
+
+  def sqlLateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir, "customer", "orders")
+    spark.sql(sqlLateralText)
+  }
+
   /** TPC-H Q5-flavored star join: region -> nation -> supplier ->
     * lineitem -> orders, five tables in one query. Catalyst broadcasts
     * the three dimension tables and shuffles only the lineitem-orders
@@ -211,6 +236,7 @@ object CoreQueries {
     "sql_recursive_cte" -> sqlRecursive _,
     "sql_surface" -> sqlSurface _,
     "sql_subqueries" -> sqlSubqueries _,
+    "sql_lateral" -> sqlLateral _,
     "sql_star_join" -> sqlStarJoin _,
     "core_records_per_group" -> recordsPerGroup _,
     "core_summary_stats" -> summaryStats _,
@@ -227,6 +253,7 @@ object CoreQueries {
     "sql_surface" -> sqlSurfaceText,
     "sql_recursive_cte" -> sqlRecursiveText,
     "sql_subqueries" -> sqlSubqueriesText,
+    "sql_lateral" -> sqlLateralText,
     "sql_star_join" -> sqlStarJoinText,
     "core_records_per_group" ->
       """SELECT l_returnflag, count(*) AS cnt, max(l_shipdate) AS max_shipdate

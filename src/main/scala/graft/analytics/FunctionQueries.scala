@@ -78,6 +78,30 @@ object FunctionQueries {
         cume_dist().over(w).as("cume"))
   }
 
+  /** Navigation-function window surface: first_value / last_value /
+    * nth_value with IGNORE NULLS over an explicit full-partition ROWS
+    * frame — the "carry the first real reading across gaps" family
+    * that LOCF-style imputation and header-propagation queries use.
+    * A null-bearing probe is injected with NULLIF so both the
+    * skip-null and respect-null paths are exercised; the unique
+    * (date, key) order makes every value engine-deterministic. Plan:
+    * one keyed window exchange, all four navigators in a single
+    * Window operator. */
+  def windowNav(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") < 4000)
+      .withColumn("probe", expr("NULLIF(o_custkey % 7, 0)"))
+      .select(
+        col("o_orderkey"), col("o_orderpriority"), col("probe"),
+        first(col("probe"), ignoreNulls = true).over(w).as("first_nn"),
+        last(col("probe"), ignoreNulls = true).over(w).as("last_nn"),
+        nth_value(col("probe"), 2, ignoreNulls = true).over(w).as("nth2_nn"),
+        nth_value(col("probe"), 2).over(w).as("nth2_rn"))
+  }
+
   /** Unpivot/melt (`Dataset.unpivot`, SQL `UNPIVOT`): rotate a wide
     * per-group summary into (group, metric, value) long form — the
     * standard last step before charting/export layers that want tidy
@@ -100,10 +124,26 @@ object FunctionQueries {
     "func_datetime" -> datetimeFuncs _,
     "func_string" -> stringFuncs _,
     "func_window" -> windowFuncs _,
+    "func_window_nav" -> windowNav _,
     "func_rank_stats" -> rankStats _,
     "func_unpivot" -> unpivotFuncs _)
 
   val oracles: Map[String, String] = Map(
+    // DuckDB places IGNORE NULLS inside the call parens; Spark's
+    // DataFrame API passes ignoreNulls flags — same semantics
+    "func_window_nav" ->
+      """SELECT o_orderkey, o_orderpriority, probe,
+        |  first_value(probe IGNORE NULLS) OVER w AS first_nn,
+        |  last_value(probe IGNORE NULLS) OVER w AS last_nn,
+        |  nth_value(probe, 2 IGNORE NULLS) OVER w AS nth2_nn,
+        |  nth_value(probe, 2) OVER w AS nth2_rn
+        |FROM (SELECT o_orderkey, o_orderpriority, o_orderdate,
+        |    NULLIF(o_custkey % 7, 0) AS probe
+        |  FROM orders WHERE o_orderkey < 4000) o
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+        .stripMargin,
     "func_unpivot" ->
       """WITH s AS (SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)

@@ -265,7 +265,31 @@ object JoinQueries {
       .distinct()
   }
 
+  /** Null-aware anti join — SQL `NOT IN (subquery)` with its full
+    * three-valued semantics: a NULL probe can never prove
+    * non-membership, so those rows drop (where the NULL-blind
+    * left-anti of [[antiJoin]] would keep them — the classic silent
+    * NOT IN bug). Probe nulls are injected with NULLIF so the corpus
+    * actually exercises the rule. Spark plans the single-key form as
+    * the optimized broadcast null-aware anti join (NAAJ) rather than a
+    * BroadcastNestedLoopJoin; at 100 TB the build side is the
+    * deduplicated key set (bounded by key cardinality, broadcast), and
+    * the probe side streams map-side. Same text runs in DuckDB. */
+  private[analytics] val nullAwareAntiText: String =
+    """SELECT o_orderstatus, count(*) AS n_orders
+      |FROM (SELECT o_orderstatus, NULLIF(o_custkey % 997, 0) AS probe
+      |      FROM orders) o
+      |WHERE probe NOT IN (SELECT c_custkey % 1000 FROM customer
+      |                    WHERE c_mktsegment = 'MACHINERY')
+      |GROUP BY o_orderstatus""".stripMargin
+
+  def nullAwareAnti(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir, "orders", "customer")
+    spark.sql(nullAwareAntiText)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_null_aware_anti" -> nullAwareAnti _,
     "join_interval_overlap" -> intervalOverlapJoin _,
     "join_fuzzy" -> fuzzyJoin _,
     "join_agg" -> joinAgg _,
@@ -283,6 +307,7 @@ object JoinQueries {
     "yearly_revenue" -> yearlyRevenue _)
 
   val oracles: Map[String, String] = Map(
+    "join_null_aware_anti" -> nullAwareAntiText,
     "join_interval_overlap" ->
       """WITH e AS (SELECT event_id, event_type,
         |    CAST(date_trunc('second', CAST(ts AS TIMESTAMP))
