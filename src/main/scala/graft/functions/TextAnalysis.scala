@@ -626,7 +626,11 @@ object TextAnalysis {
     * localCheckpoint per round truncates the growing plan (the
     * dupClusters discipline). Output: the learned merge table
     * (rank, left_sym, right_sym, pair_count). */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared training loop: returns the post-merge symbolized
+    * vocabulary (for [[bpeApply]]) and the learned merge table (for
+    * [[bpeTrain]]). */
+  private def bpeLoop(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
     var vocab = Tables.load(spark, dir, "documents")
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
@@ -655,8 +659,39 @@ object TextAnalysis {
           expr(s"replace(s, '_${a}__${b}_', '_${a}${b}_')"))
         .localCheckpoint()
     }
+    (vocab, merges.toSeq)
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
+    bpeLoop(spark, dir)._2.toDF("rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** BPE merge APPLICATION — the encode side that closes the tokenizer
+    * loop ([[bpeTrain]] learns the merges, this runs them over the
+    * corpus and reports what a training pipeline actually budgets
+    * with: per-document subword counts and fertility (subwords per
+    * word, q6). Greedy merge application is already materialized in
+    * the training loop's final vocabulary (`s` after all rounds), so
+    * encoding is a VOCABULARY-sized map (word → symbol count), never a
+    * second corpus-scale merge pass: the corpus touches only one
+    * tokenize + (doc, word) count and one word-keyed join against the
+    * vocab — the tf-idf plan shape. At 100 TB the vocab side is
+    *10⁹-bounded and hash-joins; the merge loop itself is amortized
+    * across both gates exactly as a saved tokenizer would be. */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val (vocab, _) = bpeLoop(spark, dir)
+    val sub = vocab.select(col("w"),
+      size(split(expr("btrim(s, '_')"), "__")).cast("long").as("n_sub"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .join(sub, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_words"),
+        sum(col("tf") * col("n_sub")).as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        expr("(1000000 * n_subwords) DIV n_words").as("fertility_q6"))
   }
 
   /** Terms filtered by [[blocklistFilter]] — a stand-in for the
@@ -718,6 +753,7 @@ object TextAnalysis {
     "text_novelty" -> ngramNovelty _,
     "text_blocklist" -> blocklistFilter _,
     "text_bpe_train" -> bpeTrain _,
+    "text_bpe_apply" -> bpeApply _,
     "text_lm_score" -> lmScore _,
     "text_lm_bigram" -> lmBigramScore _,
     "text_entropy" -> charEntropy _,
@@ -769,7 +805,9 @@ object TextAnalysis {
     * [[bpeMergeRounds]] times. range(1, 64) bounds adjacent-pair
     * positions — corpus words are ≤ 8 chars and the WHERE truncates
     * to the true length regardless. */
-  private def bpeTrainOracle: String = {
+  /** Shared CTE prefix: v0 plus one (pair-count, argmax, replace)
+    * triple per round; vN is the post-merge vocabulary. */
+  private def bpeCtes: String = {
     val base = """v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wc,
       |  regexp_replace(w, '(.)', '_\1_', 'g') AS s
       |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
@@ -790,14 +828,36 @@ object TextAnalysis {
          |    '_' || m.a || m.b || '_') AS s
          |  FROM $prev CROSS JOIN m$t m)""".stripMargin
     }
+    s"$base,\n${rounds.mkString(",\n")}"
+  }
+
+  private def bpeTrainOracle: String = {
     val finals = (1 to bpeMergeRounds).map(t =>
       s"""SELECT CAST($t AS BIGINT) AS rank, a AS left_sym,
          |  b AS right_sym, c AS pair_count FROM m$t""".stripMargin)
-    s"WITH $base,\n${rounds.mkString(",\n")}\n${finals.mkString(" UNION ALL ")}"
+    s"WITH $bpeCtes\n${finals.mkString(" UNION ALL ")}"
   }
+
+  /** [[bpeApply]] oracle: training CTEs replayed, then the same
+    * vocab-map + word-keyed join. */
+  private def bpeApplyOracle: String =
+    s"""WITH $bpeCtes,
+       |sub AS (SELECT w,
+       |    CAST(len(str_split(trim(s, '_'), '__')) AS BIGINT) AS n_sub
+       |  FROM v$bpeMergeRounds),
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w
+       |        FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+       |  CAST(sum(tf * n_sub) AS BIGINT) AS n_subwords,
+       |  (1000000 * CAST(sum(tf * n_sub) AS BIGINT))
+       |    // CAST(sum(tf) AS BIGINT) AS fertility_q6
+       |FROM tf JOIN sub USING (w) GROUP BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_bpe_train" -> bpeTrainOracle,
+    "text_bpe_apply" -> bpeApplyOracle,
     "text_novelty" ->
       """WITH d AS (SELECT doc_id, str_split(text, ' ') AS t
         |  FROM documents WHERE len(str_split(text, ' ')) >= 3),

@@ -515,6 +515,68 @@ object TrainPrep {
         coalesce(col("dsir_bits"), lit(0L)).as("dsir_bits"))
   }
 
+  // --- In-engine classifier training --------------------------------------
+
+  /** Perceptron training rounds (unrolled in the oracle). */
+  val perceptronRounds = 3
+
+  /** Hashed-feature buckets for [[perceptron]]. */
+  val perceptronBuckets = 256L
+
+  /** In-engine linear-classifier TRAINING — the fastText-shaped quality
+    * / language filter actually trained by the engine instead of
+    * imported: a batch perceptron over hashed unigram PRESENCE features
+    * (b = polyhash(term) mod [[perceptronBuckets]]), label +1 for the
+    * target language. Each round is pure aggregation — margin_d =
+    * Σ_{b∈d} w_b (one feature-keyed join + doc agg), misclassified =
+    * y·margin ≤ 0, Δw_b = Σ_{misclassified d ∋ b} y_d (one agg), w ←
+    * w + Δ — so the fixpoint is partitioning-independent and every
+    * quantity stays integer (no learning-rate floats). This is the
+    * "training as dataflow" pattern: at 100 TB the corpus-scale frames
+    * are the persisted presence pairs (linear, 2 passes per round) and
+    * the model is a bucket-bounded frame that broadcasts, exactly the
+    * DSIR/quality-score serving plans in reverse. Gate output is the
+    * per-document final margin/prediction — it pins the whole weight
+    * trajectory, not just the last argmax. */
+  def perceptron(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        explode(tokens(col("text"))).as("term"))
+      .withColumn("b",
+        pmod(Dedup.charPolyHash(col("term"), 31L, 2000000011L),
+          lit(perceptronBuckets)))
+      .select("doc_id", "y", "b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def margins(w: Option[DataFrame]): DataFrame = w match {
+      case None => feats.select("doc_id", "y").distinct()
+        .withColumn("m", lit(0L))
+      case Some(wf) => feats.join(broadcast(wf), Seq("b"), "left")
+        .groupBy("doc_id", "y")
+        .agg(coalesce(sum(col("w")), lit(0L)).as("m"))
+    }
+    var w: Option[DataFrame] = None
+    for (_ <- 1 to perceptronRounds) {
+      val mis = margins(w).filter(col("y") * col("m") <= 0)
+        .select("doc_id", "y")
+      val delta = feats.join(mis.select("doc_id"), "doc_id")
+        .groupBy("b").agg(sum(col("y")).as("dw"))
+      val next = w match {
+        case None => delta.select(col("b"), col("dw").as("w"))
+        case Some(wf) => wf.join(delta, Seq("b"), "full_outer")
+          .select(col("b"),
+            (coalesce(col("w"), lit(0L)) + coalesce(col("dw"), lit(0L)))
+              .as("w"))
+      }
+      // bucket-bounded frame; checkpoint truncates the per-round plan
+      w = Some(next.localCheckpoint())
+    }
+    margins(w)
+      .select(col("doc_id"), col("y").as("label"), col("m").as("margin"),
+        when(col("m") > 0, 1L).otherwise(-1L).as("pred"))
+      .withColumn("correct", col("pred") === col("label"))
+  }
+
   // --- Corpus report card -------------------------------------------------
 
   /** Per-source corpus report — the "datasheet" table every training
@@ -643,6 +705,7 @@ object TrainPrep {
     "train_sample_weighted" -> weightedQuery _,
     "train_chunks" -> chunkQuery _,
     "curate_dsir" -> dsirScore _,
+    "train_perceptron" -> perceptron _,
     "train_mix_temperature" -> mixTemperature _,
     "curate_ppl_buckets" -> pplBuckets _,
     "curate_ppl_buckets_lang" -> pplBucketsLang _,
@@ -773,6 +836,47 @@ object TrainPrep {
          |  array_to_string(list_slice(toks, chunk_start + 1,
          |    chunk_start + $chunkWidth), ' ') AS chunk_text
          |FROM s""".stripMargin,
+    "train_perceptron" -> {
+      val h = Dedup.polySql("term", 31L, 2000000011L)
+      // margin CTE m{t} uses weights w{t-1} (m1 sees the zero model);
+      // update CTE d{t}/w{t} folds round t's misclassified set in
+      val body = (1 to perceptronRounds).map { t =>
+        val m =
+          if (t == 1)
+            s"""m1 AS (SELECT doc_id, y, CAST(0 AS BIGINT) AS m
+               |  FROM (SELECT DISTINCT doc_id, y FROM f) d0)""".stripMargin
+          else
+            s"""m$t AS (SELECT f.doc_id, f.y,
+               |    CAST(coalesce(sum(w${t - 1}.w), 0) AS BIGINT) AS m
+               |  FROM f LEFT JOIN w${t - 1} USING (b) GROUP BY 1, 2)"""
+              .stripMargin
+        val d =
+          s"""d$t AS (SELECT b, CAST(sum(y) AS BIGINT) AS dw FROM f
+             |  WHERE doc_id IN (SELECT doc_id FROM m$t WHERE y * m <= 0)
+             |  GROUP BY b)""".stripMargin
+        val w =
+          if (t == 1) "w1 AS (SELECT b, dw AS w FROM d1)"
+          else
+            s"""w$t AS (SELECT coalesce(a.b, d.b) AS b,
+               |    CAST(coalesce(a.w, 0) + coalesce(d.dw, 0) AS BIGINT) AS w
+               |  FROM w${t - 1} a FULL JOIN d$t d ON a.b = d.b)""".stripMargin
+        s"$m,\n$d,\n$w"
+      }.mkString(",\n")
+      val fin = perceptronRounds + 1
+      s"""WITH f AS (SELECT DISTINCT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         |    ($h) % $perceptronBuckets AS b
+         |  FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS term
+         |        FROM documents) x),
+         |$body,
+         |m$fin AS (SELECT f.doc_id, f.y,
+         |    CAST(coalesce(sum(w$perceptronRounds.w), 0) AS BIGINT) AS m
+         |  FROM f LEFT JOIN w$perceptronRounds USING (b) GROUP BY 1, 2)
+         |SELECT doc_id, CAST(y AS BIGINT) AS label, m AS margin,
+         |  CAST(CASE WHEN m > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+         |  (CASE WHEN m > 0 THEN 1 ELSE -1 END) = y AS correct
+         |FROM m$fin""".stripMargin
+    },
     "curate_dsir" -> {
       val h = Dedup.polySql("term", 31L, 2000000011L)
       def fl(x: String) = s"(length(printf('%b', CAST($x AS BIGINT))) - 1)"
