@@ -48,8 +48,43 @@ object Incremental {
         max(col("vmax")).as("val_max"))
   }
 
+  /** Incremental JOIN maintenance — the delta-join identity that lets a
+    * materialized join view absorb late rows on BOTH inputs without
+    * re-joining history:
+    * Δ(A⋈B) = ΔA⋈A̅B ∪ A̅A⋈ΔB ∪ ΔA⋈ΔB (A̅ = pre-delta state).
+    * The gate splits orders and lineitem into old/delta slices by
+    * INDEPENDENT rules (so all four quadrants are non-empty), builds
+    * the view as old⋈old plus the three delta terms, and aggregates —
+    * which must equal the direct join of the full tables (the oracle).
+    * In production V_old = old⋈old is STORED state: a refresh computes
+    * only the three delta terms, and with both sides key-partitioned
+    * the two mixed terms shuffle just the delta rows against a
+    * co-located base — work O(Δ + matched), never O(history). The gate
+    * materializes every quadrant because proving the algebra IS the
+    * point; per-quadrant disjointness is spec-asserted. */
+  def joinIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_orderkey") % 7 === 0).as("late"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        (col("l_linenumber") % 3 === 0).as("late"))
+    def quad(oLate: Boolean, lLate: Boolean): DataFrame =
+      o.filter(col("late") === oLate).drop("late")
+        .join(l.filter(col("late") === lLate).drop("late"),
+          col("o_orderkey") === col("l_orderkey"))
+    quad(false, false) // V_old: the stored view state
+      .unionByName(quad(true, false)) // ΔA ⋈ old B
+      .unionByName(quad(false, true)) // old A ⋈ ΔB
+      .unionByName(quad(true, true)) // ΔA ⋈ ΔB
+      .groupBy(col("o_orderkey"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("rev_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "agg_incremental" -> incrementalMerge _)
+    "agg_incremental" -> incrementalMerge _,
+    "join_incremental" -> joinIncremental _)
 
   val oracles: Map[String, String] = Map(
     // merged partials must equal the full one-pass aggregation
@@ -58,5 +93,12 @@ object Incremental {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum,
         |  min(value) AS val_min, max(value) AS val_max
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // the quadrant union must equal the direct full join
+    "join_incremental" ->
+      """SELECT o_orderkey, o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS rev_cents
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin)
 }

@@ -48,4 +48,32 @@ class IncrementalSpec extends AnyFunSuite {
       agg(ev.filter(col("event_id") > 3)))
     assert(two.exceptAll(three).isEmpty && three.exceptAll(two).isEmpty)
   }
+
+  test("delta-join quadrants are disjoint, all populated, and rebuild the join") {
+    val sf = SparkTestSession.sf
+    val o = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), (col("o_orderkey") % 7 === 0).as("oLate"))
+    val l = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_linenumber") % 3 === 0).as("lLate"))
+    // every joined pair lands in exactly one quadrant (rules partition
+    // each side), and each quadrant is non-empty so the gate actually
+    // exercises all three delta terms
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+    val quadCounts = pairs.groupBy("oLate", "lLate").count().collect()
+      .map(r => ((r.getBoolean(0), r.getBoolean(1)), r.getLong(2))).toMap
+    assert(quadCounts.size == 4 && quadCounts.values.forall(_ > 0))
+    assert(quadCounts.values.sum == pairs.count())
+    // incremental result equals the direct join aggregate
+    val inc = Incremental.joinIncremental(spark, sf)
+    val full = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus")
+      .join(Tables.load(spark, sf, "lineitem")
+        .select(col("l_orderkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderstatus")
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("rev_cents"))
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+  }
 }
