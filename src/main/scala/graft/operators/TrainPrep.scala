@@ -515,6 +515,51 @@ object TrainPrep {
         coalesce(col("dsir_bits"), lit(0L)).as("dsir_bits"))
   }
 
+  // --- Cross-modal joint curation -----------------------------------------
+
+  /** Per-class keep cap for [[jointCurate]]. */
+  val jointCapK = 25
+
+  /** Cross-modal joint curation — the text table and the embedding
+    * table vetoing each other, which is how multimodal corpora are
+    * actually cleaned (a caption can pass every text rule while its
+    * vector is degenerate, and vice versa): a document survives iff
+    * (a) TEXT: word count in [5, 2000] and integer mean-word-length
+    * ≤ 12 (cross-multiplied `chars ≤ 12·words`, no division);
+    * (b) VECTOR: its quantized L2 norm is not a high outlier WITHIN
+    * ITS CLASS (`nrm_u6·n_label ≤ 2·sum_u6_label` — the normOutliers
+    * rule made per-label, since class norm distributions differ);
+    * (c) DIVERSITY: at most [[jointCapK]] survivors per class, best
+    * word counts first — the per-class balance cap that keeps one
+    * over-represented cluster from flooding the training mix.
+    * Plan: one key-equi join (both tables id-keyed, 1:1), a
+    * |labels|-bounded stats frame broadcast back, map-side gates, and
+    * a per-label rank window whose partitions are bounded by the class
+    * count — corpus-linear with one shuffle pair. */
+  def jointCurate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long")
+          .as("chars_ns"))
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("label").cast("long").as("label"),
+        Similarity.norm(col("embedding").cast("array<double>")).as("nrm"))
+      .withColumn("nrm_u6", floor(col("nrm") * lit(1000000.0)).cast("long"))
+    val j = d.join(e, "doc_id")
+    val stats = j.groupBy("label")
+      .agg(sum("nrm_u6").as("sum_u6"), count(lit(1)).as("n_label"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+      .orderBy(col("n_words").desc, col("doc_id").asc)
+    j.join(broadcast(stats), "label")
+      .filter(col("n_words").between(5, 2000)
+        && col("chars_ns") <= lit(12) * col("n_words")
+        && col("nrm_u6") * col("n_label") <= lit(2) * col("sum_u6"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= jointCapK)
+      .select("label", "doc_id", "n_words", "rn")
+  }
+
   // --- In-engine classifier training --------------------------------------
 
   /** Perceptron training rounds (unrolled in the oracle). */
@@ -706,6 +751,7 @@ object TrainPrep {
     "train_chunks" -> chunkQuery _,
     "curate_dsir" -> dsirScore _,
     "train_perceptron" -> perceptron _,
+    "curate_joint" -> jointCurate _,
     "train_mix_temperature" -> mixTemperature _,
     "curate_ppl_buckets" -> pplBuckets _,
     "curate_ppl_buckets_lang" -> pplBucketsLang _,
@@ -836,6 +882,32 @@ object TrainPrep {
          |  array_to_string(list_slice(toks, chunk_start + 1,
          |    chunk_start + $chunkWidth), ' ') AS chunk_text
          |FROM s""".stripMargin,
+    "curate_joint" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns
+         |  FROM documents),
+         |e AS (SELECT vec_id AS doc_id, CAST(label AS BIGINT) AS label,
+         |    CAST(floor(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(CAST(embedding AS DOUBLE[]),
+         |        x -> x * x)), (p, q) -> p + q)) * 1000000.0) AS BIGINT)
+         |      AS nrm_u6
+         |  FROM embeddings),
+         |j AS (SELECT e.label, d.doc_id, d.n_words, d.chars_ns, e.nrm_u6
+         |  FROM d JOIN e ON d.doc_id = e.doc_id),
+         |s AS (SELECT label, CAST(sum(nrm_u6) AS BIGINT) AS sum_u6,
+         |    count(*) AS n_label FROM j GROUP BY label),
+         |p AS (SELECT j.label, j.doc_id, j.n_words
+         |  FROM j JOIN s ON j.label = s.label
+         |  WHERE j.n_words BETWEEN 5 AND 2000
+         |    AND j.chars_ns <= 12 * j.n_words
+         |    AND j.nrm_u6 * s.n_label <= 2 * s.sum_u6)
+         |SELECT label, doc_id, n_words,
+         |  CAST(row_number() OVER (PARTITION BY label
+         |    ORDER BY n_words DESC, doc_id ASC) AS BIGINT) AS rn
+         |FROM p
+         |QUALIFY row_number() OVER (PARTITION BY label
+         |    ORDER BY n_words DESC, doc_id ASC) <= $jointCapK""".stripMargin,
     "train_perceptron" -> {
       val h = Dedup.polySql("term", 31L, 2000000011L)
       // margin CTE m{t} uses weights w{t-1} (m1 sees the zero model);

@@ -74,4 +74,41 @@ class TrainedModelSpec extends AnyFunSuite {
     assert(out.exists { case (_, nW, nS, _) => nS > nW },
       "no word was ever split — merge table suspiciously total")
   }
+
+  test("joint curation equals a sequential text+norm+cap reference") {
+    val docs = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS nw",
+        "length(replace(text, ' ', '')) AS cns").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong))
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "CAST(label AS BIGINT)", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](2).map(_.toDouble)
+        val nrm = math.sqrt(v.map(x => x * x).foldLeft(0.0)(_ + _))
+        (r.getLong(0), r.getLong(1), math.floor(nrm * 1e6).toLong)
+      }
+    val byLabel = vecs.groupBy(_._2)
+    val want = byLabel.toSeq.flatMap { case (label, vs) =>
+      val sumU6 = vs.map(_._3).sum
+      val n = vs.length.toLong
+      val pass = vs.filter { case (id, _, u6) =>
+        val (nw, cns) = docs(id)
+        nw >= 5 && nw <= 2000 && cns <= 12 * nw && u6 * n <= 2 * sumU6
+      }
+      pass.map(v => (v._1, docs(v._1)._1))
+        .sortBy { case (id, nw) => (-nw, id) }
+        .take(TrainPrep.jointCapK).zipWithIndex
+        .map { case ((id, nw), i) => (label, id, nw, i + 1L) }
+    }.toSet
+    val out = TrainPrep.jointCurate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == want)
+    // cap respected and ranks dense per label
+    out.groupBy(_._1).foreach { case (label, rows) =>
+      assert(rows.size <= TrainPrep.jointCapK)
+      assert(rows.map(_._4).toSeq.sorted == (1L to rows.size))
+    }
+  }
 }
