@@ -212,6 +212,90 @@ object BehaviorQueries {
       .select(col("wd").cast("int").as("day_index"), col("wau"))
   }
 
+  /** Value-iteration rounds for [[attributionMarkov]] (journeys are
+    * day-bounded, so 12 steps cover any realizable path depth). */
+  val markovRounds = 12
+
+  /** Channel states for [[attributionMarkov]] — the corpus's
+    * non-purchase event types (corpus-drawn constant, the blockedTerms
+    * convention; the oracle hardcodes the same list). */
+  val markovChannels = Seq("click", "error", "signup", "view")
+
+  /** Markov removal-effect attribution (Anderl et al. 2014) — the
+    * model-based member of the attribution trilogy (vs heuristic
+    * last-touch and linear): build the first-order journey chain
+    * (START → channels → purchase-conversion / journey-end absorption),
+    * solve for conversion probability from START by value iteration,
+    * and credit each channel by how much conversion DROPS when it is
+    * removed (its transitions become losses). Journey = one (user,
+    * day), ordered by (ts, event_id), truncated at the first purchase.
+    *
+    * Exactness: probabilities never materialize as floats — the
+    * iteration runs on q9-scaled integers, v'(s) = (cnt_{s→conv}·10⁹ +
+    * Σ_c cnt_{s→c}·v(c)) DIV tot_s, a Jacobi update both engines
+    * replay bit-identically (the oracle unrolls scenario × round
+    * CTEs). Removal effects publish as `10⁶·(v_base − v_removed) DIV
+    * v_base`.
+    *
+    * Scale shape: the ONLY corpus-scale work is the journey-window
+    * pass (one (user, day)-keyed sort exchange — the sessionize cost)
+    * and the edge count aggregation; the chain itself is a
+    * ≤(|channels|+1)² cell frame, a bounded driver scalar set per the
+    * house pattern, where the 5 × [[markovRounds]] integer iterations
+    * are O(1). Headroom: cnt·v ≤ 10¹²·10⁹ exceeds Long at extreme
+    * counts — a 100 TB corpus promotes the driver fold to BigInt (no
+    * dataflow change). */
+  def attributionMarkov(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wj = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val wJourney = Window.partitionBy(col("user_id"), col("day"))
+    val kept = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(wj).cast("long"))
+      .withColumn("prn",
+        min(when(col("event_type") === "purchase", col("rn"))).over(wJourney))
+      .withColumn("nmax", max(col("rn")).over(wJourney))
+      .filter(col("prn").isNull || col("rn") <= col("prn"))
+    val inner = kept
+      .withColumn("src",
+        coalesce(lag(col("event_type"), 1).over(wj), lit("(start)")))
+      .select(col("src"), col("event_type").as("dst"))
+    val ends = kept.filter(col("prn").isNull && col("rn") === col("nmax"))
+      .select(col("event_type").as("src"), lit("(end)").as("dst"))
+    val cells = inner.unionByName(ends)
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      .collect() // bounded: <= (channels+1) x (channels+2) cells
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val states = "(start)" +: markovChannels
+    val tot = states.map(s =>
+      s -> cells.collect { case ((a, _), c) if a == s => c }.sum).toMap
+    def iterate(removed: Option[String]): Long = {
+      val act = states.filterNot(removed.contains)
+      var v = Map.empty[String, Long].withDefaultValue(0L)
+      for (_ <- 1 to markovRounds) {
+        val prev = v
+        v = act.map { s =>
+          val conv = cells.getOrElse((s, "purchase"), 0L) * 1000000000L
+          val acc = markovChannels.filterNot(removed.contains)
+            .map(c => cells.getOrElse((s, c), 0L) * prev(c)).sum
+          // a state with no observed outgoing edges contributes 0
+          // (matches the oracle, whose iteration frame is built from
+          // observed sources only)
+          s -> (if (tot(s) == 0L) 0L else (conv + acc) / tot(s))
+        }.toMap.withDefaultValue(0L)
+      }
+      v("(start)")
+    }
+    val base = iterate(None)
+    import spark.implicits._
+    (("(none)", base, 0L) +: markovChannels.map { c =>
+      val vc = iterate(Some(c))
+      (c, vc, 1000000L * (base - vc) / base)
+    }).toDF("channel", "v_start_q9", "re_q6")
+  }
+
   /** DAU/WAU stickiness — the product-analytics ratio every retention
     * dashboard leads with ("what share of this week's users came back
     * today?"): per day, distinct daily actives over distinct
@@ -430,6 +514,7 @@ object BehaviorQueries {
     "cohort_retention" -> cohortRetention _,
     "behavior_attribution" -> attribution _,
     "behavior_attribution_linear" -> attributionLinear _,
+    "behavior_attribution_markov" -> attributionMarkov _,
     "window_rolling_distinct" -> rollingActiveUsers _,
     "behavior_stickiness" -> dauStickiness _,
     "behavior_user_growth" -> userGrowth _,
@@ -448,7 +533,76 @@ object BehaviorQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
       |FROM x GROUP BY 1, 2""".stripMargin
 
+  /** DuckDB rendering of the [[attributionMarkov]] chain: shared
+    * journey/edge CTEs, then one value-iteration CTE per (scenario,
+    * round) — scenario 'none' plus one removal per channel, each
+    * iterating the same q9 integer Jacobi update on the bounded cell
+    * frame. */
+  private def markovOracle: String = {
+    val scenarios = ("none", None) +: markovChannels.map(c => (c, Some(c)))
+    val rounds = scenarios.map { case (tag, removed) =>
+      val rmSrc = removed.map(c => s"WHERE t.src <> '$c'").getOrElse("")
+      val rmDst = removed.map(c => s"AND e.dst <> '$c'").getOrElse("")
+      (1 to markovRounds).map { t =>
+        val accJoin =
+          if (t == 1) "" // v_0 = 0: the join term vanishes
+          else
+            s"""LEFT JOIN (SELECT e.src,
+               |      CAST(sum(e.cnt * p.v) AS BIGINT) AS acc
+               |    FROM cells e JOIN v_${tag}_${t - 1} p ON e.dst = p.src
+               |    WHERE e.dst NOT IN ('purchase', '(end)') $rmDst
+               |    GROUP BY e.src) m ON m.src = t.src""".stripMargin
+        val acc = if (t == 1) "0" else "coalesce(m.acc, 0)"
+        s"""v_${tag}_$t AS (
+           |  SELECT t.src, CAST((coalesce(c.cnt, 0) * 1000000000 + $acc)
+           |      // t.tot AS BIGINT) AS v
+           |  FROM tots t
+           |  LEFT JOIN conv c ON c.src = t.src
+           |  $accJoin
+           |  $rmSrc)""".stripMargin
+      }.mkString(",\n")
+    }.mkString(",\n")
+    val finalRows = markovChannels.map(c =>
+      s"""SELECT '$c' AS channel, vr.v AS v_start_q9,
+         |  CAST((1000000 * ((SELECT v FROM base) - vr.v))
+         |    // (SELECT v FROM base) AS BIGINT) AS re_q6
+         |  FROM v_${c}_$markovRounds vr WHERE vr.src = '(start)'""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH e0 AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+       |    ts, event_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+       |      ORDER BY ts, event_id) AS BIGINT) AS rn
+       |  FROM events),
+       |e1 AS (SELECT *,
+       |    min(CASE WHEN event_type = 'purchase' THEN rn END)
+       |      OVER (PARTITION BY user_id, day) AS prn,
+       |    max(rn) OVER (PARTITION BY user_id, day) AS nmax
+       |  FROM e0),
+       |e2 AS (SELECT * FROM e1 WHERE prn IS NULL OR rn <= prn),
+       |st AS (SELECT event_type,
+       |    coalesce(lag(event_type) OVER (PARTITION BY user_id, day
+       |      ORDER BY ts, event_id), '(start)') AS src
+       |  FROM e2),
+       |edges AS (
+       |  SELECT src, event_type AS dst, count(*) AS cnt FROM st GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT event_type AS src, '(end)' AS dst, count(*) AS cnt
+       |  FROM e2 WHERE prn IS NULL AND rn = nmax GROUP BY 1),
+       |cells AS (SELECT src, dst, CAST(sum(cnt) AS BIGINT) AS cnt
+       |  FROM edges GROUP BY 1, 2),
+       |tots AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS tot
+       |  FROM cells GROUP BY 1),
+       |conv AS (SELECT src, cnt FROM cells WHERE dst = 'purchase'),
+       |$rounds,
+       |base AS (SELECT v FROM v_none_$markovRounds WHERE src = '(start)')
+       |SELECT '(none)' AS channel, (SELECT v FROM base) AS v_start_q9,
+       |  CAST(0 AS BIGINT) AS re_q6
+       |UNION ALL
+       |$finalRows""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "behavior_attribution_markov" -> markovOracle,
     "behavior_rfm" -> {
       val qs = "[0.2, 0.4, 0.6, 0.8]"
       def above(c: String, arr: String) = (1 to 4)

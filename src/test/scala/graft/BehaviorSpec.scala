@@ -274,6 +274,57 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(6)).distinct.length >= 3)
   }
 
+  test("markov attribution equals a sequential chain-solve reference") {
+    val sf = SparkTestSession.sf
+    // journeys rebuilt independently: (user, day) ordered walks,
+    // truncated at the first purchase
+    val evs = Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "to_date(ts) AS day", "event_type",
+        "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getString(2),
+        r.getTimestamp(3).getTime, r.getLong(4)))
+    val cells = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    evs.groupBy(e => (e._1, e._2)).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._5)).map(_._3).toSeq
+      val cut = ordered.indexOf("purchase")
+      val walk = if (cut >= 0) ordered.take(cut + 1) else ordered
+      ("(start)" +: walk).sliding(2).foreach { p =>
+        if (p.length == 2) cells((p(0), p(1))) = cells((p(0), p(1))) + 1L
+      }
+      if (cut < 0) cells((walk.last, "(end)")) = cells((walk.last, "(end)")) + 1L
+    }
+    val channels = BehaviorQueries.markovChannels
+    val states = "(start)" +: channels
+    val tot = states.map(s =>
+      s -> cells.collect { case ((a, _), c) if a == s => c }.sum).toMap
+    def solve(removed: Option[String]): Long = {
+      var v = Map.empty[String, Long].withDefaultValue(0L)
+      for (_ <- 1 to BehaviorQueries.markovRounds) {
+        val prev = v
+        v = states.filterNot(removed.contains).map { s =>
+          val conv = cells((s, "purchase")) * 1000000000L
+          val acc = channels.filterNot(removed.contains)
+            .map(c => cells((s, c)) * prev(c)).sum
+          s -> (if (tot(s) == 0L) 0L else (conv + acc) / tot(s))
+        }.toMap.withDefaultValue(0L)
+      }
+      v("(start)")
+    }
+    val base = solve(None)
+    val want = (("(none)", base, 0L) +: channels.map { c =>
+      val vc = solve(Some(c))
+      (c, vc, 1000000L * (base - vc) / base)
+    }).toSet
+    val out = BehaviorQueries.attributionMarkov(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == want)
+    // removal can only lose conversions, and every channel matters
+    out.filter(_._1 != "(none)").foreach { case (c, vc, re) =>
+      assert(vc <= base && re >= 0, s"channel $c")
+    }
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
