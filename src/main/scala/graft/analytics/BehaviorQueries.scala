@@ -296,6 +296,66 @@ object BehaviorQueries {
     }).toDF("channel", "v_start_q9", "re_q6")
   }
 
+  /** Shapley-value attribution — the coalition-game member of the
+    * attribution family (order-free, axiomatic, the standard
+    * "data-driven attribution" baseline): each journey contributes its
+    * SET of touched channels (mask over [[markovChannels]], order and
+    * multiplicity ignored) and whether it converted; the coalition
+    * value v(S) is the exact q9 conversion rate of journeys whose
+    * channel set is exactly S (unobserved coalitions value 0 —
+    * documented, deterministic); channel c's credit is the Shapley sum
+    * Σ_{S∌c} w(|S|)·(v(S∪{c}) − v(S)) with the exact rational weights
+    * |S|!·(k−|S|−1)!/k! expressed over the common denominator k!·…=24,
+    * so every published number is an integer (shapley_q9_x24) — no
+    * float ever crosses the engine boundary.
+    *
+    * Scale shape: one journey-window pass (shared shape with
+    * [[attributionMarkov]] — per-(user, day) mask + conv flag via a
+    * single hash agg after the truncation windows), then a 2^k-bounded
+    * coalition frame (k = 4 channels ⇒ 16 rows); the Shapley fold is
+    * a static 32-term sum over that frame — bounded work no matter the
+    * corpus. k grows as channels do, but marketing channel counts are
+    * tens, and the observed-coalition frame is bounded by min(2^k,
+    * journeys). */
+  def attributionShapley(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wj = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val wJourney = Window.partitionBy(col("user_id"), col("day"))
+    val kept = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(wj).cast("long"))
+      .withColumn("prn",
+        min(when(col("event_type") === "purchase", col("rn"))).over(wJourney))
+      .filter(col("prn").isNull || col("rn") <= col("prn"))
+    val bit = markovChannels.zipWithIndex.map { case (c, i) =>
+      max(when(col("event_type") === c, lit(1L << i)).otherwise(0L))
+    }.reduce(_ + _)
+    val coalitions = kept
+      .groupBy("user_id", "day")
+      .agg(bit.as("mask"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      .groupBy("mask")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("nc"))
+      .collect() // bounded: 2^|channels| coalition rows
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def v(mask: Long): Long = coalitions.get(mask)
+      .map { case (n, nc) => 1000000000L * nc / n }.getOrElse(0L)
+    val k = markovChannels.length
+    // |S|!(k-|S|-1)!/k! over denominator k! = 24: sizes 0..3 -> 6,2,2,6
+    val w24 = Array(6L, 2L, 2L, 6L)
+    import spark.implicits._
+    markovChannels.zipWithIndex.map { case (c, i) =>
+      val cBit = 1L << i
+      val credit = (0L until (1L << k)).filter(s => (s & cBit) == 0L)
+        .map(s => w24(java.lang.Long.bitCount(s)) * (v(s | cBit) - v(s)))
+        .sum
+      (c, credit)
+    }.toDF("channel", "shapley_q9_x24")
+  }
+
   /** DAU/WAU stickiness — the product-analytics ratio every retention
     * dashboard leads with ("what share of this week's users came back
     * today?"): per day, distinct daily actives over distinct
@@ -515,6 +575,7 @@ object BehaviorQueries {
     "behavior_attribution" -> attribution _,
     "behavior_attribution_linear" -> attributionLinear _,
     "behavior_attribution_markov" -> attributionMarkov _,
+    "behavior_attribution_shapley" -> attributionShapley _,
     "window_rolling_distinct" -> rollingActiveUsers _,
     "behavior_stickiness" -> dauStickiness _,
     "behavior_user_growth" -> userGrowth _,
@@ -601,8 +662,46 @@ object BehaviorQueries {
        |$finalRows""".stripMargin
   }
 
+  /** DuckDB rendering of [[attributionShapley]]: the same journey mask
+    * aggregation, a ≤2^k coalition-rate frame, and the Shapley fold as
+    * a generated static term sum (missing coalitions coalesce to 0). */
+  private def shapleyOracle: String = {
+    val k = markovChannels.length
+    val w24 = Seq(6L, 2L, 2L, 6L)
+    def vRef(m: Long) = s"coalesce((SELECT v FROM vt WHERE mask = $m), 0)"
+    val maskExpr = markovChannels.zipWithIndex.map { case (c, i) =>
+      s"max(CASE WHEN event_type = '$c' THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val rows = markovChannels.zipWithIndex.map { case (c, i) =>
+      val cBit = 1L << i
+      val terms = (0L until (1L << k)).filter(s => (s & cBit) == 0L)
+        .map(s => s"${w24(java.lang.Long.bitCount(s))} * (${vRef(s | cBit)}" +
+          s" - ${vRef(s)})")
+        .mkString("\n    + ")
+      s"SELECT '$c' AS channel, CAST($terms AS BIGINT) AS shapley_q9_x24"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e0 AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+       |    CAST(row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+       |      ORDER BY ts, event_id) AS BIGINT) AS rn
+       |  FROM events),
+       |e1 AS (SELECT *,
+       |    min(CASE WHEN event_type = 'purchase' THEN rn END)
+       |      OVER (PARTITION BY user_id, day) AS prn
+       |  FROM e0),
+       |e2 AS (SELECT * FROM e1 WHERE prn IS NULL OR rn <= prn),
+       |j AS (SELECT user_id, day, CAST($maskExpr AS BIGINT) AS mask,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM e2 GROUP BY 1, 2),
+       |co AS (SELECT mask, count(*) AS n, CAST(sum(conv) AS BIGINT) AS nc
+       |  FROM j GROUP BY 1),
+       |vt AS (SELECT mask, CAST((1000000000 * nc) // n AS BIGINT) AS v
+       |  FROM co)
+       |$rows""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "behavior_attribution_markov" -> markovOracle,
+    "behavior_attribution_shapley" -> shapleyOracle,
     "behavior_rfm" -> {
       val qs = "[0.2, 0.4, 0.6, 0.8]"
       def above(c: String, arr: String) = (1 to 4)

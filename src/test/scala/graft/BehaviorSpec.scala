@@ -325,6 +325,44 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("shapley attribution equals a sequential coalition reference and is efficient") {
+    val sf = SparkTestSession.sf
+    val evs = Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "to_date(ts) AS day", "event_type",
+        "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getString(2),
+        r.getTimestamp(3).getTime, r.getLong(4)))
+    val channels = BehaviorQueries.markovChannels
+    val co = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    evs.groupBy(e => (e._1, e._2)).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._5)).map(_._3).toSeq
+      val cut = ordered.indexOf("purchase")
+      val walk = if (cut >= 0) ordered.take(cut + 1) else ordered
+      val mask = channels.zipWithIndex
+        .map { case (c, i) => if (walk.contains(c)) 1L << i else 0L }.sum
+      val (n, nc) = co(mask)
+      co(mask) = (n + 1, nc + (if (cut >= 0) 1L else 0L))
+    }
+    def v(m: Long): Long =
+      co.get(m).map { case (n, nc) => 1000000000L * nc / n }.getOrElse(0L)
+    val w24 = Array(6L, 2L, 2L, 6L)
+    val want = channels.zipWithIndex.map { case (c, i) =>
+      val cBit = 1L << i
+      c -> (0L until 16L).filter(s => (s & cBit) == 0L)
+        .map(s => w24(java.lang.Long.bitCount(s)) * (v(s | cBit) - v(s)))
+        .sum
+    }.toMap
+    val out = BehaviorQueries.attributionShapley(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == want)
+    // efficiency axiom on the full lattice: credits sum to
+    // v(grand coalition) - v(empty) exactly when all 16 coalitions are
+    // observed (they are on this corpus)
+    if ((0L until 16L).forall(co.contains))
+      assert(out.values.sum == 24L * (v(15L) - v(0L)))
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
