@@ -558,6 +558,58 @@ object Dedup {
       minhashCandidates(docs, cap = Int.MaxValue, reproducible = true))
   }
 
+  /** MinHash calibration scorecard — the sketch-quality readout that
+    * tells an operator whether their band/row budget is honest (the
+    * [[graft.operators.Similarity]] LSH has `embed_lsh_recall`; this
+    * is the MinHash twin): for every LSH candidate pair, the number of
+    * agreeing signature components (an unbiased Jaccard estimator at
+    * resolution 1/16) is bucketed against the EXACT Jaccard of the
+    * pair, micro-averaged per agreement level as the integer
+    * `10⁶·Σ|∩| DIV Σ|∪|`. A well-calibrated sketch shows mean exact
+    * similarity rising with agreement; a broken hash family or
+    * too-aggressive banding shows up as a flat curve.
+    *
+    * Plan: candidates + signatures + the candidate-driven exact
+    * verifier are the existing linear pipelines (no new shuffle
+    * shape); the curve itself is a ≤(numPerms+1)-row aggregate.
+    * Output is corpus-bounded regardless of scale because every
+    * published row is an agreement level, not a pair. */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = minhashCandidates(docs, cap = Int.MaxValue,
+      reproducible = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSigs(docs, reproducible = true)
+    def side(p: String) = sigs.select(
+      (col("doc_id").as(p) +:
+        (0 until numPerms).map(i => col(s"m$i").as(s"$p$i"))): _*)
+    val agree = (0 until numPerms)
+      .map(i => when(col(s"da$i") === col(s"db$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val ag = pairs.join(side("da"), "da").join(side("db"), "db")
+      .select(col("da"), col("db"), agree.as("sig_agree"))
+    val g = shingleRows(docs).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(g.withColumnRenamed("doc_id", "da"), "da")
+      .join(g.select(col("doc_id").as("db"), col("g")), Seq("db", "g"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter_cnt"))
+    val pj = pairs
+      .join(inter, Seq("da", "db"), "left")
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"),
+        coalesce(col("inter_cnt"), lit(0L)).as("ic"),
+        (col("na") + col("nb") - coalesce(col("inter_cnt"), lit(0L)))
+          .as("un"))
+    ag.join(pj, Seq("da", "db"))
+      .groupBy("sig_agree")
+      .agg(count(lit(1)).as("n_pairs"), sum("ic").as("sum_inter"),
+        sum("un").as("sum_union"))
+      .withColumn("mj_q6", expr("(1000000 * sum_inter) DIV sum_union"))
+  }
+
   // --- Prefix-filtered exact set-similarity join (AllPairs / PPJoin) -----
 
   /** Gate threshold as an exact rational (7/10). Everything downstream
@@ -1157,6 +1209,7 @@ object Dedup {
     "dedup_simhash" -> simhashQuery _,
     "dedup_simhash_pairs" -> simhashPairsQuery _,
     "dedup_jaccard_exact" -> jaccardExact _,
+    "dedup_minhash_calibration" -> minhashCalibration _,
     "dedup_setsim" -> setSimQuery _,
     "dedup_clusters" -> clustersQuery _,
     "dedup_clusters_star" -> clustersStarQuery _)
@@ -1455,6 +1508,49 @@ object Dedup {
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_cosine" -> cosineOracle,
+    "dedup_minhash_calibration" -> {
+      val agreeSum = (0 until numPerms)
+        .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+        .mkString("\n    + ")
+      s"""WITH ${minhashCtes()},
+         |bands AS (
+         |${minhashBandsUnion()}
+         |),
+         |pairs AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bands x JOIN bands y
+         |    ON x.band_id = y.band_id AND x.bucket = y.bucket
+         |   AND x.doc_id < y.doc_id),
+         |ag AS (SELECT p.da, p.db, CAST($agreeSum AS BIGINT) AS sig_agree
+         |  FROM pairs p JOIN s a ON a.doc_id = p.da
+         |  JOIN s b ON b.doc_id = p.db),
+         |gg AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(len(t) - 2),
+         |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS g
+         |  FROM d),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM gg GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.da, p.db, count(*) AS inter_cnt
+         |  FROM pairs p
+         |  JOIN gg a ON a.doc_id = p.da
+         |  JOIN gg b ON b.doc_id = p.db AND b.g = a.g
+         |  GROUP BY 1, 2),
+         |pj AS (SELECT p.da, p.db,
+         |    CAST(coalesce(i.inter_cnt, 0) AS BIGINT) AS ic,
+         |    CAST(sa.n + sb.n - coalesce(i.inter_cnt, 0) AS BIGINT) AS un
+         |  FROM pairs p
+         |  LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
+         |  JOIN sz sa ON sa.doc_id = p.da
+         |  JOIN sz sb ON sb.doc_id = p.db)
+         |SELECT ag.sig_agree, count(*) AS n_pairs,
+         |  CAST(sum(pj.ic) AS BIGINT) AS sum_inter,
+         |  CAST(sum(pj.un) AS BIGINT) AS sum_union,
+         |  CAST((1000000 * CAST(sum(pj.ic) AS BIGINT))
+         |    // CAST(sum(pj.un) AS BIGINT) AS BIGINT) AS mj_q6
+         |FROM ag JOIN pj ON pj.da = ag.da AND pj.db = ag.db
+         |GROUP BY 1""".stripMargin
+    },
     "dedup_jaccard_exact" ->
       s"""WITH ${minhashCtes()},
         |bands AS (

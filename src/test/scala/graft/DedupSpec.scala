@@ -410,4 +410,23 @@ class DedupSpec extends AnyFunSuite {
       assert(keeper._1 == best._2)
     }
   }
+
+  test("minhash calibration: curve reconciles against the exact verifier") {
+    val sf = SparkTestSession.sf
+    val curve = Dedup.minhashCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(curve.nonEmpty)
+    val totalPairs = curve.map(_._2).sum
+    // the curve partitions the candidate set of the exact-verify gate
+    val nCandidates = Dedup.jaccardExact(spark, sf).count()
+    assert(totalPairs == nCandidates)
+    curve.foreach { case (agree, n, si, su, mj) =>
+      assert(agree >= 0 && agree <= 16 && n > 0)
+      assert(mj == 1000000L * si / su, s"micro-average at agree=$agree")
+      // the estimator tracks exact similarity: est error under 6/16
+      assert(math.abs(agree * 62500L - mj) <= 375000L,
+        s"calibration off at agree=$agree: est ${agree * 62500} vs $mj")
+    }
+  }
 }
