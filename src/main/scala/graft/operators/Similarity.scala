@@ -980,6 +980,38 @@ object Similarity {
         expr("1000000 * n_hit DIV n_exact").as("recall_q6"))
   }
 
+  /** IVF recall scorecard — the ANN-quality twin of [[lshRecall]]: the
+    * brute-force exact top-3 per probe query compared against the IVF
+    * top-3 at nprobe=1 ([[knnIvf]]) and nprobe=2 ([[knnIvfProbe]]),
+    * published as integer `10⁶·hits DIV n_exact` recalls. This is the
+    * readout that justifies the nprobe knob: recall@nprobe=2 must
+    * dominate nprobe=1 (spec-asserted), and an operator sizes nprobe
+    * by watching exactly this curve on an evaluation slice. The exact
+    * side is the quadratic baseline — at 100 TB it runs on a sampled
+    * probe set (as here: the bounded 20-query probe set all three
+    * pipelines share); the quantizer trains once (memoized) for both
+    * IVF variants. Output is one row at any scale. */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnBrute(spark, dir).filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_e"))
+    val p1 = knnIvf(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_1"))
+    val p2 = knnIvfProbe(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_2"))
+    exact.join(p1, Seq("query_id", "neighbor_id"), "full_outer")
+      .join(p2, Seq("query_id", "neighbor_id"), "full_outer")
+      .agg(sum("in_e").as("n_exact"), sum("in_1").as("n_p1"),
+        sum("in_2").as("n_p2"),
+        sum(coalesce(col("in_e"), lit(0L)) * coalesce(col("in_1"), lit(0L)))
+          .as("hit1"),
+        sum(coalesce(col("in_e"), lit(0L)) * coalesce(col("in_2"), lit(0L)))
+          .as("hit2"))
+      .select(col("n_exact"), col("n_p1"), col("n_p2"), col("hit1"),
+        col("hit2"),
+        expr("1000000 * hit1 DIV n_exact").as("recall1_q6"),
+        expr("1000000 * hit2 DIV n_exact").as("recall2_q6"))
+  }
+
   /** Embedding near-dup CLUSTERS end-to-end: the verified SRP-LSH pair
     * graph ([[embedNearDupLsh]]) closed into connected components by
     * the same star alternation documents use
@@ -1173,6 +1205,7 @@ object Similarity {
     "knn_ivf" -> knnIvf _,
     "knn_ivf_sampled" -> knnIvfSampled _,
     "knn_ivf_probe2" -> knnIvfProbe _,
+    "knn_ivf_recall" -> ivfRecall _,
     "dedup_semantic" -> semanticDedup _,
     "embed_project" -> projectEmbeddings _,
     "embed_quantize" -> quantizeEmbeddings _,
@@ -1444,6 +1477,60 @@ object Similarity {
          |  $cols
          |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
     },
+    "knn_ivf_recall" ->
+      s"""WITH $assignedCtes,
+         |qb AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+         |te AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, x.vec_id AS neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY list_cosine_similarity(x.v, q.qv) DESC,
+         |        x.vec_id ASC) AS BIGINT) AS rn
+         |  FROM e x CROSS JOIN qb q WHERE x.vec_id <> q.query_id)
+         |  WHERE rn <= 3),
+         |q1 AS (SELECT vec_id AS query_id, v AS qv, cent_id AS qcent
+         |      FROM assigned WHERE vec_id < 20),
+         |t1 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT c.query_id, c.neighbor_id, CAST(row_number() OVER (
+         |    PARTITION BY c.query_id ORDER BY c.sim DESC, c.neighbor_id ASC)
+         |      AS BIGINT) AS rn
+         |  FROM (SELECT q.query_id, a.vec_id AS neighbor_id,
+         |          ${cosSql("a.v", "q.qv")} AS sim
+         |        FROM assigned a
+         |        JOIN q1 q ON a.cent_id = q.qcent
+         |          AND a.vec_id <> q.query_id) c)
+         |  WHERE rn <= 3),
+         |qc2 AS (SELECT q.query_id, c.cent_id,
+         |         ${cosSql("q.qv", "c.cv")} AS csim
+         |       FROM qb q CROSS JOIN kc$ivfIters c),
+         |top2 AS (SELECT query_id, cent_id FROM (
+         |    SELECT query_id, cent_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY csim DESC, cent_id ASC) AS crn
+         |    FROM qc2) WHERE crn <= $ivfNprobe),
+         |t2 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT c.query_id, c.neighbor_id, CAST(row_number() OVER (
+         |    PARTITION BY c.query_id ORDER BY c.sim DESC, c.neighbor_id ASC)
+         |      AS BIGINT) AS rn
+         |  FROM (SELECT t.query_id, a.vec_id AS neighbor_id,
+         |          ${cosSql("a.v", "q.qv")} AS sim
+         |        FROM assigned a
+         |        JOIN top2 t ON a.cent_id = t.cent_id
+         |        JOIN qb q ON q.query_id = t.query_id
+         |        WHERE a.vec_id <> t.query_id) c)
+         |  WHERE rn <= 3)
+         |SELECT
+         |  (SELECT count(*) FROM te) AS n_exact,
+         |  (SELECT count(*) FROM t1) AS n_p1,
+         |  (SELECT count(*) FROM t2) AS n_p2,
+         |  (SELECT count(*) FROM te JOIN t1 USING (query_id, neighbor_id))
+         |    AS hit1,
+         |  (SELECT count(*) FROM te JOIN t2 USING (query_id, neighbor_id))
+         |    AS hit2,
+         |  CAST((1000000 * (SELECT count(*) FROM te JOIN t1
+         |    USING (query_id, neighbor_id)))
+         |    // (SELECT count(*) FROM te) AS BIGINT) AS recall1_q6,
+         |  CAST((1000000 * (SELECT count(*) FROM te JOIN t2
+         |    USING (query_id, neighbor_id)))
+         |    // (SELECT count(*) FROM te) AS BIGINT) AS recall2_q6""".stripMargin,
     "knn_ivf" ->
       s"""WITH $assignedCtes,
          |q AS (SELECT vec_id AS query_id, v AS qv, cent_id AS qcent

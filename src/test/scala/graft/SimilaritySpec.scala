@@ -424,4 +424,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full != sampled,
       "sample-trained centroids produced identical neighbor sets — sampling is a no-op?")
   }
+
+  test("ivf recall scorecard reconciles against its own pipelines") {
+    val sf = SparkTestSession.sf
+    val r = graft.operators.Similarity.ivfRecall(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nE, n1, n2, h1, h2, r1, r2) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+      row.getLong(6))
+    // counts reconcile with the underlying top-3 pipelines
+    val exact = graft.operators.Similarity.knnBrute(spark, sf)
+      .filter("rn <= 3").count()
+    assert(nE == exact && n1 > 0 && n2 > 0)
+    assert(h1 <= nE && h2 <= nE)
+    assert(r1 == 1000000L * h1 / nE && r2 == 1000000L * h2 / nE)
+    // probing more cells can only add candidates: recall@2 dominates
+    assert(r2 >= r1, s"nprobe=2 recall $r2 below nprobe=1 $r1")
+  }
 }
