@@ -19,31 +19,34 @@ object StatsQueries {
   /** One-scan multi-column profile of `lineitem`, one output row per
     * column: rows, nulls, exact ndv, lexicographic min/max (values as
     * strings so heterogeneous column types share one schema — the
-    * catalog-stats storage shape). The exact `countDistinct`s make the
-    * gate oracle-checkable; Spark plans the n-distinct aggregate via
-    * one Expand (×|cols| row multiplication) — the documented cost of
-    * exactness. The production variant swaps `approx_count_distinct`
-    * (HLL, no Expand, one true pass) with identical dataflow; the HLL
-    * error-bound pattern is gated separately (`agg_approx_distinct`).
-    * Min/max/null-count are always algebraic single-pass. */
+    * catalog-stats storage shape). Exact ndv stays oracle-checkable
+    * without the n-distinct Expand rewrite: the melt below shuffles
+    * distinct (column, value) pairs instead of |cols|+1 copies of the
+    * table. The production variant swaps `approx_count_distinct`
+    * (HLL, single-stage, no melt) with identical dataflow; the HLL
+    * error-bound pattern is gated separately (`agg_approx_distinct`). */
   def analyzeTable(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
-    val aggs = analyzeCols.flatMap { c =>
-      Seq(count(col(c)).as(s"cnt_$c"),
-        countDistinct(col(c)).as(s"ndv_$c"),
-        min(col(c).cast("string")).as(s"min_$c"),
-        max(col(c).cast("string")).as(s"max_$c"))
-    }
-    val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    // stack by exploding structs over the ONE aggregated row — a
-    // union of per-column selects would re-plan the scan per column
-    wide.select(explode(array(analyzeCols.map(c =>
-        struct(lit(c).as("column_name"), col("n_rows"),
-          (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
-          col(s"ndv_$c").as("ndv"),
-          col(s"min_$c").as("min_s"),
-          col(s"max_$c").as("max_s"))): _*)).as("s"))
+    // Melt-profile: explode each row to (column_name, value-as-string)
+    // INSIDE codegen, then aggregate twice. A flat multi-countDistinct
+    // agg plans via Expand — |cols|+1 copies of every row through one
+    // shuffle (5×|T| here); the melt's first groupBy dedups map-side,
+    // so the shuffle carries only the per-partition-distinct
+    // (column, value) pairs — bounded by Σ ndv(c) per partition, not
+    // by |T|. At 100 TB that is the difference between shuffling the
+    // table five times and shuffling the (tiny) value dictionaries.
+    // Null values survive as their own group so null counts fall out
+    // of the same pass.
+    val melted = li.select(explode(array(analyzeCols.map(c =>
+        struct(lit(c).as("column_name"),
+          col(c).cast("string").as("v"))): _*)).as("s"))
       .select(col("s.*"))
+    melted.groupBy("column_name", "v").agg(count(lit(1L)).as("cnt"))
+      .groupBy("column_name")
+      .agg(sum("cnt").as("n_rows"),
+        sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+        count(col("v")).as("ndv"), // one row per distinct non-null value
+        min("v").as("min_s"), max("v").as("max_s"))
   }
 
   /** AMS/CMS join-size estimation (Alon-Matias-Szegedy moments;

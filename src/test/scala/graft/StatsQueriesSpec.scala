@@ -48,14 +48,16 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("analyze is one scan: a single Expand, no union of scans") {
+  test("analyze is one scan and avoids the n-distinct Expand rewrite") {
     val plan = StatsQueries.analyzeTable(spark, SparkTestSession.sf)
       .queryExecution.executedPlan.toString
-    // the n-distinct rewrite introduces Expand; the stack of per-column
-    // output rows must come from Union over the SAME aggregated row,
-    // not one FileScan per column
+    // the per-column output rows must come from ONE melted scan, not
+    // one FileScan per column; and the melt must not regress to the
+    // multi-countDistinct plan, whose Expand pushes |cols|+1 copies
+    // of every row through the shuffle
     val scans = "FileScan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"expected exactly 1 scan, got $scans")
+    assert(!plan.contains("Expand"), "melt profile must not plan an Expand")
   }
 
   test("cms join-size estimate: per-row overestimates, min row tightest") {
