@@ -779,7 +779,10 @@ object Dedup {
   def blockDedup(spark: SparkSession, dir: String): DataFrame =
     blockDedupDf(Tables.load(spark, dir, "documents"))
 
-  def blockDedupDf(docs: DataFrame): DataFrame = {
+  /** One row per block INSTANCE — (doc_id, block_idx, block_text,
+    * global first-occurrence rank) — shared by the duplication report
+    * ([[blockDedupDf]]) and the corpus rewrite ([[blockRewriteDf]]). */
+  private def blockInstances(docs: DataFrame): DataFrame = {
     val b = blockTokens
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g")).orderBy(col("doc_id"), col("i"))
@@ -793,6 +796,10 @@ object Dedup {
       .select(col("doc_id"), col("i"),
         array_join(slice(col("t"), col("i") * b + 1, lit(b)), " ").as("g"))
       .withColumn("rn", row_number().over(w))
+  }
+
+  def blockDedupDf(docs: DataFrame): DataFrame = {
+    blockInstances(docs)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_blocks"),
         sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"))
@@ -800,6 +807,38 @@ object Dedup {
         (col("n_dup").cast("double") / col("n_blocks").cast("double"))
           .as("dup_ratio"))
   }
+
+  /** Corpus REWRITE under passage dedup — the transformation the
+    * report above only measures: every duplicate block instance is
+    * removed (global first occurrence by (doc_id, block_idx) survives,
+    * including within-document repeats) and each document is
+    * reassembled from its surviving blocks in original order. This is
+    * the exact-substring dedup pass an LLM training corpus actually
+    * ships — boilerplate disappears from every document but its first,
+    * rather than whole documents being dropped. Documents consisting
+    * entirely of previously-seen blocks vanish from the output, which
+    * is the intended degenerate case (their every passage survives
+    * elsewhere).
+    *
+    * Scale shape: the same one-window block frame as the report, plus
+    * one doc-keyed reassembly aggregation whose state is bounded by a
+    * single document's length — no new shuffle shape. At 100 TB the
+    * shuffle key for the window would be `xxhash64(g)` with the block
+    * text carried as a value (hash-key exchange beats sorting 16-token
+    * strings); kept as the text key here for oracle parity with the
+    * report. */
+  def blockRewrite(spark: SparkSession, dir: String): DataFrame =
+    blockRewriteDf(Tables.load(spark, dir, "documents"))
+
+  def blockRewriteDf(docs: DataFrame): DataFrame =
+    blockInstances(docs)
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("g")))),
+            x => x("g")), " ").as("text_dedup"))
+      .select(col("doc_id"), col("n_kept"), col("text_dedup"))
 
   // --- Substring-level (overlapping-window) dedup ------------------------
 
@@ -1200,6 +1239,7 @@ object Dedup {
     "dedup_incremental" -> incrementalDedup _,
     "dedup_canonical" -> canonicalQuery _,
     "dedup_blocks" -> blockDedup _,
+    "dedup_rewrite" -> blockRewrite _,
     "dedup_substring" -> substringDedup _,
     "dedup_substring_rolling" -> substringDedupRolling _,
     "dedup_containment" -> containmentQuery _,
@@ -1398,6 +1438,22 @@ object Dedup {
          |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS dup_ratio
          |FROM r GROUP BY doc_id""".stripMargin,
+    "dedup_rewrite" ->
+      s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 1),
+         |bi AS (SELECT doc_id, t,
+         |    unnest(range((len(t) + ${blockTokens - 1}) // $blockTokens)) AS i
+         |  FROM d),
+         |g AS (SELECT doc_id, i, array_to_string(list_slice(t,
+         |    CAST(i * $blockTokens + 1 AS INTEGER),
+         |    CAST(i * $blockTokens + $blockTokens AS INTEGER)), ' ') AS g
+         |  FROM bi),
+         |r AS (SELECT doc_id, i, g,
+         |    row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+         |  FROM g)
+         |SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(g, ' ' ORDER BY i) AS text_dedup
+         |FROM r WHERE rn = 1 GROUP BY doc_id""".stripMargin,
     "dedup_substring" ->
       s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
          |  WHERE len(str_split(text, ' ')) >= $blockTokens),

@@ -240,6 +240,33 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == (1L, 0L))      // sub-width doc still forms one block
   }
 
+  test("block rewrite drops duplicate passages and reassembles in order") {
+    import spark.implicits._
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+    val uniqueA = (1 to 16).map(i => s"a$i").mkString(" ")
+    val uniqueC = (1 to 16).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"$uniqueA $boiler",     // first corpus occurrence of boiler
+      2L -> s"$boiler $uniqueC",     // duplicate passage LEADS the doc
+      3L -> s"$boiler $boiler",      // fully-duplicate doc vanishes
+      4L -> "tiny tail").toDF("doc_id", "text")
+    val out = graft.operators.Dedup.blockRewriteDf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == (2L, s"$uniqueA $boiler")) // untouched, order kept
+    assert(out(2L) == (1L, uniqueC))             // leading dup removed
+    assert(!out.contains(3L))                    // nothing survives
+    assert(out(4L) == (1L, "tiny tail"))
+    // global invariant on the real corpus: kept instances == distinct
+    // blocks (every block text survives exactly once, somewhere)
+    val docsSf = graft.Tables.load(spark, SparkTestSession.sf, "documents")
+    val kept = graft.operators.Dedup.blockRewriteDf(docsSf)
+      .agg(org.apache.spark.sql.functions.sum("n_kept")).collect()(0).getLong(0)
+    val rep = graft.operators.Dedup.blockDedupDf(docsSf)
+      .agg(org.apache.spark.sql.functions.sum("n_blocks"),
+        org.apache.spark.sql.functions.sum("n_dup")).collect()(0)
+    assert(kept == rep.getLong(0) - rep.getLong(1))
+  }
+
   test("exact trigram jaccard on corpus is within [0, 1] and symmetric keys ordered") {
     val out = Dedup.jaccardExact(spark, SparkTestSession.sf).collect()
     assert(out.nonEmpty)
