@@ -1088,6 +1088,56 @@ object Similarity {
           .as("corpus_share_q6"))
   }
 
+  /** Depth bound and seed rule for [[bfsHops]]. */
+  val bfsDepth = 4
+  val bfsSeedMod = 50
+
+  /** Multi-source bounded-depth BFS core: min-hop distance from any
+    * seed, layered frontier expansion. Round r expands ONLY the
+    * vertices first reached at round r-1 (BFS layering makes that the
+    * complete frontier — a min distance never decreases later), so
+    * per-round work is |frontier ⋈ edges|, and the running `dist`
+    * frame is bounded by the reached neighborhood, not the graph.
+    * `localCheckpoint` per round cuts the lineage so round r+1 joins a
+    * materialized frame instead of replanning r rounds of LSH — the
+    * same iteration discipline as the clustering loops. */
+  def bfsHopsFrom(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    var dist = seeds.select(col("n"), lit(0L).as("d"))
+    for (r <- 1 to bfsDepth) {
+      val frontier = dist.filter(col("d") === (r - 1))
+      val nxt = frontier.join(edges, frontier("n") === edges("u"))
+        .select(col("v").as("n"), lit(r.toLong).as("d"))
+      dist = dist.union(nxt).groupBy("n").agg(min("d").as("d"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Gate form: distance from the nearest SEED vector (every 50th
+    * vec_id — a deterministic 2% scatter) through verified near-dup
+    * edges, within [[bfsDepth]] hops; unreached vectors are absent.
+    * This is the reachability primitive the graph family was missing
+    * next to PageRank/triangles/components: "how many dedup hops
+    * separate this vector from an audited one" is the query a
+    * spot-check-then-spread labeling workflow runs. All-source at
+    * once (one BFS for the whole seed set), never per-seed. */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame =
+    graft.Conf.withConf(spark, "spark.sql.shuffle.partitions", "8") {
+      val pairs = embedNearDupLsh(spark, dir)
+      val edges = pairs
+        .select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("e"))
+        .select(col("e.u"), col("e.v"))
+        .repartition(col("u"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seeds = Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") % bfsSeedMod === 0)
+        .select(col("vec_id").as("n"))
+      bfsHopsFrom(edges, seeds)
+        .select(col("n").as("vec_id"), col("d").as("dist"))
+    }
+
   // --- Fixed-point PageRank over the near-dup graph ----------------------
 
   /** Fixed iteration count and fixed-point unit for [[pageRank]]. The
@@ -1197,6 +1247,7 @@ object Similarity {
     "graph_pagerank" -> pageRank _,
     "graph_triangles" -> triangles _,
     "graph_component_sizes" -> componentSizes _,
+    "graph_bfs_hops" -> bfsHops _,
     "knn_brute" -> knnBrute _,
     "embed_neardup" -> embedNearDup _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
@@ -1347,6 +1398,17 @@ object Similarity {
          |p0 AS (SELECT vec_id, CAST($prScale AS BIGINT) AS pr FROM nodes),
          |$prStepCtes
          |SELECT vec_id, pr AS pr_fp FROM p$prIters""".stripMargin,
+    "graph_bfs_hops" ->
+      s"""WITH RECURSIVE $lshPairCtes,
+         |edges AS (SELECT a AS u, b AS v FROM vp
+         |          UNION SELECT b, a FROM vp),
+         |reach(n, d) AS (
+         |  SELECT vec_id, 0 FROM embeddings WHERE vec_id % $bfsSeedMod = 0
+         |  UNION
+         |  SELECT ed.v, reach.d + 1 FROM edges ed
+         |  JOIN reach ON reach.n = ed.u WHERE reach.d < $bfsDepth)
+         |SELECT n AS vec_id, CAST(min(d) AS BIGINT) AS dist
+         |FROM reach GROUP BY n""".stripMargin,
     "graph_triangles" ->
       s"""WITH $lshPairCtes,
          |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z

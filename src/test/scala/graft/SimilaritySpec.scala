@@ -247,6 +247,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(census(0).getLong(2) == (if (ref.isEmpty) 0L else ref.values.max))
   }
 
+  test("bounded bfs: layered distances on a path, depth cap respected") {
+    import spark.implicits._
+    // path 0-1-2-...-9 plus isolated 100; seeds {0, 100}
+    val edges = (0L to 8L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("u", "v")
+    val seeds = Seq(0L, 100L).toDF("n")
+    val got = graft.operators.Similarity.bfsHopsFrom(edges, seeds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // depth cap 4: nodes 0..4 reached at dist 0..4, 5..9 absent
+    assert(got == ((0L to 4L).map(i => i -> i) :+ (100L -> 0L)).toMap)
+  }
+
   test("fixed-point pagerank matches a driver-side reference iteration") {
     val sf = SparkTestSession.sf
     val pairs = Similarity.embedNearDupLsh(spark, sf)
