@@ -564,7 +564,46 @@ object BehaviorQueries {
           .as("streak_start"))
   }
 
+  /** MATCH_RECOGNIZE-lite sequence pattern matching (CEP): each user's
+    * events, in deterministic time order (second-floored ts + event_id
+    * tiebreak — the same total order every behavior gate uses), encode
+    * to a one-char-per-event string (event types have distinct
+    * initials), and a regex counts non-overlapping pattern
+    * occurrences. The gate pattern `c[^ep]*p` is "a click converting
+    * to a purchase with no error and no earlier purchase between" —
+    * the conversion-with-clean-path query a funnel can't express
+    * (funnels test subsequence, not exclusion).
+    *
+    * Scale shape: one user-keyed aggregation whose state is bounded by
+    * a single user's event count — identical to sessionize — and the
+    * regex automaton runs once per user inside codegen. Both engines
+    * scan left-to-right taking non-overlapping matches, and the
+    * pattern's inner class excludes the closing char, so the match set
+    * is engine-independent. The unbounded-key streaming form of this
+    * operator is the mapGroupsWithState family (`stream_*`). */
+  def patternMatch(spark: SparkSession, dir: String): DataFrame = {
+    val keyScale = 100000000L
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        (unix_timestamp(date_trunc("second", col("ts"))) * keyScale +
+          col("event_id")).as("k"),
+        substring(col("event_type"), 1, 1).as("c"))
+    patternMatchDf(ev, "c[^ep]*p")
+  }
+
+  /** Core over a pre-encoded (user_id, k, c) frame. */
+  def patternMatchDf(ev: DataFrame, pattern: String): DataFrame =
+    ev.groupBy("user_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("k"), col("c")))),
+          x => x("c")), "").as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).cast("long").as("n_events"),
+        regexp_count(col("seq"), lit(pattern)).cast("long")
+          .as("n_conversions"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "behavior_pattern_match" -> patternMatch _,
     "behavior_rfm" -> rfm _,
     "behavior_streaks" -> streaks _,
     "behavior_paths" -> topPaths _,
@@ -700,6 +739,18 @@ object BehaviorQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "behavior_pattern_match" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+        |      AS BIGINT) * 100000000 + event_id AS k,
+        |    substr(event_type, 1, 1) AS c
+        |  FROM events),
+        |s AS (SELECT user_id, string_agg(c, '' ORDER BY k) AS seq
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'c[^ep]*p')) AS BIGINT)
+        |    AS n_conversions
+        |FROM s""".stripMargin,
     "behavior_attribution_markov" -> markovOracle,
     "behavior_attribution_shapley" -> shapleyOracle,
     "behavior_rfm" -> {

@@ -12,6 +12,24 @@ class BehaviorSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = SparkTestSession.sf
 
+  test("pattern match counts clean-path conversions, exclusion respected") {
+    import spark.implicits._
+    // user 1: c v p  c e p   -> first converts, second blocked by error
+    // user 2: c c p          -> ONE match (regex consumes c..p greedily
+    //                           from the first c; non-overlapping)
+    // user 3: p c            -> purchase before click never matches
+    val ev = Seq(
+      (1L, 1L, "c"), (1L, 2L, "v"), (1L, 3L, "p"),
+      (1L, 4L, "c"), (1L, 5L, "e"), (1L, 6L, "p"),
+      (2L, 1L, "c"), (2L, 2L, "c"), (2L, 3L, "p"),
+      (3L, 1L, "p"), (3L, 2L, "c")).toDF("user_id", "k", "c")
+    val got = BehaviorQueries.patternMatchDf(ev, "c[^ep]*p").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (6L, 1L))
+    assert(got(2L) == (3L, 1L))
+    assert(got(3L) == (2L, 0L))
+  }
+
   test("linear attribution conserves purchase value up to quantization") {
     val sf = SparkTestSession.sf
     val out = BehaviorQueries.attributionLinear(spark, sf).collect()
