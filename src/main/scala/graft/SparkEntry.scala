@@ -62,7 +62,8 @@ object SparkEntry {
       analytics.MarketBasket.queries ++
       store.BloomIndex.queries ++
       streaming.StreamEwma.queries ++
-      streaming.StreamDrift.queries
+      streaming.StreamDrift.queries ++
+      streaming.StreamPattern.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -109,5 +110,6 @@ object SparkEntry {
       analytics.MarketBasket.oracles ++
       store.BloomIndex.oracles ++
       streaming.StreamEwma.oracles ++
-      streaming.StreamDrift.oracles
+      streaming.StreamDrift.oracles ++
+      streaming.StreamPattern.oracles
 }

@@ -123,6 +123,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(straddling.count() > 0, "no session spans the replay cut")
   }
 
+  test("streaming pattern automaton equals the batch regex counts") {
+    val sf = SparkTestSession.sf
+    val got = graft.streaming.StreamPattern.streamPatternMatch(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = graft.analytics.BehaviorQueries.patternMatch(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    // at least one conversion exists, else the automaton path is vacuous
+    assert(want.values.exists(_._2 > 0))
+  }
+
   test("stream-stream interval join emits exactly the batch match set") {
     val sf = SparkTestSession.sf
     val streamed = graft.streaming.StreamJoin.streamStreamJoin(spark, sf)
