@@ -487,7 +487,47 @@ object TimeSeries {
         "(1000000 * cents) DIV prev_cents AS cents_wow_q6")
   }
 
+  /** Sweep-line interval-overlap aggregation — peak concurrency per
+    * day: every event opens a 30-minute activity interval, and the
+    * classic sweep turns overlap counting into a prefix sum over
+    * boundary DELTAS (+1 at open, −1 at close), never an
+    * interval-vs-interval join. Deltas hash-aggregate per boundary
+    * second (map-side combine; frame bounded by distinct seconds, a
+    * calendar-bounded set, not by |events|); the global ordered prefix
+    * sum then runs CHUNKED, exactly the `window_running_sum_chunked`
+    * two-pass — a within-day window plus a carry that is the running
+    * sum of previous days' net totals. The carry window is global but
+    * its frame is one row per DAY (calendar-bounded: 365 rows/year at
+    * any corpus size) — the documented bounded-global-window pattern.
+    * Integer deltas make the sum exact and engine-independent. The
+    * capacity-planning readout: peak concurrent activity per day. */
+  def concurrency(spark: SparkSession, dir: String): DataFrame = {
+    val holdSecs = 1800
+    val ev = Tables.load(spark, dir, "events")
+      .select(date_trunc("second", col("ts")).as("s"))
+    val deltas = ev.select(col("s").as("t"), lit(1L).as("d"))
+      .union(ev.select(
+        (col("s") + expr(s"interval $holdSecs seconds")).as("t"),
+        lit(-1L).as("d")))
+      .groupBy("t").agg(sum("d").as("net"))
+      .withColumn("day", date_trunc("day", col("t")))
+    val wLocal = Window.partitionBy(col("day")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = deltas.withColumn("local_run", sum("net").over(wLocal))
+    val wCarry = Window.orderBy(col("cday"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = deltas.groupBy(col("day").as("cday"))
+      .agg(sum("net").as("dtot"))
+      .withColumn("carry", sum("dtot").over(wCarry))
+    local.join(carry, local("day") === carry("cday"))
+      .withColumn("conc", col("local_run") + coalesce(col("carry"), lit(0L)))
+      .groupBy(local("day"))
+      .agg(max("conc").as("max_concurrency"),
+        count(lit(1)).as("n_boundaries"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_concurrency" -> concurrency _,
     "ts_wow_growth" -> wowGrowth _,
     "ts_interpolate" -> interpolate _,
     "ts_changepoint" -> cusumChangepoint _,
@@ -502,6 +542,20 @@ object TimeSeries {
     "ts_seasonal" -> seasonal _)
 
   val oracles: Map[String, String] = Map(
+    "ts_concurrency" ->
+      """WITH e AS (SELECT date_trunc('second', CAST(ts AS TIMESTAMP)) AS s
+        |  FROM events),
+        |d AS (SELECT s AS t, 1 AS d FROM e
+        |  UNION ALL
+        |  SELECT s + INTERVAL 1800 SECOND, -1 FROM e),
+        |n AS (SELECT t, CAST(sum(d) AS BIGINT) AS net FROM d GROUP BY t),
+        |r AS (SELECT t, sum(net) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM n)
+        |SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+        |  CAST(max(conc) AS BIGINT) AS max_concurrency,
+        |  count(*) AS n_boundaries
+        |FROM r GROUP BY 1""".stripMargin,
     "ts_wow_growth" ->
       """WITH wk AS (SELECT event_type,
         |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))

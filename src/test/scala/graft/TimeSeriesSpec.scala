@@ -7,6 +7,30 @@ import org.scalatest.funsuite.AnyFunSuite
 class TimeSeriesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("sweep-line concurrency equals a naive global running sum") {
+    import org.apache.spark.sql.expressions.Window
+    val sf = SparkTestSession.sf
+    val got = graft.analytics.TimeSeries.concurrency(spark, sf).collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // naive reference: one unchunked global window over all boundaries
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(date_trunc("second", col("ts")).as("s"))
+    val deltas = ev.select(col("s").as("t"), lit(1L).as("d"))
+      .union(ev.select((col("s") + expr("interval 1800 seconds")).as("t"),
+        lit(-1L).as("d")))
+      .groupBy("t").agg(sum("d").as("net"))
+    val wg = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = deltas.withColumn("conc", sum("net").over(wg))
+      .groupBy(date_trunc("day", col("t")).as("day"))
+      .agg(max("conc").as("mc"), count(lit(1)).as("nb"))
+      .collect().map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want)
+    // sweep must observe real overlap somewhere (intervals are 30 min)
+    assert(got.values.exists(_._1 > 1))
+  }
+
   test("gap fill densifies each type's span and zero-fills empty buckets") {
     val sf = SparkTestSession.sf
     val out = TimeSeries.gapFill(spark, sf).cache()
