@@ -63,7 +63,8 @@ object SparkEntry {
       store.BloomIndex.queries ++
       streaming.StreamEwma.queries ++
       streaming.StreamDrift.queries ++
-      streaming.StreamPattern.queries
+      streaming.StreamPattern.queries ++
+      plans.Lineage.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -111,5 +112,6 @@ object SparkEntry {
       store.BloomIndex.oracles ++
       streaming.StreamEwma.oracles ++
       streaming.StreamDrift.oracles ++
-      streaming.StreamPattern.oracles
+      streaming.StreamPattern.oracles ++
+      plans.Lineage.oracles
 }

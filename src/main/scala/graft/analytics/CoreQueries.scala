@@ -182,7 +182,8 @@ object CoreQueries {
     * fact-fact edge; the join ORDER in the text is deliberately
     * dimension-first to show reordering is the optimizer's job, not
     * the author's. Exact-decimal revenue. */
-  private val sqlStarJoinText: String =
+  // shared with plans.Lineage (the lineage gate walks this plan)
+  val sqlStarJoinText: String =
     """SELECT n_name AS nation, o_orderpriority, count(*) AS n_items,
       |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
       |           * CAST(1 - l_discount AS DECIMAL(18,4)))
