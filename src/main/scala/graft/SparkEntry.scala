@@ -64,6 +64,7 @@ object SparkEntry {
       streaming.StreamEwma.queries ++
       streaming.StreamDrift.queries ++
       streaming.StreamPattern.queries ++
+      streaming.StreamCheckpoint.queries ++
       plans.Lineage.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -113,5 +114,6 @@ object SparkEntry {
       streaming.StreamEwma.oracles ++
       streaming.StreamDrift.oracles ++
       streaming.StreamPattern.oracles ++
+      streaming.StreamCheckpoint.oracles ++
       plans.Lineage.oracles
 }

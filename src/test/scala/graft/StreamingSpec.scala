@@ -123,6 +123,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(straddling.count() > 0, "no session spans the replay cut")
   }
 
+  test("checkpoint restart is exactly-once: aggregate equals batch form") {
+    val sf = SparkTestSession.sf
+    val got = graft.streaming.StreamCheckpoint.checkpointResume(spark, sf)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val want = graft.analytics.JoinQueries.tumblingWindow(spark, sf)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // any post-restart double-processing doubles a count
+    assert(got == want)
+  }
+
   test("streaming pattern automaton equals the batch regex counts") {
     val sf = SparkTestSession.sf
     val got = graft.streaming.StreamPattern.streamPatternMatch(spark, sf)
