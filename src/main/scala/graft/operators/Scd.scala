@@ -72,8 +72,34 @@ object Scd {
         .join(touched, Seq("user_id"), "left_anti"))
   }
 
+  /** Point-in-time join — the lookup SCD2 exists to serve: each click
+    * joins the purchase-value VERSION valid at its moment,
+    * `valid_from <= t < valid_to` (current version open-ended). The
+    * half-open intervals partition each user's timeline, so every
+    * click matches at most one version — an inner equi-join on
+    * user_id with the interval test as a residual range predicate,
+    * which Catalyst plans as one per-key sort-merge exchange, never a
+    * cross product. Both sides compare second-floored timestamps
+    * (history stamps are second-floored), keeping the boundary
+    * semantics engine-identical. Clicks before a user's first version
+    * have no valid row and drop out, as a PIT lookup should. */
+  def pointInTimeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hist = scd2History(spark, dir)
+    val clicks = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("at"))
+    clicks.join(hist,
+        clicks("user_id") === hist("user_id")
+          && col("at") >= col("valid_from")
+          && (col("valid_to").isNull || col("at") < col("valid_to")))
+      .select(clicks("event_id"), clicks("user_id"), col("at"),
+        col("version"), col("value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "scd2_history" -> scd2History _)
+    "scd2_history" -> scd2History _,
+    "join_point_in_time" -> pointInTimeJoin _)
 
   val oracles: Map[String, String] = Map(
     "scd2_history" ->
@@ -87,5 +113,25 @@ object Scd {
         |  CAST(date_trunc('second', lead(ts) OVER w) AS TIMESTAMP) AS valid_to,
         |  (lead(ts) OVER w) IS NULL AS is_current,
         |  CAST(row_number() OVER w AS BIGINT) AS version
-        |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)
+        |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "join_point_in_time" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c2 AS (SELECT *, lag(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev FROM p),
+        |ch AS (SELECT * FROM c2 WHERE prev IS NULL OR value <> prev),
+        |hist AS (SELECT user_id, value,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS valid_from,
+        |    CAST(date_trunc('second', lead(ts) OVER w) AS TIMESTAMP)
+        |      AS valid_to,
+        |    CAST(row_number() OVER w AS BIGINT) AS version
+        |  FROM ch
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |clicks AS (SELECT event_id, user_id,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS at
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.at, h.version, h.value
+        |FROM clicks c JOIN hist h ON c.user_id = h.user_id
+        |  AND c.at >= h.valid_from
+        |  AND (h.valid_to IS NULL OR c.at < h.valid_to)""".stripMargin)
 }

@@ -74,4 +74,29 @@ class ScdSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(fromHist == raw)
   }
+
+  test("point-in-time join: at most one version per click, value is as-of") {
+    val sf = SparkTestSession.sf
+    val out = Scd.pointInTimeJoin(spark, sf).cache()
+    // half-open intervals partition the timeline: never two matches
+    val dups = out.groupBy("event_id").count().filter(col("count") > 1).count()
+    assert(dups == 0)
+    // every matched value equals the last purchase at-or-before the click
+    // (spot-check via the forward-fill reconstruction on a sample)
+    val sample = out.orderBy("event_id").limit(20).collect()
+    val ev = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("second", col("ts")).as("pt"),
+        col("ts"), col("event_id"), col("value")).collect()
+    sample.foreach { r =>
+      val (uid, at, v) = (r.getLong(1), r.getTimestamp(2), r.getDouble(4))
+      val want = ev.filter(e => e.getLong(0) == uid
+          && !e.getTimestamp(1).after(at))
+        .maxBy(e => (e.getTimestamp(2).getTime, e.getLong(3)))
+        .getDouble(4)
+      assert(v == want, s"click ${r.getLong(0)} user $uid at $at")
+    }
+    out.unpersist()
+    ()
+  }
 }
