@@ -505,10 +505,13 @@ object TimeSeries {
     val holdSecs = 1800
     val ev = Tables.load(spark, dir, "events")
       .select(date_trunc("second", col("ts")).as("s"))
-    val deltas = ev.select(col("s").as("t"), lit(1L).as("d"))
-      .union(ev.select(
-        (col("s") + expr(s"interval $holdSecs seconds")).as("t"),
-        lit(-1L).as("d")))
+    // both boundaries via ONE map-side explode — a union of two selects
+    // over `ev` would scan the table twice
+    val deltas = ev.select(explode(array(
+        struct(col("s").as("t"), lit(1L).as("d")),
+        struct((col("s") + expr(s"interval $holdSecs seconds")).as("t"),
+          lit(-1L).as("d")))).as("e"))
+      .select(col("e.t").as("t"), col("e.d").as("d"))
       .groupBy("t").agg(sum("d").as("net"))
       .withColumn("day", date_trunc("day", col("t")))
     val wLocal = Window.partitionBy(col("day")).orderBy(col("t"))
