@@ -40,6 +40,22 @@ case class PatOut(user_id: Long, n_events: Long, n_conversions: Long)
   * watermark-paced triggers, state itself never grows. */
 object StreamPattern {
 
+  /** One automaton transition — the whole streaming operator reduces
+    * to folding this over a user's events in time order, which is what
+    * makes it micro-batch-split-invariant (PatternProps proves the
+    * fold over ANY chunking equals the whole-string regex count). */
+  def step(st: PatState, c: String): PatState = {
+    val n = st.nEvents + 1
+    c match {
+      case "c" => PatState(n, st.nConv, inCandidate = true)
+      case "e" => PatState(n, st.nConv, inCandidate = false)
+      case "p" =>
+        if (st.inCandidate) PatState(n, st.nConv + 1, inCandidate = false)
+        else PatState(n, st.nConv, inCandidate = false)
+      case _ => st.copy(nEvents = n)
+    }
+  }
+
   def streamPatternMatch(spark: SparkSession, dir: String): DataFrame =
     withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
     import spark.implicits._
@@ -64,17 +80,7 @@ object StreamPattern {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (uid: Long, rows: Iterator[PatEvent], state: GroupState[PatState]) =>
           var st = state.getOption.getOrElse(PatState(0L, 0L, false))
-          rows.toSeq.sortBy(_.k).foreach { e =>
-            val n = st.nEvents + 1
-            st = e.c match {
-              case "c" => PatState(n, st.nConv, inCandidate = true)
-              case "e" => PatState(n, st.nConv, inCandidate = false)
-              case "p" =>
-                if (st.inCandidate) PatState(n, st.nConv + 1, inCandidate = false)
-                else PatState(n, st.nConv, inCandidate = false)
-              case _ => st.copy(nEvents = n)
-            }
-          }
+          rows.toSeq.sortBy(_.k).foreach(e => st = step(st, e.c))
           state.update(st)
           Iterator.single(PatOut(uid, st.nEvents, st.nConv))
       }
