@@ -65,6 +65,7 @@ object SparkEntry {
       streaming.StreamDrift.queries ++
       streaming.StreamPattern.queries ++
       streaming.StreamCheckpoint.queries ++
+      store.Backfill.queries ++
       plans.Lineage.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -115,5 +116,6 @@ object SparkEntry {
       streaming.StreamDrift.oracles ++
       streaming.StreamPattern.oracles ++
       streaming.StreamCheckpoint.oracles ++
+      store.Backfill.oracles ++
       plans.Lineage.oracles
 }

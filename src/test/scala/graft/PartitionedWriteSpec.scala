@@ -82,4 +82,26 @@ class PartitionedWriteSpec extends AnyFunSuite {
     assert(back == Set((1L, "a", 2000), (3L, "c", 2001)),
       s"partition 2000 must survive, 2001 replaced: $back")
   }
+
+  test("backfill detects exactly the damaged partition and repairs it") {
+    import graft.store.Backfill
+    val sf = SparkTestSession.sf
+    // full cycle first (bootstraps, damages, repairs)
+    val out = Backfill.backfillQuery(spark, sf).cache()
+    val repaired = out.filter(col("repaired")).select("day")
+      .collect().map(_.getString(0)).toSeq
+    assert(repaired == Seq(Backfill.damagedDay))
+    // post-repair store equals the source per-day census
+    val src = graft.Tables.load(spark, sf, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == src)
+    // after a repair, a fresh manifest diff must be clean
+    val t = Backfill.bootstrap(spark, sf)
+    assert(Backfill.detectStale(spark, sf, t).isEmpty)
+    out.unpersist()
+    ()
+  }
 }
