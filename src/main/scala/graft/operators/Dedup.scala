@@ -87,6 +87,27 @@ object Dedup {
         "(1000000 * (n_docs - n_unique)) DIV n_docs AS dup_rate_q6")
   }
 
+  /** Cross-source duplication matrix — WHO copies WHOM, the provenance
+    * readout that decides which source to down-weight or drop: for
+    * every unordered source pair (src_a ≤ src_b), how many near-dup
+    * candidate pairs span them. Composes the LSH candidate set (the
+    * same uncapped reproducible pairs the clustering gates close over)
+    * with two doc_id-keyed source lookups and a |sources|²-bounded
+    * aggregation — pair volume is already banding-bounded, so the
+    * matrix costs two hash joins over it, nothing quadratic. */
+  def crossSourceDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = minhashCandidates(docs, cap = Int.MaxValue,
+      reproducible = true)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+      .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+  }
+
   // --- MinHash + LSH ----------------------------------------------------
 
   // Fixed pseudorandom permutation parameters (overflow-free: coefficients
@@ -1245,6 +1266,7 @@ object Dedup {
     "dedup_containment" -> containmentQuery _,
     "dedup_exact" -> exactDedup _,
     "dedup_rate_by_source" -> dupRateBySource _,
+    "dedup_cross_source" -> crossSourceDup _,
     "dedup_minhash_bands" -> minhashQuery _,
     "dedup_simhash" -> simhashQuery _,
     "dedup_simhash_pairs" -> simhashPairsQuery _,
@@ -1387,7 +1409,10 @@ object Dedup {
     * reachable id per node, the same fixpoint hash-min propagation
     * computes. Shared by the clustering and canonical-selection
     * oracles. */
-  private[operators] def closureCtes: String =
+  /** The uncapped reproducible candidate pair set as CTEs ending in
+    * `pairs(da, db)` — shared by the closure oracles and the
+    * cross-source matrix oracle. */
+  private[operators] def candidatePairCtes: String =
     s"""${minhashCtes()},
        |bands AS (
        |${minhashBandsUnion()}
@@ -1395,7 +1420,10 @@ object Dedup {
        |pairs AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
        |  FROM bands x JOIN bands y
        |    ON x.band_id = y.band_id AND x.bucket = y.bucket
-       |   AND x.doc_id < y.doc_id),
+       |   AND x.doc_id < y.doc_id)""".stripMargin
+
+  private[operators] def closureCtes: String =
+    s"""$candidatePairCtes,
        |edges AS (SELECT da AS u, db AS v FROM pairs
        |          UNION SELECT db, da FROM pairs),
        |reach(n, r) AS (
@@ -1560,6 +1588,15 @@ object Dedup {
         |  CAST((1000000 * (sum(n) - count(*))) // sum(n) AS BIGINT)
         |    AS dup_rate_q6
         |FROM ps JOIN sv USING (h) GROUP BY source""".stripMargin,
+    "dedup_cross_source" ->
+      s"""WITH $candidatePairCtes,
+         |ps AS (SELECT a.source AS sa, b.source AS sb
+         |  FROM pairs p
+         |  JOIN documents a ON a.doc_id = p.da
+         |  JOIN documents b ON b.doc_id = p.db)
+         |SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+         |  count(*) AS n_pairs
+         |FROM ps GROUP BY 1, 2""".stripMargin,
     "dedup_minhash_bands" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,

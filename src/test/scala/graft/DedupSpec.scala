@@ -267,6 +267,29 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == rep.getLong(0) - rep.getLong(1))
   }
 
+  test("cross-source matrix bins every candidate pair exactly once") {
+    val sf = SparkTestSession.sf
+    val got = graft.operators.Dedup.crossSourceDup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // driver reference: collect the candidate pairs + source map, bin
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val srcOf = docs
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.operators.Dedup
+      .minhashCandidates(docs, cap = Int.MaxValue, reproducible = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = pairs
+      .map { case (a, b) =>
+        val Seq(x, y) = Seq(srcOf(a), srcOf(b)).sorted; (x, y)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want)
+    assert(got.values.sum == pairs.length.toLong)
+    assert(got.nonEmpty)
+  }
+
   test("exact trigram jaccard on corpus is within [0, 1] and symmetric keys ordered") {
     val out = Dedup.jaccardExact(spark, SparkTestSession.sf).collect()
     assert(out.nonEmpty)
