@@ -602,8 +602,52 @@ object BehaviorQueries {
         regexp_count(col("seq"), lit(pattern)).cast("long")
           .as("n_conversions"))
 
+  /** Time-to-convert distribution — the funnel's latency readout: per
+    * user, the gap from FIRST click to the first purchase after it,
+    * then exact p50/p90 over the converted population. Percentiles run
+    * on the gap-seconds histogram with the `agg_percentile_banded`
+    * two-level prefix sum (day bands, calendar-bounded offset frame) —
+    * no global sort, no per-user collect, and the histogram is bounded
+    * by distinct gap values, which map-side combine collapses. Gap
+    * arithmetic on second-floored stamps, integer-exact both engines. */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("s"))
+    val c1 = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("s").as("c1"))
+    val gaps = ev.filter(col("event_type") === "purchase")
+      .join(c1, "user_id")
+      .filter(col("s") > col("c1"))
+      .groupBy(col("user_id"), col("c1")).agg(min("s").as("p1"))
+      .select((unix_timestamp(col("p1")) - unix_timestamp(col("c1")))
+        .as("gap"))
+    val h = gaps.groupBy("gap").agg(count(lit(1)).as("cnt"))
+      .withColumn("band", expr("gap DIV 86400"))
+    val wIn = Window.partitionBy("band").orderBy("gap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = h.groupBy("band").agg(sum("cnt").as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("btot")).over(wTot))
+      .select(col("band"), col("off"), col("n"))
+    h.withColumn("cum_in", sum(col("cnt")).over(wIn))
+      .join(broadcast(offsets), "band")
+      .select(col("gap"), col("cnt"),
+        (col("off") + col("cum_in")).as("cum"), col("n"))
+      .withColumn("q", explode(array(lit(50L), lit(90L))))
+      .filter(col("cum") * 100 >= col("q") * col("n")
+        && (col("cum") - col("cnt")) * 100 < col("q") * col("n"))
+      .select(col("q"), col("gap").as("gap_s"), col("n").as("n_converted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "behavior_pattern_match" -> patternMatch _,
+    "behavior_time_to_convert" -> timeToConvert _,
     "behavior_rfm" -> rfm _,
     "behavior_streaks" -> streaks _,
     "behavior_paths" -> topPaths _,
@@ -751,6 +795,25 @@ object BehaviorQueries {
         |  CAST(len(regexp_extract_all(seq, 'c[^ep]*p')) AS BIGINT)
         |    AS n_conversions
         |FROM s""".stripMargin,
+    "behavior_time_to_convert" ->
+      """WITH c1 AS (SELECT user_id,
+        |    min(date_trunc('second', CAST(ts AS TIMESTAMP))) AS c1
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |g AS (SELECT date_diff('second', c1.c1,
+        |      min(date_trunc('second', CAST(e.ts AS TIMESTAMP)))) AS gap
+        |  FROM events e JOIN c1 ON e.user_id = c1.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND date_trunc('second', CAST(e.ts AS TIMESTAMP)) > c1.c1
+        |  GROUP BY c1.user_id, c1.c1),
+        |h AS (SELECT gap, CAST(count(*) AS BIGINT) AS cnt FROM g
+        |  GROUP BY 1),
+        |c AS (SELECT *,
+        |    CAST(sum(cnt) OVER (ORDER BY gap) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+        |  FROM h)
+        |SELECT CAST(q.q AS BIGINT) AS q, gap AS gap_s, n AS n_converted
+        |FROM c, (SELECT unnest([50, 90]) AS q) q
+        |WHERE cum * 100 >= q.q * n AND (cum - cnt) * 100 < q.q * n""".stripMargin,
     "behavior_attribution_markov" -> markovOracle,
     "behavior_attribution_shapley" -> shapleyOracle,
     "behavior_rfm" -> {

@@ -30,6 +30,29 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got(3L) == (2L, 0L))
   }
 
+  test("time-to-convert percentiles equal a driver-side sorted reference") {
+    val sf = SparkTestSession.sf
+    val got = BehaviorQueries.timeToConvert(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // reference: per-user first click, first later purchase, sort gaps
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val firstClick = ev.filter(_._2 == "click").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._3).min(Ordering.by((t: java.sql.Timestamp) => t.getTime)) }
+    val gaps = firstClick.toSeq.flatMap { case (u, c1) =>
+      val ps = ev.filter(e => e._1 == u && e._2 == "purchase"
+        && e._3.getTime > c1.getTime)
+      if (ps.isEmpty) None
+      else Some((ps.map(_._3.getTime).min - c1.getTime) / 1000L)
+    }.sorted
+    val n = gaps.length.toLong
+    def disc(q: Long): Long = gaps((math.ceil(q * n / 100.0) - 1).toInt)
+    assert(got(50L) == (disc(50), n) && got(90L) == (disc(90), n))
+    assert(n > 10) // distribution is non-trivial at every sf
+  }
+
   test("linear attribution conserves purchase value up to quantization") {
     val sf = SparkTestSession.sf
     val out = BehaviorQueries.attributionLinear(spark, sf).collect()
