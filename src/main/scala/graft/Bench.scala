@@ -125,7 +125,13 @@ object Bench {
       "text_lm_score", "curate_source_cap", "knn_filtered",
       "knn_ivf_sampled", "stats_cuped", "text_bpe_train",
       "train_token_budget", "behavior_attribution_linear",
-      "dedup_winnowing_pairs", "embed_lsh_recall")
+      "dedup_winnowing_pairs", "embed_lsh_recall",
+      // round-5 additions, one per new family
+      "dedup_rewrite", "graph_bfs_hops", "behavior_pattern_match",
+      "stream_pattern_match", "ts_concurrency", "meta_lineage",
+      "stream_checkpoint_resume", "join_point_in_time",
+      "store_backfill", "dedup_cross_source", "behavior_time_to_convert",
+      "stats_analyze")
     val qs = toJson(okResults.view.filterKeys(headline).toMap, identity)
     val total = if (okResults.nonEmpty) okResults.values.sum else 0.0
     val sfTag = sfDir.split('/').last
