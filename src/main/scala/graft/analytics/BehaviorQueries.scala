@@ -782,19 +782,25 @@ object BehaviorQueries {
        |$rows""".stripMargin
   }
 
+  /** Shared with `stream_pattern_match` — the streaming automaton's
+    * final counts must equal this batch regex count by construction,
+    * so the two gates reference ONE oracle string (drift between them
+    * would silently unpin the equivalence). */
+  val patternMatchOracle: String =
+    """WITH e AS (SELECT user_id,
+      |    CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+      |      AS BIGINT) * 100000000 + event_id AS k,
+      |    substr(event_type, 1, 1) AS c
+      |  FROM events),
+      |s AS (SELECT user_id, string_agg(c, '' ORDER BY k) AS seq
+      |  FROM e GROUP BY user_id)
+      |SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+      |  CAST(len(regexp_extract_all(seq, 'c[^ep]*p')) AS BIGINT)
+      |    AS n_conversions
+      |FROM s""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "behavior_pattern_match" ->
-      """WITH e AS (SELECT user_id,
-        |    CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
-        |      AS BIGINT) * 100000000 + event_id AS k,
-        |    substr(event_type, 1, 1) AS c
-        |  FROM events),
-        |s AS (SELECT user_id, string_agg(c, '' ORDER BY k) AS seq
-        |  FROM e GROUP BY user_id)
-        |SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
-        |  CAST(len(regexp_extract_all(seq, 'c[^ep]*p')) AS BIGINT)
-        |    AS n_conversions
-        |FROM s""".stripMargin,
+    "behavior_pattern_match" -> patternMatchOracle,
     "behavior_time_to_convert" ->
       """WITH c1 AS (SELECT user_id,
         |    min(date_trunc('second', CAST(ts AS TIMESTAMP))) AS c1

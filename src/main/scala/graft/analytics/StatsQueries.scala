@@ -24,7 +24,11 @@ object StatsQueries {
     * distinct (column, value) pairs instead of |cols|+1 copies of the
     * table. The production variant swaps `approx_count_distinct`
     * (HLL, single-stage, no melt) with identical dataflow; the HLL
-    * error-bound pattern is gated separately (`agg_approx_distinct`). */
+    * error-bound pattern is gated separately (`agg_approx_distinct`).
+    * Degenerate-input note: on an EMPTY table the melt yields zero
+    * rows where a wide agg would yield one all-zero row per column —
+    * profile semantics over an empty relation are "no columns to
+    * report", and the gate corpus is never empty. */
   def analyzeTable(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     // Melt-profile: explode each row to (column_name, value-as-string)

@@ -3,7 +3,7 @@ package graft.plans
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.NamedExpression
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Project, SubqueryAlias, Window => WindowPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Project, SubqueryAlias, Union, Window => WindowPlan}
 
 /** Column-level VALUE lineage from the analyzed Catalyst plan — the
   * governance / impact-analysis primitive ("which physical columns
@@ -17,7 +17,12 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, Logical
   * Value lineage only: columns consumed by filters and join
   * predicates shape WHICH rows flow, not what a value is computed
   * from, and are deliberately excluded (the standard
-  * data-vs-control-lineage split). Plan traversal is driver-side by
+  * data-vs-control-lineage split). Union branches all contribute
+  * (every child's positional column feeds the output column). Known
+  * limit: expressions holding ENTIRE sub-plans (scalar/EXISTS
+  * subqueries) contribute no sources — their lineage is a plan, not
+  * an attribute; extend `definitions` with a SubqueryExpression case
+  * if that surface is needed. Plan traversal is driver-side by
   * nature — the input is the plan tree, not data — so the operator
   * costs O(plan size) regardless of corpus scale.
   */
@@ -51,15 +56,28 @@ object Lineage {
     * recording. */
   private def definitions(plan: LogicalPlan): Map[Long, Set[Long]] = {
     val defs = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    def add(id: Long, refs: Set[Long]): Unit =
+      defs(id) = defs.getOrElse(id, Set.empty) ++ refs
     def record(ne: NamedExpression): Unit = {
       val refs = ne.references.map(_.exprId.id).toSet
       // an AttributeReference "defines" itself; skip identity edges
-      if (refs != Set(ne.exprId.id)) defs(ne.exprId.id) = refs
+      if (refs != Set(ne.exprId.id)) add(ne.exprId.id, refs)
     }
     plan.foreach {
       case p: Project => p.projectList.foreach(record)
       case a: Aggregate => a.aggregateExpressions.foreach(record)
       case w: WindowPlan => w.windowExpressions.foreach(record)
+      case u: Union =>
+        // a Union's output reuses the FIRST child's attributes; every
+        // child's positional column is a source of the output column,
+        // so fold all branches in (the first child contributes via the
+        // leaf/identity path, later children via these edges)
+        u.children.foreach { child =>
+          u.output.zip(child.output).foreach { case (out, in) =>
+            if (out.exprId.id != in.exprId.id)
+              add(out.exprId.id, Set(in.exprId.id))
+          }
+        }
       case _ => ()
     }
     defs.toMap
@@ -73,11 +91,13 @@ object Lineage {
     val plan = df.queryExecution.analyzed
     val leaves = leafSources(plan)
     val defs = definitions(plan)
+    // a leaf attribute can ALSO carry definition edges (a Union output
+    // reuses its first child's attribute), so take both paths
     def resolve(id: Long, seen: Set[Long]): Set[Long] =
       if (seen(id)) Set.empty
-      else if (leaves.contains(id)) Set(id)
-      else defs.getOrElse(id, Set.empty)
-        .flatMap(r => resolve(r, seen + id))
+      else (if (leaves.contains(id)) Set(id) else Set.empty[Long]) ++
+        defs.getOrElse(id, Set.empty)
+          .flatMap(r => resolve(r, seen + id))
     plan.output.flatMap { out =>
       resolve(out.exprId.id, Set.empty).toSeq.map { src =>
         val (t, c) = leaves(src)

@@ -75,10 +75,21 @@ object Backfill {
         .filter(col("day") === damagedDay && col("user_id") % 2 === 0)
         .write.mode("overwrite").insertInto(t)
       val stale = detectStale(spark, dir, t)
-      // repair: rewrite only the diverged partitions
-      source(spark, dir)
-        .filter(col("day").isin(stale: _*))
-        .write.mode("overwrite").insertInto(t)
+      // repair: rewrite diverged partitions the source still has, DROP
+      // the ones it doesn't — dynamic overwrite only replaces
+      // partitions present in the written frame, so a store-only day
+      // (e.g. the corpus was restated to exclude it) needs an explicit
+      // partition drop or it would survive every "repair" forever.
+      // Day lists are calendar-bounded driver scalars.
+      val srcDays = source(spark, dir).select("day").distinct()
+        .collect().map(_.getString(0)).toSet
+      val (rewrite, dead) = stale.partition(srcDays.contains)
+      dead.foreach(d =>
+        spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (day='$d')"))
+      if (rewrite.nonEmpty)
+        source(spark, dir)
+          .filter(col("day").isin(rewrite: _*))
+          .write.mode("overwrite").insertInto(t)
       spark.table(t).groupBy("day")
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
         .withColumn("repaired", col("day").isin(stale: _*))

@@ -81,25 +81,37 @@ object EventStream {
 
   private[streaming] val streamShufflePartitions = "8"
 
+  /** Land ONE DataFrame as a single parquet file `staging/<name>` with
+    * a back-dated mtime at slot order `slot` — the unit step of replay
+    * staging, shared by [[stageReplay]] (all frames up front) and
+    * StreamCheckpoint (frames landed across query restarts). */
+  private[streaming] def stageFile(df: org.apache.spark.sql.DataFrame,
+      work: java.nio.file.Path, staging: java.nio.file.Path,
+      name: String, slot: Int): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val t0 = System.currentTimeMillis() - 600000L
+    val tmp = work.resolve(s"w$slot").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-")
+        && f.getName.endsWith(".parquet")).get
+    val dest = staging.resolve(name)
+    Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+    dest.toFile.setLastModified(t0 + slot * 60000L)
+    ()
+  }
+
   /** Stage DataFrames as one parquet file each in a fresh directory with
     * strictly ascending modification times, so a file streaming source
     * with `maxFilesPerTrigger=1` replays them as ordered micro-batches
     * (the source processes oldest mtime first). */
   private[streaming] def stageReplay(frames: Seq[DataFrame]): String = {
-    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.Files
     val work = Files.createTempDirectory("graft_stream_replay")
     val staging = work.resolve("input")
     Files.createDirectories(staging)
-    val t0 = System.currentTimeMillis() - 600000L
     frames.zipWithIndex.foreach { case (df, i) =>
-      val tmp = work.resolve(s"w$i").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-")
-          && f.getName.endsWith(".parquet")).get
-      val dest = staging.resolve(f"b$i%02d.parquet")
-      Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
-      dest.toFile.setLastModified(t0 + i * 60000L)
+      stageFile(df, work, staging, f"b$i%02d.parquet", i)
     }
     staging.toString
   }

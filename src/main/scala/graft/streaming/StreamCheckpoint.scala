@@ -29,7 +29,7 @@ object StreamCheckpoint {
 
   def checkpointResume(spark: SparkSession, dir: String): DataFrame =
     withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
-    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.Files
     val batch = Tables.load(spark, dir, "events")
       .select(col("ts"), col("event_type"), col("value"))
     val cut = lit(Sessionize.streamCut).cast("timestamp")
@@ -38,17 +38,8 @@ object StreamCheckpoint {
     Files.createDirectories(staging)
     val ckpt = work.resolve("ckpt").toString
     val outDir = work.resolve("out").toString
-    val t0 = System.currentTimeMillis() - 600000L
-    def place(df: DataFrame, name: String, slot: Int): Unit = {
-      val tmp = work.resolve(s"w$slot").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-")
-          && f.getName.endsWith(".parquet")).get
-      val dest = staging.resolve(name)
-      Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
-      dest.toFile.setLastModified(t0 + slot * 60000L)
-    }
+    def place(df: DataFrame, name: String, slot: Int): Unit =
+      EventStream.stageFile(df, work, staging, name, slot)
     def run(): Unit = {
       val q = spark.readStream
         .schema(batch.schema)
@@ -76,11 +67,9 @@ object StreamCheckpoint {
     "stream_checkpoint_resume" -> checkpointResume _)
 
   // exactly-once across the restart ⇒ the sink holds each event once ⇒
-  // hourly aggregate equals the batch form (window_tumbling's oracle)
+  // hourly aggregate equals the batch form — window_tumbling's oracle,
+  // referenced (not copied) so the equivalence is structural
   val oracles: Map[String, String] = Map(
     "stream_checkpoint_resume" ->
-      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
-        |  event_type, count(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
-        |FROM events GROUP BY 1, 2""".stripMargin)
+      graft.analytics.JoinQueries.oracles("window_tumbling"))
 }

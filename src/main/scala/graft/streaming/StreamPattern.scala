@@ -31,7 +31,10 @@ case class PatOut(user_id: Long, n_events: Long, n_conversions: Long)
   * splits into two time-ordered files at the second-aligned
   * [[Sessionize.streamCut]], so a user's cross-trigger event order is
   * its event-time order (the deterministic k = second-floored ts ·10^8
-  * + event_id key cannot straddle the cut out of order); within a
+  * + event_id key cannot straddle the cut out of order — which
+  * REQUIRES event_id < 10^8, the corpus invariant every behavior
+  * gate's k-encoding already rests on; at a scale where ids exceed
+  * it, widen the key, don't re-split); within a
   * trigger the group iterator sorts by k. Update mode emits each
   * touched user's running counts per trigger; the monotone event count
   * makes "latest update per user" a simple max-struct fold, asserted
@@ -108,19 +111,10 @@ object StreamPattern {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_pattern_match" -> streamPatternMatch _)
 
-  // identical to the batch CEP gate: final automaton counts equal the
-  // full-history regex count
+  // THE SAME STRING as the batch CEP gate's oracle — final automaton
+  // counts equal the full-history regex count, and sharing the val
+  // makes that equivalence structural, not copy-paste
   val oracles: Map[String, String] = Map(
     "stream_pattern_match" ->
-      """WITH e AS (SELECT user_id,
-        |    CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
-        |      AS BIGINT) * 100000000 + event_id AS k,
-        |    substr(event_type, 1, 1) AS c
-        |  FROM events),
-        |s AS (SELECT user_id, string_agg(c, '' ORDER BY k) AS seq
-        |  FROM e GROUP BY user_id)
-        |SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
-        |  CAST(len(regexp_extract_all(seq, 'c[^ep]*p')) AS BIGINT)
-        |    AS n_conversions
-        |FROM s""".stripMargin)
+      graft.analytics.BehaviorQueries.patternMatchOracle)
 }

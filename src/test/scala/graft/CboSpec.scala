@@ -7,12 +7,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * half of the stats story next to `stats_analyze` (which computes
   * profile numbers as a query): ANALYZE TABLE persists row/column
   * stats into the catalog, and the planner consumes them. The spec
-  * proves the full loop: stats land (rowCount visible on the
-  * optimized plan), and a dim⋈fact join picks BroadcastHashJoin from
-  * the DIM'S SIZE STATS ALONE — no broadcast() hint, no file-size
-  * heuristic (the threshold check runs against catalog stats, which
-  * is how a 100 TB warehouse gets correct join strategies for views
-  * and tables whose file listing is too expensive to size). */
+  * proves the loop lands: ANALYZE persists stats and the optimizer
+  * SURFACES them (rowCount on the optimized plan under CBO — the
+  * assert that actually pins catalog-stats consumption), and the
+  * hint-free dim⋈fact join broadcasts the small side. Honest caveat
+  * on the second assert: a kilobyte dim would broadcast from file
+  * size alone too, so the broadcast check is a sanity pin, not an
+  * isolation of the catalog path — the rowCount assert is the
+  * catalog-specific one. */
 class CboSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 

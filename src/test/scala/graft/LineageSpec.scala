@@ -33,6 +33,16 @@ class LineageSpec extends AnyFunSuite {
       ("grandparent", "lin_t", "parent")))
   }
 
+  test("union lineage reports every branch's source column") {
+    import spark.implicits._
+    Seq((1L, "x")).toDF("a", "s").createOrReplaceTempView("lin_u1")
+    Seq((2L, "y")).toDF("b", "t").createOrReplaceTempView("lin_u2")
+    val df = spark.sql(
+      "SELECT a AS v FROM lin_u1 UNION ALL SELECT b FROM lin_u2")
+    val got = Lineage.of(df).toSet
+    assert(got == Set(("v", "lin_u1", "a"), ("v", "lin_u2", "b")))
+  }
+
   test("window expression lineage reaches the value column") {
     import spark.implicits._
     Seq((1L, 3.0)).toDF("g", "v").createOrReplaceTempView("lin_w")

@@ -102,6 +102,17 @@ class PartitionedWriteSpec extends AnyFunSuite {
     val t = Backfill.bootstrap(spark, sf)
     assert(Backfill.detectStale(spark, sf, t).isEmpty)
     out.unpersist()
+    // a STORE-ONLY day (restated out of the source) must be detected
+    // and DROPPED — dynamic overwrite alone can never remove it
+    import spark.implicits._
+    Seq((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+        -1L, 0.0, "2030-01-01"))
+      .toDF("event_id", "ts", "user_id", "value", "day")
+      .write.mode("append").insertInto(t)
+    assert(Backfill.detectStale(spark, sf, t) == Seq("2030-01-01"))
+    val after = Backfill.backfillQuery(spark, sf)
+    assert(after.filter(col("day") === "2030-01-01").count() == 0)
+    assert(Backfill.detectStale(spark, sf, t).isEmpty)
     ()
   }
 }
