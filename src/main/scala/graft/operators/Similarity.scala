@@ -1138,6 +1138,55 @@ object Similarity {
         .select(col("n").as("vec_id"), col("d").as("dist"))
     }
 
+  /** Degree cap for [[linkPredict]] wedge centers. A center vertex w
+    * contributes deg(w)·(deg(w)-1)/2 wedges, so hubs dominate the join
+    * quadratically while contributing ~nothing to the resource-
+    * allocation score (their 1/deg weight vanishes) — dropping them is
+    * the standard hub guard, the same move as the LSH bucket caps. */
+  val lpMaxDeg = 64L
+
+  /** Fixed-point unit for the resource-allocation score: each common
+    * neighbor w adds `1e6 div deg(w)` — truncating integer division,
+    * bit-identical in Spark (`div`) and DuckDB (`//`), so the score
+    * hash-checks without float-order ambiguity. */
+  val lpRaScale = 1000000L
+
+  /** Link prediction over the verified near-dup graph — the missing
+    * member of the graph family next to PageRank/triangles/components:
+    * for every NON-adjacent pair (a, b) sharing at least one neighbor,
+    * the common-neighbor count and the resource-allocation index
+    * Σ_w 1/deg(w) (Zhou/Lü/Zhang 2009 — the strongest of the simple
+    * local indices). On a dedup graph this is the "probable missed
+    * duplicate" queue: pairs the LSH bands never collided but whose
+    * shared neighborhoods say they should have — exactly what a human
+    * audit loop reviews next.
+    *
+    * Scale shape: one wedge self-join keyed on the center vertex —
+    * per-center work is deg² and [[lpMaxDeg]] bounds it (hub centers
+    * carry ~zero RA weight, so the cap trades noise, not signal) —
+    * then ONE hash agg on the (a, b) pair key and an anti-join back
+    * against the edge list to keep predictions only. Nothing here is
+    * all-pairs; work is bounded by Σ min(deg, cap)² over vertices,
+    * the same budget as the triangle census. */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame =
+    graft.Conf.withConf(spark, "spark.sql.shuffle.partitions", "8") {
+      val pairs = embedNearDupLsh(spark, dir).cache()
+      val edges = pairs
+        .select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("e"))
+        .select(col("e.u"), col("e.v"))
+      val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+      val centered = edges.join(deg.filter(col("d") <= lpMaxDeg), "u")
+      val wedges = centered.alias("x").join(centered.alias("y"),
+          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .select(col("x.v").as("a"), col("y.v").as("b"), col("x.d").as("d"))
+      wedges.groupBy("a", "b")
+        .agg(count(lit(1)).as("cn"),
+          sum(expr(s"$lpRaScale div d")).as("ra_fp"))
+        .join(pairs, Seq("a", "b"), "left_anti")
+    }
+
   // --- Fixed-point PageRank over the near-dup graph ----------------------
 
   /** Fixed iteration count and fixed-point unit for [[pageRank]]. The
@@ -1248,6 +1297,7 @@ object Similarity {
     "graph_triangles" -> triangles _,
     "graph_component_sizes" -> componentSizes _,
     "graph_bfs_hops" -> bfsHops _,
+    "graph_link_predict" -> linkPredict _,
     "knn_brute" -> knnBrute _,
     "embed_neardup" -> embedNearDup _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
@@ -1409,6 +1459,21 @@ object Similarity {
          |  JOIN reach ON reach.n = ed.u WHERE reach.d < $bfsDepth)
          |SELECT n AS vec_id, CAST(min(d) AS BIGINT) AS dist
          |FROM reach GROUP BY n""".stripMargin,
+    "graph_link_predict" ->
+      s"""WITH $lshPairCtes,
+         |edges AS (SELECT a AS u, b AS v FROM vp
+         |  UNION ALL SELECT b AS u, a AS v FROM vp),
+         |deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+         |ce AS (SELECT e.u, e.v, deg.d FROM edges e
+         |  JOIN deg ON deg.u = e.u WHERE deg.d <= $lpMaxDeg),
+         |wedge AS (SELECT x.v AS a, y.v AS b, x.d AS d
+         |  FROM ce x JOIN ce y ON x.u = y.u AND x.v < y.v),
+         |scored AS (SELECT a, b, count(*) AS cn,
+         |    CAST(sum($lpRaScale // d) AS BIGINT) AS ra_fp
+         |  FROM wedge GROUP BY a, b)
+         |SELECT s.a, s.b, s.cn, s.ra_fp FROM scored s
+         |WHERE NOT EXISTS (SELECT 1 FROM vp
+         |  WHERE vp.a = s.a AND vp.b = s.b)""".stripMargin,
     "graph_triangles" ->
       s"""WITH $lshPairCtes,
          |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z

@@ -247,6 +247,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(census(0).getLong(2) == (if (ref.isEmpty) 0L else ref.values.max))
   }
 
+  test("link prediction equals a driver-side wedge enumeration") {
+    val sf = SparkTestSession.sf
+    val pairs = Similarity.embedNearDupLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    pairs.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    val ref = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    for {
+      (w, ns) <- adj if ns.size <= Similarity.lpMaxDeg
+      a <- ns; b <- ns if a < b
+    } {
+      val (cn, ra) = ref.getOrElse((a, b), (0L, 0L))
+      ref((a, b)) = (cn + 1L, ra + Similarity.lpRaScale / ns.size)
+    }
+    val expected = ref.toMap.filter { case (p, _) => !pairs(p) }
+    val got = Similarity.linkPredict(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected)
+    // predictions are strictly non-edges with at least one witness
+    got.foreach { case ((a, b), (cn, _)) =>
+      assert(a < b && cn >= 1 && !pairs((a, b)))
+    }
+  }
+
   test("bounded bfs: layered distances on a path, depth cap respected") {
     import spark.implicits._
     // path 0-1-2-...-9 plus isolated 100; seeds {0, 100}
