@@ -148,11 +148,46 @@ object AsofJoin {
         when(within, gap).as("gap_s"))
   }
 
+  /** As-of NEAREST (pandas `merge_asof(direction='nearest')`): each
+    * purchase matched to the view closest in time in EITHER direction,
+    * ties to the prior one. Composes the backward and forward merge
+    * scans — each already exact for its direction, so the row-wise
+    * argmin over the two candidates is the global nearest; no new
+    * operator shape, just two keyed exchanges and one equi-join on the
+    * unique purchase id. The same two-scan trick is how a native
+    * engine implements nearest too (a single scan can't know the
+    * forward candidate until it has passed it). */
+  def purchaseToNearestView(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val back = asof(views, purchases, "user_id", Seq("ts", "event_id"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("_match.event_id").as("b_id"),
+        (unix_timestamp(col("ts"))
+          - unix_timestamp(col("_match.ts"))).as("b_gap"))
+    val fwd = asof(views, purchases, "user_id", Seq("ts", "event_id"),
+        forward = true)
+      .select(col("event_id").as("purchase_id"),
+        col("_match.event_id").as("f_id"),
+        (unix_timestamp(col("_match.ts"))
+          - unix_timestamp(col("ts"))).as("f_gap"))
+    val useBack = col("f_gap").isNull ||
+      (col("b_gap").isNotNull && col("b_gap") <= col("f_gap"))
+    back.join(fwd, "purchase_id")
+      .select(col("purchase_id"), col("user_id"),
+        when(useBack, col("b_id")).otherwise(col("f_id")).as("view_id"),
+        when(useBack, col("b_gap")).otherwise(col("f_gap")).as("gap_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> purchaseToView _,
     "asof_join_forward" -> purchaseToNextView _,
     "asof_join_tolerance" -> purchaseToViewTolerance _,
-    "asof_join_native" -> purchaseToViewNative _)
+    "asof_join_native" -> purchaseToViewNative _,
+    "asof_join_nearest" -> purchaseToNearestView _)
 
   val oracles: Map[String, String] = Map(
     "asof_join_native" ->
@@ -179,6 +214,28 @@ object AsofJoin {
          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
          |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
+    "asof_join_nearest" ->
+      """WITH b AS (
+        |  SELECT p.event_id AS purchase_id, p.user_id,
+        |    v.event_id AS b_id,
+        |    CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS b_gap
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |    ON p.user_id = v.user_id AND v.ts <= p.ts),
+        |f AS (
+        |  SELECT p.event_id AS purchase_id, v.event_id AS f_id,
+        |    CAST(date_diff('second', p.ts, v.ts) AS BIGINT) AS f_gap
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |    ON p.user_id = v.user_id AND v.ts >= p.ts)
+        |SELECT b.purchase_id, b.user_id,
+        |  CASE WHEN f.f_gap IS NULL
+        |         OR (b.b_gap IS NOT NULL AND b.b_gap <= f.f_gap)
+        |    THEN b.b_id ELSE f.f_id END AS view_id,
+        |  CASE WHEN f.f_gap IS NULL
+        |         OR (b.b_gap IS NOT NULL AND b.b_gap <= f.f_gap)
+        |    THEN b.b_gap ELSE f.f_gap END AS gap_s
+        |FROM b JOIN f USING (purchase_id)""".stripMargin,
     "asof_join_forward" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         |  v.event_id AS view_id,

@@ -86,6 +86,29 @@ class AsofOlapSpec extends AnyFunSuite {
     assert(out == Map(900L -> 101L, 901L -> 101L, 902L -> -1L, 903L -> 200L))
   }
 
+  test("nearest asof picks the smaller gap of backward/forward, ties backward") {
+    val sf = SparkTestSession.sf
+    def gaps(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3)))))
+      .toMap
+    val back = gaps(AsofJoin.purchaseToView(spark, sf))
+    val fwd = gaps(AsofJoin.purchaseToNextView(spark, sf))
+    val got = gaps(AsofJoin.purchaseToNearestView(spark, sf))
+    assert(got.keySet == back.keySet)
+    got.foreach { case (pid, pick) =>
+      val expected = (back(pid), fwd(pid)) match {
+        case (Some((bi, bg)), Some((_, fg))) if bg <= fg => Some((bi, bg))
+        case (_, Some((fi, fg))) => Some((fi, fg))
+        case (b, None) => b
+      }
+      assert(pick == expected, s"purchase $pid: $pick vs $expected")
+    }
+    // the corpus exercises all three branches
+    assert(got.exists { case (p, v) => v == back(p) && v != fwd(p) })
+    assert(got.exists { case (p, v) => v == fwd(p) && v != back(p) })
+  }
+
   test("approx_count_distinct stays within the configured error bound") {
     val rows = OlapQueries.approxDistinct(spark, SparkTestSession.sf).collect()
     assert(rows.nonEmpty)
