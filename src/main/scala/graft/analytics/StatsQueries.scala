@@ -223,6 +223,93 @@ object StatsQueries {
         s"CAST((1000000 * $tnS) DIV $tdS AS BIGINT) AS theta_q6")
   }
 
+  /** Welch's unequal-variance t-test — the default two-sample A/B
+    * readout (Welch 1947; what scipy's `ttest_ind(equal_var=False)`
+    * computes), per event type over the same LCG-parity arm split as
+    * [[cupedAb]]: does the value distribution differ between arms?
+    * Published as t² (direction lives in the mean columns) and the
+    * Welch–Satterthwaite degrees of freedom, both as truncated
+    * fixed-point integers.
+    *
+    * Determinism discipline (the chi2/cuped pattern): observations are
+    * exact cents, per-arm (n, Σx, Σx²) are DECIMAL(38,0) sums, and the
+    * two statistics are published through single final cross-multiplied DIVs —
+    * with A_i = n_i·Σx²_i − (Σx_i)² (≥ 0 by Cauchy–Schwarz) and
+    * D_i = n_i²(n_i−1):
+    *   g₃  = 1e3·|Σx₀n₁ − Σx₁n₀| DIV (n₀n₁)     (millicent mean gap)
+    *   w_i = 1e6·A_i DIV D_i                     (= 1e6·sᵢ²/nᵢ)
+    *   t²_q6 = 1e6·g₃² DIV (w₀+w₁)
+    *   ν_q3  = 1e3·(w₀+w₁)²(n₀−1)(n₁−1)
+    *           DIV (w₀²(n₁−1) + w₁²(n₀−1))     (the prescale cancels).
+    * Every DIV truncates toward zero on non-negative operands in both
+    * engines, so the gate hash-checks bit-exactly. Integer headroom:
+    * cents ≤ 5e4 and per-cell n ≤ ~1e6 keep every product under 1e36;
+    * a 100 TB corpus (cell n ~ 1e12) rescales cents to whole currency
+    * or pre-aggregates per day first — dataflow unchanged, same
+    * caveat as chi2.
+    *
+    * Plan: ONE events scan → per-type conditional-moment hash agg
+    * (≤ |event_types| rows regardless of corpus size); everything after
+    * is row-local integer arithmetic on that bounded frame. */
+  def welchT(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val cents = round(col("value") * 100).cast("long")
+    val arm = pmod(col("user_id") * lit(1103515245L) + lit(12345L),
+      lit(2147483648L)) % 2
+    def armSum(a: Int, v: Column): Column =
+      sum(when(col("arm") === a, v).otherwise(lit(0L)).cast(d38))
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"), arm.as("arm"), cents.as("c"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        armSum(0, col("c")).as("sx0"),
+        armSum(1, col("c")).as("sx1"),
+        armSum(0, (col("c") * col("c")).cast(d38)).as("sxx0"),
+        armSum(1, (col("c") * col("c")).cast(d38)).as("sxx1"))
+      .filter(col("n0") > 1 && col("n1") > 1)
+      .withColumn("a0",
+        expr("CAST(n0 AS DECIMAL(38,0)) * sxx0 - sx0 * sx0"))
+      .withColumn("a1",
+        expr("CAST(n1 AS DECIMAL(38,0)) * sxx1 - sx1 * sx1"))
+      .withColumn("dn",
+        expr("sx0 * CAST(n1 AS DECIMAL(38,0)) " +
+          "- sx1 * CAST(n0 AS DECIMAL(38,0))"))
+      // Spark's DIV always yields LONG, so every DIV below is a FINAL
+      // reduction whose true quotient fits 64 bits at any realistic n
+      // (and re-enters the decimal domain before any product — a bare
+      // long square wraps silently). All DIV operands are kept
+      // non-negative (|dn| before squaring) because the two engines
+      // need not agree on truncation direction for negatives.
+      .withColumn("w0", // 1e6 · v0/n0, cents² — bounded by 1e6·c² ≈ 2e15
+        expr("(1000000 * a0) " +
+          "DIV (CAST(n0 AS DECIMAL(38,0)) * n0 * (n0 - 1))"))
+      .withColumn("w1",
+        expr("(1000000 * a1) " +
+          "DIV (CAST(n1 AS DECIMAL(38,0)) * n1 * (n1 - 1))"))
+      .withColumn("g3", // 1e3 · |mean gap|, millicents ≤ 1e3·c ≈ 5e7
+        expr("(1000 * abs(dn)) DIV (CAST(n0 AS DECIMAL(38,0)) * n1)"))
+      .filter(expr("w0 + w1 > 0"))
+      .selectExpr("event_type", "n0", "n1",
+        "CAST(1000000 * sx0 DIV CAST(n0 AS DECIMAL(38,0)) AS BIGINT)" +
+          " AS mean0_q6",
+        "CAST(1000000 * sx1 DIV CAST(n1 AS DECIMAL(38,0)) AS BIGINT)" +
+          " AS mean1_q6",
+        // t² = d²/u with d = g3/1e3, u = (w0+w1)/1e6
+        "CAST((1000000 * CAST(g3 AS DECIMAL(38,0)) * g3) DIV " +
+          "(CAST(w0 AS DECIMAL(38,0)) + w1) AS BIGINT) AS t2_q6",
+        // ν as one fraction — scale-invariant in w, so the 1e6 prescale
+        // cancels; numerator stays under 1e33 because w·n ≈ 1e6·var is
+        // n-independent
+        "CAST((1000 * (CAST(w0 AS DECIMAL(38,0)) + w1) " +
+          "* (CAST(w0 AS DECIMAL(38,0)) + w1) * (n0 - 1) * (n1 - 1)) " +
+          "DIV ((CAST(w0 AS DECIMAL(38,0)) * w0) * (n1 - 1) " +
+          "+ (CAST(w1 AS DECIMAL(38,0)) * w1) * (n0 - 1))" +
+          " AS BIGINT) AS nu_q3")
+  }
+
   /** Value bins for [[psiDrift]]/[[ksTwoSample]]: cents DIV this, capped
     * at [[psiBins]]−1. events.value spans [0.01, 490.02] → 10 bins. */
   val psiBinCents = 5000L
@@ -423,6 +510,7 @@ object StatsQueries {
     "stats_cuped" -> cupedAb _,
     "stats_analyze" -> analyzeTable _,
     "stats_chi2" -> chi2Contingency _,
+    "stats_welch" -> welchT _,
     "stats_join_size" -> joinSizeEstimate _)
 
   val oracles: Map[String, String] = Map(
@@ -548,6 +636,39 @@ object StatsQueries {
          |    // (na * n * td) AS BIGINT) AS mean_adj_q6,
          |  CAST((1000000 * tn) // td AS BIGINT) AS theta_q6
          |FROM a CROSS JOIN t""".stripMargin,
+    "stats_welch" ->
+      """WITH o AS (SELECT event_type,
+        |    ((user_id * 1103515245 + 12345) % 2147483648) % 2 AS arm,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |a AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS HUGEINT) AS sx0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS HUGEINT) AS sx1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN CAST(c AS HUGEINT) * c
+        |      ELSE 0 END) AS HUGEINT) AS sxx0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN CAST(c AS HUGEINT) * c
+        |      ELSE 0 END) AS HUGEINT) AS sxx1
+        |  FROM o GROUP BY event_type),
+        |m AS (SELECT *, n0 * sxx0 - sx0 * sx0 AS a0,
+        |    n1 * sxx1 - sx1 * sx1 AS a1,
+        |    sx0 * n1 - sx1 * n0 AS dn
+        |  FROM a WHERE n0 > 1 AND n1 > 1),
+        |d AS (SELECT *,
+        |    (1000000 * a0) // (n0 * n0 * (n0 - 1)) AS w0,
+        |    (1000000 * a1) // (n1 * n1 * (n1 - 1)) AS w1,
+        |    (1000 * abs(dn)) // (n0 * n1) AS g3
+        |  FROM m)
+        |SELECT event_type, CAST(n0 AS BIGINT) AS n0,
+        |  CAST(n1 AS BIGINT) AS n1,
+        |  CAST((1000000 * sx0) // n0 AS BIGINT) AS mean0_q6,
+        |  CAST((1000000 * sx1) // n1 AS BIGINT) AS mean1_q6,
+        |  CAST((1000000 * g3 * g3) // (w0 + w1) AS BIGINT) AS t2_q6,
+        |  CAST((1000 * (w0 + w1) * (w0 + w1) * (n0 - 1) * (n1 - 1)) //
+        |    (w0 * w0 * (n1 - 1) + w1 * w1 * (n0 - 1)) AS BIGINT)
+        |    AS nu_q3
+        |FROM d WHERE w0 + w1 > 0""".stripMargin,
     "stats_chi2" ->
       """WITH c AS (SELECT event_type,
         |    (CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP)))

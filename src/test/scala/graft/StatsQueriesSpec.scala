@@ -29,6 +29,42 @@ class StatsQueriesSpec extends AnyFunSuite {
     assert(row.getLong(4) == 1000000L * u2 / (2L * as.length * bs.length))
   }
 
+  test("welch t2 and dof track a double-precision reference") {
+    val sf = SparkTestSession.sf
+    val obs = Tables.load(spark, sf, "events")
+      .selectExpr("event_type",
+        "((user_id * 1103515245 + 12345) % 2147483648) % 2 AS arm",
+        "CAST(round(value * 100) AS BIGINT) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = StatsQueries.welchT(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (et, n0, n1) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val g0 = obs.filter(o => o._1 == et && o._2 == 0L).map(_._3.toDouble)
+      val g1 = obs.filter(o => o._1 == et && o._2 == 1L).map(_._3.toDouble)
+      assert(n0 == g0.length.toLong && n1 == g1.length.toLong, s"$et n")
+      def mv(g: Array[Double]) = {
+        val m = g.sum / g.length
+        (m, g.map(x => (x - m) * (x - m)).sum / (g.length - 1))
+      }
+      val (m0, v0) = mv(g0); val (m1, v1) = mv(g1)
+      assert(math.abs(r.getLong(3) / 1e6 - m0) < 1e-3, s"$et mean0")
+      assert(math.abs(r.getLong(4) / 1e6 - m1) < 1e-3, s"$et mean1")
+      val w0 = v0 / g0.length; val w1 = v1 / g1.length
+      val t2 = (m0 - m1) * (m0 - m1) / (w0 + w1)
+      val nu = (w0 + w1) * (w0 + w1) /
+        (w0 * w0 / (g0.length - 1) + w1 * w1 / (g1.length - 1))
+      // staged integer DIVs truncate, so allow a relative tolerance
+      assert(math.abs(r.getLong(5) / 1e6 - t2) <= 0.01 * t2 + 0.01,
+        s"$et t2: ${r.getLong(5) / 1e6} vs $t2")
+      assert(math.abs(r.getLong(6) / 1e3 - nu) <= 0.01 * nu + 0.01,
+        s"$et nu: ${r.getLong(6) / 1e3} vs $nu")
+      // Welch dof is bracketed by min-arm dof and pooled dof
+      assert(r.getLong(6) / 1e3 >= (math.min(n0, n1) - 1) - 0.01)
+      assert(r.getLong(6) / 1e3 <= (n0 + n1 - 2) + 0.01)
+    }
+  }
+
   test("analyze profile matches per-column reference aggregates") {
     val li = Tables.load(spark, SparkTestSession.sf, "lineitem")
     val n = li.count()
