@@ -645,7 +645,55 @@ object BehaviorQueries {
       .select(col("q"), col("gap").as("gap_s"), col("n").as("n_converted"))
   }
 
+  /** Any-gap sequential-pattern support — the candidate-support
+    * primitive PrefixSpan/GSP mining is built from (Pei et al., ICDE
+    * 2001), distinct from [[transitions]]' DIRECT-follow bigrams: a
+    * user supports `a>b` when SOME a-event precedes SOME b-event (any
+    * gap, strict <), and `a>b>c` when some b-event falls strictly
+    * between their first a and last c. Both reduce to per-(user, type)
+    * time bounds: a>b ⇔ min_ts(a) < max_ts(b), and a>b>c ⇔ ∃ b-event
+    * in (min_ts(a), max_ts(c)) — min_a before t_b guarantees an a
+    * before it, t_b before max_c guarantees a c after it.
+    *
+    * Scale shape: ONE events scan → per-(user, type) min/max hash agg
+    * (the only corpus-scale shuffle); the pair self-join and the
+    * (a, c)-bounds join fan out by at most |alphabet| and |alphabet|²
+    * per row — bounded constants, not data — and every pattern count
+    * lands in a ≤|alphabet|³-row frame. The total-user count rides in
+    * as a literal scalar (the Zorder pattern, not a 1-row crossJoin). */
+  def seqSupport(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val u = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(min("ts").as("mn"), max("ts").as("mx"))
+      .cache() // |users|·|alphabet| rows — feeds three joins
+    val nUsers = ev.select("user_id").distinct().count() // ONE scalar
+    val p2 = u.alias("x").join(u.alias("y"),
+        col("x.user_id") === col("y.user_id")
+          && col("x.mn") < col("y.mx"))
+      .groupBy(concat(col("x.event_type"), lit(">"), col("y.event_type"))
+        .as("pattern"))
+      .agg(count(lit(1)).as("support"))
+    val bounds = u.alias("x").join(u.alias("z"),
+        col("x.user_id") === col("z.user_id"))
+      .select(col("x.user_id").as("uid"), col("x.event_type").as("a"),
+        col("z.event_type").as("c"), col("x.mn"), col("z.mx"))
+    val p3 = bounds.join(
+        ev.select(col("user_id"), col("event_type").as("b"), col("ts")),
+        col("user_id") === col("uid")
+          && col("ts") > col("mn") && col("ts") < col("mx"))
+      .select(col("uid"), col("a"), col("b"), col("c"))
+      .distinct() // one vote per (user, pattern)
+      .groupBy(concat(col("a"), lit(">"), col("b"), lit(">"), col("c"))
+        .as("pattern"))
+      .agg(count(lit(1)).as("support"))
+    p2.unionByName(p3)
+      .select(col("pattern"), col("support"),
+        lit(nUsers).as("n_users"),
+        expr(s"1000000 * support DIV $nUsers").as("support_q6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "behavior_seq_support" -> seqSupport _,
     "behavior_pattern_match" -> patternMatch _,
     "behavior_time_to_convert" -> timeToConvert _,
     "behavior_rfm" -> rfm _,
@@ -800,6 +848,29 @@ object BehaviorQueries {
       |FROM s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "behavior_seq_support" ->
+      """WITH u AS (SELECT user_id, event_type, min(ts) AS mn,
+        |    max(ts) AS mx FROM events GROUP BY 1, 2),
+        |n AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+        |p2 AS (SELECT x.event_type || '>' || y.event_type AS pattern,
+        |    count(*) AS support
+        |  FROM u x JOIN u y
+        |    ON x.user_id = y.user_id AND x.mn < y.mx
+        |  GROUP BY 1),
+        |t3 AS (SELECT DISTINCT x.user_id, x.event_type AS a,
+        |    e.event_type AS b, z.event_type AS c
+        |  FROM u x JOIN u z ON x.user_id = z.user_id
+        |  JOIN events e ON e.user_id = x.user_id
+        |    AND e.ts > x.mn AND e.ts < z.mx),
+        |p3 AS (SELECT a || '>' || b || '>' || c AS pattern,
+        |    count(*) AS support
+        |  FROM t3 GROUP BY 1),
+        |allp AS (SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+        |SELECT pattern, support,
+        |  CAST((SELECT nu FROM n) AS BIGINT) AS n_users,
+        |  CAST(1000000 * support // (SELECT nu FROM n) AS BIGINT)
+        |    AS support_q6
+        |FROM allp""".stripMargin,
     "behavior_pattern_match" -> patternMatchOracle,
     "behavior_time_to_convert" ->
       """WITH c1 AS (SELECT user_id,

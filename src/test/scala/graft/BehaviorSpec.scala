@@ -1,5 +1,50 @@
 package graft
 
+class SeqSupportSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("sequential-pattern support equals brute-force subsequence counts") {
+    val sf = SparkTestSession.sf
+    val byUser = Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+      .groupBy(_._1)
+      .map { case (u, es) =>
+        u -> es.sortBy(e => (e._3, e._2)).map(e => (e._2, e._3))
+      }
+    // strict-< any-gap subsequence match, branching on ties so equal
+    // timestamps can't fake a progression
+    def hasSubStrict(seq: Array[(String, Long)], pat: Seq[String]): Boolean = {
+      def go(i: Int, k: Int, last: Long): Boolean =
+        if (k == pat.length) true
+        else if (i == seq.length) false
+        else if (seq(i)._1 == pat(k) && seq(i)._2 > last)
+          go(i + 1, k + 1, seq(i)._2) || go(i + 1, k, last)
+        else go(i + 1, k, last)
+      go(0, 0, Long.MinValue)
+    }
+    val got = graft.analytics.BehaviorQueries.seqSupport(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val nUsers = byUser.size.toLong
+    got.foreach { case (pat, (support, n)) =>
+      assert(n == nUsers)
+      val steps = pat.split(">").toSeq
+      val ref = byUser.values.count(s => hasSubStrict(s, steps)).toLong
+      assert(support == ref, s"$pat: $support vs brute $ref")
+    }
+    // Apriori monotonicity: extending a pattern can't gain support
+    got.foreach { case (pat, (s3, _)) =>
+      val steps = pat.split(">")
+      if (steps.length == 3) {
+        val (ab, bc) = (s"${steps(0)}>${steps(1)}", s"${steps(1)}>${steps(2)}")
+        assert(s3 <= got(ab)._1 && s3 <= got(bc)._1, s"monotonicity $pat")
+      }
+    }
+  }
+}
+
 import graft.analytics.{BehaviorQueries, JoinQueries, OlapQueries}
 import graft.operators.Upsert
 import org.apache.spark.sql.functions._
