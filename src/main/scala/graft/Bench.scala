@@ -131,7 +131,10 @@ object Bench {
       "stream_pattern_match", "ts_concurrency", "meta_lineage",
       "stream_checkpoint_resume", "join_point_in_time",
       "store_backfill", "dedup_cross_source", "behavior_time_to_convert",
-      "stats_analyze")
+      "stats_analyze",
+      // round-5 late additions
+      "graph_link_predict", "graph_kcore", "asof_join_nearest",
+      "stats_welch", "behavior_seq_support", "ts_rolling_slope")
     val qs = toJson(okResults.view.filterKeys(headline).toMap, identity)
     val total = if (okResults.nonEmpty) okResults.values.sum else 0.0
     val sfTag = sfDir.split('/').last

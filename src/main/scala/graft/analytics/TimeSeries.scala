@@ -529,7 +529,69 @@ object TimeSeries {
         count(lit(1)).as("n_boundaries"))
   }
 
+  /** Trailing-window size (hourly points) and epoch origin for
+    * [[rollingSlope]]. Subtracting the corpus origin keeps x small
+    * enough that every window moment stays in exact LONG arithmetic. */
+  val slopeWin = 24
+  val slopeEpoch0 = 1704067200L // 2024-01-01 00:00:00 UTC
+
+  /** Rolling OLS regression slope — "is this metric trending, right
+    * now?": per event type, the least-squares slope of hourly revenue
+    * (cents) against time over the trailing [[slopeWin]] hours, plus
+    * r² for trend strength. The streaming-dashboard twin of
+    * [[acf]]'s global diagnostics; CUSUM ([[cusumChangepoint]])
+    * detects level shifts, this detects drifts.
+    *
+    * Exactness: x = hours since [[slopeEpoch0]] (small ints), y =
+    * exact cents; all five window moments (Σx, Σy, Σxy, Σx², Σy²) are
+    * integer window sums over a ROWS frame — order pinned by the
+    * strictly-increasing hourly grid — and
+    *   slope_q6 = 1e6·(nΣxy − ΣxΣy) DIV (nΣx² − (Σx)²)
+    *   r2_q6    = 1e6·num² DIV (den·(nΣy² − (Σy)²))    (NULL when y
+    *              is constant — 0/0 has no trend strength to report)
+    * with signed DIV truncating toward zero in BOTH engines (verified:
+    * DuckDB `//` = −3 on −7/2, same as Spark DIV). Squares ride
+    * DECIMAL(38,0)/HUGEINT.
+    *
+    * Plan: one scan → (type, hour) hash agg (grid-bounded), then ONE
+    * window pass per type partition — no self-join, no explode; the
+    * trailing frame makes incremental maintenance trivial (each new
+    * hour shifts five sums). Full windows only (rn ≥ win). */
+  def rollingSlope(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .withColumn("x",
+        expr(s"(unix_timestamp(h) - $slopeEpoch0) DIV 3600"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+      .rowsBetween(-(slopeWin - 1), 0)
+    val wr = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    hourly
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy",
+        sum((col("y") * col("y"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).over(w))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") >= slopeWin)
+      .withColumn("num",
+        expr("CAST(n * sxy - sx * sy AS DECIMAL(38,0))"))
+      .withColumn("den",
+        expr("CAST(n * sxx - sx * sx AS DECIMAL(38,0))"))
+      .withColumn("deny", expr("CAST(n AS DECIMAL(38,0)) * syy " +
+        "- CAST(sy AS DECIMAL(38,0)) * sy"))
+      .selectExpr("event_type", "x", "n", "sy",
+        "CAST((1000000 * num) DIV den AS BIGINT) AS slope_q6",
+        "CASE WHEN deny = 0 THEN NULL " +
+          "ELSE CAST((1000000 * num * num) DIV (den * deny) AS BIGINT)" +
+          " END AS r2_q6")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_rolling_slope" -> rollingSlope _,
     "ts_concurrency" -> concurrency _,
     "ts_wow_growth" -> wowGrowth _,
     "ts_interpolate" -> interpolate _,
@@ -545,6 +607,38 @@ object TimeSeries {
     "ts_seasonal" -> seasonal _)
 
   val oracles: Map[String, String] = Map(
+    "ts_rolling_slope" ->
+      s"""WITH hourly AS (SELECT event_type,
+         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |xg AS (SELECT event_type,
+         |    (CAST(epoch(h) AS BIGINT) - $slopeEpoch0) // 3600 AS x, y
+         |  FROM hourly),
+         |f AS (SELECT event_type, x, y,
+         |    CAST(count(*) OVER w AS BIGINT) AS n,
+         |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+         |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+         |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+         |    CAST(sum(CAST(y AS HUGEINT) * y) OVER w AS HUGEINT) AS syy,
+         |    row_number() OVER
+         |      (PARTITION BY event_type ORDER BY x) AS rn
+         |  FROM xg
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY x
+         |    ROWS BETWEEN ${slopeWin - 1} PRECEDING AND CURRENT ROW)),
+         |g AS (SELECT *,
+         |    CAST(n * sxy - sx * sy AS HUGEINT) AS num,
+         |    CAST(n * sxx - sx * sx AS HUGEINT) AS den,
+         |    CAST(n AS HUGEINT) * syy
+         |      - CAST(sy AS HUGEINT) * sy AS deny
+         |  FROM f WHERE rn >= $slopeWin)
+         |SELECT event_type, x, n, sy,
+         |  CAST((1000000 * num) // den AS BIGINT) AS slope_q6,
+         |  CASE WHEN deny = 0 THEN NULL
+         |    ELSE CAST((1000000 * num * num) // (den * deny) AS BIGINT)
+         |  END AS r2_q6
+         |FROM g""".stripMargin,
     "ts_concurrency" ->
       """WITH e AS (SELECT date_trunc('second', CAST(ts AS TIMESTAMP)) AS s
         |  FROM events),

@@ -1187,6 +1187,49 @@ object Similarity {
         .join(pairs, Seq("a", "b"), "left_anti")
     }
 
+  /** Core order and unrolled peel rounds for [[kcore]]. */
+  val kcoreK = 2
+  val kcoreRounds = 6
+
+  /** k-core of the near-dup graph (here k = [[kcoreK]]): the maximal
+    * subgraph where every vertex keeps ≥ k neighbors — the standard
+    * dense-region extractor (Seidman 1983). On a dedup graph the
+    * 2-core separates genuine boilerplate FAMILIES (cycles/cliques
+    * survive) from chains of pairwise drift (trees peel away to
+    * nothing) — exactly the distinction that decides whether to keep
+    * one representative or review the whole cluster.
+    *
+    * Iterative peeling, unrolled to [[kcoreRounds]] synchronous
+    * rounds (the prIters pattern — a fixed plan, no driver loop; the
+    * spec asserts the fixpoint is reached, and a production job loops
+    * to convergence with the same per-round body). Per round: restrict
+    * cached edges to surviving endpoints (two semi-join-shaped equi
+    * joins), ONE degree hash-agg, filter ≥ k — the shuffle carries
+    * vertex/degree rows only, never the graph; `localCheckpoint`
+    * truncates the growing lineage. Emits survivors with their final
+    * in-core degree. */
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    graft.Conf.withConf(spark, "spark.sql.shuffle.partitions", "8") {
+      val pairs = embedNearDupLsh(spark, dir)
+      val edges = pairs
+        .select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("e"))
+        .select(col("e.u"), col("e.v"))
+        .repartition(col("u"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var live = edges.select(col("u"), lit(0L).as("d")).distinct()
+      for (_ <- 1 to kcoreRounds) {
+        live = edges
+          .join(live.select(col("u")), "u")
+          .join(live.select(col("u").as("v")), "v")
+          .groupBy("u").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= kcoreK)
+          .localCheckpoint()
+      }
+      live.select(col("u").as("vec_id"), col("d").as("deg"))
+    }
+
   // --- Fixed-point PageRank over the near-dup graph ----------------------
 
   /** Fixed iteration count and fixed-point unit for [[pageRank]]. The
@@ -1298,6 +1341,7 @@ object Similarity {
     "graph_component_sizes" -> componentSizes _,
     "graph_bfs_hops" -> bfsHops _,
     "graph_link_predict" -> linkPredict _,
+    "graph_kcore" -> kcore _,
     "knn_brute" -> knnBrute _,
     "embed_neardup" -> embedNearDup _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
@@ -1459,6 +1503,26 @@ object Similarity {
          |  JOIN reach ON reach.n = ed.u WHERE reach.d < $bfsDepth)
          |SELECT n AS vec_id, CAST(min(d) AS BIGINT) AS dist
          |FROM reach GROUP BY n""".stripMargin,
+    "graph_kcore" -> {
+      // every c_r is referenced TWICE by c_{r+1}; without MATERIALIZED
+      // DuckDB may inline the reference, re-evaluating the whole LSH
+      // pyramid 2^rounds times
+      val rounds = (1 to kcoreRounds).map { r =>
+        s"""c$r AS MATERIALIZED (SELECT e.u, count(*) AS d
+           |  FROM edges e
+           |  JOIN c${r - 1} x ON x.u = e.u
+           |  JOIN c${r - 1} y ON y.u = e.v
+           |  GROUP BY e.u HAVING count(*) >= $kcoreK)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $lshPairCtes,
+         |edges AS MATERIALIZED (SELECT a AS u, b AS v FROM vp
+         |  UNION ALL SELECT b AS u, a AS v FROM vp),
+         |c0 AS MATERIALIZED (
+         |  SELECT DISTINCT u, CAST(0 AS BIGINT) AS d FROM edges),
+         |$rounds
+         |SELECT u AS vec_id, CAST(d AS BIGINT) AS deg
+         |FROM c$kcoreRounds""".stripMargin
+    },
     "graph_link_predict" ->
       s"""WITH $lshPairCtes,
          |edges AS (SELECT a AS u, b AS v FROM vp

@@ -275,6 +275,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("k-core peel equals a driver-side fixpoint and HAS converged") {
+    val sf = SparkTestSession.sf
+    val pairs = Similarity.embedNearDupLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driver-side peel to FIXPOINT
+    var live = pairs.flatMap(p => Seq(p._1, p._2))
+    var deg = Map.empty[Long, Long]
+    var changed = true
+    var roundsUsed = 0
+    while (changed) {
+      deg = pairs.toSeq
+        .filter(p => live(p._1) && live(p._2))
+        .flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+      val next = deg.filter(_._2 >= Similarity.kcoreK).keySet
+      changed = next != live
+      live = next
+      roundsUsed += 1
+    }
+    // the unrolled plan must reach the fixpoint within its round budget
+    assert(roundsUsed <= Similarity.kcoreRounds,
+      s"peel needed $roundsUsed rounds > ${Similarity.kcoreRounds}")
+    val got = Similarity.kcore(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == deg.filter(kv => live(kv._1)),
+      "k-core members or in-core degrees differ from the reference peel")
+    got.values.foreach(d => assert(d >= Similarity.kcoreK))
+  }
+
   test("bounded bfs: layered distances on a path, depth cap respected") {
     import spark.implicits._
     // path 0-1-2-...-9 plus isolated 100; seeds {0, 100}

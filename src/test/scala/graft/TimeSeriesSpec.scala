@@ -7,6 +7,54 @@ import org.scalatest.funsuite.AnyFunSuite
 class TimeSeriesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("rolling slope matches a sequential least-squares per series") {
+    val sf = SparkTestSession.sf
+    import graft.analytics.TimeSeries
+    val hourly = Tables.load(spark, sf, "events")
+      .selectExpr("event_type",
+        s"(unix_timestamp(date_trunc('hour', ts)) - ${TimeSeries.slopeEpoch0})" +
+          " DIV 3600 AS x",
+        "CAST(round(value * 100) AS BIGINT) AS c")
+      .groupBy("event_type", "x")
+      .agg(org.apache.spark.sql.functions.sum("c").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (t, rs) =>
+        t -> rs.map(r => (r._2, r._3)).sortBy(_._1)
+      }
+    val got = TimeSeries.rollingSlope(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .toMap
+    val win = TimeSeries.slopeWin
+    var checked = 0
+    hourly.foreach { case (t, series) =>
+      series.indices.drop(win - 1).foreach { i =>
+        val fr = series.slice(i - win + 1, i + 1)
+        val n = fr.length.toDouble
+        val (sx, sy) = (fr.map(_._1).sum.toDouble, fr.map(_._2).sum.toDouble)
+        val sxy = fr.map(p => p._1.toDouble * p._2).sum
+        val sxx = fr.map(p => p._1.toDouble * p._1).sum
+        val syy = fr.map(p => p._2.toDouble * p._2).sum
+        val num = n * sxy - sx * sy
+        val den = n * sxx - sx * sx
+        val deny = n * syy - sy * sy
+        val (slopeQ6, r2) = got((t, fr.last._1))
+        assert(math.abs(slopeQ6 / 1e6 - num / den) < 1e-3,
+          s"$t@${fr.last._1} slope")
+        if (deny != 0)
+          assert(math.abs(r2.get / 1e6 - num * num / (den * deny)) < 1e-3,
+            s"$t@${fr.last._1} r2")
+        checked += 1
+      }
+    }
+    assert(checked > 0 && got.size == checked,
+      s"row census: got ${got.size}, reference $checked")
+    // r2 is a proportion
+    got.values.foreach { case (_, r2) =>
+      r2.foreach(v => assert(v >= 0L && v <= 1000000L))
+    }
+  }
+
   test("sweep-line concurrency equals a naive global running sum") {
     import org.apache.spark.sql.expressions.Window
     val sf = SparkTestSession.sf
