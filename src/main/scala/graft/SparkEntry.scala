@@ -66,6 +66,7 @@ object SparkEntry {
       streaming.StreamPattern.queries ++
       streaming.StreamCheckpoint.queries ++
       store.Backfill.queries ++
+      store.TimeTravel.queries ++
       plans.Lineage.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -117,5 +118,6 @@ object SparkEntry {
       streaming.StreamPattern.oracles ++
       streaming.StreamCheckpoint.oracles ++
       store.Backfill.oracles ++
+      store.TimeTravel.oracles ++
       plans.Lineage.oracles
 }

@@ -1230,6 +1230,16 @@ object Similarity {
       live.select(col("u").as("vec_id"), col("d").as("deg"))
     }
 
+  /** Gate form: the core census (one row even when the graph has no
+    * 2-core — a sparse SF legitimately reports "no dense families",
+    * the [[triangles]] pattern): members, their degree mass, and the
+    * max in-core degree. */
+  def kcoreCensus(spark: SparkSession, dir: String): DataFrame =
+    kcore(spark, dir).agg(
+      count(lit(1)).as("n_core"),
+      coalesce(sum("deg"), lit(0L)).cast("long").as("deg_sum"),
+      coalesce(max("deg"), lit(0L)).cast("long").as("max_deg"))
+
   // --- Fixed-point PageRank over the near-dup graph ----------------------
 
   /** Fixed iteration count and fixed-point unit for [[pageRank]]. The
@@ -1341,7 +1351,7 @@ object Similarity {
     "graph_component_sizes" -> componentSizes _,
     "graph_bfs_hops" -> bfsHops _,
     "graph_link_predict" -> linkPredict _,
-    "graph_kcore" -> kcore _,
+    "graph_kcore" -> kcoreCensus _,
     "knn_brute" -> knnBrute _,
     "embed_neardup" -> embedNearDup _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
@@ -1520,7 +1530,9 @@ object Similarity {
          |c0 AS MATERIALIZED (
          |  SELECT DISTINCT u, CAST(0 AS BIGINT) AS d FROM edges),
          |$rounds
-         |SELECT u AS vec_id, CAST(d AS BIGINT) AS deg
+         |SELECT CAST(count(*) AS BIGINT) AS n_core,
+         |  CAST(coalesce(sum(d), 0) AS BIGINT) AS deg_sum,
+         |  CAST(coalesce(max(d), 0) AS BIGINT) AS max_deg
          |FROM c$kcoreRounds""".stripMargin
     },
     "graph_link_predict" ->

@@ -116,3 +116,39 @@ class PartitionedWriteSpec extends AnyFunSuite {
     ()
   }
 }
+
+class TimeTravelSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.store.TimeTravel
+
+  test("pinned version-1 read survives the version-2 write") {
+    val sf = SparkTestSession.sf
+    val base = TimeTravel.snapshot(spark, sf)
+    import org.apache.spark.sql.functions._
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    val v1 = key(TimeTravel.readAsOf(spark, base, 1L))
+    val v2 = key(TimeTravel.readAsOf(spark, base, 2L))
+    // a request past the log's head resolves to the latest snapshot
+    val head = key(TimeTravel.readAsOf(spark, base, 99L))
+    assert(head == v2)
+    assert(v1.values.forall(_._2 == 1L) && v2.values.forall(_._2 == 2L))
+    // v1 is a strict prefix of the corpus: fewer days, same counts on
+    // fully-closed days, and strictly less mass overall
+    assert(v1.keySet.subsetOf(v2.keySet) && v1.size < v2.size)
+    val closed = v1.keys.filter(_ < "2024-01-15")
+    assert(closed.nonEmpty && closed.forall(d => v1(d)._1 == v2(d)._1))
+    // the per-day totals match a direct recompute at the v1 watermark
+    val direct = Tables.load(spark, sf, "events")
+      .filter(col("ts") < to_timestamp(lit(TimeTravel.asOfSplit)))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v1.view.mapValues(_._1).toMap == direct)
+    // below the log's first version there is nothing to read
+    intercept[IllegalArgumentException] {
+      TimeTravel.readAsOf(spark, base, 0L)
+    }
+  }
+}

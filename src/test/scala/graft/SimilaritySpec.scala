@@ -302,6 +302,12 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == deg.filter(kv => live(kv._1)),
       "k-core members or in-core degrees differ from the reference peel")
     got.values.foreach(d => assert(d >= Similarity.kcoreK))
+    // census gate folds the same frame, one row even on an empty core
+    val census = Similarity.kcoreCensus(spark, sf).collect()
+    assert(census.length == 1)
+    assert(census(0).getLong(0) == got.size.toLong)
+    assert(census(0).getLong(1) == got.values.sum)
+    assert(census(0).getLong(2) == (if (got.isEmpty) 0L else got.values.max))
   }
 
   test("bounded bfs: layered distances on a path, depth cap respected") {
