@@ -67,6 +67,7 @@ object SparkEntry {
       streaming.StreamCheckpoint.queries ++
       store.Backfill.queries ++
       store.TimeTravel.queries ++
+      streaming.StreamAsof.queries ++
       plans.Lineage.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -119,5 +120,6 @@ object SparkEntry {
       streaming.StreamCheckpoint.oracles ++
       store.Backfill.oracles ++
       store.TimeTravel.oracles ++
+      streaming.StreamAsof.oracles ++
       plans.Lineage.oracles
 }

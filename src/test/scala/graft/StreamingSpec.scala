@@ -148,6 +148,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.values.exists(_._2 > 0))
   }
 
+  test("streaming as-of equals the batch as-of, including across the cut") {
+    val sf = SparkTestSession.sf
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (
+        (if (r.isNullAt(2)) -1L else r.getLong(2)),
+        (if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    val got = key(graft.streaming.StreamAsof.streamAsof(spark, sf))
+    val want = key(graft.operators.AsofJoin.purchaseToView(spark, sf))
+    assert(got == want)
+    // the O(1) state carry demonstrably runs: some purchase AFTER the
+    // file cut matches a view from BEFORE it
+    val cut = java.sql.Timestamp.valueOf(
+      graft.streaming.Sessionize.streamCut)
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(want.exists { case (pid, (vid, _)) =>
+      vid >= 0 && !ev(pid).before(cut) && ev(vid).before(cut)
+    }, "no cross-cut match — the carry path is vacuous at this SF")
+  }
+
   test("stream-stream interval join emits exactly the batch match set") {
     val sf = SparkTestSession.sf
     val streamed = graft.streaming.StreamJoin.streamStreamJoin(spark, sf)
