@@ -692,7 +692,52 @@ object BehaviorQueries {
         expr(s"1000000 * support DIV $nUsers").as("support_q6"))
   }
 
+  /** Fixed-point scale and unrolled iteration count for
+    * [[markovStationary]] — the pageRank discipline: integer
+    * arithmetic only, so the result hash-checks. */
+  val mkScale = 1000000000000L
+  val mkIters = 8
+
+  /** Stationary distribution of the behavior Markov chain — the
+    * long-run answer to "what does a steady-state session look like":
+    * π with π = πP over the row-stochastic transition matrix
+    * [[transitions]] estimates, via [[mkIters]] synchronous power
+    * iterations from the uniform start. Each update distributes
+    * π(i)·cnt(i,j) DIV rowsum(i) — truncating integer division per
+    * edge (the pageRank mass rule), bit-identical in both engines;
+    * truncation leaks ≤|cells| units of 1e−12 mass per round, far
+    * below the published precision.
+    *
+    * Scale shape: the chain lives on a ≤|alphabet|²-cell frame, so
+    * after the ONE corpus-scale pass inside [[transitions]] every
+    * iteration is bounded-frame joins and aggs — the 100 TB cost is
+    * the transition count, not the iteration. `pi·cnt` rides
+    * DECIMAL(38,0) so a 10^12-transition cell cannot wrap the Long
+    * product. */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val p = transitions(spark, dir)
+      .select(col("from_type"), col("to_type"), col("cnt"))
+    val tot = p.groupBy("from_type").agg(sum("cnt").as("tot"))
+    val cells = p.join(tot, "from_type").cache() // ≤ |alphabet|² rows
+    val nodes = Tables.load(spark, dir, "events")
+      .select(col("event_type")).distinct().cache()
+    val nTypes = nodes.count() // bounded scalar: |alphabet|
+    var pi = nodes.withColumn("pi", expr(s"$mkScale div $nTypes"))
+    for (_ <- 1 to mkIters) {
+      val inbound = cells
+        .join(pi, cells("from_type") === pi("event_type"))
+        .select(col("to_type"),
+          expr("CAST(pi AS DECIMAL(38,0)) * cnt DIV tot").as("c"))
+        .groupBy("to_type").agg(sum("c").as("s"))
+      pi = nodes.join(inbound, nodes("event_type") === inbound("to_type"),
+          "left")
+        .select(col("event_type"), coalesce(col("s"), lit(0L)).as("pi"))
+    }
+    pi.select(col("event_type"), col("pi").as("pi_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "behavior_markov_stationary" -> markovStationary _,
     "behavior_seq_support" -> seqSupport _,
     "behavior_pattern_match" -> patternMatch _,
     "behavior_time_to_convert" -> timeToConvert _,
@@ -847,7 +892,37 @@ object BehaviorQueries {
       |    AS n_conversions
       |FROM s""".stripMargin
 
+  private def markovStationaryOracle: String = {
+    val rounds = (1 to mkIters).map { r =>
+      s"""pi$r AS (SELECT n.event_type,
+         |    CAST(coalesce(s.s, 0) AS HUGEINT) AS pi
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT p.to_type,
+         |      sum((pp.pi * p.cnt) // p.tot) AS s
+         |    FROM p JOIN pi${r - 1} pp ON pp.event_type = p.from_type
+         |    GROUP BY 1) s ON s.to_type = n.event_type)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tr AS (SELECT from_type, event_type AS to_type,
+       |    CAST(count(*) AS HUGEINT) AS cnt
+       |  FROM (SELECT user_id, event_type,
+       |      lag(event_type) OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id) AS from_type
+       |    FROM events)
+       |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+       |tot AS (SELECT from_type, sum(cnt) AS tot FROM tr GROUP BY 1),
+       |p AS (SELECT tr.from_type, tr.to_type, tr.cnt, tot.tot
+       |  FROM tr JOIN tot USING (from_type)),
+       |nodes AS (SELECT DISTINCT event_type FROM events),
+       |pi0 AS (SELECT event_type,
+       |    CAST($mkScale // (SELECT count(*) FROM nodes) AS HUGEINT) AS pi
+       |  FROM nodes),
+       |$rounds
+       |SELECT event_type, CAST(pi AS BIGINT) AS pi_fp
+       |FROM pi$mkIters""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "behavior_markov_stationary" -> markovStationaryOracle,
     "behavior_seq_support" ->
       """WITH u AS (SELECT user_id, event_type, min(ts) AS mn,
         |    max(ts) AS mx FROM events GROUP BY 1, 2),

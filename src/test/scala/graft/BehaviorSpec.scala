@@ -3,6 +3,35 @@ package graft
 class SeqSupportSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("markov stationary matches a driver-side power iteration") {
+    val sf = SparkTestSession.sf
+    import graft.analytics.BehaviorQueries
+    val cells = BehaviorQueries.transitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val types = Tables.load(spark, sf, "events")
+      .select("event_type").distinct().collect().map(_.getString(0))
+    val tot = cells.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    var pi = types.map(_ -> BehaviorQueries.mkScale / types.length).toMap
+    for (_ <- 1 to BehaviorQueries.mkIters) {
+      val in = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      cells.foreach { case ((f, t), c) =>
+        in(t) += pi(f) * c / tot(f) // truncating, as in the plan
+      }
+      pi = types.map(t => t -> in(t)).toMap
+    }
+    val got = BehaviorQueries.markovStationary(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == pi)
+    // a probability distribution up to truncation leak: total mass in
+    // (scale - iters*cells, scale], every component non-negative
+    val mass = got.values.sum
+    assert(mass <= BehaviorQueries.mkScale)
+    assert(mass > BehaviorQueries.mkScale -
+      BehaviorQueries.mkIters.toLong * (cells.size + types.length))
+    got.values.foreach(v => assert(v >= 0L))
+  }
+
   test("sequential-pattern support equals brute-force subsequence counts") {
     val sf = SparkTestSession.sf
     val byUser = Tables.load(spark, sf, "events")
