@@ -38,4 +38,30 @@ class StreamingStateSpec extends AnyFunSuite {
           s"(state must not scale with the 400 replayed rows)")
     } finally q.stop()
   }
+
+  test("streaming as-of state is one row per user, not per event") {
+    val sf = graft.SparkTestSession.sf
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    // capture progress for the query StreamAsof runs internally
+    val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        Option(e.progress.stateOperators).toSeq.flatten
+          .foreach(s => stateRows += s.numRowsTotal)
+    }
+    spark.streams.addListener(listener)
+    try {
+      StreamAsof.streamAsof(spark, sf)
+      val users = graft.Tables.load(spark, sf, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select("user_id").distinct().count()
+      assert(stateRows.nonEmpty)
+      assert(stateRows.max <= users,
+        s"as-of state ${stateRows.max} rows exceeds $users users — " +
+          "the O(1)-per-user story is broken")
+    } finally spark.streams.removeListener(listener)
+  }
 }
