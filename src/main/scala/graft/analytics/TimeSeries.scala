@@ -590,7 +590,61 @@ object TimeSeries {
           " END AS r2_q6")
   }
 
+  /** Band width (σ multiples) for [[bollinger]], as k². */
+  val bollK2 = 4L
+
+  /** Bollinger-band breach detection — the stock-charting staple
+    * (Bollinger 1980s), exactly the alerting query the reference's
+    * domain runs on close prices: is the CURRENT hourly value more
+    * than k·σ from its trailing-window mean? Complements
+    * [[volumeAnomaly]] (global 3σ) and [[cusumChangepoint]] (level
+    * shifts) with a LOCAL adaptive envelope.
+    *
+    * No square root ever happens: the gate publishes the squared
+    * z-score as the exact integer
+    *   z²_q6 = 1e6·(n−1)·(n·y − Σy)² DIV (n·(n·Σy² − (Σy)²))
+    * (cross-multiplied from (y−ȳ)²/s², all DECIMAL(38,0)/HUGEINT
+    * products, one final DIV on non-negative operands) and the breach
+    * bit is the DERIVED comparison z²_q6 > [[bollK2]]·1e6 — so the
+    * flag is provably consistent with the published statistic in both
+    * engines. NULL z² on a constant window (σ = 0: the envelope is
+    * degenerate, not breached). Same plan shape as [[rollingSlope]]:
+    * grid-bounded hash agg, ONE window pass, full windows only. */
+  def bollinger(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .withColumn("x",
+        expr(s"(unix_timestamp(h) - $slopeEpoch0) DIV 3600"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+      .rowsBetween(-(slopeWin - 1), 0)
+    val wr = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    hourly
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("syy",
+        sum((col("y") * col("y"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).over(w))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") >= slopeWin)
+      .withColumn("dev",
+        expr("CAST(n AS DECIMAL(38,0)) * y - sy"))
+      .withColumn("varn", expr("CAST(n AS DECIMAL(38,0)) * syy " +
+        "- CAST(sy AS DECIMAL(38,0)) * sy"))
+      .selectExpr("event_type", "x", "y", "n",
+        "CAST(1000000 * sy DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)" +
+          " AS mean_q6",
+        "CASE WHEN varn = 0 THEN NULL ELSE " +
+          "CAST((1000000 * (n - 1) * dev * dev) DIV " +
+          "(CAST(n AS DECIMAL(38,0)) * varn) AS BIGINT) END AS z2_q6",
+        s"coalesce(CASE WHEN varn = 0 THEN NULL ELSE " +
+          s"CAST((1000000 * (n - 1) * dev * dev) DIV " +
+          s"(CAST(n AS DECIMAL(38,0)) * varn) AS BIGINT) END " +
+          s"> ${bollK2 * 1000000L}, false) AS breach")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_bollinger" -> bollinger _,
     "ts_rolling_slope" -> rollingSlope _,
     "ts_concurrency" -> concurrency _,
     "ts_wow_growth" -> wowGrowth _,
@@ -607,6 +661,37 @@ object TimeSeries {
     "ts_seasonal" -> seasonal _)
 
   val oracles: Map[String, String] = Map(
+    "ts_bollinger" ->
+      s"""WITH hourly AS (SELECT event_type,
+         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |xg AS (SELECT event_type,
+         |    (CAST(epoch(h) AS BIGINT) - $slopeEpoch0) // 3600 AS x, y
+         |  FROM hourly),
+         |f AS (SELECT event_type, x, y,
+         |    CAST(count(*) OVER w AS BIGINT) AS n,
+         |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+         |    CAST(sum(CAST(y AS HUGEINT) * y) OVER w AS HUGEINT) AS syy,
+         |    row_number() OVER
+         |      (PARTITION BY event_type ORDER BY x) AS rn
+         |  FROM xg
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY x
+         |    ROWS BETWEEN ${slopeWin - 1} PRECEDING AND CURRENT ROW)),
+         |g AS (SELECT *,
+         |    CAST(n AS HUGEINT) * y - sy AS dev,
+         |    CAST(n AS HUGEINT) * syy
+         |      - CAST(sy AS HUGEINT) * sy AS varn
+         |  FROM f WHERE rn >= $slopeWin),
+         |z AS (SELECT event_type, x, y, n,
+         |    CAST((1000000 * sy) // n AS BIGINT) AS mean_q6,
+         |    CASE WHEN varn = 0 THEN NULL ELSE
+         |      CAST((1000000 * (n - 1) * dev * dev) //
+         |        (CAST(n AS HUGEINT) * varn) AS BIGINT) END AS z2_q6
+         |  FROM g)
+         |SELECT event_type, x, y, n, mean_q6, z2_q6,
+         |  coalesce(z2_q6 > ${bollK2 * 1000000L}, false) AS breach
+         |FROM z""".stripMargin,
     "ts_rolling_slope" ->
       s"""WITH hourly AS (SELECT event_type,
          |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,

@@ -55,6 +55,47 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("bollinger z-squared matches a sequential reference; flag consistent") {
+    val sf = SparkTestSession.sf
+    import graft.analytics.TimeSeries
+    val hourly = Tables.load(spark, sf, "events")
+      .selectExpr("event_type",
+        s"(unix_timestamp(date_trunc('hour', ts)) - ${TimeSeries.slopeEpoch0})" +
+          " DIV 3600 AS x",
+        "CAST(round(value * 100) AS BIGINT) AS c")
+      .groupBy("event_type", "x")
+      .agg(org.apache.spark.sql.functions.sum("c").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (t, rs) =>
+        t -> rs.map(r => (r._2, r._3)).sortBy(_._1)
+      }
+    val got = TimeSeries.bollinger(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((if (r.isNullAt(5)) None else Some(r.getLong(5))), r.getBoolean(6)))
+      .toMap
+    val win = TimeSeries.slopeWin
+    var breaches = 0
+    hourly.foreach { case (t, series) =>
+      series.indices.drop(win - 1).foreach { i =>
+        val fr = series.slice(i - win + 1, i + 1)
+        val ys = fr.map(_._2.toDouble)
+        val m = ys.sum / ys.length
+        val v = ys.map(yy => (yy - m) * (yy - m)).sum / (ys.length - 1)
+        val (z2, breach) = got((t, fr.last._1))
+        if (v == 0.0) assert(z2.isEmpty && !breach)
+        else {
+          val ref = (ys.last - m) * (ys.last - m) / v
+          assert(math.abs(z2.get / 1e6 - ref) < 1e-3, s"$t@${fr.last._1}")
+          assert(breach == z2.get > TimeSeries.bollK2 * 1000000L)
+          if (breach) breaches += 1
+        }
+      }
+    }
+    // the envelope is meaningful: some windows breach, most do not
+    val n = got.size
+    assert(breaches > 0 && breaches < n / 2, s"$breaches of $n breach")
+  }
+
   test("sweep-line concurrency equals a naive global running sum") {
     import org.apache.spark.sql.expressions.Window
     val sf = SparkTestSession.sf
