@@ -135,7 +135,8 @@ object Bench {
       // round-5 late additions
       "graph_link_predict", "graph_kcore", "asof_join_nearest",
       "stats_welch", "behavior_seq_support", "ts_rolling_slope",
-      "store_time_travel", "stream_asof")
+      "store_time_travel", "stream_asof", "behavior_markov_stationary",
+      "ts_bollinger")
     val qs = toJson(okResults.view.filterKeys(headline).toMap, identity)
     val total = if (okResults.nonEmpty) okResults.values.sum else 0.0
     val sfTag = sfDir.split('/').last
