@@ -12,7 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object StatsQueries {
 
-  /** Columns profiled by [[analyzeTable]]. */
+  /** Columns profiled by [[analyzeTable]].
+    *
+    * CONSTRAINT: the melt profile counts distinct STRING RENDERINGS
+    * (`cast(c as string)`), while the DuckDB oracle counts
+    * `count(DISTINCT c)` on raw values — equal only when Spark's
+    * string cast is injective AND render-identical to DuckDB's for
+    * every type listed here. That holds for the current set (strings,
+    * bigint, date) but NOT for double/decimal/timestamp (trailing-zero
+    * and scientific-notation rendering differ between engines, and
+    * -0.0/0.0 collapse). Adding such a column requires melting a typed
+    * struct or a hash of the raw value instead of its string form. */
   val analyzeCols = Seq("l_returnflag", "l_linestatus", "l_suppkey",
     "l_shipdate")
 

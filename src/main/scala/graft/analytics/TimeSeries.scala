@@ -583,10 +583,21 @@ object TimeSeries {
         expr("CAST(n * sxx - sx * sx AS DECIMAL(38,0))"))
       .withColumn("deny", expr("CAST(n AS DECIMAL(38,0)) * syy " +
         "- CAST(sy AS DECIMAL(38,0)) * sy"))
+      // r2_q6 is STAGED: q1 = (1e6·num) DIV den first, then
+      // (q1·num) DIV deny — not the one-shot 1e6·num²/(den·deny),
+      // whose num² product is the tightest overflow in the file (a
+      // corpus with ~1e12-cent hourly sums squares past DECIMAL(38,0)
+      // and, with ANSI off, silently NULLs). Staging keeps the largest
+      // intermediate ≤ 1e6·deny by Cauchy–Schwarz (num² ≤ den·deny),
+      // ~den× more headroom; the ≤1-ulp truncation difference is
+      // identical in both engines (DuckDB runs the same staged form).
+      // q1 lands in LONG (Spark DIV), so it must re-enter
+      // DECIMAL(38,0) before the second product or q1·num wraps.
+      .withColumn("q1", expr("(1000000 * num) DIV den"))
       .selectExpr("event_type", "x", "n", "sy",
-        "CAST((1000000 * num) DIV den AS BIGINT) AS slope_q6",
+        "CAST(q1 AS BIGINT) AS slope_q6",
         "CASE WHEN deny = 0 THEN NULL " +
-          "ELSE CAST((1000000 * num * num) DIV (den * deny) AS BIGINT)" +
+          "ELSE CAST((CAST(q1 AS DECIMAL(38,0)) * num) DIV deny AS BIGINT)" +
           " END AS r2_q6")
   }
 
@@ -717,13 +728,14 @@ object TimeSeries {
          |    CAST(n * sxx - sx * sx AS HUGEINT) AS den,
          |    CAST(n AS HUGEINT) * syy
          |      - CAST(sy AS HUGEINT) * sy AS deny
-         |  FROM f WHERE rn >= $slopeWin)
+         |  FROM f WHERE rn >= $slopeWin),
+         |q AS (SELECT *, (1000000 * num) // den AS q1 FROM g)
          |SELECT event_type, x, n, sy,
-         |  CAST((1000000 * num) // den AS BIGINT) AS slope_q6,
+         |  CAST(q1 AS BIGINT) AS slope_q6,
          |  CASE WHEN deny = 0 THEN NULL
-         |    ELSE CAST((1000000 * num * num) // (den * deny) AS BIGINT)
+         |    ELSE CAST((q1 * num) // deny AS BIGINT)
          |  END AS r2_q6
-         |FROM g""".stripMargin,
+         |FROM q""".stripMargin,
     "ts_concurrency" ->
       """WITH e AS (SELECT date_trunc('second', CAST(ts AS TIMESTAMP)) AS s
         |  FROM events),

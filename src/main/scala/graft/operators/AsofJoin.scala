@@ -28,7 +28,8 @@ object AsofJoin {
     * ts >= right.ts (the "next quote" variant) — the merge-scan simply
     * runs over the reversed time order, same single exchange. */
   def asof(left: DataFrame, right: DataFrame, key: String,
-      leftCols: Seq[String], forward: Boolean = false): DataFrame = {
+      leftCols: Seq[String], forward: Boolean = false,
+      tieBreak: String = "event_id"): DataFrame = {
     val l = left.withColumn("_side", lit(0))
       .withColumn("_l", struct(leftCols.map(col): _*))
     val r = right.withColumn("_side", lit(1))
@@ -36,10 +37,15 @@ object AsofJoin {
     val commonCols = r.columns.toSeq
     val unioned = l.select(commonCols.map(col): _*).unionByName(r)
     // left rows sort before right rows on ties, so an exactly-equal ts
-    // matches in either direction (ASOF's <= / >= semantics)
+    // matches in either direction (ASOF's <= / >= semantics). `tieBreak`
+    // (a unique id carried through the union) pins the order among
+    // equal-ts left rows — the HIGHEST id wins in both directions, the
+    // same rule StreamAsof's (us, side, event_id) sort applies — so
+    // batch, stream, and oracle stay equal even if the corpus ever
+    // grows duplicate per-user timestamps.
     val ord = if (forward) col("ts").desc else col("ts").asc
     val w = Window.partitionBy(col(key))
-      .orderBy(ord, col("_side"))
+      .orderBy(ord, col("_side"), col(tieBreak).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("_match", last(col("_l"), ignoreNulls = true).over(w))

@@ -1272,14 +1272,20 @@ object Similarity {
     * 17 × that is far under Long.MaxValue. */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val pairs = embedNearDupLsh(spark, dir)
+    // localCheckpoint(eager): materialize the edge list ONCE before the
+    // 5-iteration unroll references it ten times. A lazy persist lets the
+    // first action fan the LSH candidate-generation subtree into every
+    // iteration join (concurrent stages race the cache fill and Catalyst
+    // re-optimizes the giant subtree per reference); checkpointing both
+    // fills the cache up front and truncates the lineage to a plain scan.
     val edges = pairs
       .select(explode(array(
         struct(col("a").as("u"), col("b").as("v")),
         struct(col("b").as("u"), col("a").as("v")))).as("e"))
       .select(col("e.u"), col("e.v"))
       .repartition(col("u"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint(true)
     val nodes = Tables.load(spark, dir, "embeddings").select(col("vec_id"))
     var pr = nodes.withColumn("pr", lit(prScale))
     for (_ <- 1 to prIters) {

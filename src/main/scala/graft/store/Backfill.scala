@@ -37,7 +37,12 @@ object Backfill {
       .select(col("event_id"), col("ts"), col("user_id"), col("value"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
 
-  /** Create (or re-attach) the day-partitioned store copy. */
+  /** Create (or re-attach) the day-partitioned store copy. A non-empty
+    * store is NOT trusted as-is: a prior run that aborted between
+    * damage and repair leaves divergence this bootstrap would
+    * otherwise carry into the next run's `repaired` flags, so any
+    * stale day found on attach is repaired here first — bootstrap's
+    * postcondition is store == source, always. */
   def bootstrap(spark: SparkSession, dir: String): String = {
     val tag = sfTag(dir)
     val t = s"events_bf_$tag"
@@ -50,21 +55,55 @@ object Backfill {
          |LOCATION '${Catalog.warehouse}/backfill/$tag'""".stripMargin)
     if (spark.table(t).isEmpty)
       source(spark, dir).write.mode("overwrite").insertInto(t)
+    else {
+      val stale = detectStale(spark, dir, t)
+      if (stale.nonEmpty) repair(spark, dir, t, stale)
+    }
     t
   }
 
-  /** Per-partition manifest diff: days whose store row count diverges
-    * from the source. Output bounded by |days|. */
+  /** Per-partition manifest diff: days whose store CONTENT diverges
+    * from the source. The signature is (row count, XOR of a per-row
+    * xxhash64 over the identifying columns) — count alone mislabels
+    * any equal-count corruption, while the order-independent XOR fold
+    * (rows are unique by event_id) detects value-level divergence with
+    * the same partition-bounded aggregation cost. Output bounded by
+    * |days|. */
   def detectStale(spark: SparkSession, dir: String, table: String): Seq[String] = {
-    val src = source(spark, dir).groupBy("day")
-      .agg(count(lit(1)).as("src_n"))
-    val st = spark.table(table).groupBy("day")
-      .agg(count(lit(1)).as("store_n"))
+    def manifest(df: DataFrame, n: String, s: String) = df.groupBy("day")
+      .agg(count(lit(1)).as(n),
+        coalesce(bit_xor(
+          xxhash64(col("event_id"), col("user_id"), col("value"))),
+          lit(0L)).as(s))
+    val src = manifest(source(spark, dir), "src_n", "src_sig")
+    val st = manifest(spark.table(table), "store_n", "store_sig")
     src.join(st, Seq("day"), "full_outer")
       .filter(coalesce(col("src_n"), lit(-1L)) =!=
-        coalesce(col("store_n"), lit(-2L)))
+          coalesce(col("store_n"), lit(-2L)) ||
+        col("src_sig") =!= col("store_sig"))
       .select("day").collect().map(_.getString(0)).toSeq.sorted
   }
+
+  /** Repair: rewrite diverged partitions the source still has, DROP
+    * the ones it doesn't — dynamic overwrite only replaces partitions
+    * present in the written frame, so a store-only day (e.g. the
+    * corpus was restated to exclude it) needs an explicit partition
+    * drop or it would survive every "repair" forever. Day lists are
+    * calendar-bounded driver scalars. */
+  private def repair(spark: SparkSession, dir: String, table: String,
+      stale: Seq[String]): Unit =
+    graft.Conf.withConf(spark,
+        "spark.sql.sources.partitionOverwriteMode", "dynamic") {
+      val srcDays = source(spark, dir).select("day").distinct()
+        .collect().map(_.getString(0)).toSet
+      val (rewrite, dead) = stale.partition(srcDays.contains)
+      dead.foreach(d =>
+        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (day='$d')"))
+      if (rewrite.nonEmpty)
+        source(spark, dir)
+          .filter(col("day").isin(rewrite: _*))
+          .write.mode("overwrite").insertInto(table)
+    }
 
   def backfillQuery(spark: SparkSession, dir: String): DataFrame =
     graft.Conf.withConf(spark,
@@ -75,21 +114,7 @@ object Backfill {
         .filter(col("day") === damagedDay && col("user_id") % 2 === 0)
         .write.mode("overwrite").insertInto(t)
       val stale = detectStale(spark, dir, t)
-      // repair: rewrite diverged partitions the source still has, DROP
-      // the ones it doesn't — dynamic overwrite only replaces
-      // partitions present in the written frame, so a store-only day
-      // (e.g. the corpus was restated to exclude it) needs an explicit
-      // partition drop or it would survive every "repair" forever.
-      // Day lists are calendar-bounded driver scalars.
-      val srcDays = source(spark, dir).select("day").distinct()
-        .collect().map(_.getString(0)).toSet
-      val (rewrite, dead) = stale.partition(srcDays.contains)
-      dead.foreach(d =>
-        spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (day='$d')"))
-      if (rewrite.nonEmpty)
-        source(spark, dir)
-          .filter(col("day").isin(rewrite: _*))
-          .write.mode("overwrite").insertInto(t)
+      repair(spark, dir, t, stale)
       spark.table(t).groupBy("day")
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
         .withColumn("repaired", col("day").isin(stale: _*))

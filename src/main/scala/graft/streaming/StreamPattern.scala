@@ -63,10 +63,21 @@ object StreamPattern {
     withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
     import spark.implicits._
     val keyScale = 100000000L
+    // Replay-order correctness rests on two invariants; make a
+    // violation fail loudly instead of silently reordering the replay:
+    // (1) the cut must be second-aligned (k floors ts to the second, so
+    // a sub-second cut could split an out-of-order boundary),
+    require(java.sql.Timestamp.valueOf(Sessionize.streamCut)
+      .getNanos == 0, s"streamCut ${Sessionize.streamCut} not second-aligned")
+    // (2) event_id must fit under keyScale — guarded per-row inside the
+    // encoding itself (raise_error in the dead branch costs nothing
+    // while the invariant holds, and needs no extra pre-scan job).
     val batch = Tables.load(spark, dir, "events")
       .select(col("user_id"),
         (unix_timestamp(date_trunc("second", col("ts"))) * keyScale +
-          col("event_id")).as("k"),
+          when(col("event_id") < keyScale, col("event_id"))
+            .otherwise(raise_error(concat(lit("event_id >= 1e8 breaks the "
+              + "k-encoding total order: "), col("event_id"))))).as("k"),
         substring(col("event_type"), 1, 1).as("c"),
         col("ts"))
     val cut = lit(Sessionize.streamCut).cast("timestamp")
