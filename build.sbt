@@ -1,8 +1,10 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "dockerizeddatapipelinespark"
-// Spark jars ship with the image at /opt/spark/jars (zero-egress):
-unmanagedBase := file("/opt/spark/jars")
+// Spark jars ship with the image at /opt/spark/jars (zero-egress);
+// the Docker build stage points this at the jars it copies out of the
+// Spark runtime image (see Dockerfile).
+unmanagedBase := file(sys.env.getOrElse("SPARK_GRAFT_JARS", "/opt/spark/jars"))
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Operator-facing command-line surface — the reference exposes its
+  * day-2 operations as one-command Make targets (reference
+  * Makefile:59-72 `health`, :103-116 `backup`/`restore`, :141-151
+  * `validate-env`); graft has had the capabilities as Scala APIs
+  * (`Catalog.snapshot/restore/applyRetention`,
+  * `StockPipeline.preflight`, `AlphaVantageClient.healthCheck`) but no
+  * entry points beyond Bench/Verify/PlanDump. This main closes that
+  * gap:
+  *
+  * {{{
+  * runMain graft.Ops health            # preflight + catalog + API probe
+  * runMain graft.Ops validate-env      # config sanity, fail-fast
+  * runMain graft.Ops backup <table> <path>
+  * runMain graft.Ops restore <path> <table>
+  * runMain graft.Ops retention [dataDays] [logDays]
+  * }}}
+  *
+  * Exit code 0 iff the operation succeeded (health: all checks green;
+  * the live API probe is SKIPPED, not failed, when no GRAFT_API_KEY is
+  * configured — an offline deployment is healthy without it).
+  */
+object Ops {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val code = try run(spark, args.toSeq, sys.env.get("GRAFT_API_KEY"))
+    finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Testable core: executes one subcommand, prints `[ops]` lines via
+    * `out`, returns the process exit code. `transport` overrides the
+    * health probe's HTTP layer (specs inject canned payloads; `None`
+    * uses the real client). */
+  def run(spark: SparkSession, args: Seq[String],
+      apiKey: Option[String],
+      out: String => Unit = println,
+      transport: Option[String => String] = None): Int = args.toList match {
+
+    case "health" :: Nil =>
+      val pl = new graft.pipeline.StockPipeline(spark, _ => None)
+      val gates = pl.preflight(apiKeyConfigured = apiKey.nonEmpty)
+        .filterNot(_._1 == "api_key_configured") // probed for real below
+      val catalogOk = store.Catalog.tablesPresent(spark).count() ==
+        store.Catalog.tableNames.length
+      val probe: (String, Option[Boolean]) = apiKey match {
+        case None => "api_probe" -> None // offline deployment: skip
+        case Some(k) =>
+          val client = transport match {
+            case Some(t) => new sources.AlphaVantageClient(k, t)
+            case None => new sources.AlphaVantageClient(k)
+          }
+          "api_probe" -> Some(client.healthCheck())
+      }
+      val checks = gates.map { case (n, ok) => (n, Some(ok)) } ++
+        Seq("catalog_tables" -> Some(catalogOk), probe)
+      checks.foreach { case (n, st) =>
+        out(s"[ops] health $n: ${st.fold("SKIP")(if (_) "OK" else "FAIL")}")
+      }
+      if (checks.forall(_._2.getOrElse(true))) 0 else 1
+
+    case "validate-env" :: Nil =>
+      // the reference validates its .env before any run; graft's
+      // equivalent config surface is the API key + writable warehouse
+      val checks = Seq(
+        "api_key_configured" -> apiKey.exists(_.trim.nonEmpty),
+        "warehouse_writable" -> scala.util.Try {
+          val p = new org.apache.hadoop.fs.Path(store.Catalog.warehouse)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.mkdirs(p)
+        }.getOrElse(false),
+        "session_timezone_utc" ->
+          (spark.conf.get("spark.sql.session.timeZone") == "UTC"))
+      checks.foreach { case (n, ok) =>
+        out(s"[ops] validate-env $n: ${if (ok) "OK" else "FAIL"}")
+      }
+      if (checks.forall(_._2)) 0 else 1
+
+    case "backup" :: table :: path :: Nil =>
+      store.Catalog.bootstrap(spark)
+      store.Catalog.snapshot(spark, table, path)
+      out(s"[ops] backup $table -> $path: ${spark.read.parquet(path).count()} rows")
+      0
+
+    case "restore" :: path :: table :: Nil =>
+      store.Catalog.bootstrap(spark)
+      store.Catalog.restore(spark, path, table)
+      out(s"[ops] restore $path -> $table: ${spark.table(table).count()} rows")
+      0
+
+    case "pipeline" :: syms =>
+      // the container/cron entry: one full DAG run. With an API key the
+      // fetch is live (rate-limited client); without one it runs the
+      // offline fixture set — the same demo the correctness gate pins.
+      val fetch: String => Option[String] = apiKey match {
+        case Some(k) =>
+          val client = transport match {
+            case Some(t) => new sources.AlphaVantageClient(k, t)
+            case None => new sources.AlphaVantageClient(k)
+          }
+          client.fetchIntraday _
+        case None => graft.pipeline.StockPipeline.fixtureFetch
+      }
+      val symbols =
+        if (syms.nonEmpty) syms
+        else Seq("aapl ", "MSFT", "ERR", "RL", "  ")
+      val summary = new graft.pipeline.StockPipeline(spark, fetch)
+        .runOnce(symbols).collect()
+      summary.foreach(r => out(s"[ops] pipeline ${r.getString(0)}: " +
+        s"${if (r.getBoolean(1)) "OK" else "FAIL"} (${r.getLong(2)} bars)"))
+      // partial success IS success (reference's skip-and-continue)
+      if (summary.exists(_.getBoolean(1))) 0 else 1
+
+    case "retention" :: rest if rest.length <= 2 =>
+      val dataDays = rest.headOption.map(_.toInt).getOrElse(365)
+      val logDays = rest.lift(1).map(_.toInt).getOrElse(30)
+      store.Catalog.bootstrap(spark)
+      val deleted = store.Catalog.applyRetention(spark,
+        new java.sql.Timestamp(System.currentTimeMillis()),
+        dataDays, logDays)
+      deleted.toSeq.sortBy(_._1).foreach { case (t, n) =>
+        out(s"[ops] retention $t: $n rows deleted")
+      }
+      0
+
+    case other =>
+      out(s"[ops] unknown command: ${other.mkString(" ")}")
+      out("[ops] usage: health | validate-env | pipeline [symbols...] | " +
+        "backup <table> <path> | restore <path> <table> | " +
+        "retention [dataDays] [logDays]")
+      2
+  }
+}

@@ -121,4 +121,17 @@ object Tables {
     * `CAST(CAST(SUM(..) AS DECIMAL(38,4)) AS DOUBLE)` wrapper. */
   def dprodsum(a: Column, b: Column): Column =
     sum(dec(a) * dec(b)).cast(DecimalType(38, 4)).cast("double")
+
+  /** Globally-ordered window over a PROVABLY BOUNDED frame (sketch
+    * members, LSH bands, calendar days — never raw rows). Partitioning
+    * by a constant keeps the identical single-partition semantics of a
+    * bare `Window.orderBy` but declares the intent in the plan, so
+    * WindowExec's "No Partition Defined" warning — which this repo
+    * treats as a real scale alarm — only ever fires for an
+    * unintentional global window. Callers MUST state the bound at the
+    * call site. */
+  def boundedGlobalWindow(order: Column*)
+      : org.apache.spark.sql.expressions.WindowSpec =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(order: _*)
 }

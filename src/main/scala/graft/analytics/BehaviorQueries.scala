@@ -393,7 +393,7 @@ object BehaviorQueries {
     val firstDay = Tables.load(spark, dir, "events")
       .groupBy(col("user_id"))
       .agg(min(to_date(col("ts"))).as("first_day"))
-    val wCum = Window.orderBy("first_day")
+    val wCum = Tables.boundedGlobalWindow(col("first_day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // calendar-bounded frame (≤ days rows) — the ts_seasonal pattern
     firstDay.groupBy("first_day")
@@ -627,9 +627,9 @@ object BehaviorQueries {
       .withColumn("band", expr("gap DIV 86400"))
     val wIn = Window.partitionBy("band").orderBy("gap")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wOff = Window.orderBy("band")
+    val wOff = Tables.boundedGlobalWindow(col("band")) // bounded: <= 101 bands
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wTot = Window.orderBy("band")
+    val wTot = Tables.boundedGlobalWindow(col("band"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = h.groupBy("band").agg(sum("cnt").as("btot"))
       .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))

@@ -619,7 +619,7 @@ object OlapQueries {
       .select(col("seg"), explode(col("mins")).as("m"))
       .select(col("seg"), col("m.key").as("h"))
     // bounded single-partition tail: <= 2k sketch members
-    val wAll = org.apache.spark.sql.expressions.Window.orderBy("h")
+    val wAll = Tables.boundedGlobalWindow(col("h"))
     val merged = members.groupBy("h")
       .agg(max(col("seg") === "a").as("in_a"),
         max(col("seg") === "b").as("in_b"))
@@ -729,9 +729,9 @@ object OlapQueries {
       .withColumn("band", expr(s"cents DIV $pctBandCents"))
     val wIn = Window.partitionBy("band").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wOff = Window.orderBy("band")
+    val wOff = Tables.boundedGlobalWindow(col("band")) // bounded: <= price bands
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wTot = Window.orderBy("band")
+    val wTot = Tables.boundedGlobalWindow(col("band"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = h.groupBy("band")
       .agg(sum(col("cnt")).as("btot"), sum(ccnt).as("bc"))

@@ -449,9 +449,9 @@ object StatsQueries {
       .groupBy("cents")
       .agg(coalesce(sum(when(col("a"), 1L)), lit(0L)).as("ca"),
         coalesce(sum(when(!col("a"), 1L)), lit(0L)).as("cb"))
-    val wLt = Window.orderBy("cents")
+    val wLt = graft.Tables.boundedGlobalWindow(col("cents")) // bounded: distinct cent values
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wT = Window.orderBy("cents")
+    val wT = graft.Tables.boundedGlobalWindow(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     cells
       .withColumn("lt_b", coalesce(sum(col("cb")).over(wLt), lit(0L)))

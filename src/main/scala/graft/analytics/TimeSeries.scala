@@ -517,7 +517,7 @@ object TimeSeries {
     val wLocal = Window.partitionBy(col("day")).orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = deltas.withColumn("local_run", sum("net").over(wLocal))
-    val wCarry = Window.orderBy(col("cday"))
+    val wCarry = Tables.boundedGlobalWindow(col("cday")) // bounded: <= calendar days
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = deltas.groupBy(col("day").as("cday"))
       .agg(sum("net").as("dtot"))

