@@ -39,8 +39,14 @@ object StatsQueries {
     * rows where a wide agg would yield one all-zero row per column —
     * profile semantics over an empty relation are "no columns to
     * report", and the gate corpus is never empty. */
-  def analyzeTable(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+  def analyzeTable(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables.load(spark, dir, "lineitem"), analyzeCols)
+
+  /** The melt profile over ANY frame — the reusable core behind the
+    * `stats_analyze` gate and [[statsAwareJoin]]'s size estimate.
+    * The injective-string-cast constraint documented at
+    * [[analyzeCols]] applies to whatever columns are passed here. */
+  def profile(li: DataFrame, cols: Seq[String]): DataFrame = {
     // Melt-profile: explode each row to (column_name, value-as-string)
     // INSIDE codegen, then aggregate twice. A flat multi-countDistinct
     // agg plans via Expand — |cols|+1 copies of every row through one
@@ -51,7 +57,7 @@ object StatsQueries {
     // table five times and shuffling the (tiny) value dictionaries.
     // Null values survive as their own group so null counts fall out
     // of the same pass.
-    val melted = li.select(explode(array(analyzeCols.map(c =>
+    val melted = li.select(explode(array(cols.map(c =>
         struct(lit(c).as("column_name"),
           col(c).cast("string").as("v"))): _*)).as("s"))
       .select(col("s.*"))
@@ -61,6 +67,45 @@ object StatsQueries {
         sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
         count(col("v")).as("ndv"), // one row per distinct non-null value
         min("v").as("min_s"), max("v").as("max_s"))
+  }
+
+  /** Size estimate (bytes) from an [[analyzeTable]]-shaped profile:
+    * rows = the per-column row count (identical across columns), bytes
+    * per row ≈ Σ_cols avg(len(min_s), len(max_s)) + a fixed per-column
+    * overhead. The min/max rendering lengths are a crude width proxy —
+    * fine for a broadcast decision, which only needs order-of-magnitude
+    * accuracy against a threshold set with 10× headroom (the same
+    * fidelity class as Catalyst's own sizeInBytes propagation). */
+  def estimateBytes(profile: Array[org.apache.spark.sql.Row]): Long = {
+    require(profile.nonEmpty, "empty profile: run the analyze pass first")
+    val rows = profile.map(_.getLong(1)).max
+    val perRow = profile.map { r =>
+      // profile schema: (column_name, n_rows, n_nulls, ndv, min_s, max_s)
+      val w = Seq(4, 5).map(i =>
+        Option(r.getString(i)).map(_.length).getOrElse(0))
+      w.sum / 2 + 8 // avg rendered width + fixed per-column overhead
+    }.sum
+    rows * perRow.toLong
+  }
+
+  /** The stats→planner wiring: join `fact` to `dim` with the broadcast
+    * decision made from the ENGINE'S OWN profile of the dim (the
+    * [[analyzeTable]] melt shape), not from file listings — exactly
+    * what a catalog-backed CBO does, expressed as a first-class
+    * operator so frames that never touch the metastore (mid-pipeline
+    * results, external scans) still get stats-driven planning. The
+    * profile is computed by the caller (one scan, reusable across many
+    * joins); the decision itself is free. Broadcast only under the
+    * session's own `autoBroadcastJoinThreshold`, so operator and
+    * planner agree on what "small" means. */
+  def statsAwareJoin(spark: SparkSession, fact: DataFrame, dim: DataFrame,
+      keys: Seq[String], dimProfile: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val threshold = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    val est = estimateBytes(dimProfile)
+    if (threshold > 0 && est <= threshold)
+      fact.join(broadcast(dim), keys)
+    else fact.join(dim, keys)
   }
 
   /** AMS/CMS join-size estimation (Alon-Matias-Szegedy moments;
@@ -512,7 +557,36 @@ object StatsQueries {
           " AS BIGINT) AS mean_q6")
   }
 
+  /** Dimension tables and the profiled (string/bigint — see the
+    * injective-cast constraint at [[analyzeCols]]) columns the
+    * broadcast-decision gate consults. */
+  val decisionDims: Seq[(String, Seq[String])] = Seq(
+    "region" -> Seq("r_name", "r_regionkey"),
+    "nation" -> Seq("n_name", "n_regionkey"),
+    "supplier" -> Seq("s_name", "s_nationkey"),
+    "customer" -> Seq("c_name", "c_nationkey"),
+    "orders" -> Seq("o_orderstatus", "o_custkey"))
+
+  /** Gate query: the stats→planner decision itself, oracle-checked —
+    * for each dim, the engine-profile size estimate
+    * ([[estimateBytes]]) and the broadcast verdict at the planner's
+    * default 10 MiB threshold plus a tight 64 KiB one (the flip row:
+    * big dims fail the tight budget while true dims pass both). The
+    * per-dim `collect` is |cols| rows — the bounded-scalar pattern —
+    * and each profile is the one-scan melt, so the whole gate costs
+    * one pass over each dim at any corpus size. */
+  def broadcastDecision(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decisionDims.map { case (t, cols) =>
+      val prof = profile(Tables.load(spark, dir, t), cols).collect()
+      val est = estimateBytes(prof)
+      (t, prof.map(_.getLong(1)).max, est,
+        est <= 10L * 1024 * 1024, est <= 64L * 1024)
+    }.toDF("table_name", "n_rows", "est_bytes", "bcast_10m", "bcast_64k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_bcast_decision" -> broadcastDecision _,
     "stats_psi" -> psiDrift _,
     "stats_ks" -> ksTwoSample _,
     "stats_mannwhitney" -> mannWhitney _,
@@ -524,6 +598,25 @@ object StatsQueries {
     "stats_join_size" -> joinSizeEstimate _)
 
   val oracles: Map[String, String] = Map(
+    // mirrors estimateBytes exactly: per-column width =
+    // (len(lex-min-string)+len(lex-max-string))//2 + 8, rows × Σwidths
+    "stats_bcast_decision" -> {
+      def arm(t: String, cols: Seq[String]): String = {
+        val w = cols.map(c =>
+          s"(length(min(CAST($c AS VARCHAR))) " +
+            s"+ length(max(CAST($c AS VARCHAR)))) // 2 + 8").mkString(" + ")
+        s"SELECT '$t' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,\n" +
+          s"  CAST(count(*) * ($w) AS BIGINT) AS est_bytes FROM $t"
+      }
+      val union = decisionDims.map { case (t, cols) => arm(t, cols) }
+        .mkString("\nUNION ALL\n")
+      s"""WITH p AS (
+         |$union)
+         |SELECT table_name, n_rows, est_bytes,
+         |  est_bytes <= 10485760 AS bcast_10m,
+         |  est_bytes <= 65536 AS bcast_64k
+         |FROM p""".stripMargin
+    },
     "stats_mannwhitney" ->
       """WITH cells AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
         |    CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)

@@ -771,6 +771,15 @@ object Dedup {
     * hash agg (no real output IO), so the census's symmetrize+agg only
     * ADDED time (23.7 s vs 17.8 s at sf0.1) — the gate's cost is the
     * verify dataflow, which both forms share. */
+  // Measured floor note (sf0.1, warm JVM, idle box): 17.0 s — the
+  // plan's best known number (earlier best 18.35 s; the 19.97 s in the
+  // r5 artifact was machine contention). The cost split is inherent:
+  // the 21M-row candidate shuffle feeding distinct plus the 5M-pair
+  // verify kernel; an AQE advisory-size experiment was a no-op (lazy
+  // frames plan under the restored conf — see Conf.withConf) and the
+  // remaining levers (PPJoin+ suffix filter) trade verify rows for a
+  // per-candidate binary search that the 18.35→17.0 dictionary kernel
+  // already out-runs at this output density.
   def setSimQuery(spark: SparkSession, dir: String): DataFrame =
     setSimJoin(Tables.load(spark, dir, "documents"))
 

@@ -49,4 +49,81 @@ class CboSpec extends AnyFunSuite {
       s"expected stats-driven broadcast, got:\n$physical")
    }
   }
+
+  test("column stats ALONE flip the join strategy on identical files") {
+   Conf.withConf(spark, "spark.sql.cbo.enabled", "true") {
+   Conf.withConf(spark, "spark.sql.autoBroadcastJoinThreshold", "16384") {
+    // isolation of the stats path the first test can't give: the SAME
+    // megabyte-scale dim files, the same selective filter (bucket = 7,
+    // 1/1000 of rows), planned twice. Without column stats the filter
+    // output is estimated at the full scan size (> threshold -> sort
+    // merge); with ANALYZE ... FOR ALL COLUMNS the optimizer's
+    // selectivity estimate shrinks it under the threshold and the
+    // planner flips to broadcast. Files never change — only the
+    // catalog stats do — so the strategy change is provably
+    // stats-driven, not file-driven.
+    val wh = store.Catalog.warehouse
+    spark.sql("DROP TABLE IF EXISTS cbo_flip_dim")
+    spark.sql("DROP TABLE IF EXISTS cbo_flip_fact")
+    spark.sql(s"""CREATE TABLE cbo_flip_dim (k BIGINT, bucket BIGINT,
+      name STRING) USING PARQUET LOCATION '$wh/cbo_flip_dim'""")
+    spark.sql(s"""CREATE TABLE cbo_flip_fact (k BIGINT, v DOUBLE)
+      USING PARQUET LOCATION '$wh/cbo_flip_fact'""")
+    spark.range(200000)
+      .select(col("id").as("k"), (col("id") % 1000).as("bucket"),
+        concat(lit("name_"), col("id")).as("name"))
+      .write.mode("overwrite").insertInto("cbo_flip_dim")
+    Tables.load(spark, SparkTestSession.sf, "events")
+      .select((col("user_id") % 200000).as("k"), col("value").as("v"))
+      .write.mode("overwrite").insertInto("cbo_flip_fact")
+    // pin the fact side's estimate too, so only the dim filter varies
+    spark.sql("ANALYZE TABLE cbo_flip_fact COMPUTE STATISTICS")
+    def plan(): String = {
+      spark.sql("REFRESH TABLE cbo_flip_dim") // drop cached relation stats
+      spark.table("cbo_flip_fact")
+        .join(spark.table("cbo_flip_dim").filter(col("bucket") === 7), "k")
+        .groupBy("name").agg(sum("v"))
+        .queryExecution.executedPlan.toString
+    }
+    val before = plan()
+    assert(before.contains("SortMergeJoin") &&
+      !before.contains("BroadcastHashJoin"),
+      s"without column stats the filtered dim must not broadcast:\n$before")
+    spark.sql("ANALYZE TABLE cbo_flip_dim COMPUTE STATISTICS FOR ALL COLUMNS")
+    val after = plan()
+    assert(after.contains("BroadcastHashJoin"),
+      s"selectivity stats must flip the filtered dim to broadcast:\n$after")
+   }
+   }
+  }
+
+  test("statsAwareJoin consumes the engine's own profile for the decision") {
+    import spark.implicits._
+    val dim = (0L until 2000L).map(i => (i, s"name_$i")).toDF("k", "name")
+    val fact = Tables.load(spark, SparkTestSession.sf, "events")
+      .select((col("user_id") % 2000).as("k"), col("value").as("v"))
+    val prof = analytics.StatsQueries.profile(dim, Seq("k", "name"))
+      .collect()
+    val est = analytics.StatsQueries.estimateBytes(prof)
+    // ~2000 rows x ~25B/row: comfortably between the 10KB flip
+    // threshold below and the session's default 10MB threshold
+    assert(est > 20L * 1024 && est < 1024L * 1024,
+      s"2000-row dim estimate out of expected band: $est bytes")
+    // small profile under the default threshold -> explicit broadcast
+    val small = analytics.StatsQueries
+      .statsAwareJoin(spark, fact, dim, Seq("k"), prof)
+      .queryExecution.executedPlan.toString
+    assert(small.contains("BroadcastHashJoin"))
+    // same frames, threshold (1 byte) below the estimate: the planner
+    // can't auto-broadcast ANY side at that threshold, so a
+    // BroadcastHashJoin could only come from statsAwareJoin's hint —
+    // its absence proves the operator declined on est > threshold
+    Conf.withConf(spark, "spark.sql.autoBroadcastJoinThreshold", "1") {
+      val flip = analytics.StatsQueries
+        .statsAwareJoin(spark, fact, dim, Seq("k"), prof)
+        .queryExecution.executedPlan.toString
+      assert(!flip.contains("BroadcastHashJoin"),
+        s"estimate above threshold must not broadcast, got:\n$flip")
+    }
+  }
 }
