@@ -26,6 +26,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Conf.silenceBoundedWindowLogs()
     // absorb one-time session cost (codegen compiler, parquet footer
     // reads, broadcast machinery) so per-query numbers measure the
     // queries, not JVM warmup

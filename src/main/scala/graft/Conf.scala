@@ -36,6 +36,22 @@ object Conf {
     * bucket metadata is baked into the persisted layout. */
   val BucketCount = "spark.graft.bucketing.buckets"
 
+  /** Silence WindowExec's "No Partition Defined" warning for the
+    * engine's runtime surfaces. Every global window on the surface is
+    * provably bounded (band offsets, calendar carries, sketch members
+    * — ≤ a few thousand rows) and documented at its call site via
+    * [[graft.Tables.boundedGlobalWindow]]; Spark 4's optimizer folds
+    * the constant partition key back out, so the executor still logs
+    * the warning per task and floods the 2 KB driver tail the bench
+    * artifact depends on. The DISCIPLINE is enforced statically
+    * instead: PlanAuditSpec fails any gate whose optimized plan grows
+    * an empty-partition window outside the audited whitelist, which is
+    * strictly stronger than a log line nobody greps. */
+  def silenceBoundedWindowLogs(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+
   def int(spark: SparkSession, key: String, default: Int): Int =
     spark.conf.getOption(key).map(_.trim.toInt).getOrElse(default)
 

@@ -37,6 +37,7 @@ object Ops {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Conf.silenceBoundedWindowLogs()
     val code = try run(spark, args.toSeq, sys.env.get("GRAFT_API_KEY"))
     finally spark.stop()
     if (code != 0) sys.exit(code)

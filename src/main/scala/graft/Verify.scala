@@ -20,6 +20,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Conf.silenceBoundedWindowLogs()
     new java.io.File(outDir).mkdirs()
     // Failures must be VISIBLE in the round artifacts, not silently
     // dropped rows (round 4 shipped a 100%-green CORRECTNESS file for a
