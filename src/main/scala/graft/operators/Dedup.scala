@@ -771,9 +771,11 @@ object Dedup {
     * hash agg (no real output IO), so the census's symmetrize+agg only
     * ADDED time (23.7 s vs 17.8 s at sf0.1) — the gate's cost is the
     * verify dataflow, which both forms share. */
-  // Measured floor note (sf0.1, warm JVM, idle box): 17.0 s — the
-  // plan's best known number (earlier best 18.35 s; the 19.97 s in the
-  // r5 artifact was machine contention). The cost split is inherent:
+  // Measured floor note (sf0.1, warm JVM, idle box): 15.9–17.6 s
+  // across three clean runs — past the earlier 18.35 s best (the
+  // 19.97 s in the r5 artifact was machine contention); the residual
+  // spread is GC/disk jitter on an output-bounded ~5M-pair workload,
+  // not plan variance. The cost split is inherent:
   // the 21M-row candidate shuffle feeding distinct plus the 5M-pair
   // verify kernel; an AQE advisory-size experiment was a no-op (lazy
   // frames plan under the restored conf — see Conf.withConf) and the
