@@ -134,4 +134,12 @@ object Tables {
       : org.apache.spark.sql.expressions.WindowSpec =
     org.apache.spark.sql.expressions.Window
       .partitionBy(lit(0)).orderBy(order: _*)
+
+  /** Order-free variant of [[boundedGlobalWindow]]: the whole (bounded)
+    * frame at every row — the scalar-attach shape (`sum(x) over ()`)
+    * for grand totals over vocabulary/sketch/cell frames. */
+  def boundedGlobalFrame: org.apache.spark.sql.expressions.WindowSpec =
+    org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
 }

@@ -147,10 +147,7 @@ object StatsQueries {
         col("user_id") === col("o_custkey"))
       .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_join"))
       .collect()(0).getLong(0)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wAll = graft.Tables.boundedGlobalFrame
     est.withColumn("est_min", min(col("est_r")).over(wAll))
       .select(col("r"), col("est_r"), col("est_min"),
         lit(exactJoin).as("exact_join"))
@@ -179,7 +176,7 @@ object StatsQueries {
       .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
     val wR = Window.partitionBy("event_type")
     val wC = Window.partitionBy("dow")
-    val wN = Window.partitionBy()
+    val wN = graft.Tables.boundedGlobalFrame // bounded: |types| x 7 cells
     cells
       .withColumn("r_tot", sum(col("o")).over(wR))
       .withColumn("c_tot", sum(col("o")).over(wC))

@@ -520,10 +520,7 @@ object TextAnalysis {
     // one partition of |V| rows, not corpus rows); a 1-row
     // crossJoin(broadcast(...)) would be equivalent but plans as a
     // BroadcastNestedLoopJoin, which the surface-wide plan audit bans
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wAll = graft.Tables.boundedGlobalFrame
     val uni = tf.groupBy("term").agg(sum("tf").as("c"))
       .withColumn("n_total", sum(col("c")).over(wAll))
     tf.join(uni, "term")

@@ -491,10 +491,7 @@ object TrainPrep {
       .groupBy("doc_id", "lang", "b")
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wAll = graft.Tables.boundedGlobalFrame
     val raw = tf.groupBy("b").agg(sum("tf").as("c_r"))
       .withColumn("n_r", sum(col("c_r")).over(wAll))
     val tgt = tf.filter(col("lang") === targetLang)
@@ -684,17 +681,11 @@ object TrainPrep {
     val withCum = d.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
     // band frame: ≤101 rows by construction — the global windows below
     // are bounded-frame, the ts_seasonal pattern
-    val wOff = org.apache.spark.sql.expressions.Window
-      .orderBy(col("band").desc)
+    val wOff = graft.Tables.boundedGlobalWindow(col("band").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val offsets = d.groupBy("band").agg(sum(col("n_tokens")).as("btot"))
       .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
-      .withColumn("total", sum(col("btot")).over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("band"))
-          .rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("total", sum(col("btot")).over(graft.Tables.boundedGlobalFrame))
       .select(col("band"), col("off"), col("total"))
     withCum.join(broadcast(offsets), "band")
       .withColumn("cum_tokens", col("off") + col("cum_in"))
@@ -727,10 +718,7 @@ object TrainPrep {
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
     // |sources| rows — the global window below is bounded-frame
-    val wAll = org.apache.spark.sql.expressions.Window
-      .orderBy(col("source"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wAll = graft.Tables.boundedGlobalFrame
     val reps = d.groupBy("source").agg(sum(col("n_tokens")).as("stot"))
       .withColumn("maxtot", max(col("stot")).over(wAll))
       .withColumn("rep_q6", expr("1000000 * maxtot DIV stot"))

@@ -33,27 +33,18 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
-  /** Gates whose optimized plan contains a GLOBAL (empty-partition)
-    * window — legal ONLY when the window's input is provably bounded
-    * (value-domain histograms, calendar days, ≤2k sketch members, LSH
-    * bands; each call site built via `Tables.boundedGlobalWindow` or
-    * `Window.partitionBy()` carries its bound in a comment). Spark 4's
-    * optimizer folds constant partition keys back out, so the runtime
-    * warning can't distinguish intended from accidental — this
-    * whitelist can, and a refactor that grows a corpus-scale global
-    * window on any OTHER gate fails here instead of flooding logs.
+  /** Gates whose ANALYZED plan contains a truly partition-less window.
+    * The discipline: every intentional bounded-global window goes
+    * through `Tables.boundedGlobalWindow`/`boundedGlobalFrame` (a
+    * constant partition key that documents the bound and keeps the
+    * analyzed spec non-empty — Spark 4's optimizer folds it away
+    * later, which is also why the audit reads `analyzed`, not
+    * `optimizedPlan`: analyzed is pre-fold AND pre-cache-substitution,
+    * so the check is deterministic regardless of what other suites
+    * left in the cache manager). Only windows written as raw SQL
+    * strings (no helper available) may land here, each with its bound.
     * Additions require the same justifying comment as `allow`. */
-  private val boundedGlobalWindow: Set[String] = Set(
-    // value-domain histograms (≤ distinct cents / gap bands / buckets)
-    "agg_gini", "agg_lorenz", "agg_percentile_banded", "stats_mannwhitney",
-    "behavior_time_to_convert", "curate_dsir", "curate_quality_gate",
-    "train_dsir", "train_token_budget", "train_upsample",
-    // calendar-bounded frames (≤ corpus days)
-    "behavior_cohort_retention", "behavior_user_growth", "ts_concurrency",
-    // sketch/contingency frames (≤ 2k members / |types|×7 cells / d·w grid)
-    "agg_kmv_setops", "stats_chi2", "stats_join_size",
-    // alphabet-bounded LM normalizer (≤ vocabulary rows)
-    "text_lm_score")
+  private val boundedGlobalWindow: Set[String] = Set.empty
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
        if !allow.contains(name)) {
@@ -62,9 +53,8 @@ class PlanAuditSpec extends AnyFunSuite {
       val plan = qe.executedPlan.toString
       for (op <- banned)
         assert(!plan.contains(op), s"$name plan contains $op:\n$plan")
-      // global-window audit on the OPTIMIZED logical plan — after the
-      // constant-partition fold, i.e. exactly what warns at runtime
-      val global = qe.optimizedPlan.collect {
+      // global-window audit on the ANALYZED plan (see whitelist doc)
+      val global = qe.analyzed.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
             if w.partitionSpec.isEmpty => w
       }
