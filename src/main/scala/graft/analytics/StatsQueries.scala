@@ -362,6 +362,56 @@ object StatsQueries {
           " AS BIGINT) AS nu_q3")
   }
 
+  /** One-way ANOVA F over event-type groups — the k-sample
+    * generalization of [[welchT]]'s two-arm readout (Fisher 1925): is
+    * mean spend the same across ALL event types? Published in the
+    * repo's fixed-point discipline: per-group means at q3
+    * (`(1000·Σc) DIV n` — scale-free quotients, never wrap), then
+    * between/within sums computed EXACTLY from those integer means in
+    * DECIMAL(38,0), and ONE final DIV for F — the q3 truncation is
+    * part of the published statistic's definition (the rolling-slope
+    * pattern), so DuckDB reproduces it bit-for-bit while a
+    * double-precision reference agrees to ~1e-3 relative (spec-pinned).
+    *
+    * Headroom (the binding product, per the r2_q6 lesson): the F
+    * numerator 1e6·ssb_q6·(N−k) ≤ 1e6·N²·(1e3·Δc)² — at q3 means it
+    * holds to N ≈ 5·10⁹ rows per analyzed cell-set; a 100 TB run
+    * pre-aggregates per-shard (n, Σc, Σc²) moments anyway (they merge
+    * by addition) and, if N exceeds that, drops the mean fixed point
+    * to q2, buying 100× N per step. ssw is provably non-negative
+    * under truncated means (n·m_q3² ≤ 1e6·n·mean² ≤ 1e6·q).
+    *
+    * Plan: one scan → |types| hash agg; the grand totals are
+    * [[Tables.boundedGlobalFrame]] windows over that ≤|types| frame —
+    * nothing after the first agg scales with data. */
+  def anovaF(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val cents = round(col("value") * 100).cast("long").cast(d38)
+    val g = Tables.load(spark, dir, "events")
+      .select(col("event_type"), cents.as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+      .withColumn("m_q3", expr("(1000 * s) DIV n"))
+    val wAll = Tables.boundedGlobalFrame // bounded: <= |event types|
+    g.withColumn("nn", sum(col("n")).over(wAll))
+      .withColumn("ss", sum(col("s")).over(wAll))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("mm_q3", expr("(1000 * ss) DIV nn"))
+      .withColumn("ssb_q6", sum(expr(
+        "CAST(n AS DECIMAL(38,0)) * (m_q3 - mm_q3) * (m_q3 - mm_q3)"))
+        .over(wAll))
+      .withColumn("ssw_q6", sum(expr(
+        "1000000 * q - CAST(n AS DECIMAL(38,0)) * m_q3 * m_q3"))
+        .over(wAll))
+      .selectExpr("event_type", "n", "CAST(m_q3 AS BIGINT) AS mean_q3",
+        "CAST(k - 1 AS BIGINT) AS df1",
+        "CAST(nn - k AS BIGINT) AS df2",
+        "CAST((1000000 * ssb_q6 * (nn - k)) " +
+          "DIV (ssw_q6 * (k - 1)) AS BIGINT) AS f_q6")
+  }
+
   /** Value bins for [[psiDrift]]/[[ksTwoSample]]: cents DIV this, capped
     * at [[psiBins]]−1. events.value spans [0.01, 490.02] → 10 bins. */
   val psiBinCents = 5000L
@@ -583,6 +633,7 @@ object StatsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_anova" -> anovaF _,
     "stats_bcast_decision" -> broadcastDecision _,
     "stats_psi" -> psiDrift _,
     "stats_ks" -> ksTwoSample _,
@@ -595,6 +646,32 @@ object StatsQueries {
     "stats_join_size" -> joinSizeEstimate _)
 
   val oracles: Map[String, String] = Map(
+    "stats_anova" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(round(value * 100) AS HUGEINT)
+        |      * CAST(round(value * 100) AS HUGEINT)) AS HUGEINT) AS q
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT *, (1000 * s) // n AS m_q3 FROM g),
+        |t AS (SELECT *,
+        |    CAST(sum(n) OVER () AS HUGEINT) AS nn,
+        |    CAST(sum(s) OVER () AS HUGEINT) AS ss,
+        |    CAST(count(*) OVER () AS HUGEINT) AS k
+        |  FROM m),
+        |u AS (SELECT *, (1000 * ss) // nn AS mm_q3 FROM t),
+        |v AS (SELECT *,
+        |    CAST(sum(CAST(n AS HUGEINT) * (m_q3 - mm_q3)
+        |      * (m_q3 - mm_q3)) OVER () AS HUGEINT) AS ssb_q6,
+        |    CAST(sum(1000000 * q - CAST(n AS HUGEINT) * m_q3 * m_q3)
+        |      OVER () AS HUGEINT) AS ssw_q6
+        |  FROM u)
+        |SELECT event_type, n, CAST(m_q3 AS BIGINT) AS mean_q3,
+        |  CAST(k - 1 AS BIGINT) AS df1,
+        |  CAST(nn - k AS BIGINT) AS df2,
+        |  CAST((1000000 * ssb_q6 * (nn - k))
+        |    // (ssw_q6 * (k - 1)) AS BIGINT) AS f_q6
+        |FROM v""".stripMargin,
     // mirrors estimateBytes exactly: per-column width =
     // (len(lex-min-string)+len(lex-max-string))//2 + 8, rows × Σwidths
     "stats_bcast_decision" -> {

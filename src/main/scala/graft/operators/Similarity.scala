@@ -1349,7 +1349,57 @@ object Similarity {
       .select(col("label"), col("pos").cast("long").as("pos"),
         col("n"), col("sum_u6"))
 
+  /** Synchronous rounds for [[labelProp]]. Fixed (not run-to-
+    * convergence): synchronous LPA can oscillate on bipartite
+    * structures, so a fixed unroll is both the deterministic choice
+    * and the scalable one — the published statistic is "the label
+    * state after R rounds", the same discipline as [[prIters]]. */
+  val lpRounds = 4
+
+  /** Label-propagation community detection (Raghavan et al. 2007) over
+    * the verified near-dup graph — the cheap community extractor that
+    * groups boilerplate FAMILIES (tighter than connected components,
+    * which chain through single weak links; coarser than k-core's
+    * dense kernel). Every node starts as its own label; each round a
+    * node adopts its neighbors' MAJORITY label, ties to the smallest
+    * label (an explicit engine-portable rule — argmax alone is
+    * nondeterministic in any engine), isolated nodes keep their own.
+    *
+    * Scale shape, same discipline as [[pageRank]]: the edge list
+    * builds once and localCheckpoints (lineage cut at the loop
+    * boundary); each round is ONE join of the (node-sized) label
+    * frame against the cached edges, one (u, lbl) count agg, and one
+    * bounded argmax struct-max — the per-round shuffle carries label
+    * rows, never the graph. Rounds are a fixed plan unrolling. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = embedNearDupLsh(spark, dir)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .repartition(col("u"))
+      .localCheckpoint(true)
+    val nodes = Tables.load(spark, dir, "embeddings").select(col("vec_id"))
+    var lbl = nodes.withColumn("lbl", col("vec_id"))
+    for (_ <- 1 to lpRounds) {
+      val pick = edges
+        .join(lbl.select(col("vec_id").as("v"), col("lbl")), "v")
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        // majority label, ties to the SMALLEST label: struct max on
+        // (cnt, -lbl) — lexicographic, codegen'd, no window needed
+        .groupBy("u")
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("top"))
+        .select(col("u"), (-col("top.nl")).as("new_lbl"))
+      lbl = nodes.join(pick, nodes("vec_id") === pick("u"), "left")
+        .select(col("vec_id"),
+          coalesce(col("new_lbl"), col("vec_id")).as("lbl"))
+    }
+    lbl.select(col("vec_id"), col("lbl").as("community"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_label_prop" -> labelProp _,
     "knn_hard_negatives" -> knnHardNegatives _,
     "embed_centroids" -> labelCentroids _,
     "graph_pagerank" -> pageRank _,
@@ -1499,6 +1549,29 @@ object Similarity {
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "graph_label_prop" -> {
+      // l{r} referenced by cnt{r+1} — MATERIALIZED so DuckDB never
+      // inlines the LSH pyramid into an exponential re-evaluation
+      val rounds = (1 to lpRounds).map { r =>
+        s"""cnt$r AS (SELECT e.u, x.lbl, count(*) AS cnt
+           |  FROM edges e JOIN l${r - 1} x ON x.vec_id = e.v
+           |  GROUP BY 1, 2),
+           |pick$r AS (SELECT u, lbl FROM (
+           |    SELECT u, lbl, row_number() OVER (PARTITION BY u
+           |      ORDER BY cnt DESC, lbl ASC) AS rn
+           |    FROM cnt$r) WHERE rn = 1),
+           |l$r AS MATERIALIZED (SELECT n.vec_id,
+           |    coalesce(p.lbl, n.vec_id) AS lbl
+           |  FROM nodes n LEFT JOIN pick$r p ON p.u = n.vec_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $lshPairCtes,
+         |edges AS MATERIALIZED (SELECT a AS u, b AS v FROM vp
+         |  UNION ALL SELECT b AS u, a AS v FROM vp),
+         |nodes AS (SELECT vec_id FROM embeddings),
+         |l0 AS MATERIALIZED (SELECT vec_id, vec_id AS lbl FROM nodes),
+         |$rounds
+         |SELECT vec_id, lbl AS community FROM l$lpRounds""".stripMargin
+    },
     "graph_pagerank" ->
       s"""WITH $lshPairCtes,
          |edges AS (SELECT a AS u, b AS v FROM vp

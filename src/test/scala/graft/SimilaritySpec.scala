@@ -517,4 +517,32 @@ class SimilaritySpec extends AnyFunSuite {
     // probing more cells can only add candidates: recall@2 dominates
     assert(r2 >= r1, s"nprobe=2 recall $r2 below nprobe=1 $r1")
   }
+
+  test("label propagation equals a driver-side synchronous reference") {
+    val sf = SparkTestSession.sf
+    val pairs = graft.operators.Similarity.embedNearDupLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = Tables.load(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to graft.operators.Similarity.lpRounds) {
+      lbl = nodes.map { n =>
+        nbrs.get(n) match {
+          case None => n -> lbl(n)
+          case Some(ns) =>
+            val counts = ns.groupBy(lbl).view.mapValues(_.length)
+            // majority, ties to the smallest label
+            n -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+        }
+      }.toMap
+    }
+    val got = graft.operators.Similarity.labelProp(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lbl)
+    // communities partition the node set and merge at least one pair
+    assert(got.keySet == nodes.toSet)
+    assert(pairs.isEmpty || got.values.toSet.size < nodes.length)
+  }
 }

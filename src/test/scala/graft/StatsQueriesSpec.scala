@@ -119,6 +119,37 @@ class StatsQueriesSpec extends AnyFunSuite {
     assert(exact == ref)
   }
 
+  test("anova F tracks a double-precision reference within the q3 grid") {
+    val sf = SparkTestSession.sf
+    val rows = StatsQueries.anovaF(spark, sf).collect()
+    assert(rows.length > 1)
+    // double-precision one-way ANOVA from the raw cents
+    val cents = Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS c")
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble)
+    val groups = cents.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val all = cents.map(_._2)
+    val grand = all.sum / all.length
+    val ssb = groups.values.map(g =>
+      g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.values.map(g =>
+      g.map(x => math.pow(x - g.sum / g.length, 2)).sum).sum
+    val k = groups.size
+    val fRef = (ssb / (k - 1)) / (ssw / (all.length - k))
+    val fGot = rows.head.getLong(5) / 1e6
+    // q3-truncated means perturb F by O(1e-3) relative on this corpus
+    assert(math.abs(fGot - fRef) <= 0.01 * math.max(1.0, fRef),
+      s"f_q6=$fGot vs reference $fRef")
+    // per-group means agree with the reference at the q3 grid
+    rows.foreach { r =>
+      val mRef = groups(r.getString(0)).sum / groups(r.getString(0)).length
+      assert(math.abs(r.getLong(2) / 1000.0 - mRef) <= 0.002 * math.max(1.0, mRef))
+    }
+    // degrees of freedom are exact
+    assert(rows.forall(r => r.getLong(3) == k - 1 &&
+      r.getLong(4) == all.length - k))
+  }
+
   test("cuped: theta matches a sequential recompute and reduces variance") {
     import org.apache.spark.sql.functions._
     val split = java.sql.Timestamp.valueOf(StatsQueries.cupedSplit)
