@@ -412,6 +412,80 @@ object StatsQueries {
           "DIV (ssw_q6 * (k - 1)) AS BIGINT) AS f_q6")
   }
 
+  /** Spearman rank correlation per event type — the rank-based
+    * complement to [[welchT]]/[[anovaF]]'s mean tests and Pearson's
+    * `agg_corr_stats`: is spend monotonically related to hour-of-day,
+    * robust to the value distribution's shape? ρ = Pearson over
+    * average ranks (Spearman 1904, tie-corrected).
+    *
+    * The scale insight: ranking normally needs a GLOBAL SORT, but both
+    * variables here have DOMAIN-bounded alphabets — cents ∈ [1, 49002]
+    * (the generator's price range, independent of row count) and
+    * hour ∈ [0, 23] — so average ranks come from a per-type value
+    * DICTIONARY (groupBy + a keyed cumulative window over ≤|domain|
+    * rows) broadcast-joined back to the events. The corpus itself is
+    * never sorted; the only full-data passes are the dictionary agg
+    * and the final moment agg. Doubled ranks (2·avgRank = 2·below +
+    * freq + 1) keep ties integer-exact; Σrank2 = n(n+1) is published
+    * (`sum_rx2`) as a self-check the oracle hash pins.
+    *
+    * Fixed-point discipline (the [[welchT]] rules): all moments in
+    * DECIMAL(38,0); ρ² published as the product of two q3 DIV stages —
+    * (1000·|num|) DIV dx then DIV dy — so no intermediate squares
+    * |num|²; operands kept non-negative (engines differ on negative
+    * truncation), sign published separately. Headroom: the binding
+    * product is 1000·|num| ≤ 1000·n·Sxy ≈ 4·10³·n⁴ → n ≤ 10⁸ per
+    * type; beyond that the standard remedy is Spearman over b
+    * equi-depth rank buckets (rank2 magnitude 2b, n-independent),
+    * which this dictionary design already produces for free by
+    * coarsening the dictionary key. */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("xc"),
+        hour(col("ts")).cast("long").as("hod"))
+    // rank2(v) = 2·(# strictly below) + freq(v) + 1, per event type;
+    // the window frame is the value dictionary (≤49k cents / 24 hours
+    // per type), never the corpus
+    def rank2(key: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(col(key))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(col("event_type"), col(key))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .select(col("event_type"), col(key),
+          (lit(2) * col("below") + col("cnt") + 1).as(s"r$key"))
+    }
+    base
+      .join(broadcast(rank2("xc")), Seq("event_type", "xc"))
+      .join(broadcast(rank2("hod")), Seq("event_type", "hod"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rxc")).as("sx"), sum(col("rhod")).as("sy"),
+        sum(expr("CAST(rxc AS DECIMAL(38,0)) * rxc")).as("sxx"),
+        sum(expr("CAST(rhod AS DECIMAL(38,0)) * rhod")).as("syy"),
+        sum(expr("CAST(rxc AS DECIMAL(38,0)) * rhod")).as("sxy"))
+      .withColumn("num", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxy " +
+          "- CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("dx", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxx " +
+          "- CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("dy", expr(
+        "CAST(n AS DECIMAL(38,0)) * syy " +
+          "- CAST(sy AS DECIMAL(38,0)) * sy"))
+      .selectExpr("event_type", "n",
+        "CAST(sx AS BIGINT) AS sum_rx2", // = n(n+1): tie-rank invariant
+        // ρ²_q6 = [(1000·|num|) DIV dx] · [(1000·|num|) DIV dy]; each
+        // stage's quotient ≤ 1000·√(dy/dx) fits LONG, product ≈ 10⁶ρ²
+        "CAST(((1000 * abs(num)) DIV nullif(dx, 0)) " +
+          "* ((1000 * abs(num)) DIV nullif(dy, 0)) AS BIGINT)" +
+          " AS rho2_q6",
+        "CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END" +
+          " AS INT) AS corr_sign")
+  }
+
   /** Value bins for [[psiDrift]]/[[ksTwoSample]]: cents DIV this, capped
     * at [[psiBins]]−1. events.value spans [0.01, 490.02] → 10 bins. */
   val psiBinCents = 5000L
@@ -634,6 +708,7 @@ object StatsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_anova" -> anovaF _,
+    "stats_spearman" -> spearman _,
     "stats_bcast_decision" -> broadcastDecision _,
     "stats_psi" -> psiDrift _,
     "stats_ks" -> ksTwoSample _,
@@ -646,6 +721,40 @@ object StatsQueries {
     "stats_join_size" -> joinSizeEstimate _)
 
   val oracles: Map[String, String] = Map(
+    "stats_spearman" ->
+      """WITH base AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS xc,
+        |    CAST(hour(ts) AS BIGINT) AS hod
+        |  FROM events),
+        |dx AS (SELECT event_type, xc,
+        |    2 * coalesce(sum(count(*)) OVER (PARTITION BY event_type
+        |      ORDER BY xc ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) + count(*) + 1 AS rxc
+        |  FROM base GROUP BY event_type, xc),
+        |dh AS (SELECT event_type, hod,
+        |    2 * coalesce(sum(count(*)) OVER (PARTITION BY event_type
+        |      ORDER BY hod ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) + count(*) + 1 AS rhod
+        |  FROM base GROUP BY event_type, hod),
+        |r AS (SELECT b.event_type,
+        |    CAST(x.rxc AS HUGEINT) AS rxc, CAST(h.rhod AS HUGEINT) AS rhod
+        |  FROM base b
+        |  JOIN dx x ON x.event_type = b.event_type AND x.xc = b.xc
+        |  JOIN dh h ON h.event_type = b.event_type AND h.hod = b.hod),
+        |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(rxc) AS sx, sum(rhod) AS sy,
+        |    sum(rxc * rxc) AS sxx, sum(rhod * rhod) AS syy,
+        |    sum(rxc * rhod) AS sxy
+        |  FROM r GROUP BY 1),
+        |f AS (SELECT *, n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(sx AS BIGINT) AS sum_rx2,
+        |  CAST(((1000 * abs(num)) // nullif(dx, 0))
+        |    * ((1000 * abs(num)) // nullif(dy, 0)) AS BIGINT) AS rho2_q6,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |    AS INT) AS corr_sign
+        |FROM f""".stripMargin,
     "stats_anova" ->
       """WITH g AS (SELECT event_type,
         |    CAST(count(*) AS BIGINT) AS n,

@@ -1361,9 +1361,16 @@ object Similarity {
     * groups boilerplate FAMILIES (tighter than connected components,
     * which chain through single weak links; coarser than k-core's
     * dense kernel). Every node starts as its own label; each round a
-    * node adopts its neighbors' MAJORITY label, ties to the smallest
-    * label (an explicit engine-portable rule — argmax alone is
-    * nondeterministic in any engine), isolated nodes keep their own.
+    * node adopts the MAJORITY label among its neighbors PLUS ITS OWN
+    * current label (one self-vote), ties to the smallest label (an
+    * explicit engine-portable rule — argmax alone is nondeterministic
+    * in any engine), isolated nodes keep their own. The self-vote is
+    * the deterministic anti-oscillation choice for SYNCHRONOUS
+    * updates: without it, two mutually-connected degree-1 nodes swap
+    * labels every round and an even unroll returns them to their own
+    * labels — cutting the very edge LPA exists to capture (Raghavan
+    * et al. §3 resolve this with asynchronous order, which is not
+    * reproducible across engines; the self-vote is).
     *
     * Scale shape, same discipline as [[pageRank]]: the edge list
     * builds once and localCheckpoints (lineage cut at the loop
@@ -1371,8 +1378,14 @@ object Similarity {
     * frame against the cached edges, one (u, lbl) count agg, and one
     * bounded argmax struct-max — the per-round shuffle carries label
     * rows, never the graph. Rounds are a fixed plan unrolling. */
-  def labelProp(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = embedNearDupLsh(spark, dir)
+  def labelProp(spark: SparkSession, dir: String): DataFrame =
+    labelPropOver(spark, dir, embedNearDupLsh(spark, dir))
+
+  /** [[labelProp]] body over a caller-supplied undirected pair frame
+    * `(a, b)` — lets [[modularity]] score the SAME pair materialization
+    * it tags, instead of re-deriving the LSH pyramid twice. */
+  private[graft] def labelPropOver(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     val edges = pairs
       .select(explode(array(
         struct(col("a").as("u"), col("b").as("v")),
@@ -1385,6 +1398,9 @@ object Similarity {
     for (_ <- 1 to lpRounds) {
       val pick = edges
         .join(lbl.select(col("vec_id").as("v"), col("lbl")), "v")
+        .select(col("u"), col("lbl"))
+        // the self-vote: every node contributes its own current label
+        .unionByName(lbl.select(col("vec_id").as("u"), col("lbl")))
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
         // majority label, ties to the SMALLEST label: struct max on
         // (cnt, -lbl) — lexicographic, codegen'd, no window needed
@@ -1398,7 +1414,54 @@ object Similarity {
     lbl.select(col("vec_id"), col("lbl").as("community"))
   }
 
+  /** Newman modularity of the [[labelProp]] partition — the eval that
+    * closes the community loop (the same role [[lshRecall]] plays for
+    * ANN): Q = Σ_c [L_c/m − (d_c/2m)²] (Newman & Girvan 2004), one row
+    * per community with its size, intra-edge count L_c, degree sum
+    * d_c, and exact-integer contribution q_c_q6 = 10⁶·(4m·L_c − d_c²)
+    * DIV 4m² (NULL when the graph has no edges). Q > 0 means the
+    * labels beat a random degree-preserving rewiring.
+    *
+    * Plan: the pair frame materializes ONCE (localCheckpoint) and
+    * feeds both the label rounds and the tagging join; tagging is one
+    * join of pairs against the node-sized label frame per endpoint;
+    * everything after (L_c, d_c, sizes, the 2m grand total) is hash
+    * aggregation to a ≤|communities| frame, where m falls out of the
+    * degree sums (Σd_c = 2m) — no second corpus pass, and the final
+    * arithmetic runs on the bounded frame via
+    * [[graft.Tables.boundedGlobalFrame]]. Operands of DIV are kept
+    * non-negative (sign split out, the [[graft.analytics.StatsQueries]]
+    * rule) because engines differ on negative truncation. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = embedNearDupLsh(spark, dir).localCheckpoint(true)
+    val lbl = labelPropOver(spark, dir, pairs)
+    val tagged = pairs
+      .join(lbl.select(col("vec_id").as("a"), col("community").as("ca")), "a")
+      .join(lbl.select(col("vec_id").as("b"), col("community").as("cb")), "b")
+      .localCheckpoint(true) // bounded: one row per verified near-dup pair
+    val intra = tagged.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("l_c"))
+    val degs = tagged
+      .select(explode(array(col("ca"), col("cb"))).as("community"))
+      .groupBy("community").agg(count(lit(1)).as("d_c"))
+    lbl.groupBy("community").agg(count(lit(1)).as("n_nodes"))
+      .join(intra, Seq("community"), "left")
+      .join(degs, Seq("community"), "left")
+      .na.fill(0L, Seq("l_c", "d_c"))
+      .withColumn("m2", sum(col("d_c")).over(Tables.boundedGlobalFrame))
+      .withColumn("num", expr( // 4m·L_c − d_c², exact in DECIMAL(38,0)
+        "2 * CAST(m2 AS DECIMAL(38,0)) * l_c " +
+          "- CAST(d_c AS DECIMAL(38,0)) * d_c"))
+      .selectExpr("community", "n_nodes", "l_c", "d_c",
+        "CAST(CASE WHEN num < 0 THEN -((1000000 * -num) " +
+          "DIV nullif(CAST(m2 AS DECIMAL(38,0)) * m2, 0)) " +
+          "ELSE (1000000 * num) " +
+          "DIV nullif(CAST(m2 AS DECIMAL(38,0)) * m2, 0) END" +
+          " AS BIGINT) AS q_c_q6")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_modularity" -> modularity _,
     "graph_label_prop" -> labelProp _,
     "knn_hard_negatives" -> knnHardNegatives _,
     "embed_centroids" -> labelCentroids _,
@@ -1548,30 +1611,67 @@ object Similarity {
        |    GROUP BY e2.v) s ON s.v = n.vec_id)""".stripMargin
   }.mkString(",\n")
 
+  /** CTE prefix shared by the [[labelProp]] and [[modularity]] oracles:
+    * `$lshPairCtes` + `edges`/`nodes`/`l0` + the [[lpRounds]] unrolled
+    * label rounds ending at `l$lpRounds`. l{r} is referenced by
+    * cnt{r+1} — MATERIALIZED so DuckDB never inlines the LSH pyramid
+    * into an exponential re-evaluation. */
+  private def lpCtes: String = {
+    val rounds = (1 to lpRounds).map { r =>
+      s"""cnt$r AS (SELECT u, lbl, count(*) AS cnt FROM (
+         |    SELECT e.u, x.lbl
+         |    FROM edges e JOIN l${r - 1} x ON x.vec_id = e.v
+         |    UNION ALL SELECT vec_id AS u, lbl FROM l${r - 1})
+         |  GROUP BY 1, 2),
+         |pick$r AS (SELECT u, lbl FROM (
+         |    SELECT u, lbl, row_number() OVER (PARTITION BY u
+         |      ORDER BY cnt DESC, lbl ASC) AS rn
+         |    FROM cnt$r) WHERE rn = 1),
+         |l$r AS MATERIALIZED (SELECT n.vec_id,
+         |    coalesce(p.lbl, n.vec_id) AS lbl
+         |  FROM nodes n LEFT JOIN pick$r p ON p.u = n.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""$lshPairCtes,
+       |edges AS MATERIALIZED (SELECT a AS u, b AS v FROM vp
+       |  UNION ALL SELECT b AS u, a AS v FROM vp),
+       |nodes AS (SELECT vec_id FROM embeddings),
+       |l0 AS MATERIALIZED (SELECT vec_id, vec_id AS lbl FROM nodes),
+       |$rounds""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "graph_label_prop" -> {
-      // l{r} referenced by cnt{r+1} — MATERIALIZED so DuckDB never
-      // inlines the LSH pyramid into an exponential re-evaluation
-      val rounds = (1 to lpRounds).map { r =>
-        s"""cnt$r AS (SELECT e.u, x.lbl, count(*) AS cnt
-           |  FROM edges e JOIN l${r - 1} x ON x.vec_id = e.v
-           |  GROUP BY 1, 2),
-           |pick$r AS (SELECT u, lbl FROM (
-           |    SELECT u, lbl, row_number() OVER (PARTITION BY u
-           |      ORDER BY cnt DESC, lbl ASC) AS rn
-           |    FROM cnt$r) WHERE rn = 1),
-           |l$r AS MATERIALIZED (SELECT n.vec_id,
-           |    coalesce(p.lbl, n.vec_id) AS lbl
-           |  FROM nodes n LEFT JOIN pick$r p ON p.u = n.vec_id)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $lshPairCtes,
-         |edges AS MATERIALIZED (SELECT a AS u, b AS v FROM vp
-         |  UNION ALL SELECT b AS u, a AS v FROM vp),
-         |nodes AS (SELECT vec_id FROM embeddings),
-         |l0 AS MATERIALIZED (SELECT vec_id, vec_id AS lbl FROM nodes),
-         |$rounds
-         |SELECT vec_id, lbl AS community FROM l$lpRounds""".stripMargin
-    },
+    "graph_label_prop" ->
+      s"""WITH $lpCtes
+         |SELECT vec_id, lbl AS community FROM l$lpRounds""".stripMargin,
+    "graph_modularity" ->
+      s"""WITH $lpCtes,
+         |tagged AS MATERIALIZED (SELECT p.a, p.b,
+         |    xa.lbl AS ca, xb.lbl AS cb
+         |  FROM vp p
+         |  JOIN l$lpRounds xa ON xa.vec_id = p.a
+         |  JOIN l$lpRounds xb ON xb.vec_id = p.b),
+         |intra AS (SELECT ca AS community, count(*) AS l_c
+         |  FROM tagged WHERE ca = cb GROUP BY 1),
+         |degs AS (SELECT community, count(*) AS d_c FROM (
+         |    SELECT ca AS community FROM tagged
+         |    UNION ALL SELECT cb FROM tagged) GROUP BY 1),
+         |sz AS (SELECT lbl AS community, count(*) AS n_nodes
+         |  FROM l$lpRounds GROUP BY 1),
+         |j AS (SELECT s.community, s.n_nodes,
+         |    coalesce(i.l_c, 0) AS l_c, coalesce(d.d_c, 0) AS d_c
+         |  FROM sz s
+         |  LEFT JOIN intra i ON i.community = s.community
+         |  LEFT JOIN degs d ON d.community = s.community),
+         |t AS (SELECT *, CAST(sum(d_c) OVER () AS HUGEINT) AS m2,
+         |    2 * CAST(sum(d_c) OVER () AS HUGEINT) * l_c
+         |      - CAST(d_c AS HUGEINT) * d_c AS num
+         |  FROM j)
+         |SELECT community, n_nodes, l_c, d_c,
+         |  CAST(CASE WHEN num < 0
+         |    THEN -((1000000 * -num) // nullif(m2 * m2, 0))
+         |    ELSE (1000000 * num) // nullif(m2 * m2, 0) END
+         |    AS BIGINT) AS q_c_q6
+         |FROM t""".stripMargin,
     "graph_pagerank" ->
       s"""WITH $lshPairCtes,
          |edges AS (SELECT a AS u, b AS v FROM vp

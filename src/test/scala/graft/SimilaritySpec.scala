@@ -518,6 +518,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r2 >= r1, s"nprobe=2 recall $r2 below nprobe=1 $r1")
   }
 
+  test("modularity matches a driver-side Newman Q recompute") {
+    val sf = SparkTestSession.sf
+    val pairs = graft.operators.Similarity.embedNearDupLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lbl = graft.operators.Similarity.labelProp(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = graft.operators.Similarity.modularity(spark, sf).collect()
+    // partition census: every node counted exactly once
+    assert(rows.map(_.getLong(1)).sum == lbl.size)
+    // handshake: Σ d_c = 2m
+    val m = pairs.length.toLong
+    assert(rows.map(_.getLong(3)).sum == 2 * m)
+    // per-community L_c / d_c against the collected graph
+    val lRef = pairs.filter(p => lbl(p._1) == lbl(p._2))
+      .groupBy(p => lbl(p._1)).view.mapValues(_.length.toLong).toMap
+    val dRef = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(lbl).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val c = r.getLong(0)
+      assert(r.getLong(2) == lRef.getOrElse(c, 0L))
+      assert(r.getLong(3) == dRef.getOrElse(c, 0L))
+    }
+    // total Q from the published fixed-point contributions tracks the
+    // double-precision Newman Q; LPA must beat the all-singletons
+    // partition (which scores −Σ(deg/2m)² < 0, capturing no edge)
+    if (m > 0) {
+      val qGot = rows.map(_.getLong(4)).sum / 1e6
+      val qRef = rows.map { r =>
+        r.getLong(2).toDouble / m - math.pow(r.getLong(3) / (2.0 * m), 2)
+      }.sum
+      assert(math.abs(qGot - qRef) <= 1e-3 * rows.length, s"$qGot vs $qRef")
+      val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val qSingleton = -deg.values.map(d => math.pow(d / (2.0 * m), 2)).sum
+      assert(qGot > qSingleton, s"Q $qGot not above singleton $qSingleton")
+      // the captured-edge share: LPA must keep most near-dup pairs intra
+      val intra = pairs.count(p => lbl(p._1) == lbl(p._2))
+      assert(intra * 2 >= pairs.length,
+        s"only $intra/${pairs.length} pairs intra-community")
+    }
+  }
+
   test("label propagation equals a driver-side synchronous reference") {
     val sf = SparkTestSession.sf
     val pairs = graft.operators.Similarity.embedNearDupLsh(spark, sf)
@@ -529,13 +571,11 @@ class SimilaritySpec extends AnyFunSuite {
     var lbl = nodes.map(n => n -> n).toMap
     for (_ <- 1 to graft.operators.Similarity.lpRounds) {
       lbl = nodes.map { n =>
-        nbrs.get(n) match {
-          case None => n -> lbl(n)
-          case Some(ns) =>
-            val counts = ns.groupBy(lbl).view.mapValues(_.length)
-            // majority, ties to the smallest label
-            n -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
-        }
+        // neighbors' labels plus the self-vote
+        val votes = nbrs.getOrElse(n, Array.empty[Long]).map(lbl) :+ lbl(n)
+        val counts = votes.groupBy(identity).view.mapValues(_.length)
+        // majority, ties to the smallest label
+        n -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
       }.toMap
     }
     val got = graft.operators.Similarity.labelProp(spark, sf).collect()

@@ -150,6 +150,44 @@ class StatsQueriesSpec extends AnyFunSuite {
       r.getLong(4) == all.length - k))
   }
 
+  test("spearman tracks a double-precision rank reference within q3") {
+    val sf = SparkTestSession.sf
+    val rows = StatsQueries.spearman(spark, sf).collect()
+    assert(rows.length > 1)
+    val raw = Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS xc",
+        "CAST(hour(ts) AS BIGINT) AS hod")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // tie-averaged ranks per type, double precision
+    def ranks(xs: Seq[Long]): Map[Long, Double] = {
+      val sorted = xs.sorted
+      xs.distinct.map { v =>
+        val below = sorted.indexOf(v)
+        val freq = sorted.count(_ == v)
+        v -> (below + (freq + 1) / 2.0)
+      }.toMap
+    }
+    rows.foreach { r =>
+      val g = raw.filter(_._1 == r.getString(0))
+      val n = g.length
+      // published invariant: Σ(2·avgRank) = n(n+1)
+      assert(r.getLong(1) == n && r.getLong(2) == n.toLong * (n + 1))
+      val rx = ranks(g.map(_._2)); val ry = ranks(g.map(_._3))
+      val xs = g.map(p => rx(p._2)); val ys = g.map(p => ry(p._3))
+      val sx = xs.sum; val sy = ys.sum
+      val num = n * xs.zip(ys).map(p => p._1 * p._2).sum - sx * sy
+      val dx = n * xs.map(x => x * x).sum - sx * sx
+      val dy = n * ys.map(y => y * y).sum - sy * sy
+      val rhoRef = num / math.sqrt(dx * dy)
+      val got = (if (r.getInt(4) < 0) -1 else 1) *
+        math.sqrt(r.getLong(3) / 1e6)
+      // two q3 DIV stages perturb ρ² by O(1e-3); compare on ρ
+      assert(math.abs(got - rhoRef) <= 0.005,
+        s"${r.getString(0)}: rho=$got vs reference $rhoRef")
+      assert(r.getInt(4) == math.signum(num).toInt)
+    }
+  }
+
   test("cuped: theta matches a sequential recompute and reduces variance") {
     import org.apache.spark.sql.functions._
     val split = java.sql.Timestamp.valueOf(StatsQueries.cupedSplit)
