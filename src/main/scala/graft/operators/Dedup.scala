@@ -595,6 +595,46 @@ object Dedup {
     * shape); the curve itself is a ≤(numPerms+1)-row aggregate.
     * Output is corpus-bounded regardless of scale because every
     * published row is an agreement level, not a pair. */
+  /** Cross-method agreement between the two cheap near-dup detectors —
+    * the report a dedup deployment runs before swapping MinHash-LSH
+    * for SimHash (or trusting either alone): pair-set sizes, the
+    * intersection, Jaccard agreement, and each method's containment
+    * (what share of MY pairs does the OTHER method also flag). The two
+    * methods measure different similarities (shingle-set resemblance
+    * vs token-histogram angle), so agreement is a property to MONITOR,
+    * not assume — a corpus drift that splits them (e.g. templated
+    * docs with reordered paragraphs: high token overlap, low shingle
+    * overlap) shows up here first, the same role [[lshRecall]] plays
+    * against the exact baseline and `graph_modularity` plays for
+    * communities.
+    *
+    * Plan: both pair pipelines are the existing output-bounded gate
+    * plans; the comparison is ONE full-outer equi-join on the pair key
+    * and a scalar agg — no new corpus-scale work. Fixed point: q6
+    * quotients of non-negative counts, one DIV each. */
+  def methodAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val mh = minhashCandidates(docs, cap = Int.MaxValue,
+      reproducible = true).withColumn("in_mh", lit(1L))
+    val sh = simhashCandidates(docs, cap = simPairsGateCap,
+      reproducible = true)
+      .select(col("da"), col("db")).withColumn("in_sh", lit(1L))
+    mh.join(sh, Seq("da", "db"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_mh"), lit(0L))).as("n_minhash"),
+        sum(coalesce(col("in_sh"), lit(0L))).as("n_simhash"),
+        sum(coalesce(col("in_mh"), lit(0L))
+          * coalesce(col("in_sh"), lit(0L))).as("n_both"))
+      .selectExpr("n_minhash", "n_simhash", "n_both",
+        "CAST((1000000 * n_both) DIV " +
+          "nullif(n_minhash + n_simhash - n_both, 0) AS BIGINT)" +
+          " AS jaccard_q6",
+        "CAST((1000000 * n_both) DIV nullif(n_minhash, 0) AS BIGINT)" +
+          " AS cont_minhash_q6",
+        "CAST((1000000 * n_both) DIV nullif(n_simhash, 0) AS BIGINT)" +
+          " AS cont_simhash_q6")
+  }
+
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val pairs = minhashCandidates(docs, cap = Int.MaxValue,
@@ -1283,6 +1323,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairsQuery _,
     "dedup_jaccard_exact" -> jaccardExact _,
     "dedup_minhash_calibration" -> minhashCalibration _,
+    "dedup_method_agreement" -> methodAgreement _,
     "dedup_setsim" -> setSimQuery _,
     "dedup_clusters" -> clustersQuery _,
     "dedup_clusters_star" -> clustersStarQuery _)
@@ -1612,6 +1653,37 @@ object Dedup {
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_cosine" -> cosineOracle,
+    "dedup_method_agreement" -> {
+      // suffixed minhash CTEs ("m") so the `h` CTE doesn't collide
+      // with the simhash chain's `h`
+      s"""WITH ${minhashCtes("m")},
+         |bandsm AS (
+         |${minhashBandsUnion("m")}
+         |),
+         |mp AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bandsm x JOIN bandsm y
+         |    ON x.band_id = y.band_id AND x.bucket = y.bucket
+         |   AND x.doc_id < y.doc_id),
+         |$simhashCtes,
+         |$simhashCandCtes,
+         |sp AS (SELECT da, db FROM scand),
+         |j AS (SELECT
+         |    CASE WHEN mp.da IS NOT NULL THEN 1 ELSE 0 END AS in_mh,
+         |    CASE WHEN sp.da IS NOT NULL THEN 1 ELSE 0 END AS in_sh
+         |  FROM mp FULL JOIN sp ON sp.da = mp.da AND sp.db = mp.db),
+         |a AS (SELECT CAST(sum(in_mh) AS BIGINT) AS n_minhash,
+         |    CAST(sum(in_sh) AS BIGINT) AS n_simhash,
+         |    CAST(sum(in_mh * in_sh) AS BIGINT) AS n_both FROM j)
+         |SELECT n_minhash, n_simhash, n_both,
+         |  CAST((1000000 * n_both)
+         |    // nullif(n_minhash + n_simhash - n_both, 0) AS BIGINT)
+         |    AS jaccard_q6,
+         |  CAST((1000000 * n_both) // nullif(n_minhash, 0) AS BIGINT)
+         |    AS cont_minhash_q6,
+         |  CAST((1000000 * n_both) // nullif(n_simhash, 0) AS BIGINT)
+         |    AS cont_simhash_q6
+         |FROM a""".stripMargin
+    },
     "dedup_minhash_calibration" -> {
       val agreeSum = (0 until numPerms)
         .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")

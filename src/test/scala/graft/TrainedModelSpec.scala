@@ -47,6 +47,39 @@ class TrainedModelSpec extends AnyFunSuite {
     assert(acc > 0.5, s"training accuracy $acc")
   }
 
+  test("train eval: confusion cells and AUC equal an exact recompute") {
+    val p = TrainPrep.perceptron(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (label, margin)
+    val row = TrainPrep.trainEval(spark, sf).collect().head
+    val n = p.length.toLong
+    val nPos = p.count(_._1 == 1L).toLong
+    assert(row.getLong(0) == n && row.getLong(1) == nPos)
+    // confusion cells from the raw (label, margin) pairs
+    val tp = p.count(x => x._1 == 1 && x._2 > 0).toLong
+    val fp = p.count(x => x._1 == -1 && x._2 > 0).toLong
+    val fn = p.count(x => x._1 == 1 && x._2 <= 0).toLong
+    val tn = p.count(x => x._1 == -1 && x._2 <= 0).toLong
+    assert((row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+      == ((tp, fp, fn, tn)))
+    // exact integer AUC via tie-averaged doubled ranks (BigInt mirror
+    // of the published fixed-point formula)
+    val sorted = p.map(_._2).sorted
+    def rank2(m: Long): BigInt =
+      BigInt(2) * sorted.indexWhere(_ == m) + sorted.count(_ == m) + 1
+    val u2 = p.filter(_._1 == 1L).map(x => rank2(x._2)).sum
+    val aucQ6 = (BigInt(1000000) * (u2 - BigInt(nPos) * (nPos + 1))) /
+      (BigInt(2) * nPos * (n - nPos))
+    assert(BigInt(row.getLong(9)) == aucQ6)
+    assert(row.getLong(9) >= 0 && row.getLong(9) <= 1000000)
+    // margins must rank the target language above chance even when the
+    // hard 3-round classifier degenerates to the majority class
+    assert(row.getLong(9) > 500000, s"AUC ${row.getLong(9)} at chance")
+    // cells partition the corpus; F1 consistent with its own cells
+    assert(tp + fp + fn + tn == n)
+    if (2 * tp + fp + fn > 0)
+      assert(row.getLong(8) == 2000000 * tp / (2 * tp + fp + fn))
+  }
+
   test("bpe apply: subword counts equal greedy merge application") {
     val merges = TextAnalysis.bpeTrain(spark, sf).collect()
       .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2)))
