@@ -228,6 +228,58 @@ object TimeSeries {
           " AS BIGINT)").as("holt_forecast_q6"))
   }
 
+  /** Forecast backtest for [[holt]] — the accuracy readout a forecast
+    * is worthless without (the [[graft.operators.Similarity.lshRecall]]
+    * / `train_eval` role for the time-series family): each hour's
+    * published one-step forecast is scored against the NEXT row's
+    * actual, per type, as MAE, WAPE (Σ|err| over Σactual — the
+    * volume-weighted percentage error, one final DIV instead of a
+    * per-row ratio), and MASE-style skill vs the naive random-walk
+    * forecast (q3 ratio of absolute-error sums; > 1000 means the
+    * smoother LOSES to "tomorrow equals today" — a finding, not a
+    * failure). All errors are exact integers: actuals are
+    * DECIMAL(18,4)·10⁶ (integral by construction), forecasts are the
+    * published q6 BIGINTs, abs before every DIV.
+    *
+    * Plan: the [[holt]] window pass (one per-key exchange), a `lead`
+    * in the SAME window, then a per-type hash agg — the eval adds no
+    * exchange beyond the operator it scores. */
+  def backtest(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(Tables.dec(col("value")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    def series(ws: Seq[java.math.BigDecimal]) = ws.zipWithIndex.map {
+      case (wt, j) => coalesce(lag(col("x"), j).over(w) * lit(wt), lit(0))
+    }.reduceLeft(_ + _)
+    val (lw, bw) = holtWeights
+    hourly
+      .withColumn("lvl", series(lw))
+      .withColumn("trd", series(bw))
+      .withColumn("fc_q6", expr(
+        "CAST((CAST(lvl + trd AS DECIMAL(30,20)) * 1000000) DIV 1" +
+          " AS BIGINT)"))
+      .withColumn("x_next", lead(col("x"), 1).over(w))
+      .filter(col("x_next").isNotNull)
+      .selectExpr("event_type",
+        "CAST(CAST(x_next AS DECIMAL(22,4)) * 1000000 AS DECIMAL(38,0))" +
+          " AS a_q6",
+        "CAST(CAST(x AS DECIMAL(22,4)) * 1000000 AS DECIMAL(38,0))" +
+          " AS naive_q6",
+        "CAST(fc_q6 AS DECIMAL(38,0)) AS fc_q6")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_points"),
+        sum(expr("abs(a_q6 - fc_q6)")).as("sae"),
+        sum(expr("abs(a_q6 - naive_q6)")).as("sae_naive"),
+        sum(col("a_q6")).as("sa"))
+      .selectExpr("event_type", "n_points",
+        "CAST(sae DIV n_points AS BIGINT) AS mae_q6",
+        "CAST((1000000 * sae) DIV nullif(sa, 0) AS BIGINT) AS wape_q6",
+        "CAST((1000 * sae) DIV nullif(sae_naive, 0) AS BIGINT)" +
+          " AS mase_q3")
+  }
+
   /** DuckDB rendering of [[holt]] — identical literal weights,
     * identical `·10^6 // 1` integer quantization. */
   def holtSql: String = {
@@ -669,9 +721,47 @@ object TimeSeries {
     "ts_anomaly" -> volumeAnomaly _,
     "ts_ewma" -> ewma _,
     "ts_holt" -> holt _,
+    "ts_backtest" -> backtest _,
     "ts_seasonal" -> seasonal _)
 
   val oracles: Map[String, String] = Map(
+    "ts_backtest" -> {
+      // same widened terms as holtSql; sums in HUGEINT, abs before //
+      def terms(ws: Seq[java.math.BigDecimal]) = ws.zipWithIndex.map {
+        case (wt, j) =>
+          s"coalesce(lag(CAST(x AS DECIMAL(22,4)), $j) OVER w" +
+            s" * ${wt.toPlainString}, 0)"
+      }.mkString("\n  + ")
+      val (lw, bw) = holtWeights
+      s"""WITH h AS (
+         |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+         |      AS h,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS x
+         |  FROM events GROUP BY 1, 2),
+         |f AS (SELECT event_type, x,
+         |    CAST(trunc(CAST((${terms(lw)}) + (${terms(bw)})
+         |      AS DECIMAL(30,20)) * 1000000) AS BIGINT) AS fc_q6,
+         |    lead(x) OVER w AS x_next
+         |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+         |e AS (SELECT event_type,
+         |    CAST(CAST(x_next AS DECIMAL(22,4)) * 1000000 AS HUGEINT)
+         |      AS a_q6,
+         |    CAST(CAST(x AS DECIMAL(22,4)) * 1000000 AS HUGEINT)
+         |      AS naive_q6,
+         |    CAST(fc_q6 AS HUGEINT) AS fc_q6
+         |  FROM f WHERE x_next IS NOT NULL),
+         |g AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         |    sum(abs(a_q6 - fc_q6)) AS sae,
+         |    sum(abs(a_q6 - naive_q6)) AS sae_naive,
+         |    sum(a_q6) AS sa
+         |  FROM e GROUP BY 1)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_points,
+         |  CAST(sae // n AS BIGINT) AS mae_q6,
+         |  CAST((1000000 * sae) // nullif(sa, 0) AS BIGINT) AS wape_q6,
+         |  CAST((1000 * sae) // nullif(sae_naive, 0) AS BIGINT)
+         |    AS mase_q3
+         |FROM g""".stripMargin
+    },
     "ts_bollinger" ->
       s"""WITH hourly AS (SELECT event_type,
          |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,

@@ -312,6 +312,32 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(rows.exists(_._5 != 0L))
   }
 
+  test("backtest scores equal a BigInt recompute from the published forecasts") {
+    val holt = TimeSeries.holt(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+        r.getLong(5))) // (type, hour, actual, forecast_q6)
+    val bt = TimeSeries.backtest(spark, SparkTestSession.sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(bt.nonEmpty)
+    holt.groupBy(_._1).foreach { case (tpe, rs) =>
+      val o = rs.sortBy(_._2.getTime)
+      // hourly actuals have <=4 decimals, so *1e6 rounds exactly
+      def a6(v: Double): BigInt = BigInt(math.round(v * 1e6))
+      val pts = o.init.zip(o.tail)
+      val sae = pts.map { case (p, nx) => (a6(nx._3) - p._4).abs }.sum
+      val saeN = pts.map { case (p, nx) => (a6(nx._3) - a6(p._3)).abs }.sum
+      val sa = pts.map { case (_, nx) => a6(nx._3) }.sum
+      val (n, mae, wape, mase) = bt(tpe)
+      assert(n == pts.length)
+      assert(BigInt(mae) == sae / pts.length)
+      assert(BigInt(wape) == BigInt(1000000) * sae / sa)
+      assert(BigInt(mase) == BigInt(1000) * sae / saeN)
+      // holt tracks the series at all (WAPE finite and positive)
+      assert(wape > 0)
+    }
+  }
+
   test("seasonal indexes match a BigInt reference and average to ~1 per type") {
     val rows = TimeSeries.seasonal(spark, SparkTestSession.sf).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
