@@ -97,6 +97,61 @@ class CboSpec extends AnyFunSuite {
    }
   }
 
+  test("catalog stats drive a three-table join REORDER") {
+   Conf.withConf(spark, "spark.sql.cbo.enabled", "true") {
+   Conf.withConf(spark, "spark.sql.cbo.joinReorder.enabled", "true") {
+    // the syntactic order is adversarial: fact joins the BIG dim
+    // first, leaving the selective dim (bucket = 7, 1/1000 rows) last,
+    // so the intermediate is fact-sized. The DP reorderer can only fix
+    // this if it KNOWS the filtered dim is tiny — i.e. from column
+    // stats. Same isolation discipline as the flip test: identical
+    // files, the only variable is ANALYZE.
+    val wh = store.Catalog.warehouse
+    for (t <- Seq("cbo_ro_fact", "cbo_ro_big", "cbo_ro_small"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE cbo_ro_fact (k1 BIGINT, k2 BIGINT,
+      v DOUBLE) USING PARQUET LOCATION '$wh/cbo_ro_fact'""")
+    spark.sql(s"""CREATE TABLE cbo_ro_big (k1 BIGINT, pad STRING)
+      USING PARQUET LOCATION '$wh/cbo_ro_big'""")
+    spark.sql(s"""CREATE TABLE cbo_ro_small (k2 BIGINT, bucket BIGINT,
+      tag STRING) USING PARQUET LOCATION '$wh/cbo_ro_small'""")
+    Tables.load(spark, SparkTestSession.sf, "events")
+      .select((col("user_id") % 100000).as("k1"),
+        (col("event_id") % 100000).as("k2"), col("value").as("v"))
+      .write.mode("overwrite").insertInto("cbo_ro_fact")
+    spark.range(100000)
+      .select(col("id").as("k1"), concat(lit("pad_"), col("id")).as("pad"))
+      .write.mode("overwrite").insertInto("cbo_ro_big")
+    spark.range(100000)
+      .select(col("id").as("k2"), (col("id") % 1000).as("bucket"),
+        concat(lit("tag_"), col("id")).as("tag"))
+      .write.mode("overwrite").insertInto("cbo_ro_small")
+    def joinOrder(): (Int, Int) = {
+      for (t <- Seq("cbo_ro_fact", "cbo_ro_big", "cbo_ro_small"))
+        spark.sql(s"REFRESH TABLE $t") // drop cached relation stats
+      val q = spark.table("cbo_ro_fact")
+        .join(spark.table("cbo_ro_big"), "k1")
+        .join(spark.table("cbo_ro_small").filter(col("bucket") === 7),
+          "k2")
+        .groupBy("tag").agg(sum("v"))
+      val s = q.queryExecution.optimizedPlan.toString
+      (s.indexOf("cbo_ro_big"), s.indexOf("cbo_ro_small"))
+    }
+    val (big0, small0) = joinOrder()
+    assert(big0 >= 0 && small0 >= 0)
+    assert(big0 < small0,
+      s"without stats the syntactic order must hold (big at $big0, " +
+        s"small at $small0)")
+    for (t <- Seq("cbo_ro_fact", "cbo_ro_big", "cbo_ro_small"))
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+    val (big1, small1) = joinOrder()
+    assert(small1 < big1,
+      s"stats + DP reorder must join the selective dim first " +
+        s"(big at $big1, small at $small1)")
+   }
+   }
+  }
+
   test("statsAwareJoin consumes the engine's own profile for the decision") {
     import spark.implicits._
     val dim = (0L until 2000L).map(i => (i, s"name_$i")).toDF("k", "name")
