@@ -4,29 +4,18 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: comma-separated query-name filter (dev loop)
-    val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    Conf.silenceBoundedWindowLogs()
+
+  /** The dump body, factored out of [[main]] so VerifyContractSpec can
+    * drive it (including the degraded path) on the shared test session.
+    * Returns the per-query error map that [[main]] reports; ALWAYS
+    * writes `oracle_sql.json` and `_errors.json`, even when every
+    * query fails — the driver's compare must see failures as explicit
+    * artifacts, never as silently-missing output dirs (the round-4
+    * lesson: a 68%-green round shipped a 100%-green CORRECTNESS file
+    * because errored queries simply had no directory). */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Set[String]] = None): Map[String, String] = {
     new java.io.File(outDir).mkdirs()
-    // Failures must be VISIBLE in the round artifacts, not silently
-    // dropped rows (round 4 shipped a 100%-green CORRECTNESS file for a
-    // 68%-green round because errored queries simply had no output dir).
-    // Collect per-query errors and write them to outDir/_errors.json so
-    // the driver — and any human reading the artifacts — sees them.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -59,7 +48,29 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     if (errors.nonEmpty)
-      System.err.println(s"[verify] ${errors.size} quer(ies) FAILED: ${errors.keys.mkString(", ")}")
+      System.err.println(
+        s"[verify] ${errors.size} quer(ies) FAILED: ${errors.keys.mkString(", ")}")
+    errors.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query-name filter (dev loop)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Conf.silenceBoundedWindowLogs()
+    run(spark, sfDir, outDir, only)
     spark.stop()
   }
 }
