@@ -112,6 +112,16 @@ object Bench {
       try w.println(s"""{"metric":"total","value":${fmt(okResults.values.sum)},"unit":"sec","n":${okResults.size},"errors":$errJson,"queries":$full,"prev_delta":${toJson(deltas, identity)},"sf":"${sfDir.split('/').last}"}""")
       finally w.close()
     } catch { case _: Throwable => () }
+    // scaling harness: SPARK_GRAFT_OUT=<path> dumps the complete
+    // per-query map for THIS run to an explicit path — any SF, any
+    // SPARK_GRAFT_ONLY subset — without touching the committed sf0.1
+    // artifact or its prev_delta chain. tools/scaling.py runs Bench
+    // once per SF and fits per-query scaling exponents from these.
+    sys.env.get("SPARK_GRAFT_OUT").foreach { p =>
+      val w = new java.io.PrintWriter(p)
+      try w.println(s"""{"metric":"total","value":${fmt(okResults.values.sum)},"unit":"sec","n":${okResults.size},"errors":$errJson,"queries":$full,"sf":"${sfDir.split('/').last}"}""")
+      finally w.close()
+    }
     val headline = Set(
       "join_agg", "join_bucketed", "join_bloom", "join_range", "asof_join",
       "skew_salted_join", "agg_percentiles", "agg_topk", "agg_cube",

@@ -68,7 +68,8 @@ object SparkEntry {
       store.Backfill.queries ++
       store.TimeTravel.queries ++
       streaming.StreamAsof.queries ++
-      plans.Lineage.queries
+      plans.Lineage.queries ++
+      analytics.Aqp.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -121,5 +122,6 @@ object SparkEntry {
       store.Backfill.oracles ++
       store.TimeTravel.oracles ++
       streaming.StreamAsof.oracles ++
-      plans.Lineage.oracles
+      plans.Lineage.oracles ++
+      analytics.Aqp.oracles
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-checks for [[graft.analytics.Aqp]] that the DuckDB oracle
+  * cannot express: a from-scratch Scala recompute of the sample
+  * membership + estimate, and the ALGEBRAIC unbiasedness identity
+  * (the 100 disjoint bucket estimates average exactly to the truth —
+  * Σ_b 100·S_b = 100·Σy, so a bug in bucketing or scaling breaks an
+  * exact integer equality, not a tolerance). */
+class AqpSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private val A = 1103515245L
+  private val C = 12345L
+  private val M = 2147483648L
+
+  /** Independent Scala reimplementation of the gate's row arithmetic. */
+  private def rows(): Seq[(Long, Long)] = {
+    val df = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .collect() // sf0.001: 6k rows — test-only
+    df.toSeq.map { r =>
+      val key = r.getLong(0) * 8 + r.getInt(1)
+      val bucket = ((key % M) * A + C) % M % 100
+      val cents = math.round(r.getDouble(2) * 100)
+      (bucket, cents)
+    }
+  }
+
+  test("uniform HT estimate matches a from-scratch recompute") {
+    val rs = rows()
+    val got = analytics.Aqp.uniformSum(spark, sf).collect().head
+    assert(got.getAs[Long]("n_total") == rs.size)
+    val sample = rs.filter(_._1 == 0L)
+    assert(got.getAs[Long]("n_sample") == sample.size)
+    assert(sample.nonEmpty, "bucket 0 empty at sf0.001 — key arithmetic drifted")
+    assert(got.getAs[Long]("true_cents") == rs.map(_._2).sum)
+    assert(got.getAs[Long]("est_cents") == 100L * sample.map(_._2).sum)
+    val sq = sample.map(v => BigInt(v._2) * v._2).sum
+    assert(got.getAs[java.math.BigDecimal]("var_ht").toBigInteger
+      == (sq * 9900).bigInteger)
+  }
+
+  test("the 100 disjoint bucket estimates average exactly to the truth") {
+    val rs = rows()
+    val truth = rs.map(_._2).sum
+    val byBucket = rs.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    // Horvitz–Thompson unbiasedness, algebraically: the buckets
+    // PARTITION the corpus, so Σ_b est_b = 100 · truth, exactly.
+    assert(byBucket.values.map(s => 100L * s).sum == 100L * truth)
+    assert(byBucket.size == 100, "some bucket empty — weakens the replicate gate")
+  }
+
+  test("stratified estimates cover every stratum with within-stratum truth") {
+    val got = analytics.Aqp.stratifiedSum(spark, sf).collect()
+      .map(r => r.getAs[String]("stratum") -> r).toMap
+    assert(got.keySet == Set("A", "N", "R"))
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("n_sample") > 0)
+      assert(r.getAs[Long]("n_sample") < r.getAs[Long]("n_total"))
+      assert(r.getAs[Long]("abs_err_q6") >= 0)
+    }
+  }
+
+  test("replicate spread brackets its own summary stats") {
+    val r = analytics.Aqp.replicateSpread(spark, sf).collect().head
+    assert(r.getAs[Long]("n_reps") == 20)
+    val (lo, av, hi) = (r.getAs[Long]("min_est"), r.getAs[Long]("avg_est"),
+      r.getAs[Long]("max_est"))
+    assert(lo <= av && av <= hi)
+    val truth = r.getAs[Long]("true_cents")
+    // the worst replicate error must be attained by an extreme estimate
+    val worst = math.max((truth - lo).abs, (hi - truth).abs)
+    assert(r.getAs[Long]("max_abs_err_q6")
+      == BigInt(1000000) * worst / truth)
+    assert(r.getAs[Long]("n_within_2pct") <= 20)
+  }
+}
