@@ -69,7 +69,8 @@ object SparkEntry {
       store.TimeTravel.queries ++
       streaming.StreamAsof.queries ++
       plans.Lineage.queries ++
-      analytics.Aqp.queries
+      analytics.Aqp.queries ++
+      analytics.Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -123,5 +124,6 @@ object SparkEntry {
       store.TimeTravel.oracles ++
       streaming.StreamAsof.oracles ++
       plans.Lineage.oracles ++
-      analytics.Aqp.oracles
+      analytics.Aqp.oracles ++
+      analytics.Sketches.oracles
 }

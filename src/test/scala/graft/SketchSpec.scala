@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for [[graft.analytics.Sketches]] the DuckDB oracle cannot
+  * state: MERGEABILITY (the property that makes a sketch distributed —
+  * building per-shard and merging must equal building over the whole),
+  * hash BIJECTIVITY (the LCG permutation claim behind "distinct hashes
+  * = distinct keys"), and a from-scratch Scala recompute of both
+  * estimators from raw collected rows. */
+class SketchSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private val M = 2147483648L
+  private val k = 256
+
+  /** Raw (key, hash) pairs recomputed independently in Scala. */
+  private def keyed(): Seq[(Long, Long)] = {
+    val keys = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey").collect().map(_.getLong(0)).toSeq // sf0.001: 6k rows, test-only
+    keys.map { key =>
+      val r1 = (key % M * 1103515245L + 12345L) % M
+      val r2 = (r1 * 1103515245L + 12345L) % M
+      val h3 = r2 ^ (r2 >> 15)
+      (key, (h3 * 1103515245L + 12345L) % M)
+    }
+  }
+
+  test("the LCG composition is collision-free on the key domain (bijection)") {
+    val ks = keyed()
+    assert(ks.map(_._1).distinct.size == ks.map(_._2).distinct.size)
+    assert(ks.map(_._1).max < M, "keys outgrew 2^31 — bijectivity claim void")
+  }
+
+  test("KMV gate matches a from-scratch recompute, including the estimate") {
+    val hs = keyed().map(_._2).distinct.sorted
+    val mins = hs.take(k)
+    val kth = mins.last
+    val got = analytics.Sketches.kmvDistinct(spark, sf).collect().head
+    assert(got.getAs[Long]("n_k") == mins.size)
+    assert(got.getAs[Long]("kth_hash") == kth)
+    assert(got.getAs[Long]("true_ndv") == hs.size)
+    assert(got.getAs[Long]("est_ndv") == (mins.size - 1) * M / kth)
+  }
+
+  test("KMV sketches MERGE: k-mins of shard sketches == k-mins of the whole") {
+    // Shard by line number parity — an arbitrary horizontal split.
+    val base = Tables.load(spark, sf, "lineitem")
+      .select(analytics.Sketches.hash31(col("l_orderkey")).as("hv"),
+        (col("l_linenumber") % 2).as("shard"))
+    def sketch(shard: Int): Seq[Long] =
+      base.filter(col("shard") === shard).select("hv").distinct()
+        .orderBy("hv").limit(k).collect().map(_.getLong(0)).toSeq
+    val merged = (sketch(0) ++ sketch(1)).distinct.sorted.take(k)
+    val whole = base.select("hv").distinct()
+      .orderBy("hv").limit(k).collect().map(_.getLong(0)).toSeq
+    assert(merged == whole)
+  }
+
+  test("HLL registers MERGE: elementwise max of shard registers == whole") {
+    val base = Tables.load(spark, sf, "lineitem")
+      .select(analytics.Sketches.hash31(col("l_orderkey")).as("hv"),
+        (col("l_linenumber") % 2).as("shard"))
+      .selectExpr("shard", "hv DIV 8388608 AS bucket", "hv % 8388608 AS rest")
+      .selectExpr("shard", "bucket",
+        "CASE WHEN rest = 0 THEN 24 ELSE 24 - length(bin(rest)) END AS rho")
+    def regs(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.groupBy("bucket").agg(max("rho").as("reg")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val r0 = regs(base.filter(col("shard") === 0))
+    val r1 = regs(base.filter(col("shard") === 1))
+    val merged = (r0.keySet ++ r1.keySet).map(b =>
+      b -> math.max(r0.getOrElse(b, 0), r1.getOrElse(b, 0))).toMap
+    assert(merged == regs(base))
+  }
+
+  test("HLL gate matches a from-scratch recompute of registers and estimate") {
+    val hs = keyed().map(_._2).distinct
+    val regs = hs.groupBy(_ / 8388608L).map { case (_, vs) =>
+      vs.map { h =>
+        val rest = h % 8388608L
+        if (rest == 0) 24 else 24 - java.lang.Long.toBinaryString(rest).length
+      }.max
+    }.toSeq
+    val sFilled = regs.map(r => 1L << (24 - r)).sum
+    val sTotal = sFilled + (256L - regs.size) * 16777216L
+    val est = 718272L * 65536L * 16777216L / (1000000L * sTotal)
+    val got = analytics.Sketches.hllDistinct(spark, sf).collect().head
+    assert(got.getAs[Long]("nz_regs") == regs.size)
+    assert(got.getAs[Long]("s_total") == sTotal)
+    assert(got.getAs[Long]("est_ndv") == est)
+    assert(got.getAs[Long]("true_ndv") == hs.size)
+  }
+
+  test("union gate: flags partition correctly and estimators bracket truth loosely") {
+    val r = analytics.Sketches.kmvUnion(spark, sf).collect().head
+    assert(r.getAs[Long]("m_both") <= r.getAs[Long]("k_eff"))
+    assert(r.getAs[Long]("true_inter") <= r.getAs[Long]("true_union"))
+    assert(r.getAs[Long]("jacc_q6_est") <= 1000000L)
+    // the A/N split genuinely overlaps partially on this corpus
+    assert(r.getAs[Long]("true_inter") > 0)
+    assert(r.getAs[Long]("true_inter") < r.getAs[Long]("true_union"))
+  }
+}
