@@ -56,7 +56,8 @@ class ConfParitySpec extends AnyFunSuite {
   private val sample = Seq(
     "dedup_clusters", "graph_modularity", "dedup_setsim",
     "embed_clusters", "train_token_budget", "window_running_sum_chunked",
-    "skew_salted_join", "stats_spearman", "behavior_seq_support")
+    "skew_salted_join", "stats_spearman", "behavior_seq_support",
+    "sketch_kmv_union", "sketch_hll_distinct")
 
   private val variants: Seq[(String, Seq[(String, String)])] = Seq(
     "p9-noAQE" -> Seq(
