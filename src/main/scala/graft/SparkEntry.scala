@@ -70,7 +70,8 @@ object SparkEntry {
       streaming.StreamAsof.queries ++
       plans.Lineage.queries ++
       analytics.Aqp.queries ++
-      analytics.Sketches.queries
+      analytics.Sketches.queries ++
+      streaming.StreamSketch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -125,5 +126,6 @@ object SparkEntry {
       streaming.StreamAsof.oracles ++
       plans.Lineage.oracles ++
       analytics.Aqp.oracles ++
-      analytics.Sketches.oracles
+      analytics.Sketches.oracles ++
+      streaming.StreamSketch.oracles
 }

@@ -23,11 +23,17 @@ import graft.Tables
   * a second engine (the oracle runs the identical integer arithmetic in
   * DuckDB — impossible against Spark's opaque HLL++ registers), and
   * (b) the mergeability law itself is under test (SketchSpec proves
-  * sketch(A ⊎ B) == merge(sketch(A), sketch(B)) exactly). The per-GROUP
-  * KMV form (one sketch per dimension value, via the bounded top-k
-  * `Aggregator`) already ships as [[OlapQueries.kmvDistinct]]
-  * (`agg_kmv_distinct`); this module adds the global estimators, their
-  * published error evals, and the sketch set-algebra.
+  * sketch(A ⊎ B) == merge(sketch(A), sketch(B)) exactly). Siblings
+  * elsewhere in the surface: the per-GROUP KMV via the bounded top-k
+  * `Aggregator` ([[OlapQueries.kmvDistinct]], `agg_kmv_distinct`), the
+  * theta-style set ops over the 150-user events segment — mostly the
+  * exact-collapse branch at gate SFs ([[OlapQueries.kmvSetOps]],
+  * `agg_kmv_setops`), and Spark's own HLL gated by a 5% bound boolean
+  * (`agg_approx_distinct`). This module adds the regime those can't
+  * show: estimators genuinely estimating (ndv ≫ k over order keys),
+  * published q6 error columns instead of pass/fail bounds, a
+  * from-scratch oracle-reproducible HLL, and the merge laws as specs
+  * plus a streaming-state twin ([[graft.streaming.StreamSketch]]).
   *
   * Hash: two glibc-rand LCG rounds mod 2^31 (same constants as [[Aqp]]
   * / TrainPrep), then an xorshift fold (h ^= h >> 15), then one more
@@ -65,13 +71,13 @@ object Sketches {
   /** Stage 1 (the two LCG rounds) as a SQL fragment shared
     * char-identical by both engines (all operands non-negative, so `%`
     * is the same remainder in both). */
-  private def h2Expr(key: String): String =
+  private[graft] def h2Expr(key: String): String =
     s"(($key % 2147483648 * 1103515245 + 12345) % 2147483648" +
       " * 1103515245 + 12345) % 2147483648"
 
   /** Stage 2 (xorshift fold + final LCG round) over a column named
     * `h2`; xor spells differently per engine, hence two forms. */
-  private val finSpark =
+  private[graft] val finSpark =
     "((h2 ^ shiftright(h2, 15)) * 1103515245 + 12345) % 2147483648"
   private val finDuck =
     "(xor(h2, h2 >> 15) * 1103515245 + 12345) % 2147483648"

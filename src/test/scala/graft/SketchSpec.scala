@@ -94,6 +94,13 @@ class SketchSpec extends AnyFunSuite {
     assert(got.getAs[Long]("true_ndv") == hs.size)
   }
 
+  test("streaming HLL equals the batch HLL gate bit-for-bit") {
+    val batch = analytics.Sketches.hllDistinct(spark, sf).collect().toSeq
+    val stream = streaming.StreamSketch.streamHllDistinct(spark, sf)
+      .collect().toSeq
+    assert(stream == batch)
+  }
+
   test("union gate: flags partition correctly and estimators bracket truth loosely") {
     val r = analytics.Sketches.kmvUnion(spark, sf).collect().head
     assert(r.getAs[Long]("m_both") <= r.getAs[Long]("k_eff"))
