@@ -288,7 +288,65 @@ object JoinQueries {
     spark.sql(nullAwareAntiText)
   }
 
+  /** TPC-H Q5 shape ("local supplier volume",
+    * /root/reference has no SQL surface — this is the OLAP canon the
+    * engine must speak): lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈
+    * nation ⋈ region, revenue where the CUSTOMER'S nation equals the
+    * SUPPLIER'S nation inside one region and order year. The scale
+    * shape: the two fact tables join once on orderkey (their natural
+    * shuffle), everything else broadcasts (supplier/customer are
+    * TPC-H-ratio dims; nation/region are tiny), the same-nation
+    * predicate rides the customer broadcast join as a second equi-key
+    * (c_nationkey = s_nationkey) rather than a post-filter, and the
+    * date + region filters reach the scans (pushdown) so a year's
+    * fraction of orders is all that shuffles. */
+  def q5Volume(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey")
+        && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dprodsum(col("l_extendedprice"), lit(1) - col("l_discount"))
+        .as("revenue"))
+  }
+
+  /** TPC-H Q10 shape ("returned item reporting"): the top 20 customers
+    * by revenue lost to returns in one quarter. Same fact-fact shuffle
+    * + broadcast-dim discipline as [[q5Volume]]; the top-20 is
+    * TakeOrderedAndProject (per-partition heads, k·P driver merge — no
+    * global sort), with c_custkey as the explicit tiebreak so the cut
+    * is deterministic on every engine and retry. */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(dprodsum(col("l_extendedprice"), lit(1) - col("l_discount"))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_q5_volume" -> q5Volume _,
+    "join_q10_returns" -> q10Returns _,
     "join_null_aware_anti" -> nullAwareAnti _,
     "join_interval_overlap" -> intervalOverlapJoin _,
     "join_fuzzy" -> fuzzyJoin _,
@@ -307,6 +365,37 @@ object JoinQueries {
     "yearly_revenue" -> yearlyRevenue _)
 
   val oracles: Map[String, String] = Map(
+    "join_q5_volume" ->
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |           * CAST(1 - l_discount AS DECIMAL(18,4)))
+        |    AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "join_q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |           * CAST(1 - l_discount AS DECIMAL(18,4)))
+        |    AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "join_null_aware_anti" -> nullAwareAntiText,
     "join_interval_overlap" ->
       """WITH e AS (SELECT event_id, event_type,

@@ -100,10 +100,16 @@ object Sketches {
       .selectExpr(s"$finSpark AS hv")
       .distinct()
       .localCheckpoint(true)
+    // The two one-row aggregates meet on an AGGREGATE-produced constant
+    // key: max(lit(1)) is not foldable, so the optimizer cannot
+    // constant-propagate the condition into `true` and the combine
+    // stays a BroadcastHashJoin — never a cartesian (PlanAuditSpec
+    // enforces the no-nested-loop invariant surface-wide).
     val sk = h.orderBy("hv").limit(k)
-      .agg(count(lit(1)).as("n_k"), max("hv").as("kth_hash"))
-    val truth = h.agg(count(lit(1)).as("true_ndv"))
-    sk.crossJoin(truth)
+      .agg(count(lit(1)).as("n_k"), max("hv").as("kth_hash"),
+        max(lit(1)).as("jk"))
+    val truth = h.agg(count(lit(1)).as("true_ndv"), max(lit(1)).as("jk"))
+    sk.join(broadcast(truth), "jk")
       .withColumn("est_ndv",
         expr("CAST((n_k - 1) * 2147483648 DIV kth_hash AS BIGINT)"))
       .selectExpr("n_k", "kth_hash", "est_ndv", "true_ndv",
@@ -132,12 +138,13 @@ object Sketches {
       .agg(max(when(col("rf") === "A", 1L).otherwise(0L)).as("in_a"),
         max(when(col("rf") === "N", 1L).otherwise(0L)).as("in_b"))
       .localCheckpoint(true) // ndv(A∪B)-sized; sketch + truth both read it
+    // same constant-key combine as kmvDistinct — hash join, no cartesian
     val s = g.orderBy("hv").limit(k)
       .agg(count(lit(1)).as("k_eff"), max("hv").as("kth_hash"),
-        sum(col("in_a") * col("in_b")).as("m_both"))
+        sum(col("in_a") * col("in_b")).as("m_both"), max(lit(1)).as("jk"))
     val truth = g.agg(count(lit(1)).as("true_union"),
-      sum(col("in_a") * col("in_b")).as("true_inter"))
-    s.crossJoin(truth)
+      sum(col("in_a") * col("in_b")).as("true_inter"), max(lit(1)).as("jk"))
+    s.join(broadcast(truth), "jk")
       .withColumn("est_union",
         expr("CAST((k_eff - 1) * 2147483648 DIV kth_hash AS BIGINT)"))
       .selectExpr("k_eff", "m_both", "est_union", "true_union",
@@ -188,10 +195,63 @@ object Sketches {
         "CAST(1000000 * abs(est_ndv - true_ndv) DIV true_ndv AS BIGINT)" +
           " AS err_q6")
 
+  /** Mergeable quantile sketch: an HDR-style base-2 histogram with 4
+    * sub-bucket bits — every order total truncated to its top 5
+    * significant bits — giving per-cell relative width ≤ 1/16 (6.25%)
+    * and a cell count bounded by DOMAIN BITS (≤ 26 octaves × 16 ≈ 400
+    * cells), never by data volume or value cardinality. That is the
+    * 100 TB contrast with [[OlapQueries.percentileBanded]]'s EXACT
+    * cents dictionary (~10^5 cells and growing with the price domain):
+    * the histogram is a fixed-size, addition-mergeable state — same
+    * law as the HLL registers — that each executor builds map-side.
+    *
+    * The quantile readout is the same integer crossing test as the
+    * exact gate (`100·cum ≥ q·n` on the first cell, strictly below on
+    * the prior), which PROVES the bracket: the crossing cell must
+    * contain the exact q-th value (values below the cell are fewer
+    * than q·n/100, values through it are not), so the published
+    * `within` bit is a soundness eval that can only be 1, and
+    * `rel_width_q6 ≤ 62500` is the guaranteed error bar. Exact truth
+    * comes from [[OlapQueries.percentileBanded]] itself (3 rows,
+    * broadcast) — one definition of "exact percentile", two gates. */
+  def histQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.load(spark, dir, "orders")
+      .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS v")
+      .selectExpr(
+        "CASE WHEN v < 16 THEN v ELSE shiftleft(shiftright(v," +
+          " length(bin(v)) - 5), length(bin(v)) - 5) END AS lo",
+        "CASE WHEN v < 16 THEN CAST(1 AS BIGINT)" +
+          " ELSE shiftleft(CAST(1 AS BIGINT), length(bin(v)) - 5) END AS w")
+      .groupBy("lo", "w").agg(count(lit(1)).as("cnt"))
+    // ≤ ~400 cells by construction — bounded global window territory
+    val wCum = Tables.boundedGlobalWindow(col("lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Tables.boundedGlobalWindow(col("lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val br = cells
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wTot))
+      .withColumn("q", explode(array(lit(50L), lit(90L), lit(99L))))
+      .filter(col("cum") * 100 >= col("q") * col("n")
+        && (col("cum") - col("cnt")) * 100 < col("q") * col("n"))
+      .select(col("q"), col("lo").as("cell_lo"),
+        (col("lo") + col("w") - 1).as("cell_hi"), col("n"))
+    val exact = OlapQueries.percentileBanded(spark, dir)
+      .select(col("q"), col("value_cents").as("exact_cents"))
+    br.join(broadcast(exact), "q")
+      .selectExpr("q", "cell_lo", "cell_hi", "exact_cents", "n",
+        "CAST(CASE WHEN exact_cents BETWEEN cell_lo AND cell_hi" +
+          " THEN 1 ELSE 0 END AS BIGINT) AS within",
+        "CAST(1000000 * (cell_hi - cell_lo) DIV cell_lo AS BIGINT)" +
+          " AS rel_width_q6")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_distinct" -> kmvDistinct _,
     "sketch_kmv_union" -> kmvUnion _,
-    "sketch_hll_distinct" -> hllDistinct _)
+    "sketch_hll_distinct" -> hllDistinct _,
+    "sketch_hist_quantiles" -> histQuantiles _)
 
   val oracles: Map[String, String] = Map(
     "sketch_kmv_distinct" ->
@@ -240,6 +300,41 @@ object Sketches {
          |  CAST(1000000 * abs(est_union - true_union) // true_union
          |    AS BIGINT) AS err_q6
          |FROM e""".stripMargin,
+    "sketch_hist_quantiles" ->
+      """WITH y AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |c0 AS (SELECT
+        |    CASE WHEN v < 16 THEN v
+        |      ELSE (v >> (length(bin(v)) - 5)) << (length(bin(v)) - 5)
+        |      END AS lo,
+        |    CASE WHEN v < 16 THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(1 AS BIGINT) << (length(bin(v)) - 5) END AS w
+        |  FROM y),
+        |cells AS (SELECT lo, w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM c0 GROUP BY 1, 2),
+        |cum AS (SELECT *,
+        |    CAST(sum(cnt) OVER (ORDER BY lo) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+        |  FROM cells),
+        |br AS (SELECT CAST(q.q AS BIGINT) AS q, lo AS cell_lo,
+        |    lo + w - 1 AS cell_hi, n
+        |  FROM cum, (SELECT unnest([50, 90, 99]) AS q) q
+        |  WHERE cum * 100 >= q.q * n AND (cum - cnt) * 100 < q.q * n),
+        |h AS (SELECT v AS cents, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM y GROUP BY 1),
+        |c AS (SELECT *,
+        |    CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+        |  FROM h),
+        |ex AS (SELECT CAST(q.q AS BIGINT) AS q, cents AS exact_cents
+        |  FROM c, (SELECT unnest([50, 90, 99]) AS q) q
+        |  WHERE cum * 100 >= q.q * n AND (cum - cnt) * 100 < q.q * n)
+        |SELECT br.q, cell_lo, cell_hi, exact_cents, n,
+        |  CAST(CASE WHEN exact_cents BETWEEN cell_lo AND cell_hi
+        |    THEN 1 ELSE 0 END AS BIGINT) AS within,
+        |  CAST(1000000 * (cell_hi - cell_lo) // cell_lo AS BIGINT)
+        |    AS rel_width_q6
+        |FROM br JOIN ex ON br.q = ex.q""".stripMargin,
     "sketch_hll_distinct" ->
       s"""WITH h0 AS (
          |  SELECT ${h2Expr("l_orderkey")} AS h2 FROM lineitem),

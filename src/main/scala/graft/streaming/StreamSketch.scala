@@ -63,11 +63,14 @@ object StreamSketch {
         .selectExpr(s"${Sketches.finSpark} AS hv")
         .selectExpr("hv DIV 8388608 AS bucket", "hv")
         .groupBy("bucket").agg(countDistinct("hv").as("nd"))
-        .agg(sum("nd").as("true_ndv"))
+        .agg(sum("nd").as("true_ndv"), max(lit(1)).as("jk"))
       snapshot
         .agg(count(lit(1)).as("nz_regs"),
-          expr("sum(shiftleft(CAST(1 AS BIGINT), 24 - reg))").as("s_filled"))
-        .crossJoin(truth)
+          expr("sum(shiftleft(CAST(1 AS BIGINT), 24 - reg))").as("s_filled"),
+          // aggregate-produced constant key: combine as a hash join,
+          // never a cartesian (see Sketches.kmvDistinct)
+          max(lit(1)).as("jk"))
+        .join(broadcast(truth), "jk")
         .withColumn("s_total",
           expr("CAST(s_filled + (256 - nz_regs) * 16777216 AS BIGINT)"))
         .withColumn("est_ndv",

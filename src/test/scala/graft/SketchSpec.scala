@@ -94,6 +94,34 @@ class SketchSpec extends AnyFunSuite {
     assert(got.getAs[Long]("true_ndv") == hs.size)
   }
 
+  test("histogram quantile brackets are sound and within the 1/16 width bound") {
+    val rows = analytics.Sketches.histQuantiles(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("q")).sorted.toSeq == Seq(50L, 90L, 99L))
+    rows.foreach { r =>
+      // soundness law: the crossing cell MUST contain the exact value
+      assert(r.getAs[Long]("within") == 1L, s"bracket missed truth: $r")
+      assert(r.getAs[Long]("rel_width_q6") <= 62500L)
+      assert(r.getAs[Long]("cell_lo") <= r.getAs[Long]("cell_hi"))
+    }
+  }
+
+  test("histogram cells MERGE by addition: shard histograms sum to the whole") {
+    val base = Tables.load(spark, sf, "orders")
+      .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS v",
+        "o_orderkey % 2 AS shard")
+      .selectExpr("shard",
+        "CASE WHEN v < 16 THEN v ELSE shiftleft(shiftright(v," +
+          " length(bin(v)) - 5), length(bin(v)) - 5) END AS lo")
+    def hist(f: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      f.groupBy("lo").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h0 = hist(base.filter(col("shard") === 0))
+    val h1 = hist(base.filter(col("shard") === 1))
+    val merged = (h0.keySet ++ h1.keySet).map(k =>
+      k -> (h0.getOrElse(k, 0L) + h1.getOrElse(k, 0L))).toMap
+    assert(merged == hist(base))
+  }
+
   test("streaming HLL equals the batch HLL gate bit-for-bit") {
     val batch = analytics.Sketches.hllDistinct(spark, sf).collect().toSeq
     val stream = streaming.StreamSketch.streamHllDistinct(spark, sf)
