@@ -15,6 +15,44 @@ import org.apache.spark.sql.functions._
   * SURVEY.md §2.4. */
 object OlapQueries {
 
+  /** TPC-H Q1 shape (pricing summary report) — the single most-quoted
+    * OLAP aggregation, rendered in this engine's integer-exact money
+    * convention: prices as cents, discount/tax as integral percents
+    * (the corpus grid is centesimal: d ∈ {0..10}%, t ∈ {0..8}%), so the
+    * discounted amount is `p_cents·(100−d)` (10⁻⁴ dollars) and the
+    * charge `p_cents·(100−d)·(100+t)` (10⁻⁶ dollars) — per-row ≤ 1.1e11
+    * in a long, summed in DECIMAL(38,0)/HUGEINT, bitwise identical on
+    * every engine, partitioning, and retry (float folds are run-order
+    * dependent at 1000 executors). Averages publish as integral DIV
+    * quotients. One partial+final hash agg over a pushed-down scan — the
+    * plan every columnar engine is measured by. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .selectExpr("l_returnflag", "l_linestatus",
+        "CAST(round(l_quantity) AS BIGINT) AS qty",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS p_cents",
+        "CAST(round(l_discount * 100) AS BIGINT) AS d_pct",
+        "CAST(round(l_tax * 100) AS BIGINT) AS t_pct")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("qty")).as("sum_qty"),
+        sum(col("p_cents")).as("sum_base_cents"),
+        sum(expr("CAST(p_cents * (100 - d_pct) AS DECIMAL(38,0))"))
+          .as("sum_disc_c4"),
+        sum(expr("CAST(p_cents * (100 - d_pct) * (100 + t_pct)" +
+          " AS DECIMAL(38,0))")).as("sum_charge_c6"),
+        sum(col("d_pct")).as("sum_d_pct"),
+        count(lit(1)).as("n"))
+      .selectExpr("l_returnflag", "l_linestatus", "sum_qty",
+        "sum_base_cents",
+        "CAST(sum_disc_c4 AS DECIMAL(38,0)) AS sum_disc_c4",
+        "CAST(sum_charge_c6 AS DECIMAL(38,0)) AS sum_charge_c6",
+        "CAST(100 * sum_qty DIV n AS BIGINT) AS avg_qty_q2",
+        "CAST(sum_base_cents DIV n AS BIGINT) AS avg_price_cents",
+        "CAST(100 * sum_d_pct DIV n AS BIGINT) AS avg_disc_q4",
+        "n")
+
   /** ROLLUP: revenue at (flag, status), (flag), and grand-total levels.
     * Grouping-set nulls are coalesced to 'ALL' to keep the hash
     * comparison unambiguous. */
@@ -818,6 +856,7 @@ object OlapQueries {
     "agg_histogram" -> histogram _,
     "func_conditional" -> conditionalAggs _,
     "agg_grouping_sets" -> groupingSets _,
+    "agg_q1_pricing" -> q1Pricing _,
     "agg_rollup" -> rollupRevenue _,
     "agg_pivot" -> pivotStatus _,
     "agg_percentiles" -> percentiles _,
@@ -1078,6 +1117,25 @@ object OlapQueries {
         |  bool_and(l_quantity > 0) AS all_pos_qty,
         |  max(l_quantity) FILTER (l_discount > 0.05) AS max_disc_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_q1_pricing" ->
+      """WITH b AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_quantity) AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p_cents,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS d_pct,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS t_pct
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02')
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  CAST(sum(p_cents) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(p_cents * (100 - d_pct)) AS DECIMAL(38,0))
+        |    AS sum_disc_c4,
+        |  CAST(sum(p_cents * (100 - d_pct) * (100 + t_pct))
+        |    AS DECIMAL(38,0)) AS sum_charge_c6,
+        |  CAST(100 * sum(qty) // count(*) AS BIGINT) AS avg_qty_q2,
+        |  CAST(sum(p_cents) // count(*) AS BIGINT) AS avg_price_cents,
+        |  CAST(100 * sum(d_pct) // count(*) AS BIGINT) AS avg_disc_q4,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,
