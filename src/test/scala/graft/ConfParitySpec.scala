@@ -57,7 +57,8 @@ class ConfParitySpec extends AnyFunSuite {
     "dedup_clusters", "graph_modularity", "dedup_setsim",
     "embed_clusters", "train_token_budget", "window_running_sum_chunked",
     "skew_salted_join", "stats_spearman", "behavior_seq_support",
-    "sketch_kmv_union", "sketch_hll_distinct")
+    "sketch_kmv_union", "sketch_hll_distinct",
+    "agg_q1_pricing", "join_q10_returns")
 
   private val variants: Seq[(String, Seq[(String, String)])] = Seq(
     "p9-noAQE" -> Seq(
