@@ -195,6 +195,61 @@ object Sketches {
         "CAST(1000000 * abs(est_ndv - true_ndv) DIV true_ndv AS BIGINT)" +
           " AS err_q6")
 
+  /** HLL set algebra on the same A/N order-key sets as [[kmvUnion]],
+    * so the two families' estimates land side by side: the UNION
+    * sketch of two independently-built register sets is their
+    * elementwise max (the merge law as an OPERATOR — at 100 TB the A
+    * and B registers come from different jobs, clusters, or days and
+    * never see each other's rows), and the intersection falls out by
+    * inclusion–exclusion, est_a + est_b − est_union. The published
+    * `est_inter` is SIGNED: inclusion–exclusion subtracts three ±6.5%
+    * estimates, so its relative error is amplified by roughly
+    * (|A|+|B|+|A∪B|)/|A∩B| — the textbook reason KMV's direct Jaccard
+    * beats HLL for intersections, and the reason both gates exist. One
+    * scan: per-hash membership flags, per-bucket null-skipping max per
+    * side, a ≤256-row readout. */
+  def hllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val est = (s: String, n: String) =>
+      s"CAST(CAST(718272 AS BIGINT) * 65536 * 16777216" +
+        s" DIV (1000000 * ($s + (256 - $n) * 16777216)) AS BIGINT)"
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag").isin("A", "N"))
+      .selectExpr(s"${h2Expr("l_orderkey")} AS h2", "l_returnflag AS rf")
+      .selectExpr(s"$finSpark AS hv", "rf")
+      .groupBy("hv")
+      .agg(max(when(col("rf") === "A", 1L).otherwise(0L)).as("in_a"),
+        max(when(col("rf") === "N", 1L).otherwise(0L)).as("in_b"))
+      .selectExpr("hv DIV 8388608 AS bucket", "hv % 8388608 AS rest",
+        "in_a", "in_b")
+      .selectExpr("bucket", "in_a", "in_b",
+        "CASE WHEN rest = 0 THEN 24 ELSE 24 - length(bin(rest)) END AS rho")
+      .groupBy("bucket")
+      .agg(max(when(col("in_a") === 1L, col("rho"))).as("reg_a"),
+        max(when(col("in_b") === 1L, col("rho"))).as("reg_b"),
+        max("rho").as("reg_u"), // union register == max(reg_a, reg_b)
+        sum("in_a").as("nd_a"), sum("in_b").as("nd_b"),
+        sum(col("in_a") * col("in_b")).as("nd_i"))
+      .agg(count("reg_a").as("nz_a"), count("reg_b").as("nz_b"),
+        count(lit(1)).as("nz_u"),
+        expr("sum(coalesce(shiftleft(CAST(1 AS BIGINT), 24 - reg_a), 0))")
+          .as("s_a"),
+        expr("sum(coalesce(shiftleft(CAST(1 AS BIGINT), 24 - reg_b), 0))")
+          .as("s_b"),
+        expr("sum(shiftleft(CAST(1 AS BIGINT), 24 - reg_u))").as("s_u"),
+        sum("nd_a").as("true_a"), sum("nd_b").as("true_b"),
+        sum(col("nd_a") + col("nd_b") - col("nd_i")).as("true_union"),
+        sum("nd_i").as("true_inter"))
+      .withColumn("est_a", expr(est("s_a", "nz_a")))
+      .withColumn("est_b", expr(est("s_b", "nz_b")))
+      .withColumn("est_union", expr(est("s_u", "nz_u")))
+      .selectExpr("est_a", "true_a", "est_b", "true_b",
+        "est_union", "true_union",
+        "CAST(est_a + est_b - est_union AS BIGINT) AS est_inter",
+        "true_inter",
+        "CAST(1000000 * abs(est_union - true_union) DIV true_union" +
+          " AS BIGINT) AS err_union_q6")
+  }
+
   /** Mergeable quantile sketch: an HDR-style base-2 histogram with 4
     * sub-bucket bits — every order total truncated to its top 5
     * significant bits — giving per-cell relative width ≤ 1/16 (6.25%)
@@ -251,6 +306,7 @@ object Sketches {
     "sketch_kmv_distinct" -> kmvDistinct _,
     "sketch_kmv_union" -> kmvUnion _,
     "sketch_hll_distinct" -> hllDistinct _,
+    "sketch_hll_union" -> hllUnion _,
     "sketch_hist_quantiles" -> histQuantiles _)
 
   val oracles: Map[String, String] = Map(
@@ -299,6 +355,55 @@ object Sketches {
          |    AS jacc_q6_true,
          |  CAST(1000000 * abs(est_union - true_union) // true_union
          |    AS BIGINT) AS err_q6
+         |FROM e""".stripMargin,
+    "sketch_hll_union" ->
+      s"""WITH h0 AS (
+         |  SELECT ${h2Expr("l_orderkey")} AS h2, l_returnflag
+         |  FROM lineitem WHERE l_returnflag IN ('A', 'N')),
+         |g AS (
+         |  SELECT $finDuck AS hv,
+         |    max(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS in_b
+         |  FROM h0 GROUP BY 1),
+         |r AS (SELECT hv // 8388608 AS bucket, in_a, in_b,
+         |    CASE WHEN hv % 8388608 = 0 THEN 24
+         |      ELSE 24 - length(bin(hv % 8388608)) END AS rho
+         |  FROM g),
+         |gb AS (SELECT bucket,
+         |    max(CASE WHEN in_a = 1 THEN rho END) AS reg_a,
+         |    max(CASE WHEN in_b = 1 THEN rho END) AS reg_b,
+         |    max(rho) AS reg_u,
+         |    sum(in_a) AS nd_a, sum(in_b) AS nd_b,
+         |    sum(in_a * in_b) AS nd_i
+         |  FROM r GROUP BY bucket),
+         |a AS (SELECT count(reg_a) AS nz_a, count(reg_b) AS nz_b,
+         |    count(*) AS nz_u,
+         |    sum(coalesce(CAST(1 AS BIGINT) << (24 - reg_a), 0)) AS s_a,
+         |    sum(coalesce(CAST(1 AS BIGINT) << (24 - reg_b), 0)) AS s_b,
+         |    sum(CAST(1 AS BIGINT) << (24 - reg_u)) AS s_u,
+         |    sum(nd_a) AS true_a, sum(nd_b) AS true_b,
+         |    sum(nd_a + nd_b - nd_i) AS true_union,
+         |    sum(nd_i) AS true_inter
+         |  FROM gb),
+         |e AS (SELECT
+         |    CAST(718272 AS BIGINT) * 65536 * 16777216
+         |      // (1000000 * (s_a + (256 - nz_a) * 16777216)) AS est_a,
+         |    CAST(718272 AS BIGINT) * 65536 * 16777216
+         |      // (1000000 * (s_b + (256 - nz_b) * 16777216)) AS est_b,
+         |    CAST(718272 AS BIGINT) * 65536 * 16777216
+         |      // (1000000 * (s_u + (256 - nz_u) * 16777216)) AS est_union,
+         |    true_a, true_b, true_union, true_inter
+         |  FROM a)
+         |SELECT CAST(est_a AS BIGINT) AS est_a,
+         |  CAST(true_a AS BIGINT) AS true_a,
+         |  CAST(est_b AS BIGINT) AS est_b,
+         |  CAST(true_b AS BIGINT) AS true_b,
+         |  CAST(est_union AS BIGINT) AS est_union,
+         |  CAST(true_union AS BIGINT) AS true_union,
+         |  CAST(est_a + est_b - est_union AS BIGINT) AS est_inter,
+         |  CAST(true_inter AS BIGINT) AS true_inter,
+         |  CAST(1000000 * abs(est_union - true_union) // true_union
+         |    AS BIGINT) AS err_union_q6
          |FROM e""".stripMargin,
     "sketch_hist_quantiles" ->
       """WITH y AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v

@@ -94,6 +94,43 @@ class SketchSpec extends AnyFunSuite {
     assert(got.getAs[Long]("true_ndv") == hs.size)
   }
 
+  test("HLL union gate matches a from-scratch recompute of all three register sets") {
+    val flagged = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_returnflag").isin("A", "N"))
+      .select("l_orderkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    def hv(key: Long): Long = {
+      val r1 = (key % M * 1103515245L + 12345L) % M
+      val r2 = (r1 * 1103515245L + 12345L) % M
+      val h3 = r2 ^ (r2 >> 15)
+      (h3 * 1103515245L + 12345L) % M
+    }
+    val a = flagged.filter(_._2 == "A").map(t => hv(t._1)).toSet
+    val b = flagged.filter(_._2 == "N").map(t => hv(t._1)).toSet
+    def est(hs: Set[Long]): Long = {
+      val regs = hs.groupBy(_ / 8388608L).map { case (_, vs) =>
+        vs.map { h =>
+          val rest = h % 8388608L
+          if (rest == 0) 24
+          else 24 - java.lang.Long.toBinaryString(rest).length
+        }.max
+      }
+      val s = regs.map(r => 1L << (24 - r)).sum +
+        (256L - regs.size) * 16777216L
+      718272L * 65536L * 16777216L / (1000000L * s)
+    }
+    val got = analytics.Sketches.hllUnion(spark, sf).collect().head
+    assert(got.getAs[Long]("est_a") == est(a))
+    assert(got.getAs[Long]("est_b") == est(b))
+    assert(got.getAs[Long]("est_union") == est(a ++ b))
+    assert(got.getAs[Long]("true_a") == a.size)
+    assert(got.getAs[Long]("true_b") == b.size)
+    assert(got.getAs[Long]("true_union") == (a ++ b).size)
+    assert(got.getAs[Long]("true_inter") == (a & b).size)
+    assert(got.getAs[Long]("est_inter")
+      == est(a) + est(b) - est(a ++ b))
+  }
+
   test("histogram quantile brackets are sound and within the 1/16 width bound") {
     val rows = analytics.Sketches.histQuantiles(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("q")).sorted.toSeq == Seq(50L, 90L, 99L))
