@@ -33,6 +33,8 @@ GATES = [
     "train_token_budget", "train_pipeline", "behavior_seq_support",
     "sessionize", "join_agg", "yearly_revenue", "agg_percentiles",
     "stats_spearman", "basket_rules", "aqp_replicate_spread",
+    "sketch_hll_distinct", "sketch_kmv_union", "sketch_hist_quantiles",
+    "agg_q1_pricing", "join_q5_volume", "join_q10_returns",
 ]
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 
