@@ -137,9 +137,46 @@ object Aqp {
         "CAST(sum_est DIV n_reps AS BIGINT) AS avg_est",
         "max_abs_err_q6", "n_within_2pct")
 
+  /** Per-group HT estimates with a DESIGN-BASED confidence readout:
+    * each o_orderpriority group gets its own 1% estimate, variance, and
+    * a `covered` bit testing |est − true| ≤ 2σ̂ — evaluated as the
+    * INTEGER comparison (est − true)² ≤ 4·V̂ in DECIMAL(38,0), so the
+    * normal-approximation CI is checked without a sqrt or a float
+    * anywhere (the squared form is exact; ~95% of groups should cover,
+    * and the published bits ARE the coverage eval). The group-by is the
+    * deployment shape: one sample scan answers every group's estimate
+    * at once, the same reason BlinkDB stratifies — a group too small in
+    * the sample shows itself via n_sample and a wide V̂ rather than
+    * failing silently. */
+  def groupbyCi(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .selectExpr("o_orderpriority AS priority",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS y",
+        "(o_orderkey % 2147483648 * 1103515245 + 12345)" +
+          " % 2147483648 % 100 AS bucket")
+      .groupBy("priority")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("n_sample"),
+        sum(col("y")).as("true_cents"),
+        (lit(100L) * sum(when(col("bucket") === 0, col("y"))
+          .otherwise(0L))).as("est_cents"),
+        sum(when(col("bucket") === 0,
+          col("y").cast("decimal(38,0)") * col("y")).otherwise(lit(0)))
+          .as("sq"))
+      .selectExpr("priority", "n_total", "n_sample", "true_cents",
+        "est_cents",
+        "CAST(9900 * sq AS DECIMAL(38,0)) AS var_ht",
+        "CAST(CASE WHEN CAST(est_cents - true_cents AS DECIMAL(38,0))" +
+          " * (est_cents - true_cents) <= 4 * (9900 * sq)" +
+          " THEN 1 ELSE 0 END AS BIGINT) AS covered",
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * abs(est_cents - true_cents)" +
+          " DIV true_cents AS BIGINT) AS abs_err_q6")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "aqp_uniform_sum" -> uniformSum _,
     "aqp_stratified_sum" -> stratifiedSum _,
+    "aqp_groupby_ci" -> groupbyCi _,
     "aqp_replicate_spread" -> replicateSpread _)
 
   val oracles: Map[String, String] = Map(
@@ -172,6 +209,30 @@ object Aqp {
          |        ELSE 0 END) - sum(y))
          |    // sum(y) AS BIGINT) AS abs_err_q6
          |FROM b GROUP BY stratum""".stripMargin,
+    "aqp_groupby_ci" ->
+      s"""WITH b AS (SELECT o_orderpriority AS priority,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+         |    (o_orderkey % 2147483648 * 1103515245 + 12345)
+         |      % 2147483648 % 100 AS bucket
+         |  FROM orders),
+         |g AS (SELECT priority,
+         |    CAST(count(*) AS BIGINT) AS n_total,
+         |    CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_sample,
+         |    CAST(sum(y) AS BIGINT) AS true_cents,
+         |    CAST(100 * sum(CASE WHEN bucket = 0 THEN y ELSE 0 END)
+         |      AS BIGINT) AS est_cents,
+         |    sum(CASE WHEN bucket = 0 THEN CAST(y AS HUGEINT) * y
+         |      ELSE 0 END) AS sq
+         |  FROM b GROUP BY priority)
+         |SELECT priority, n_total, n_sample, true_cents, est_cents,
+         |  CAST(9900 * sq AS DECIMAL(38,0)) AS var_ht,
+         |  CAST(CASE WHEN CAST(est_cents - true_cents AS HUGEINT)
+         |      * (est_cents - true_cents) <= 4 * (9900 * sq)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS covered,
+         |  CAST(1000000 * abs(est_cents - true_cents) // true_cents
+         |    AS BIGINT) AS abs_err_q6
+         |FROM g""".stripMargin,
     "aqp_replicate_spread" ->
       s"""WITH $baseSql,
          |per AS MATERIALIZED (SELECT bucket, sum(y) AS s FROM b GROUP BY bucket),

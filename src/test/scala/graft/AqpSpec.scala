@@ -64,6 +64,30 @@ class AqpSpec extends AnyFunSuite {
     }
   }
 
+  test("group-by CI: coverage bit equals the squared-form check, recomputed") {
+    val rows = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .collect() // sf0.001: 1.5k rows — test-only
+      .map { r =>
+        val bucket = (r.getLong(0) % M * A + C) % M % 100
+        (r.getString(1), bucket, math.round(r.getDouble(2) * 100))
+      }.toSeq
+    val got = analytics.Aqp.groupbyCi(spark, sf).collect()
+      .map(r => r.getAs[String]("priority") -> r).toMap
+    assert(got.keySet == rows.map(_._1).toSet)
+    for ((p, rs) <- rows.groupBy(_._1)) {
+      val truth = rs.map(_._3).sum
+      val samp = rs.filter(_._2 == 0L).map(_._3)
+      val est = 100L * samp.sum
+      val varHt = samp.map(v => BigInt(v) * v).sum * 9900
+      val r = got(p)
+      assert(r.getAs[Long]("true_cents") == truth)
+      assert(r.getAs[Long]("est_cents") == est)
+      val covered = BigInt(est - truth) * BigInt(est - truth) <= 4 * varHt
+      assert(r.getAs[Long]("covered") == (if (covered) 1L else 0L))
+    }
+  }
+
   test("replicate spread brackets its own summary stats") {
     val r = analytics.Aqp.replicateSpread(spark, sf).collect().head
     assert(r.getAs[Long]("n_reps") == 20)
