@@ -344,9 +344,35 @@ object JoinQueries {
       .limit(20)
   }
 
+  /** TPC-H Q18 shape ("large-volume customers"): orders whose total
+    * line quantity exceeds a threshold, joined back to their customer.
+    * The canonical HAVING-over-aggregate-subquery form — and the scale
+    * lesson is the ORDER of reduction: the lineitem aggregate collapses
+    * to one row per order BEFORE any join (partial+final hash agg, the
+    * fact table's only shuffle), the HAVING then cuts that to a ~1%
+    * survivor set, and AQE sees the post-filter size at runtime and
+    * broadcasts the survivors into the orders join — the join-back
+    * costs no second fact shuffle. Quantities are integral by corpus
+    * construction (round() pins it), so the threshold predicate and
+    * sum are exact on every engine. */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    Tables.load(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.load(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .selectExpr("c_custkey", "c_name", "o_orderkey",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents",
+        "sum_qty")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_q5_volume" -> q5Volume _,
     "join_q10_returns" -> q10Returns _,
+    "join_q18_big_orders" -> q18BigOrders _,
     "join_null_aware_anti" -> nullAwareAnti _,
     "join_interval_overlap" -> intervalOverlapJoin _,
     "join_fuzzy" -> fuzzyJoin _,
@@ -396,6 +422,18 @@ object JoinQueries {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+    "join_q18_big_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |  sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "join_null_aware_anti" -> nullAwareAntiText,
     "join_interval_overlap" ->
       """WITH e AS (SELECT event_id, event_type,
