@@ -58,7 +58,7 @@ class ConfParitySpec extends AnyFunSuite {
     "embed_clusters", "train_token_budget", "window_running_sum_chunked",
     "skew_salted_join", "stats_spearman", "behavior_seq_support",
     "sketch_kmv_union", "sketch_hll_distinct",
-    "agg_q1_pricing", "join_q10_returns")
+    "agg_q1_pricing", "join_q10_returns", "join_q18_big_orders")
 
   private val variants: Seq[(String, Seq[(String, String)])] = Seq(
     "p9-noAQE" -> Seq(
