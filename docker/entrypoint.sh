@@ -6,6 +6,7 @@
 #   pipeline [symbols...]        one full DAG run (live with
 #                                GRAFT_API_KEY, offline fixtures without)
 #   health | validate-env        operational probes (exit code = status)
+#   status                       db-status/monitor readout
 #   backup <table> <path>        snapshot a managed table
 #   restore <path> <table>       restore a snapshot
 #   retention [dataDays] [logDays]
@@ -35,20 +36,22 @@ submit() {
 cmd=${1:-pipeline}; shift || true
 case "$cmd" in
   master)
-    exec "$SPARK_HOME/sbin/start-master.sh" --host 0.0.0.0 \
-      && tail -f "$SPARK_HOME"/logs/* ;;
+    # foreground the daemon: without SPARK_NO_DAEMONIZE the launch
+    # script forks and exits, and the container dies with it
+    export SPARK_NO_DAEMONIZE=true
+    exec "$SPARK_HOME/sbin/start-master.sh" --host 0.0.0.0 ;;
   worker)
-    exec "$SPARK_HOME/sbin/start-worker.sh" "${1:?worker needs master url}" \
-      && tail -f "$SPARK_HOME"/logs/* ;;
+    export SPARK_NO_DAEMONIZE=true
+    exec "$SPARK_HOME/sbin/start-worker.sh" "${1:?worker needs master url}" ;;
   verify)
     submit graft.Verify "${1:-$GRAFT_SF_DIR}" "${2:-$GRAFT_OUT_DIR}" "${@:3}" ;;
   bench)
     SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-$GRAFT_SF_DIR} \
       submit graft.Bench "$@" ;;
-  pipeline|health|validate-env|backup|restore|retention)
+  pipeline|health|validate-env|status|backup|restore|retention)
     submit graft.Ops "$cmd" "$@" ;;
   *)
     echo "unknown command: $cmd" >&2
-    echo "usage: pipeline|health|validate-env|backup|restore|retention|verify|bench|master|worker" >&2
+    echo "usage: pipeline|health|validate-env|status|backup|restore|retention|verify|bench|master|worker" >&2
     exit 2 ;;
 esac

@@ -17,7 +17,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(Conf.master(cpus))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
@@ -117,10 +117,15 @@ object Bench {
     // SPARK_GRAFT_ONLY subset — without touching the committed sf0.1
     // artifact or its prev_delta chain. tools/scaling.py runs Bench
     // once per SF and fits per-query scaling exponents from these.
-    sys.env.get("SPARK_GRAFT_OUT").foreach { p =>
+    // swallow-and-report like the artifact write above: a bad path must
+    // not crash Bench AFTER the full run completed and lose the stdout
+    // JSON line the driver reads.
+    try sys.env.get("SPARK_GRAFT_OUT").foreach { p =>
       val w = new java.io.PrintWriter(p)
       try w.println(s"""{"metric":"total","value":${fmt(okResults.values.sum)},"unit":"sec","n":${okResults.size},"errors":$errJson,"queries":$full,"sf":"${sfDir.split('/').last}"}""")
       finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] SPARK_GRAFT_OUT write failed: $e")
     }
     val headline = Set(
       "join_agg", "join_bucketed", "join_bloom", "join_range", "asof_join",

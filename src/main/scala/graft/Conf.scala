@@ -52,6 +52,19 @@ object Conf {
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
 
+  /** Master URL for the entry-point mains. spark-submit communicates the
+    * cluster master by setting the `spark.master` system property on the
+    * driver JVM; a hardcoded `.master("local[N]")` in the builder would
+    * OVERRIDE it, silently turning a `--master spark://...` submission into
+    * a local-mode run inside the client container (the r6 compose bug).
+    * Resolution order: spark.master sys-prop (spark-submit / --conf), then
+    * SPARK_MASTER_URL env (the compose file's contract), then local[cpus]
+    * for the bare `sbt runMain` dev loop. */
+  def master(cpus: String): String =
+    sys.props.get("spark.master")
+      .orElse(sys.env.get("SPARK_MASTER_URL"))
+      .getOrElse(s"local[$cpus]")
+
   def int(spark: SparkSession, key: String, default: Int): Int =
     spark.conf.getOption(key).map(_.trim.toInt).getOrElse(default)
 

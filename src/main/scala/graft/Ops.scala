@@ -14,6 +14,7 @@ import org.apache.spark.sql.SparkSession
   * {{{
   * runMain graft.Ops health            # preflight + catalog + API probe
   * runMain graft.Ops validate-env      # config sanity, fail-fast
+  * runMain graft.Ops status            # db-status/monitor readout
   * runMain graft.Ops backup <table> <path>
   * runMain graft.Ops restore <path> <table>
   * runMain graft.Ops retention [dataDays] [logDays]
@@ -28,7 +29,7 @@ object Ops {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(Conf.master(cpus))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
@@ -126,7 +127,35 @@ object Ops {
       // partial success IS success (reference's skip-and-continue)
       if (summary.exists(_.getBoolean(1))) 0 else 1
 
-    case "retention" :: rest if rest.length <= 2 =>
+    case "status" :: Nil =>
+      // db-status/monitor parity (reference Makefile:96-101, :208-224):
+      // tables present, per-symbol record count + latest timestamp, and
+      // the last five pipeline executions. Each readout is a bounded
+      // aggregate or top-k over the warehouse — monitor-loop cheap.
+      store.Catalog.bootstrap(spark)
+      val present = store.Catalog.tablesPresent(spark).collect() // ≤3 rows
+      present.foreach(r => out(s"[ops] status table ${r.getString(0)}"))
+      import org.apache.spark.sql.functions._
+      spark.table("stock_data")
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("records"), max("timestamp").as("latest"))
+        .orderBy("symbol")
+        .collect() // one row per symbol — bounded
+        .foreach(r => out(s"[ops] status ${r.getString(0)}: " +
+          s"${r.getLong(1)} records, latest ${r.get(2)}"))
+      val logs = spark.table("pipeline_logs")
+        .orderBy(desc("created_at")) // TakeOrderedAndProject via limit
+        .limit(5)
+        .select("dag_id", "status", "records_processed", "created_at")
+        .collect()
+      logs.foreach(r => out(s"[ops] status run ${r.getString(0)} " +
+        s"${r.getString(1)} (${r.get(2)} rows) at ${r.get(3)}"))
+      if (logs.isEmpty) out("[ops] status run: none recorded")
+      0
+
+    case "retention" :: rest
+        if rest.length <= 2 &&
+          rest.forall(a => scala.util.Try(a.toInt).isSuccess) =>
       val dataDays = rest.headOption.map(_.toInt).getOrElse(365)
       val logDays = rest.lift(1).map(_.toInt).getOrElse(30)
       store.Catalog.bootstrap(spark)
@@ -140,7 +169,8 @@ object Ops {
 
     case other =>
       out(s"[ops] unknown command: ${other.mkString(" ")}")
-      out("[ops] usage: health | validate-env | pipeline [symbols...] | " +
+      out("[ops] usage: health | validate-env | status | " +
+        "pipeline [symbols...] | " +
         "backup <table> <path> | restore <path> <table> | " +
         "retention [dataDays] [logDays]")
       2

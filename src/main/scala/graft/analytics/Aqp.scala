@@ -79,7 +79,11 @@ object Aqp {
         col("y").cast("decimal(38,0)") * col("y")).otherwise(lit(0)))
         .as("sq"))
       .selectExpr("n_total", "n_sample", "true_cents", "est_cents",
-        "CAST(9900 * sq AS DECIMAL(38,0)) AS var_ht",
+        // V-hat ~2.6e20 exceeds int64 raw; publish the q6-scaled value as
+        // BIGINT (DECIMAL(38,0) finals float-ify through DuckDB's pandas
+        // bridge and hash-mismatch). Operands non-negative, so DIV is
+        // engine-agnostic. The exact DECIMAL form stays internal.
+        "CAST((9900 * sq) DIV 1000000 AS BIGINT) AS var_ht_q6",
         "CAST(CAST(1000000 AS DECIMAL(38,0)) * abs(est_cents - true_cents)" +
           " DIV true_cents AS BIGINT) AS abs_err_q6")
 
@@ -166,7 +170,9 @@ object Aqp {
           .as("sq"))
       .selectExpr("priority", "n_total", "n_sample", "true_cents",
         "est_cents",
-        "CAST(9900 * sq AS DECIMAL(38,0)) AS var_ht",
+        // Same BIGINT republish as uniformSum: q6-scaled variance, exact
+        // DECIMAL comparison kept internal in the covered bit below.
+        "CAST((9900 * sq) DIV 1000000 AS BIGINT) AS var_ht_q6",
         "CAST(CASE WHEN CAST(est_cents - true_cents AS DECIMAL(38,0))" +
           " * (est_cents - true_cents) <= 4 * (9900 * sq)" +
           " THEN 1 ELSE 0 END AS BIGINT) AS covered",
@@ -188,9 +194,9 @@ object Aqp {
          |  CAST(sum(y) AS BIGINT) AS true_cents,
          |  CAST(100 * sum(CASE WHEN bucket = 0 THEN y ELSE 0 END)
          |    AS BIGINT) AS est_cents,
-         |  CAST(9900 * sum(CASE WHEN bucket = 0
-         |      THEN CAST(y AS HUGEINT) * y ELSE 0 END)
-         |    AS DECIMAL(38,0)) AS var_ht,
+         |  CAST((9900 * sum(CASE WHEN bucket = 0
+         |      THEN CAST(y AS HUGEINT) * y ELSE 0 END))
+         |    // 1000000 AS BIGINT) AS var_ht_q6,
          |  CAST(1000000 * abs(100 * sum(CASE WHEN bucket = 0 THEN y
          |        ELSE 0 END) - sum(y))
          |    // sum(y) AS BIGINT) AS abs_err_q6
@@ -226,7 +232,7 @@ object Aqp {
          |      ELSE 0 END) AS sq
          |  FROM b GROUP BY priority)
          |SELECT priority, n_total, n_sample, true_cents, est_cents,
-         |  CAST(9900 * sq AS DECIMAL(38,0)) AS var_ht,
+         |  CAST((9900 * sq) // 1000000 AS BIGINT) AS var_ht_q6,
          |  CAST(CASE WHEN CAST(est_cents - true_cents AS HUGEINT)
          |      * (est_cents - true_cents) <= 4 * (9900 * sq)
          |    THEN 1 ELSE 0 END AS BIGINT) AS covered,

@@ -46,8 +46,11 @@ object OlapQueries {
         count(lit(1)).as("n"))
       .selectExpr("l_returnflag", "l_linestatus", "sum_qty",
         "sum_base_cents",
-        "CAST(sum_disc_c4 AS DECIMAL(38,0)) AS sum_disc_c4",
-        "CAST(sum_charge_c6 AS DECIMAL(38,0)) AS sum_charge_c6",
+        // Published as BIGINT: max ~4.4e15 at sf0.1 fits comfortably, and
+        // DECIMAL(38,0) finals render as float64 through DuckDB's pandas
+        // bridge, hash-mismatching the driver even when values are equal.
+        "CAST(sum_disc_c4 AS BIGINT) AS sum_disc_c4",
+        "CAST(sum_charge_c6 AS BIGINT) AS sum_charge_c6",
         "CAST(100 * sum_qty DIV n AS BIGINT) AS avg_qty_q2",
         "CAST(sum_base_cents DIV n AS BIGINT) AS avg_price_cents",
         "CAST(100 * sum_d_pct DIV n AS BIGINT) AS avg_disc_q4",
@@ -1127,10 +1130,10 @@ object OlapQueries {
         |SELECT l_returnflag, l_linestatus,
         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
         |  CAST(sum(p_cents) AS BIGINT) AS sum_base_cents,
-        |  CAST(sum(p_cents * (100 - d_pct)) AS DECIMAL(38,0))
+        |  CAST(sum(p_cents * (100 - d_pct)) AS BIGINT)
         |    AS sum_disc_c4,
         |  CAST(sum(p_cents * (100 - d_pct) * (100 + t_pct))
-        |    AS DECIMAL(38,0)) AS sum_charge_c6,
+        |    AS BIGINT) AS sum_charge_c6,
         |  CAST(100 * sum(qty) // count(*) AS BIGINT) AS avg_qty_q2,
         |  CAST(sum(p_cents) // count(*) AS BIGINT) AS avg_price_cents,
         |  CAST(100 * sum(d_pct) // count(*) AS BIGINT) AS avg_disc_q4,

@@ -194,7 +194,15 @@ object EventStream {
     * state per key, so the final snapshot equals the batch upsert of
     * the union. LWW-as-algebraic-aggregate is the point: late or
     * duplicate data folds into state without reprocessing, the same
-    * single-exchange shape as the batch `Upsert.upsert` merge. */
+    * single-exchange shape as the batch `Upsert.upsert` merge.
+    *
+    * Perf note (r6→r7): the full-suite bench showed 2.17→4.06 s at
+    * sf0.1; isolated min-of-2 at the driver's exact config (CPUS=32)
+    * measures 2.48 s — the drift is suite-context pressure (heap/GC +
+    * temp-FS load from 295 preceding queries around a complete-mode
+    * snapshot sink), not a plan change. The O(keys)-per-trigger
+    * complete-mode cost is the documented non-scale demo; the delta-
+    * emitting [[streamUpsertDeltasTws]] is the production form. */
   def streamUpsertLatest(spark: SparkSession, dir: String): DataFrame =
     withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
     val v1 = Tables.load(spark, dir, "events")

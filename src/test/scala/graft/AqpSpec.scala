@@ -39,8 +39,7 @@ class AqpSpec extends AnyFunSuite {
     assert(got.getAs[Long]("true_cents") == rs.map(_._2).sum)
     assert(got.getAs[Long]("est_cents") == 100L * sample.map(_._2).sum)
     val sq = sample.map(v => BigInt(v._2) * v._2).sum
-    assert(got.getAs[java.math.BigDecimal]("var_ht").toBigInteger
-      == (sq * 9900).bigInteger)
+    assert(BigInt(got.getAs[Long]("var_ht_q6")) == (sq * 9900) / 1000000)
   }
 
   test("the 100 disjoint bucket estimates average exactly to the truth") {

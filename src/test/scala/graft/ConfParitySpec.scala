@@ -58,7 +58,18 @@ class ConfParitySpec extends AnyFunSuite {
     "embed_clusters", "train_token_budget", "window_running_sum_chunked",
     "skew_salted_join", "stats_spearman", "behavior_seq_support",
     "sketch_kmv_union", "sketch_hll_distinct",
-    "agg_q1_pricing", "join_q10_returns", "join_q18_big_orders")
+    "agg_q1_pricing", "join_q10_returns", "join_q18_big_orders",
+    // r7 widening: the newest, most arithmetic-sensitive families —
+    // AQP (HT totals over LCG buckets: any partition-order leak in the
+    // decimal sums drifts var/coverage), the remaining sketches (KMV
+    // k-th order statistic, HLL register merge, equi-depth cut points),
+    // eval stats (ANOVA F quotient, replicate agreement), and the
+    // remaining TPC-H canons (Q1 covered above; Q5 6-table chain).
+    "aqp_uniform_sum", "aqp_stratified_sum", "aqp_groupby_ci",
+    "aqp_replicate_spread",
+    "sketch_kmv_distinct", "sketch_hll_union", "sketch_hist_quantiles",
+    "stats_anova", "dedup_method_agreement", "ts_backtest",
+    "join_q5_volume", "agg_cube", "text_tfidf")
 
   private val variants: Seq[(String, Seq[(String, String)])] = Seq(
     "p9-noAQE" -> Seq(

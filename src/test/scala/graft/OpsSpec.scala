@@ -87,4 +87,41 @@ class OpsSpec extends AnyFunSuite {
     val (code, lines) = capture("frobnicate")()
     assert(code == 2 && lines.exists(_.contains("usage:")))
   }
+
+  test("malformed retention args fall through to usage, not a stack trace") {
+    val (code, lines) = capture("retention", "thirty")()
+    assert(code == 2 && lines.exists(_.contains("usage:")))
+  }
+
+  test("status prints tables, per-symbol summary, and recent runs") {
+    store.Catalog.bootstrap(spark)
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2025-03-01 10:00:00")
+    Seq(("STAT", ts, java.math.BigDecimal.valueOf(1.0),
+      java.math.BigDecimal.valueOf(1.0), java.math.BigDecimal.valueOf(1.0),
+      java.math.BigDecimal.valueOf(1.0), 10L, ts, "UTC", ts,
+      java.sql.Date.valueOf("2025-03-01")))
+      .toDF("symbol", "timestamp", "open_price", "high_price", "low_price",
+        "close_price", "volume", "last_refreshed", "time_zone", "created_at",
+        "trade_date")
+      .write.mode("append").insertInto("stock_data")
+    Seq(("status_dag", "t", ts, "success", 0.0,
+      null.asInstanceOf[String], 7L, ts))
+      .toDF("dag_id", "task_id", "execution_date", "status", "duration",
+        "error_message", "records_processed", "created_at")
+      .write.mode("append").insertInto("pipeline_logs")
+    try {
+      val (code, lines) = capture("status")()
+      assert(code == 0)
+      assert(lines.exists(_.contains("status table stock_data")))
+      assert(lines.exists(l => l.contains("status STAT:") &&
+        l.contains("records")))
+      assert(lines.exists(l => l.contains("status run") &&
+        l.contains("success")))
+    } finally
+      // PipelineSpec asserts absolute stock_data counts — remove the
+      // partition this test created so suite order can't leak state
+      store.Catalog.dropDatePartitions(spark, "stock_data",
+        Seq(java.sql.Date.valueOf("2025-03-01")))
+  }
 }

@@ -8,6 +8,7 @@ import sys, json, glob, os
 import duckdb
 import pandas as pd
 import numpy as np
+import pyarrow.parquet as pq
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -34,6 +35,16 @@ for d in sorted(os.listdir(outdir)):
         continue
     files = glob.glob(f"{p}/*.parquet")
     got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+    # Lint: the driver's hash canonicalization renders DuckDB DECIMAL finals
+    # as float64 while Spark dumps them as Decimal objects — any decimal
+    # column in a PUBLISHED schema is a latent hash mismatch. Hard-fail it
+    # here so the dev loop catches it before the driver does (r6 lesson).
+    dec_cols = [f.name for f in pq.read_schema(files[0])
+                if "decimal" in str(f.type)] if files else []
+    if dec_cols:
+        fails.append((d, f"published decimal columns {dec_cols}: "
+                         "republish as BIGINT/DOUBLE (driver hash trap)"))
+        continue
     if d not in oracle:
         rowsonly.append((d, len(got)))
         continue
@@ -52,7 +63,19 @@ for d in sorted(os.listdir(outdir)):
     ok = True
     for c in g.columns:
         gv, ev = g[c].values, e[c].values
-        if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(e[c].dtype, np.floating):
+        g_float = np.issubdtype(g[c].dtype, np.floating)
+        e_float = np.issubdtype(e[c].dtype, np.floating)
+        # A float column on exactly ONE side means the engines disagree on
+        # the published type (e.g. Spark Decimal vs DuckDB float64) — the
+        # driver hashes these differently even when values match. Fail hard
+        # instead of float-coercing both sides (the r6 blind spot).
+        if g_float != e_float:
+            fails.append((d, f"col {c}: dtype split spark={g[c].dtype} "
+                             f"oracle={e[c].dtype} (driver hashes these "
+                             "differently even if values match)"))
+            ok = False
+            continue
+        if g_float or e_float:
             gv2 = gv.astype(float); ev2 = ev.astype(float)
             both_nan = np.isnan(gv2) & np.isnan(ev2)
             exact = (gv2 == ev2) | both_nan
