@@ -369,7 +369,105 @@ object JoinQueries {
         "sum_qty")
   }
 
+  /** TPC-H Q3 shape ("shipping priority"): the 10 highest-revenue
+    * undelivered BUILDING orders at a cutoff date. Scale shape: both
+    * date predicates push to the fact scans (orders placed before /
+    * lines shipped after the cutoff), customer broadcasts as a
+    * SEGMENT-filtered semi-side, the two facts shuffle once on
+    * orderkey, and the top-10 is TakeOrderedAndProject — no global
+    * sort. Money is exact c4 integers (cents × discount-%), so the
+    * revenue ranking and its o_orderkey tiebreak are retry- and
+    * engine-deterministic — a float sum here could flip adjacent
+    * ranks between partial-agg orders. */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-03-15").cast("timestamp")
+    val l = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > cut)
+      .selectExpr("l_orderkey",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < cut)
+    val c = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(sum(col("rev_c4")).as("revenue_c4"))
+      .orderBy(col("revenue_c4").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q14 shape ("promotion effect"): the share of one month's
+    * discounted revenue that came from PROMO parts, as an exact q6
+    * ratio. Scale shape: the month predicate prunes the fact scan to
+    * ~1.5% of lineitem, part broadcasts (TPC-H dim ratio), and the
+    * CASE-sum computes both numerator and denominator in ONE pass —
+    * the naive two-query form would scan the join twice. The ratio is
+    * (1e6·promo) DIV total on non-negative c4 integers, the house
+    * cross-engine form. */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-09-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-10-01").cast("timestamp"))
+      .selectExpr("l_partkey",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4")
+    val p = Tables.load(spark, dir, "part").select("p_partkey", "p_type")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(when(col("p_type") === "PROMO", col("rev_c4")).otherwise(0L))
+          .as("promo_c4"),
+        sum(col("rev_c4")).as("total_c4"))
+      .selectExpr("n_items", "promo_c4", "total_c4",
+        "CAST((1000000 * promo_c4) DIV total_c4 AS BIGINT) AS promo_q6")
+  }
+
+  /** TPC-H Q19 shape ("discounted revenue", disjunctive predicates):
+    * revenue from three (brand, size-range, quantity-range) branches
+    * OR'd together — the canonical pushdown stress test, because the
+    * raw disjunction mixes columns from both sides and pushes to
+    * NEITHER scan. The scale fix is the standard redundant-prefilter
+    * decomposition: the union of the part branches (brand IN (...),
+    * size ≤ max) prefilters the broadcast side, the union of the
+    * quantity ranges prefilters the FACT SCAN (row-group pruning on
+    * l_quantity), and the exact three-way disjunction then runs as a
+    * post-join filter over the already-tiny survivor set. Branch
+    * ranges are widened vs classic Q19 so the corpus' uniform
+    * brand/size distribution keeps every branch populated at every
+    * test SF. */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+      // raw-column prefilter (half-grid slack) so the branch-union range
+      // reaches the parquet scan; the exact rounded-integer filter below
+      // decides membership (same pattern as q6Forecast)
+      .filter(col("l_quantity") >= 0.5 && col("l_quantity") <= 40.5)
+      .selectExpr("l_partkey",
+        "CAST(round(l_quantity) AS BIGINT) AS qty",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4")
+      .filter(col("qty") >= 1 && col("qty") <= 40) // union of branch ranges
+    val p = Tables.load(spark, dir, "part")
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        && col("p_size") >= 1 && col("p_size") <= 25) // union of branches
+      .select("p_partkey", "p_brand", "p_size")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+          && col("qty").between(1, 24)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 20)
+          && col("qty").between(10, 30)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 25)
+          && col("qty").between(20, 40)))
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(col("rev_c4")), lit(0L)).as("revenue_c4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_q3_shipping" -> q3Shipping _,
+    "join_q14_promo" -> q14Promo _,
+    "join_q19_disjunctive" -> q19Disjunctive _,
     "join_q5_volume" -> q5Volume _,
     "join_q10_returns" -> q10Returns _,
     "join_q18_big_orders" -> q18BigOrders _,
@@ -391,6 +489,49 @@ object JoinQueries {
     "yearly_revenue" -> yearlyRevenue _)
 
   val oracles: Map[String, String] = Map(
+    "join_q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |    AS BIGINT) AS revenue_c4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue_c4 DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "join_q14_promo" ->
+      """WITH j AS (SELECT p_type,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1998-09-01'
+        |    AND l_shipdate < TIMESTAMP '1998-10-01')
+        |SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c4 ELSE 0 END)
+        |    AS BIGINT) AS promo_c4,
+        |  CAST(sum(rev_c4) AS BIGINT) AS total_c4,
+        |  CAST((1000000 * sum(CASE WHEN p_type = 'PROMO' THEN rev_c4
+        |      ELSE 0 END)) // sum(rev_c4) AS BIGINT) AS promo_q6
+        |FROM j""".stripMargin,
+    "join_q19_disjunctive" ->
+      """WITH j AS (SELECT p_brand, p_size,
+        |    CAST(round(l_quantity) AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(coalesce(sum(rev_c4), 0) AS BIGINT) AS revenue_c4
+        |FROM j
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND qty BETWEEN 1 AND 24)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+        |       AND qty BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+        |       AND qty BETWEEN 20 AND 40)""".stripMargin,
     "join_q5_volume" ->
       """SELECT n_name,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))

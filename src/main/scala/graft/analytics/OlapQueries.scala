@@ -56,6 +56,35 @@ object OlapQueries {
         "CAST(100 * sum_d_pct DIV n AS BIGINT) AS avg_disc_q4",
         "n")
 
+  /** TPC-H Q6 shape ("forecasting revenue change"): the revenue that
+    * would have been gained by eliminating small discounts on
+    * small-quantity lines in one year — a pure scan-and-sum with THREE
+    * stacked scan predicates and zero joins, the canon for predicate
+    * pushdown + row-group pruning (every predicate lands in
+    * PushedFilters; a year of shipdate prunes whole row groups when
+    * the table is date-sorted). Revenue = Σ cents·discount-% — exact
+    * c4 integers like [[q1Pricing]], so the single published scalar is
+    * bitwise stable under any partitioning. */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1999-01-01").cast("timestamp")
+        // redundant RAW-column prefilter with half-grid slack: the exact
+        // predicate below is on the rounded integers (engine-portable),
+        // which can't push to the scan — this one can (PushedFilters +
+        // row-group pruning), and the slack guarantees no boundary value
+        // is lost to float representation before the exact test runs.
+        && col("l_discount") >= 0.045 && col("l_discount") <= 0.075
+        && col("l_quantity") < 24.5)
+      .selectExpr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS p_cents",
+        "CAST(round(l_discount * 100) AS BIGINT) AS d_pct",
+        "CAST(round(l_quantity) AS BIGINT) AS qty")
+      .filter(col("d_pct").between(5, 7) && col("qty") < 24)
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(col("p_cents") * col("d_pct")), lit(0L))
+          .as("revenue_c4"))
+
   /** ROLLUP: revenue at (flag, status), (flag), and grand-total levels.
     * Grouping-set nulls are coalesced to 'ALL' to keep the hash
     * comparison unambiguous. */
@@ -860,6 +889,7 @@ object OlapQueries {
     "func_conditional" -> conditionalAggs _,
     "agg_grouping_sets" -> groupingSets _,
     "agg_q1_pricing" -> q1Pricing _,
+    "agg_q6_forecast" -> q6Forecast _,
     "agg_rollup" -> rollupRevenue _,
     "agg_pivot" -> pivotStatus _,
     "agg_percentiles" -> percentiles _,
@@ -1120,6 +1150,16 @@ object OlapQueries {
         |  bool_and(l_quantity > 0) AS all_pos_qty,
         |  max(l_quantity) FILTER (l_discount > 0.05) AS max_disc_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_q6_forecast" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT)
+        |    AS revenue_c4
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        |  AND CAST(round(l_quantity) AS BIGINT) < 24""".stripMargin,
     "agg_q1_pricing" ->
       """WITH b AS (SELECT l_returnflag, l_linestatus,
         |    CAST(round(l_quantity) AS BIGINT) AS qty,
