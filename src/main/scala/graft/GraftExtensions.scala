@@ -33,5 +33,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsofJoinPushDown)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxRewrite)
   }
 }

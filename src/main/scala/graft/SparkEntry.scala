@@ -71,6 +71,7 @@ object SparkEntry {
       plans.Lineage.queries ++
       analytics.Aqp.queries ++
       analytics.Sketches.queries ++
+      analytics.Privacy.queries ++
       streaming.StreamSketch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -127,5 +128,6 @@ object SparkEntry {
       plans.Lineage.oracles ++
       analytics.Aqp.oracles ++
       analytics.Sketches.oracles ++
+      analytics.Privacy.oracles ++
       streaming.StreamSketch.oracles
 }

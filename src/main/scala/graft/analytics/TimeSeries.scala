@@ -706,7 +706,39 @@ object TimeSeries {
           s"> ${bollK2 * 1000000L}, false) AS breach")
   }
 
+  /** Time-weighted average value per event type — the right mean for
+    * an IRREGULARLY-sampled series (a value holds until the next
+    * observation, so it must be weighted by how long it held; the
+    * plain mean over-weights bursts — compare `mean_cents` vs
+    * `twa_cents` in the output). Plan: one scan, ONE window pass per
+    * type for the next-observation timestamp (lead over the
+    * (epoch, event_id) order — the unique tiebreak makes equal-second
+    * neighbors contribute zero width deterministically), then a hash
+    * agg. Exact: cents × seconds products summed as BIGINT (bounded
+    * by max_cents·span ≈ 1.3e11 per type on this corpus; at open-ended
+    * scale the product column re-enters DECIMAL(38,0) the same way the
+    * slope moments do), one final non-negative DIV per group. */
+  def twa(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("es"),
+        round(col("value") * 100).cast("long").as("v_cents"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("es"), col("event_id"))
+    e.withColumn("ds", lead(col("es"), 1).over(w) - col("es"))
+      .filter(col("ds").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("ds")).as("span_s"),
+        sum(col("v_cents") * col("ds")).as("vt_sum"),
+        sum(col("v_cents")).as("v_sum"))
+      .selectExpr("event_type", "n_intervals", "span_s",
+        "CAST(vt_sum DIV span_s AS BIGINT) AS twa_cents",
+        "CAST(v_sum DIV n_intervals AS BIGINT) AS mean_cents")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_twa" -> twa _,
     "ts_bollinger" -> bollinger _,
     "ts_rolling_slope" -> rollingSlope _,
     "ts_concurrency" -> concurrency _,
@@ -969,6 +1001,23 @@ object TimeSeries {
         |  CAST(coalesce(cnt, 0) AS BIGINT) AS cnt,
         |  coalesce(val_sum, 0.0) AS val_sum
         |FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.h = h.h""".stripMargin,
+    "ts_twa" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+        |      AS BIGINT) AS es,
+        |    CAST(round(value * 100) AS BIGINT) AS v_cents
+        |  FROM events),
+        |d AS (SELECT event_type, v_cents,
+        |    lead(es, 1) OVER (PARTITION BY event_type
+        |      ORDER BY es, event_id) - es AS ds,
+        |    es
+        |  FROM e)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(ds) AS BIGINT) AS span_s,
+        |  CAST(sum(v_cents * ds) // sum(ds) AS BIGINT) AS twa_cents,
+        |  CAST(sum(v_cents) // count(*) AS BIGINT) AS mean_cents
+        |FROM d WHERE ds IS NOT NULL GROUP BY event_type""".stripMargin,
     "ts_ohlc" ->
       """SELECT event_type,
         |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,

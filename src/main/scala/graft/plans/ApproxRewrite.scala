@@ -1,0 +1,58 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.expressions.NamedExpression
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Opt-in approximate-query mode for distinct counts — the BlinkDB /
+  * "approximation knob" idea (Agarwal et al., EuroSys 2013) applied at
+  * the OPTIMIZER layer rather than the API: with
+  * `spark.graft.approx.countDistinct=true`, every `count(DISTINCT x)`
+  * in a logical Aggregate is rewritten to the mergeable HyperLogLog++
+  * estimator (Heule et al. 2013 — Spark's own `approx_count_distinct`
+  * function) before physical planning.
+  *
+  * Why this is a 100 TB lever: an exact distinct count must shuffle
+  * every distinct VALUE (the expand + two-phase distinct-agg plan —
+  * O(ndv) exchange bytes and a skew hazard when one group dominates),
+  * while HLL++ shuffles a fixed few-KB register blob per group
+  * regardless of cardinality — the same fixed-state contract as the
+  * [[graft.analytics.Sketches]] gates, here reached without changing
+  * a line of query code. Dashboards and data-profiling sweeps opt in
+  * per session; money paths simply leave the flag off (default).
+  *
+  * Mechanics: only the aggregate FUNCTION is swapped
+  * (`Count(child), isDistinct=true` → `HyperLogLogPlusPlus(child)`);
+  * the enclosing Alias keeps its exprId and the result type is
+  * LongType either way, so downstream operators and column names are
+  * untouched. Multi-argument `count(DISTINCT a, b)` and filtered
+  * variants keep their filter/argument shape or are left exact —
+  * fire only when provably drop-in (the [[MvRewrite]] discipline).
+  * The rewrite output contains no distinct Count, so the rule is a
+  * fixed-point no-op on its own output.
+  */
+object ApproxRewrite extends Rule[LogicalPlan] {
+
+  val Flag = "spark.graft.approx.countDistinct"
+  val RsdKey = "spark.graft.approx.rsd"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(Flag, "false").toBoolean) plan
+    else {
+      val rsd = conf.getConfString(RsdKey, "0.05").toDouble
+      plan.transform {
+        case agg: Aggregate =>
+          agg.copy(aggregateExpressions =
+            agg.aggregateExpressions.map(rewriteNamed(_, rsd)))
+      }
+    }
+
+  private def rewriteNamed(e: NamedExpression, rsd: Double): NamedExpression =
+    e.transformUp {
+      case ae @ AggregateExpression(Count(Seq(child)), mode, true, filter, _)
+          if child.deterministic =>
+        AggregateExpression(HyperLogLogPlusPlus(child, rsd), mode,
+          isDistinct = false, filter, NamedExpression.newExprId)
+    }.asInstanceOf[NamedExpression]
+}

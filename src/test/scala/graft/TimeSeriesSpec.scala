@@ -362,4 +362,33 @@ class TimeSeriesSpec extends AnyFunSuite {
         s"mean seasonal index $meanIdx far from 1e6")
     }
   }
+
+  test("time-weighted average matches a sequential sweep per type") {
+    val sf = SparkTestSession.sf
+    val rows = Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "event_id",
+        "unix_timestamp(date_trunc('second', ts)) AS es",
+        "CAST(round(value * 100) AS BIGINT) AS v")
+      .collect() // sf0.001 — test-only
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = TimeSeries.twa(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    for ((t, rs) <- rows.groupBy(_._1)) {
+      val sorted = rs.sortBy(r => (r._3, r._2))
+      val steps = sorted.zip(sorted.tail)
+        .map { case (a, b) => (a._4, b._3 - a._3) } // (value, dt)
+      val span = steps.map(_._2).sum
+      val vt = steps.map { case (v, dt) => BigInt(v) * dt }.sum
+      val r = got(t)
+      assert(r.getAs[Long]("n_intervals") == steps.length.toLong)
+      assert(r.getAs[Long]("span_s") == span)
+      assert(BigInt(r.getAs[Long]("twa_cents")) == vt / span)
+      assert(r.getAs[Long]("mean_cents")
+        == steps.map(_._1).sum / steps.length)
+      // TWA is bracketed by the observed value range
+      val (lo, hi) = (steps.map(_._1).min, steps.map(_._1).max)
+      assert(r.getAs[Long]("twa_cents") >= lo
+        && r.getAs[Long]("twa_cents") <= hi)
+    }
+  }
 }
