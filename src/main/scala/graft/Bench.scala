@@ -152,7 +152,11 @@ object Bench {
       "graph_link_predict", "graph_kcore", "asof_join_nearest",
       "stats_welch", "behavior_seq_support", "ts_rolling_slope",
       "store_time_travel", "stream_asof", "behavior_markov_stationary",
-      "ts_bollinger")
+      "ts_bollinger",
+      // round-6/7 additions, one per new family
+      "sketch_hll_distinct", "sketch_kmv_union", "aqp_uniform_sum",
+      "agg_q1_pricing", "join_q5_volume", "join_q19_disjunctive",
+      "agg_q6_forecast", "dp_sum_clipped", "ts_twa")
     val qs = toJson(okResults.view.filterKeys(headline).toMap, identity)
     val total = if (okResults.nonEmpty) okResults.values.sum else 0.0
     val sfTag = sfDir.split('/').last

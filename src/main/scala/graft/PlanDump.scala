@@ -64,7 +64,11 @@ object PlanDump {
     "sketch_kmv_union",      // flagged min-k via TakeOrderedAndProject
     "aqp_uniform_sum",       // one-scan HT estimate + truth eval
     "agg_q1_pricing",        // the canon: pushed scan + one hash agg
-    "join_q5_volume")        // 6-table: one fact shuffle, dims broadcast
+    "join_q5_volume",        // 6-table: one fact shuffle, dims broadcast
+    "agg_q6_forecast",       // all three predicates in PushedFilters
+    "join_q19_disjunctive",  // branch-union prefilters push per side
+    "dp_sum_clipped",        // DP release: noise on group rows only
+    "ts_twa")                // one lead() window pass per type
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -107,9 +107,44 @@ object Privacy {
         "g1 - g2 AS noise",
         "n_true + g1 - g2 AS n_noisy")
 
+  /** Clip bound for [[sumClipped]], in cents ($10k): per-row
+    * contribution — hence sum sensitivity — is capped here, the
+    * standard lever that makes a DP sum's noise independent of
+    * outliers (a single whale order would otherwise force
+    * whale-scale noise onto every group). */
+  val ClipC = 1000000L
+
+  /** Central-DP noisy revenue per priority with per-row clipping and
+    * LATTICE release: rows are clipped to [[ClipC]], the clipped sum
+    * is rounded to the C-lattice (q = (Σ + C/2) DIV C), and discrete
+    * Laplace(α=1/2) noise is added IN LATTICE UNITS — releasing
+    * C·(q + noise). Quantize-then-noise matters: adding C-scaled
+    * noise to the raw sum would leak the residue mod C exactly; on
+    * the lattice the release is ε = ln 2 DP for the sensitivity-1
+    * quantized statistic (one row moves q by at most 1). True and
+    * clipped sums are published as the eval columns, same convention
+    * as [[Aqp]]. */
+  def sumClipped(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .selectExpr("o_orderpriority AS priority", "o_orderkey",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("true_sum_c"),
+        sum(least(col("cents"), lit(ClipC))).as("clipped_sum_c"),
+        min(col("o_orderkey")).as("seed"))
+      .selectExpr("priority", "n_rows", "true_sum_c", "clipped_sum_c",
+        s"(clipped_sum_c + ${ClipC / 2}) DIV $ClipC AS q_true",
+        s"${tz(h3Spark("(seed + 2)"))} - ${tz(h3Spark("(seed + 3)"))}" +
+          " AS noise")
+      .selectExpr("priority", "n_rows", "true_sum_c", "clipped_sum_c",
+        "q_true", "noise",
+        s"(q_true + noise) * $ClipC AS released_c")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dp_randomized_response" -> randomizedResponse _,
-    "dp_laplace_counts" -> laplaceCounts _)
+    "dp_laplace_counts" -> laplaceCounts _,
+    "dp_sum_clipped" -> sumClipped _)
 
   private def tzDuck(u: String): String =
     s"CASE WHEN ($u) = 0 THEN 31" +
@@ -133,6 +168,24 @@ object Privacy {
          |  CAST(abs((4 * reported_f - n_rows) - 2 * true_f) AS BIGINT)
          |    AS abs_gap_x2
          |FROM g""".stripMargin,
+    "dp_sum_clipped" ->
+      s"""WITH g AS (SELECT o_orderpriority AS priority,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |      AS BIGINT) AS true_sum_c,
+         |    CAST(sum(least(CAST(round(o_totalprice * 100) AS BIGINT),
+         |      $ClipC)) AS BIGINT) AS clipped_sum_c,
+         |    CAST(min(o_orderkey) AS BIGINT) AS seed
+         |  FROM orders GROUP BY o_orderpriority),
+         |z AS (SELECT priority, n_rows, true_sum_c, clipped_sum_c,
+         |    CAST((clipped_sum_c + ${ClipC / 2}) // $ClipC AS BIGINT)
+         |      AS q_true,
+         |    CAST(${tzDuck(h3Duck("(seed + 2)"))}
+         |      - ${tzDuck(h3Duck("(seed + 3)"))} AS BIGINT) AS noise
+         |  FROM g)
+         |SELECT priority, n_rows, true_sum_c, clipped_sum_c, q_true,
+         |  noise, CAST((q_true + noise) * $ClipC AS BIGINT) AS released_c
+         |FROM z""".stripMargin,
     "dp_laplace_counts" ->
       s"""WITH g AS (SELECT o_orderpriority AS priority,
          |    CAST(count(*) AS BIGINT) AS n_true,

@@ -602,7 +602,10 @@ object TimeSeries {
     *   r2_q6    = 1e6·num² DIV (den·(nΣy² − (Σy)²))    (NULL when y
     *              is constant — 0/0 has no trend strength to report)
     * with signed DIV truncating toward zero in BOTH engines (verified:
-    * DuckDB `//` = −3 on −7/2, same as Spark DIV). Squares ride
+    * DuckDB `//` = −3 on −7/2 and −1 on −7 % 2, same as Spark DIV/% —
+    * re-measured r7 against a flagged floor-division concern: DuckDB's
+    * `//` is NOT Python floor division, so the signed staged quotient
+    * q1 is engine-identical and no sign-split is needed). Squares ride
     * DECIMAL(38,0)/HUGEINT.
     *
     * Plan: one scan → (type, hour) hash agg (grid-bounded), then ONE

@@ -69,7 +69,13 @@ class ConfParitySpec extends AnyFunSuite {
     "aqp_replicate_spread",
     "sketch_kmv_distinct", "sketch_hll_union", "sketch_hist_quantiles",
     "stats_anova", "dedup_method_agreement", "ts_backtest",
-    "join_q5_volume", "agg_cube", "text_tfidf")
+    "join_q5_volume", "agg_cube", "text_tfidf",
+    // r7 families: DP noise (trailing-zero sampler must not see
+    // partition order), the new canons (top-k tiebreak cut, disjunctive
+    // survivor set), and the TWA window pass
+    "dp_randomized_response", "dp_sum_clipped",
+    "join_q3_shipping", "agg_q6_forecast", "join_q19_disjunctive",
+    "ts_twa")
 
   private val variants: Seq[(String, Seq[(String, String)])] = Seq(
     "p9-noAQE" -> Seq(

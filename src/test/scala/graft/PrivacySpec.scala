@@ -69,6 +69,31 @@ class PrivacySpec extends AnyFunSuite {
     }
   }
 
+  test("clipped DP sum: clip, lattice quantize, and noise all recompute") {
+    val C = analytics.Privacy.ClipC
+    val rows = Tables.load(spark, sf, "orders")
+      .selectExpr("o_orderkey", "o_orderpriority",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val got = analytics.Privacy.sumClipped(spark, sf).collect()
+      .map(r => r.getAs[String]("priority") -> r).toMap
+    for ((p, rs) <- rows.groupBy(_._2)) {
+      val trueSum = rs.map(_._3).sum
+      val clipped = rs.map(r => math.min(r._3, C)).sum
+      val q = (clipped + C / 2) / C
+      val seed = rs.map(_._1).min
+      val noise = tz(h3(seed + 2)) - tz(h3(seed + 3))
+      val r = got(p)
+      assert(r.getAs[Long]("true_sum_c") == trueSum)
+      assert(r.getAs[Long]("clipped_sum_c") == clipped)
+      assert(r.getAs[Long]("q_true") == q)
+      assert(r.getAs[Long]("noise") == noise)
+      assert(r.getAs[Long]("released_c") == (q + noise) * C)
+      // clipping only ever reduces: the clipped sum is a lower bound
+      assert(clipped <= trueSum)
+    }
+  }
+
   test("trailing zeros of the hash are Geometric(1/2): empirical mean ~1") {
     // E[tz] = Σ k·2^-(k+1) = 1 for a uniform draw; a heavily biased
     // sampler (e.g. a raw LCG's alternating low bit → mean 0.5 or 2)

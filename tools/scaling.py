@@ -35,6 +35,10 @@ GATES = [
     "stats_spearman", "basket_rules", "aqp_replicate_spread",
     "sketch_hll_distinct", "sketch_kmv_union", "sketch_hist_quantiles",
     "agg_q1_pricing", "join_q5_volume", "join_q10_returns",
+    # round-7 families
+    "agg_q6_forecast", "join_q3_shipping", "join_q14_promo",
+    "join_q19_disjunctive", "dp_randomized_response", "dp_sum_clipped",
+    "ts_twa",
 ]
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 
