@@ -68,4 +68,38 @@ class PlanAuditSpec extends AnyFunSuite {
             "whitelist so the audit stays tight")
     }
   }
+
+  /** Codegen audit: the hot scan→filter→aggregate path of the headline
+    * batch gates must sit inside WholeStageCodegen spans (`*(n)` marks
+    * in the simple plan string). This is the brief's "widen the codegen
+    * spans" requirement pinned as a regression test — a change that
+    * drops an operator out of codegen (an interpreted Expression, a
+    * non-codegen UDF) fails here, not in a bench diff three rounds
+    * later. Streaming/iterative gates are exercised by the main audit
+    * above; this list is scan-heavy batch representatives. */
+  private val codegenHeadline = Seq(
+    "agg_q1_pricing", "agg_q6_forecast", "join_q5_volume",
+    "join_q19_disjunctive", "core_records_per_group", "text_tfidf",
+    "dedup_exact", "join_q3_shipping", "ts_twa", "dp_sum_clipped")
+
+  for (name <- codegenHeadline) {
+    test(s"$name keeps its hot path inside WholeStageCodegen") {
+      // AQE wraps the plan in AdaptiveSparkPlan and only materializes
+      // codegen spans as stages execute; disabling it for the audit
+      // exposes the static codegen'd plan without running anything
+      // (the codegen decision per operator is AQE-independent)
+      val plan = Conf.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+        SparkEntry.queries(name)(spark, SparkTestSession.sf)
+          .queryExecution.executedPlan.toString
+      }
+      assert(plan.contains("*("),
+        s"$name has NO WholeStageCodegen span:\n$plan")
+      // the parquet scan's consumer must be code-generated: a columnar
+      // scan feeding an interpreted operator pays per-row boxing
+      assert(plan.linesIterator.exists(l =>
+          l.contains("*(") && (l.contains("HashAggregate")
+            || l.contains("Project") || l.contains("Filter"))),
+        s"$name: no codegen'd HashAggregate/Project/Filter:\n$plan")
+    }
+  }
 }
