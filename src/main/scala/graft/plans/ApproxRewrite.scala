@@ -1,9 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HyperLogLogPlusPlus}
-import org.apache.spark.sql.catalyst.expressions.NamedExpression
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Count, HyperLogLogPlusPlus, Percentile}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 /** Opt-in approximate-query mode for distinct counts — the BlinkDB /
   * "approximation knob" idea (Agarwal et al., EuroSys 2013) applied at
@@ -37,22 +38,43 @@ object ApproxRewrite extends Rule[LogicalPlan] {
   val Flag = "spark.graft.approx.countDistinct"
   val RsdKey = "spark.graft.approx.rsd"
 
+  /** Second rewrite under the same flag: exact `percentile(x, p)` →
+    * `approx_percentile` (Greenwald–Khanna quantile summaries). The
+    * exact form buffers EVERY value per group (O(rows) aggregation
+    * state — the one built-in aggregate that cannot stream at 100 TB);
+    * the summary is fixed-size and mergeable. The child is cast to
+    * double so the approx result type matches exact percentile's
+    * DOUBLE (resp. array) exactly — drop-in at the schema level.
+    * Fires only for numeric children with the default frequency of 1
+    * (weighted percentiles have no approx twin). */
+  val AccuracyKey = "spark.graft.approx.percentileAccuracy"
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString(Flag, "false").toBoolean) plan
     else {
       val rsd = conf.getConfString(RsdKey, "0.05").toDouble
+      val acc = conf.getConfString(AccuracyKey, "10000").toInt
       plan.transform {
         case agg: Aggregate =>
           agg.copy(aggregateExpressions =
-            agg.aggregateExpressions.map(rewriteNamed(_, rsd)))
+            agg.aggregateExpressions.map(rewriteNamed(_, rsd, acc)))
       }
     }
 
-  private def rewriteNamed(e: NamedExpression, rsd: Double): NamedExpression =
+  private def rewriteNamed(e: NamedExpression, rsd: Double,
+      acc: Int): NamedExpression =
     e.transformUp {
       case ae @ AggregateExpression(Count(Seq(child)), mode, true, filter, _)
           if child.deterministic =>
         AggregateExpression(HyperLogLogPlusPlus(child, rsd), mode,
           isDistinct = false, filter, NamedExpression.newExprId)
+      case ae @ AggregateExpression(p: Percentile, mode, false, filter, _)
+          if p.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+            && p.frequencyExpression == Literal(1L)
+            && !p.reverse && p.child.deterministic =>
+        AggregateExpression(
+          ApproximatePercentile(Cast(p.child, DoubleType),
+            p.percentageExpression, Literal(acc, IntegerType), 0, 0),
+          mode, isDistinct = false, filter, NamedExpression.newExprId)
     }.asInstanceOf[NamedExpression]
 }

@@ -40,6 +40,41 @@ class ApproxRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("flag on: exact percentile plans as the GK summary, close values") {
+    def pq() = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("med"),
+        expr("percentile(l_quantity, array(0.25, 0.75))").as("iqr"))
+    val exact = pq().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Conf.withConf(spark, graft.plans.ApproxRewrite.Flag, "true") {
+      val df = pq()
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("percentile_approx")
+        || plan.contains("approx_percentile"), s"no rewrite:\n$plan")
+      df.collect().foreach { r =>
+        // l_quantity is integral 1..50; at accuracy 10k on a few
+        // thousand rows the GK summary is exact or off by ≤1
+        assert(math.abs(r.getDouble(1) - exact(r.getString(0))) <= 1.0)
+        val iqr = r.getSeq[Double](2)
+        assert(iqr.length == 2 && iqr(0) <= iqr(1))
+      }
+    }
+  }
+
+  test("weighted percentile (frequency != 1) is NOT rewritten") {
+    Conf.withConf(spark, graft.plans.ApproxRewrite.Flag, "true") {
+      val df = Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5, l_linenumber)").as("wmed"))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("approx_percentile")
+        && !plan.contains("percentile_approx"),
+        s"weighted percentile must stay exact:\n$plan")
+      assert(df.collect().length == 3)
+    }
+  }
+
   test("plain count / filtered count / multi-arg distinct stay exact") {
     Conf.withConf(spark, graft.plans.ApproxRewrite.Flag, "true") {
       // plain count is untouched by the rewrite: values must be exact
