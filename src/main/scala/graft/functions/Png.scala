@@ -1,0 +1,145 @@
+package graft.functions
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Minimal REAL PNG codec — 8-bit grayscale, all five scanline filters
+  * — in pure JDK (zlib via `java.util.zip`, CRC32 ditto). Public spec:
+  * PNG (ISO/IEC 15948 / RFC 2083).
+  *
+  * Purpose: the multimodal surface models media as opaque binary
+  * columns, and this container has no codec libraries — but "no
+  * libraries" need not mean "no real format". This encoder/decoder
+  * pair makes the decode stage of [[graft.operators.Multimodal]]
+  * exercise an actual file format end-to-end: chunk framing, CRC
+  * validation, zlib inflate, and per-row filter reconstruction (None/
+  * Sub/Up/Average/Paeth). A wrong reconstruction shifts pixel values,
+  * which the oracle-checked position-weighted checksum catches.
+  *
+  * Deliberately NOT general: grayscale-8 only, no interlace, no
+  * palette, no ancillary chunks. A production deployment swaps in a
+  * full codec behind the same byte-array boundary; everything this
+  * class does prove — batch shape, partition parallelism, payload
+  * locality — carries over unchanged.
+  */
+object Png {
+
+  private val Signature: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def be32(v: Long): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val crc = new CRC32
+    val t = tag.getBytes("US-ASCII")
+    crc.update(t); crc.update(data)
+    be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val (pa, pb, pc) = ((p - a).abs, (p - b).abs, (p - c).abs)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode `pixels` (row-major, h rows × w cols, one byte per pixel)
+    * as a real PNG. `filterOf(row)` picks the scanline filter (0–4) —
+    * callers vary it per row to exercise every decoder path. */
+  def encode(w: Int, h: Int, pixels: Array[Byte],
+      filterOf: Int => Int = _ % 5): Array[Byte] = {
+    require(pixels.length == w * h, s"pixels ${pixels.length} != $w*$h")
+    val raw = new Array[Byte]((w + 1) * h)
+    for (y <- 0 until h) {
+      val f = filterOf(y) % 5
+      raw(y * (w + 1)) = f.toByte
+      for (x <- 0 until w) {
+        val cur = pixels(y * w + x) & 0xFF
+        val left = if (x > 0) pixels(y * w + x - 1) & 0xFF else 0
+        val up = if (y > 0) pixels((y - 1) * w + x) & 0xFF else 0
+        val ul = if (x > 0 && y > 0) pixels((y - 1) * w + x - 1) & 0xFF else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(y * (w + 1) + 1 + x) = (enc & 0xFF).toByte
+      }
+    }
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
+      Array[Byte](8, 0, 0, 0, 0) // depth 8, gray, deflate, adaptive, none
+    Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Decode a grayscale-8 PNG produced by any conformant encoder:
+    * validates the signature and per-chunk CRCs, inflates the IDAT
+    * stream, reconstructs all five filters. Returns (w, h, pixels). */
+  def decode(png: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(png.length > 8 && png.take(8).sameElements(Signature),
+      "not a PNG: bad signature")
+    var off = 8
+    var w = 0; var h = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      require(off + 8 <= png.length, "truncated chunk header")
+      def u32(i: Int): Long =
+        ((png(i) & 0xFFL) << 24) | ((png(i + 1) & 0xFFL) << 16) |
+          ((png(i + 2) & 0xFFL) << 8) | (png(i + 3) & 0xFFL)
+      val len = u32(off).toInt
+      val tag = new String(png.slice(off + 4, off + 8), "US-ASCII")
+      require(off + 12 + len <= png.length, s"truncated $tag chunk")
+      val crc = new CRC32
+      crc.update(png, off + 4, 4 + len)
+      require(crc.getValue == u32(off + 8 + len), s"bad CRC in $tag")
+      val data = png.slice(off + 8, off + 8 + len)
+      tag match {
+        case "IHDR" =>
+          w = u32(off + 8).toInt; h = u32(off + 12).toInt
+          require(data(8) == 8 && data(9) == 0,
+            "only grayscale-8 supported")
+          require(data(12) == 0, "interlace not supported")
+        case "IDAT" => idat.write(data)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks: CRC-checked, then skipped
+      }
+      off += 12 + len
+    }
+    val inf = new Inflater()
+    inf.setInput(idat.toByteArray)
+    val raw = new Array[Byte]((w + 1) * h)
+    var got = 0
+    while (got < raw.length && !inf.finished())
+      got += inf.inflate(raw, got, raw.length - got)
+    inf.end()
+    require(got == raw.length, s"short inflate: $got of ${raw.length}")
+    val px = new Array[Byte](w * h)
+    for (y <- 0 until h) {
+      val f = raw(y * (w + 1)) & 0xFF
+      for (x <- 0 until w) {
+        val enc = raw(y * (w + 1) + 1 + x) & 0xFF
+        val left = if (x > 0) px(y * w + x - 1) & 0xFF else 0
+        val up = if (y > 0) px((y - 1) * w + x) & 0xFF else 0
+        val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) & 0xFF else 0
+        val cur = f match {
+          case 0 => enc
+          case 1 => enc + left
+          case 2 => enc + up
+          case 3 => enc + (left + up) / 2
+          case 4 => enc + paeth(left, up, ul)
+          case other => sys.error(s"unknown filter $other")
+        }
+        px(y * w + x) = (cur & 0xFF).toByte
+      }
+    }
+    (w, h, px)
+  }
+}
