@@ -464,7 +464,29 @@ object JoinQueries {
         coalesce(sum(col("rev_c4")), lit(0L)).as("revenue_c4"))
   }
 
+  /** NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM): the join
+    * key semantics ETL needs when NULL is a real category (unknown
+    * region, unparsed field) rather than SQL's "matches nothing". The
+    * two sides bucket orders and customers onto the same NULLable key
+    * (bucket 0 nulled out via NULLIF — the null-aware-anti gate's
+    * pattern); a plain equi-join would silently DROP the null bucket,
+    * a null-safe join pairs it exactly once. Spark plans EqualNullSafe
+    * as a first-class hash-join key (no fallback to nested-loop —
+    * PlanAuditSpec would catch that), so the null bucket costs the
+    * same as any other key at scale. */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.load(spark, dir, "orders")
+      .selectExpr("NULLIF(o_custkey % 50, 0) AS k")
+      .groupBy("k").agg(count(lit(1)).as("n_orders"))
+    val b = Tables.load(spark, dir, "customer")
+      .selectExpr("NULLIF(c_custkey % 50, 0) AS k2")
+      .groupBy("k2").agg(count(lit(1)).as("n_customers"))
+    a.join(b, a("k") <=> b("k2"))
+      .select(col("k"), col("n_orders"), col("n_customers"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_null_safe" -> nullSafeJoin _,
     "join_q3_shipping" -> q3Shipping _,
     "join_q14_promo" -> q14Promo _,
     "join_q19_disjunctive" -> q19Disjunctive _,
@@ -489,6 +511,15 @@ object JoinQueries {
     "yearly_revenue" -> yearlyRevenue _)
 
   val oracles: Map[String, String] = Map(
+    "join_null_safe" ->
+      """WITH a AS (SELECT NULLIF(o_custkey % 50, 0) AS k,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT NULLIF(c_custkey % 50, 0) AS k2,
+        |    CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM customer GROUP BY 1)
+        |SELECT k, n_orders, n_customers
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2""".stripMargin,
     "join_q3_shipping" ->
       """SELECT l_orderkey, o_orderdate,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
