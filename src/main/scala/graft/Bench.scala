@@ -49,7 +49,8 @@ object Bench {
     // A query that THROWS records -1, never an elapsed time — round 4's
     // corpus drift turned 63 crashes into fake 0.05 s "speedups" because
     // the old catch timed the failure.
-    def pass(): Map[String, Double] = benched.map { case (name, fn) =>
+    def pass(names: Seq[String]): Map[String, Double] = names.iterator.map { name =>
+      val fn = benched(name)
       val t0 = System.nanoTime()
       val ok =
         try { materialize(fn(spark, sfDir)); true }
@@ -62,13 +63,37 @@ object Bench {
       // run; drop them so later queries aren't timed under the memory
       // pressure of earlier ones
       spark.catalog.clearCache()
+      // force a GC so the ContextCleaner reclaims dead broadcasts /
+      // shuffle files / RDD blocks NOW, between gates, instead of mid-
+      // way through a later gate's timed window. Round 7's forensics:
+      // embed_lsh_recall measured 6.59 s in-suite vs 2.43 s isolated
+      // with zero code change — the suite's accumulated heap garbage
+      // (thousands of broadcasts over 305 gates on an 8g heap) taxed
+      // whichever allocation-heavy gate ran when the heap filled.
+      System.gc()
       name -> secs
+    }.toMap
+    val names = benched.keys.toSeq.sorted
+    val (p1, p2) = (pass(names), pass(names))
+    def min2(k: String): Double = {
+      val (v, w) = (p1(k), p2(k))
+      if (v < 0) w else if (w < 0) v else math.min(v, w)
     }
-    val (p1, p2) = (pass(), pass())
-    // min of the passes that succeeded; -1 only if BOTH failed
-    val results = p1.map { case (k, v) =>
-      val w = p2(k)
-      k -> (if (v < 0) w else if (w < 0) v else math.min(v, w))
+    // variance discipline (round-7 verdict): gates over 1 s get a THIRD
+    // pass, and every gate publishes its cross-pass spread, so a round-
+    // over-round delta can be read against the gate's own measured
+    // noise instead of burning a forensics task on it.
+    val slow = names.filter(k => min2(k) > 1.0)
+    val p3 = pass(slow)
+    val runsOf: Map[String, Seq[Double]] = names.map { k =>
+      k -> (Seq(p1(k), p2(k)) ++ p3.get(k)).filter(_ >= 0)
+    }.toMap
+    // min of the passes that succeeded; -1 only if ALL failed
+    val results: Map[String, Double] = runsOf.map { case (k, vs) =>
+      k -> (if (vs.isEmpty) -1.0 else vs.min)
+    }
+    val spreads: Map[String, Double] = runsOf.collect {
+      case (k, vs) if vs.size >= 2 => k -> (vs.max - vs.min)
     }
     val errored = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     def fmt(v: Double): String = f"$v%.2f"
@@ -109,7 +134,7 @@ object Bench {
       sfDir.split('/').last == "sf0.1" && only.isEmpty
     try if (isArtifactRun) {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
-      try w.println(s"""{"metric":"total","value":${fmt(okResults.values.sum)},"unit":"sec","n":${okResults.size},"errors":$errJson,"queries":$full,"prev_delta":${toJson(deltas, identity)},"sf":"${sfDir.split('/').last}"}""")
+      try w.println(s"""{"metric":"total","value":${fmt(okResults.values.sum)},"unit":"sec","n":${okResults.size},"errors":$errJson,"queries":$full,"spread":${toJson(spreads, identity)},"prev_delta":${toJson(deltas, identity)},"sf":"${sfDir.split('/').last}"}""")
       finally w.close()
     } catch { case _: Throwable => () }
     // scaling harness: SPARK_GRAFT_OUT=<path> dumps the complete

@@ -67,10 +67,10 @@ object Privacy {
     * flip bucket (probability 1/4): ε = ln(3/4 / (1/4)) = ln 3.
     * Debiasing p = 3/4: E[reported] = p·t + (1−p)(n−t) ⇒
     * t̂ = (4·reported − n) / 2, published division-free as
-    * est_x2 = 4·reported_f − n_rows alongside 2·true_f and the |gap|,
+    * est_x2 = 4·reported_f − n_rows alongside 2·eval_true_f and the |gap|,
     * so the eval is exact integers end-to-end (est_x2 may be negative
     * in a tiny group — publishing the ×2 numerator avoids the signed
-    * DIV trap entirely). true_f never leaves the gate in production —
+    * DIV trap entirely). eval_true_f never leaves the gate in production —
     * it is the eval column, same convention as [[Aqp]]. */
   def randomizedResponse(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "orders")
@@ -82,11 +82,11 @@ object Privacy {
         "CASE WHEN flip = 1 THEN 1 - b ELSE b END AS reported")
       .groupBy("priority")
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("b")).as("true_f"),
+        sum(col("b")).as("eval_true_f"),
         sum(col("reported")).as("reported_f"))
-      .selectExpr("priority", "n_rows", "true_f", "reported_f",
+      .selectExpr("priority", "n_rows", "eval_true_f", "reported_f",
         "4 * reported_f - n_rows AS est_x2",
-        "abs((4 * reported_f - n_rows) - 2 * true_f) AS abs_gap_x2")
+        "abs((4 * reported_f - n_rows) - 2 * eval_true_f) AS abs_gap_x2")
 
   /** Central-DP noisy order counts per priority: discrete Laplace
     * (two-sided geometric) with α = 1/2, ε = ln 2 at count
@@ -98,14 +98,14 @@ object Privacy {
   def laplaceCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "orders")
       .groupBy(col("o_orderpriority").as("priority"))
-      .agg(count(lit(1)).as("n_true"),
+      .agg(count(lit(1)).as("eval_n_true"),
         min(col("o_orderkey")).as("seed"))
-      .selectExpr("priority", "n_true",
+      .selectExpr("priority", "eval_n_true",
         s"${tz(h3Spark("seed"))} AS g1",
         s"${tz(h3Spark("(seed + 1)"))} AS g2")
-      .selectExpr("priority", "n_true", "g1", "g2",
+      .selectExpr("priority", "eval_n_true", "g1", "g2",
         "g1 - g2 AS noise",
-        "n_true + g1 - g2 AS n_noisy")
+        "eval_n_true + g1 - g2 AS n_noisy")
 
   /** Clip bound for [[sumClipped]], in cents ($10k): per-row
     * contribution — hence sum sensitivity — is capped here, the
@@ -130,14 +130,14 @@ object Privacy {
         "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
       .groupBy("priority")
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("cents")).as("true_sum_c"),
-        sum(least(col("cents"), lit(ClipC))).as("clipped_sum_c"),
+        sum(col("cents")).as("eval_true_sum_c"),
+        sum(least(col("cents"), lit(ClipC))).as("eval_clipped_sum_c"),
         min(col("o_orderkey")).as("seed"))
-      .selectExpr("priority", "n_rows", "true_sum_c", "clipped_sum_c",
-        s"(clipped_sum_c + ${ClipC / 2}) DIV $ClipC AS q_true",
+      .selectExpr("priority", "n_rows", "eval_true_sum_c", "eval_clipped_sum_c",
+        s"(eval_clipped_sum_c + ${ClipC / 2}) DIV $ClipC AS q_true",
         s"${tz(h3Spark("(seed + 2)"))} - ${tz(h3Spark("(seed + 3)"))}" +
           " AS noise")
-      .selectExpr("priority", "n_rows", "true_sum_c", "clipped_sum_c",
+      .selectExpr("priority", "n_rows", "eval_true_sum_c", "eval_clipped_sum_c",
         "q_true", "noise",
         s"(q_true + noise) * $ClipC AS released_c")
 
@@ -159,44 +159,44 @@ object Privacy {
          |  FROM orders),
          |g AS (SELECT priority,
          |    CAST(count(*) AS BIGINT) AS n_rows,
-         |    CAST(sum(b) AS BIGINT) AS true_f,
+         |    CAST(sum(b) AS BIGINT) AS eval_true_f,
          |    CAST(sum(CASE WHEN flip = 1 THEN 1 - b ELSE b END)
          |      AS BIGINT) AS reported_f
          |  FROM r GROUP BY priority)
-         |SELECT priority, n_rows, true_f, reported_f,
+         |SELECT priority, n_rows, eval_true_f, reported_f,
          |  CAST(4 * reported_f - n_rows AS BIGINT) AS est_x2,
-         |  CAST(abs((4 * reported_f - n_rows) - 2 * true_f) AS BIGINT)
+         |  CAST(abs((4 * reported_f - n_rows) - 2 * eval_true_f) AS BIGINT)
          |    AS abs_gap_x2
          |FROM g""".stripMargin,
     "dp_sum_clipped" ->
       s"""WITH g AS (SELECT o_orderpriority AS priority,
          |    CAST(count(*) AS BIGINT) AS n_rows,
          |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-         |      AS BIGINT) AS true_sum_c,
+         |      AS BIGINT) AS eval_true_sum_c,
          |    CAST(sum(least(CAST(round(o_totalprice * 100) AS BIGINT),
-         |      $ClipC)) AS BIGINT) AS clipped_sum_c,
+         |      $ClipC)) AS BIGINT) AS eval_clipped_sum_c,
          |    CAST(min(o_orderkey) AS BIGINT) AS seed
          |  FROM orders GROUP BY o_orderpriority),
-         |z AS (SELECT priority, n_rows, true_sum_c, clipped_sum_c,
-         |    CAST((clipped_sum_c + ${ClipC / 2}) // $ClipC AS BIGINT)
+         |z AS (SELECT priority, n_rows, eval_true_sum_c, eval_clipped_sum_c,
+         |    CAST((eval_clipped_sum_c + ${ClipC / 2}) // $ClipC AS BIGINT)
          |      AS q_true,
          |    CAST(${tzDuck(h3Duck("(seed + 2)"))}
          |      - ${tzDuck(h3Duck("(seed + 3)"))} AS BIGINT) AS noise
          |  FROM g)
-         |SELECT priority, n_rows, true_sum_c, clipped_sum_c, q_true,
+         |SELECT priority, n_rows, eval_true_sum_c, eval_clipped_sum_c, q_true,
          |  noise, CAST((q_true + noise) * $ClipC AS BIGINT) AS released_c
          |FROM z""".stripMargin,
     "dp_laplace_counts" ->
       s"""WITH g AS (SELECT o_orderpriority AS priority,
-         |    CAST(count(*) AS BIGINT) AS n_true,
+         |    CAST(count(*) AS BIGINT) AS eval_n_true,
          |    CAST(min(o_orderkey) AS BIGINT) AS seed
          |  FROM orders GROUP BY o_orderpriority),
-         |z AS (SELECT priority, n_true,
+         |z AS (SELECT priority, eval_n_true,
          |    ${tzDuck(h3Duck("seed"))} AS g1,
          |    ${tzDuck(h3Duck("(seed + 1)"))} AS g2
          |  FROM g)
-         |SELECT priority, n_true, g1, g2,
+         |SELECT priority, eval_n_true, g1, g2,
          |  CAST(g1 - g2 AS BIGINT) AS noise,
-         |  CAST(n_true + g1 - g2 AS BIGINT) AS n_noisy
+         |  CAST(eval_n_true + g1 - g2 AS BIGINT) AS n_noisy
          |FROM z""".stripMargin)
 }

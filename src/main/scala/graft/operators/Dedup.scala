@@ -728,8 +728,13 @@ object Dedup {
     * Prefix membership test, division-free: rn <= |d| - ceil(n·|d|/e) + 1
     * ⟺ ceil(n·|d|/e) <= |d| - rn + 1 ⟺ n·|d| <= e·(|d| - rn + 1)
     * (ceil(x) <= k equals x <= k for integer k). */
-  def setSimJoin(docs: DataFrame, num: Long = setSimNum,
-      den: Long = setSimDen): DataFrame = {
+  /** Shared PPJoin building blocks: the df-ordered prefix frame
+    * (tid, doc_id, sz, rn — PERSISTED, it seeds every candidate pass)
+    * and the per-doc sorted tid arrays the merge verifier consumes
+    * (PERSISTED — both [[setSimJoin]]'s single verify and
+    * [[setSimCanonical]]'s two verify rounds read it). */
+  private def setSimParts(docs: DataFrame, num: Long,
+      den: Long): (DataFrame, DataFrame) = {
     // tok feeds ranking, both verify arms, and sizes; persist beats
     // re-tokenizing four times (same reasoning as jaccardVerify's g)
     val tok = docs
@@ -752,6 +757,19 @@ object Dedup {
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("sz", count(lit(1)).over(wSz))
       .filter(lit(num) * col("sz") <= lit(den) * (col("sz") - col("rn") + 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docToks = tokT.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tid"))).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (pref, docToks)
+  }
+
+  /** The raw PPJoin candidate stream off a prefix frame — NO distinct:
+    * the caller decides whether to pay the candidate-dedup shuffle
+    * ([[setSimJoin]] must — it verifies each pair once) or to consume
+    * the stream map-side ([[setSimCanonical]]'s partial-aggregated
+    * seed pass never materializes it). */
+  private def candStream(pref: DataFrame, num: Long, den: Long): DataFrame = {
     // length filter inside the join: |a| and |b| within a factor of
     // den/num of each other, else Jaccard can't reach num/den
     val a = pref.select(col("tid"), col("doc_id").as("da"), col("sz").as("na"),
@@ -771,31 +789,21 @@ object Dedup {
     // rows -> 21M at sf0.1, and the distinct that dominated the gate
     // (13 of 17.8 s) shrinks with it.
     val ubound = lit(1L) + least(col("na") - col("rna"), col("nb") - col("rnb"))
-    val cand = a.join(b, col("tid") === col("tid2")
+    a.join(b, col("tid") === col("tid2")
         && col("da") < col("db")
         && lit(num) * col("na") <= lit(den) * col("nb")
         && lit(num) * col("nb") <= lit(den) * col("na")
         && lit(num + den) * ubound >= lit(num) * (col("na") + col("nb")))
-      .select("da", "db").distinct()
-    // Verification by sorted-array merge, not a token-explode join: on
-    // template-heavy corpora the candidate set is output-bounded (this
-    // corpus holds ~5M true pairs at t=0.7 and sf0.1 — quadratic
-    // OUTPUT is inherent to the operator, not a plan artifact), and a
-    // candidate×token-explode verify shuffles Σ|tokens(cand)| ≈ 300M
-    // rows through two joins + an aggregation. Instead each candidate
-    // pair joins (broadcast — one array per DOC, bounded by doc
-    // length, no hot-token postings) to two sorted tid arrays and the
-    // codegen'd zero-allocation two-pointer merge counts the
-    // intersection: one row per pair end-to-end. Two dead ends, kept
-    // for the record (sf0.1, min-of-2): token-explode verify 57.96 s;
-    // size(array_intersect) 106.96 s (hash set built per pair); string
-    // -array merge kernel 51.14 s (the threshold lands in the join
-    // condition, so the kernel runs 2-3x per pair and every element
-    // access allocates a UTF8String). Dictionary-encoded long arrays
-    // + the same kernel: 18.35 s.
+      .select("da", "db")
+  }
+
+  /** Exact Jaccard verification of a candidate pair frame (da, db)
+    * against the per-doc sorted tid arrays: broadcast-shaped joins
+    * (one array per DOC — bounded by doc length, no hot-token
+    * postings) + the codegen'd zero-allocation two-pointer merge. */
+  private def verifyPairs(cand: DataFrame, docToks: DataFrame,
+      num: Long, den: Long): DataFrame = {
     import graft.functions.SortedIntersectCount.sorted_intersect_count
-    val docToks = tokT.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("tid"))).as("toks"))
     cand
       .join(docToks.select(col("doc_id").as("da"), col("toks").as("ta")), "da")
       .join(docToks.select(col("doc_id").as("db"), col("toks").as("tb")), "db")
@@ -803,6 +811,25 @@ object Dedup {
       .withColumn("union_cnt",
         (size(col("ta")) + size(col("tb"))).cast("long") - col("inter_cnt"))
       .filter(lit(den) * col("inter_cnt") >= lit(num) * col("union_cnt"))
+  }
+
+  def setSimJoin(docs: DataFrame, num: Long = setSimNum,
+      den: Long = setSimDen): DataFrame = {
+    val (pref, docToks) = setSimParts(docs, num, den)
+    val cand = candStream(pref, num, den).distinct()
+    // Verification by sorted-array merge, not a token-explode join: on
+    // template-heavy corpora the candidate set is output-bounded (this
+    // corpus holds ~5M true pairs at t=0.7 and sf0.1 — quadratic
+    // OUTPUT is inherent to the operator, not a plan artifact), and a
+    // candidate×token-explode verify shuffles Σ|tokens(cand)| ≈ 300M
+    // rows through two joins + an aggregation; see [[verifyPairs]].
+    // Two dead ends, kept for the record (sf0.1, min-of-2):
+    // token-explode verify 57.96 s; size(array_intersect) 106.96 s
+    // (hash set built per pair); string-array merge kernel 51.14 s
+    // (the threshold lands in the join condition, so the kernel runs
+    // 2-3x per pair and every element access allocates a UTF8String).
+    // Dictionary-encoded long arrays + the same kernel: 18.35 s.
+    verifyPairs(cand, docToks, num, den)
       .select("da", "db", "inter_cnt", "union_cnt")
   }
 

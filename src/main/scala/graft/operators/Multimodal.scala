@@ -359,8 +359,51 @@ object Multimodal {
         "px_min", "px_max")
   }
 
+  /** Truecolor twin of [[pngDecode]]: per asset, generate
+    * deterministic interleaved RGB bytes (3 per pixel), encode as a
+    * REAL color-type-2 PNG, decode, and publish per-CHANNEL sums plus
+    * the position-weighted checksum. RGB exercises the filter paths
+    * grayscale cannot: PNG filters subtract the byte `bpp` positions
+    * back, so with bpp=3 the Sub/Average/Paeth reconstructions read a
+    * different neighbor — and the per-channel sums catch any channel
+    * misalignment a total sum would hide. Oracle recomputes from the
+    * generator (never sees a PNG), same as the grayscale gate. */
+  def pngDecodeRgb(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < 120)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { a =>
+          val w = (a % 20 + 6).toInt
+          val h = ((a * 5) % 20 + 6).toInt
+          val px = Array.tabulate(3 * w * h)(i =>
+            (h3(a * 65536L + i) % 256).toByte)
+          val png = graft.functions.Png.encodeRgb(w, h, px,
+            r => ((r + a) % 5).toInt)
+          val (dw, dh, dec) = graft.functions.Png.decodeRgb(png)
+          var sr = 0L; var sg = 0L; var sb = 0L; var wsum = 0L
+          var i = 0
+          while (i < dec.length) {
+            val v = dec(i) & 0xFF
+            (i % 3: @annotation.switch) match {
+              case 0 => sr += v
+              case 1 => sg += v
+              case 2 => sb += v
+            }
+            wsum += (i + 1L) * v
+            i += 1
+          }
+          (a, dw.toLong, dh.toLong, sr, sg, sb, wsum)
+        }
+      }
+      .toDF("asset_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        "checksum")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_png_decode" -> pngDecode _,
+    "multimodal_png_rgb" -> pngDecodeRgb _,
     "multimodal_audio_windows" -> audioWindows _,
     "multimodal_meta" -> metaQuery _,
     "multimodal_frames" -> frameSample _,
@@ -390,6 +433,28 @@ object Multimodal {
         |  CAST(sum((i + 1) * p) AS BIGINT) AS checksum,
         |  CAST(min(p) AS BIGINT) AS px_min,
         |  CAST(max(p) AS BIGINT) AS px_max
+        |FROM px GROUP BY a""".stripMargin,
+    "multimodal_png_rgb" ->
+      """WITH ids AS (SELECT doc_id AS a FROM documents WHERE doc_id < 120),
+        |ex AS (SELECT a,
+        |    unnest(generate_series(CAST(0 AS BIGINT),
+        |      3 * (a % 20 + 6) * ((a * 5) % 20 + 6) - 1)) AS i
+        |  FROM ids),
+        |px AS (SELECT a, i,
+        |    (xor(
+        |       (((a * 65536 + i) % 2147483648 * 1103515245 + 12345)
+        |         % 2147483648 * 1103515245 + 12345) % 2147483648,
+        |       ((((a * 65536 + i) % 2147483648 * 1103515245 + 12345)
+        |         % 2147483648 * 1103515245 + 12345) % 2147483648) >> 15
+        |     ) * 1103515245 + 12345) % 2147483648 % 256 AS p
+        |  FROM ex)
+        |SELECT a AS asset_id,
+        |  CAST(a % 20 + 6 AS BIGINT) AS width,
+        |  CAST((a * 5) % 20 + 6 AS BIGINT) AS height,
+        |  CAST(sum(CASE WHEN i % 3 = 0 THEN p ELSE 0 END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN i % 3 = 1 THEN p ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN i % 3 = 2 THEN p ELSE 0 END) AS BIGINT) AS sum_b,
+        |  CAST(sum((i + 1) * p) AS BIGINT) AS checksum
         |FROM px GROUP BY a""".stripMargin,
     "multimodal_audio_windows" ->
       s"""WITH a AS (SELECT doc_id AS asset_id,

@@ -38,7 +38,7 @@ object ApproxRewrite extends Rule[LogicalPlan] {
   val Flag = "spark.graft.approx.countDistinct"
   val RsdKey = "spark.graft.approx.rsd"
 
-  /** Second rewrite under the same flag: exact `percentile(x, p)` →
+  /** Second rewrite under its OWN flag: exact `percentile(x, p)` →
     * `approx_percentile` (Greenwald–Khanna quantile summaries). The
     * exact form buffers EVERY value per group (O(rows) aggregation
     * state — the one built-in aggregate that cannot stream at 100 TB);
@@ -46,30 +46,38 @@ object ApproxRewrite extends Rule[LogicalPlan] {
     * double so the approx result type matches exact percentile's
     * DOUBLE (resp. array) exactly — drop-in at the schema level.
     * Fires only for numeric children with the default frequency of 1
-    * (weighted percentiles have no approx twin). */
+    * (weighted percentiles have no approx twin). Separate key so a
+    * session opting in to approximate distinct counts does not
+    * silently also get approximate percentiles — each flag's name
+    * matches its blast radius exactly. */
+  val PercentileFlag = "spark.graft.approx.percentile"
   val AccuracyKey = "spark.graft.approx.percentileAccuracy"
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(Flag, "false").toBoolean) plan
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val doDistinct = conf.getConfString(Flag, "false").toBoolean
+    val doPct = conf.getConfString(PercentileFlag, "false").toBoolean
+    if (!doDistinct && !doPct) plan
     else {
       val rsd = conf.getConfString(RsdKey, "0.05").toDouble
       val acc = conf.getConfString(AccuracyKey, "10000").toInt
       plan.transform {
         case agg: Aggregate =>
-          agg.copy(aggregateExpressions =
-            agg.aggregateExpressions.map(rewriteNamed(_, rsd, acc)))
+          agg.copy(aggregateExpressions = agg.aggregateExpressions
+            .map(rewriteNamed(_, doDistinct, doPct, rsd, acc)))
       }
     }
+  }
 
-  private def rewriteNamed(e: NamedExpression, rsd: Double,
-      acc: Int): NamedExpression =
+  private def rewriteNamed(e: NamedExpression, doDistinct: Boolean,
+      doPct: Boolean, rsd: Double, acc: Int): NamedExpression =
     e.transformUp {
       case ae @ AggregateExpression(Count(Seq(child)), mode, true, filter, _)
-          if child.deterministic =>
+          if doDistinct && child.deterministic =>
         AggregateExpression(HyperLogLogPlusPlus(child, rsd), mode,
           isDistinct = false, filter, NamedExpression.newExprId)
       case ae @ AggregateExpression(p: Percentile, mode, false, filter, _)
-          if p.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+          if doPct
+            && p.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
             && p.frequencyExpression == Literal(1L)
             && !p.reverse && p.child.deterministic =>
         AggregateExpression(

@@ -47,7 +47,15 @@ class ApproxRewriteSpec extends AnyFunSuite {
         expr("percentile(l_quantity, array(0.25, 0.75))").as("iqr"))
     val exact = pq().collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // scope separation: the countDistinct flag alone must NOT touch
+    // percentiles — each flag's name matches its blast radius
     Conf.withConf(spark, graft.plans.ApproxRewrite.Flag, "true") {
+      val plan = pq().queryExecution.optimizedPlan.toString
+      assert(!plan.contains("percentile_approx")
+        && !plan.contains("approx_percentile"),
+        s"countDistinct flag must not rewrite percentiles:\n$plan")
+    }
+    Conf.withConf(spark, graft.plans.ApproxRewrite.PercentileFlag, "true") {
       val df = pq()
       val plan = df.queryExecution.optimizedPlan.toString
       assert(plan.contains("percentile_approx")
@@ -63,7 +71,7 @@ class ApproxRewriteSpec extends AnyFunSuite {
   }
 
   test("weighted percentile (frequency != 1) is NOT rewritten") {
-    Conf.withConf(spark, graft.plans.ApproxRewrite.Flag, "true") {
+    Conf.withConf(spark, graft.plans.ApproxRewrite.PercentileFlag, "true") {
       val df = Tables.load(spark, sf, "lineitem")
         .groupBy("l_returnflag")
         .agg(expr("percentile(l_quantity, 0.5, l_linenumber)").as("wmed"))

@@ -61,4 +61,56 @@ class PngSpec extends AnyFunSuite {
     intercept[Exception](Png.decode(png.take(png.length / 2)))
     intercept[Exception](Png.decode(png.take(7)))
   }
+
+  test("RGB round-trip: decodeRgb(encodeRgb(px)) == px, all filters") {
+    for (seed <- 1L to 15L) {
+      val w = (seed % 30 + 1).toInt
+      val h = (seed * 11 % 30 + 1).toInt
+      val px = lcgPixels(seed + 100, 3 * w * h)
+      for (filter <- 0 to 4) {
+        val (dw, dh, dec) = Png.decodeRgb(Png.encodeRgb(w, h, px, _ => filter))
+        assert(dw == w && dh == h, s"dims drifted at seed=$seed f=$filter")
+        assert(dec.sameElements(px), s"pixels drifted at seed=$seed f=$filter")
+      }
+      val (_, _, mixed) =
+        Png.decodeRgb(Png.encodeRgb(w, h, px, r => (r + 2) % 5))
+      assert(mixed.sameElements(px))
+    }
+  }
+
+  test("RGB Sub/Paeth use the 3-byte-back neighbor, not the gray one") {
+    // a gradient image where byte i-1 != byte i-3: if the decoder used
+    // the grayscale offset, reconstruction would shift channel values
+    val w = 16; val h = 4
+    val px = Array.tabulate(3 * w * h)(i => ((i * 37 + (i % 3) * 91) % 256).toByte)
+    for (filter <- Seq(1, 3, 4)) {
+      val (_, _, dec) = Png.decodeRgb(Png.encodeRgb(w, h, px, _ => filter))
+      assert(dec.sameElements(px), s"bpp-offset wrong under filter $filter")
+    }
+  }
+
+  test("gray/RGB type confusion is rejected") {
+    val g = Png.encode(4, 4, lcgPixels(3, 16))
+    val c = Png.encodeRgb(4, 4, lcgPixels(4, 48))
+    intercept[IllegalArgumentException](Png.decodeRgb(g))
+    intercept[IllegalArgumentException](Png.decode(c))
+  }
+
+  test("a short IDAT stream fails fast instead of spinning") {
+    // craft a PNG whose IHDR advertises more rows than IDAT carries:
+    // encode 2 rows, then doctor IHDR height to 4 (fixing its CRC).
+    val png = Png.encode(8, 2, lcgPixels(21, 16))
+    import java.util.zip.CRC32
+    // IHDR data starts at offset 16 (8 sig + 4 len + 4 tag); height at +4
+    png(16 + 7) = 4.toByte
+    val crc = new CRC32
+    crc.update(png, 12, 4 + 13) // tag + IHDR payload
+    val v = crc.getValue
+    png(16 + 13) = (v >>> 24).toByte; png(16 + 14) = (v >>> 16).toByte
+    png(16 + 15) = (v >>> 8).toByte; png(16 + 16) = v.toByte
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalArgumentException](Png.decode(png))
+    assert(e.getMessage.contains("short inflate"))
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "decode did not fail fast")
+  }
 }

@@ -39,7 +39,7 @@ class PrivacySpec extends AnyFunSuite {
       }.sum
       val r = got(p)
       assert(r.getAs[Long]("n_rows") == n)
-      assert(r.getAs[Long]("true_f") == trueF)
+      assert(r.getAs[Long]("eval_true_f") == trueF)
       assert(r.getAs[Long]("reported_f") == reported)
       assert(r.getAs[Long]("est_x2") == 4 * reported - n)
       assert(r.getAs[Long]("abs_gap_x2")
@@ -62,7 +62,7 @@ class PrivacySpec extends AnyFunSuite {
       val seed = rs.map(_._1).min
       val (g1, g2) = (tz(h3(seed)), tz(h3(seed + 1)))
       val r = got(p)
-      assert(r.getAs[Long]("n_true") == rs.length.toLong)
+      assert(r.getAs[Long]("eval_n_true") == rs.length.toLong)
       assert(r.getAs[Long]("g1") == g1 && r.getAs[Long]("g2") == g2)
       assert(r.getAs[Long]("noise") == g1 - g2)
       assert(r.getAs[Long]("n_noisy") == rs.length + g1 - g2)
@@ -84,8 +84,8 @@ class PrivacySpec extends AnyFunSuite {
       val seed = rs.map(_._1).min
       val noise = tz(h3(seed + 2)) - tz(h3(seed + 3))
       val r = got(p)
-      assert(r.getAs[Long]("true_sum_c") == trueSum)
-      assert(r.getAs[Long]("clipped_sum_c") == clipped)
+      assert(r.getAs[Long]("eval_true_sum_c") == trueSum)
+      assert(r.getAs[Long]("eval_clipped_sum_c") == clipped)
       assert(r.getAs[Long]("q_true") == q)
       assert(r.getAs[Long]("noise") == noise)
       assert(r.getAs[Long]("released_c") == (q + noise) * C)

@@ -391,4 +391,45 @@ class TimeSeriesSpec extends AnyFunSuite {
         && r.getAs[Long]("twa_cents") <= hi)
     }
   }
+
+  test("negative-slope staged signed DIV truncates toward zero (pinned)") {
+    // r7 verdict #3: the slope_q6/r2_q6 staging relies on Spark DIV and
+    // DuckDB // both truncating toward zero on NEGATIVE operands — this
+    // drives the real pipeline over a synthetic decreasing series with
+    // inexact quotients (the DuckDB twin lives in tools/selfcheck.py;
+    // both fixtures use the identical series and window).
+    import spark.implicits._
+    val win = TimeSeries.slopeWin
+    val nPts = win + 2
+    val cents = (0 until nPts).map(x => 100000L - 1370L * x + (x * 37) % 11)
+    val events = (0 until nPts).map { x =>
+      ("neg",
+        new java.sql.Timestamp((TimeSeries.slopeEpoch0 + x * 3600L) * 1000L),
+        cents(x) / 100.0)
+    }.toDF("event_type", "ts", "value")
+    val got = TimeSeries.rollingSlopeFrom(events).orderBy("x").collect()
+    assert(got.length == nPts - win + 1)
+    var sawInexact = false
+    got.foreach { r =>
+      val xEnd = r.getLong(1)
+      val fr = (xEnd - win + 1 to xEnd)
+        .map(x => (BigInt(x), BigInt(cents(x.toInt))))
+      val n = BigInt(win)
+      val sx = fr.map(_._1).sum; val sy = fr.map(_._2).sum
+      val sxy = fr.map(p => p._1 * p._2).sum
+      val sxx = fr.map(p => p._1 * p._1).sum
+      val syy = fr.map(p => p._2 * p._2).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val deny = n * syy - sy * sy
+      assert(num < 0, "fixture must exercise a negative numerator")
+      // BigInt '/' truncates toward zero — the independent reference
+      val q1 = (BigInt(1000000) * num) / den
+      if ((BigInt(1000000) * num) % den != 0) sawInexact = true
+      assert(r.getLong(4) == q1.toLong, s"slope_q6 at x=$xEnd")
+      assert(r.getLong(5) == ((q1 * num) / deny).toLong, s"r2_q6 at x=$xEnd")
+    }
+    assert(sawInexact,
+      "fixture must hit an inexact signed quotient or it pins nothing")
+  }
 }

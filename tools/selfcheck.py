@@ -20,6 +20,60 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+fails, passes, rowsonly = [], [], []
+
+# Engine-semantics fixture (r7 verdict #3): the slope_q6/r2_q6 staging
+# assumes DuckDB `//` truncates toward zero on NEGATIVE operands like
+# Spark DIV (it is NOT Python floor division). Pin it with the same
+# synthetic decreasing series TimeSeriesSpec drives through the Spark
+# pipeline — if a DuckDB upgrade flips `//` to floor semantics, this
+# hard-fails before the driver ever sees a silent hash mismatch.
+def _check_signed_div():
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a < 0) == (b < 0) else -q
+    win, npts = 24, 26
+    cents = [100000 - 1370 * x + (x * 37) % 11 for x in range(npts)]
+    expected, saw_inexact = [], False
+    for end in range(win - 1, npts):
+        xs = list(range(end - win + 1, end + 1))
+        ys = [cents[x] for x in xs]
+        n, sx, sy = win, sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        assert num < 0, "fixture must exercise a negative numerator"
+        if abs(1000000 * num) % abs(den):
+            saw_inexact = True
+        q1 = tdiv(1000000 * num, den)
+        expected.append((xs[-1], q1, tdiv(q1 * num, deny)))
+    assert saw_inexact, "fixture must hit an inexact signed quotient"
+    duck = con.execute(f"""
+        WITH pts AS (SELECT x, 100000 - 1370*x + (x*37) %% 11 AS y
+            FROM (SELECT unnest(range({npts})) AS x)),
+        m AS (SELECT x, count(*) OVER w AS n, sum(x) OVER w AS sx,
+              sum(y) OVER w AS sy, sum(x*y) OVER w AS sxy,
+              sum(x*x) OVER w AS sxx,
+              sum(CAST(y AS HUGEINT)*y) OVER w AS syy,
+              row_number() OVER (ORDER BY x) AS rn
+            FROM pts WINDOW w AS (ORDER BY x
+              ROWS BETWEEN {win - 1} PRECEDING AND CURRENT ROW)),
+        s AS (SELECT x, CAST(n*sxy - sx*sy AS HUGEINT) AS num,
+              CAST(n*sxx - sx*sx AS HUGEINT) AS den,
+              CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS deny
+            FROM m WHERE rn >= {win})
+        SELECT x, CAST((1000000*num) // den AS BIGINT) AS q1,
+          CAST(((1000000*num) // den * num) // deny AS BIGINT) AS r2
+        FROM s ORDER BY x""".replace("%%", "%")).fetchall()
+    if [tuple(r) for r in duck] != expected:
+        fails.append(("_fixture_signed_div",
+                      f"DuckDB // diverged from trunc-toward-zero on "
+                      f"negative staged quotients: {duck} vs {expected}"))
+
+_check_signed_div()
+
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize timestamps to ns-free strings? keep as is; sort rows
@@ -28,7 +82,6 @@ def canon(df):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
-fails, passes, rowsonly = [], [], []
 for d in sorted(os.listdir(outdir)):
     p = os.path.join(outdir, d)
     if not os.path.isdir(p):
