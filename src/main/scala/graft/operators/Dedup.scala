@@ -733,7 +733,7 @@ object Dedup {
     * and the per-doc sorted tid arrays the merge verifier consumes
     * (PERSISTED — both [[setSimJoin]]'s single verify and
     * [[setSimCanonical]]'s two verify rounds read it). */
-  private def setSimParts(docs: DataFrame, num: Long,
+  private[operators] def setSimParts(docs: DataFrame, num: Long,
       den: Long): (DataFrame, DataFrame) = {
     // tok feeds ranking, both verify arms, and sizes; persist beats
     // re-tokenizing four times (same reasoning as jaccardVerify's g)
@@ -769,7 +769,7 @@ object Dedup {
     * ([[setSimJoin]] must — it verifies each pair once) or to consume
     * the stream map-side ([[setSimCanonical]]'s partial-aggregated
     * seed pass never materializes it). */
-  private def candStream(pref: DataFrame, num: Long, den: Long): DataFrame = {
+  private[operators] def candStream(pref: DataFrame, num: Long, den: Long): DataFrame = {
     // length filter inside the join: |a| and |b| within a factor of
     // den/num of each other, else Jaccard can't reach num/den
     val a = pref.select(col("tid"), col("doc_id").as("da"), col("sz").as("na"),
@@ -801,7 +801,7 @@ object Dedup {
     * against the per-doc sorted tid arrays: broadcast-shaped joins
     * (one array per DOC — bounded by doc length, no hot-token
     * postings) + the codegen'd zero-allocation two-pointer merge. */
-  private def verifyPairs(cand: DataFrame, docToks: DataFrame,
+  private[operators] def verifyPairs(cand: DataFrame, docToks: DataFrame,
       num: Long, den: Long): DataFrame = {
     import graft.functions.SortedIntersectCount.sorted_intersect_count
     cand
@@ -851,6 +851,101 @@ object Dedup {
   // already out-runs at this output density.
   def setSimQuery(spark: SparkSession, dir: String): DataFrame =
     setSimJoin(Tables.load(spark, dir, "documents"))
+
+  /** BOUNDED-OUTPUT production form of the set-similarity dedup
+    * (r7 verdict #4): per-document canonical representative under the
+    * exact-Jaccard>=num/den pair graph — O(docs) output instead of
+    * [[setSimJoin]]'s O(pairs) (~5M rows at sf0.1, measured exponent
+    * 1.11 purely from EMITTING them). The components are EXACTLY those
+    * of the full verified pair graph, but almost none of the quadratic
+    * pair volume is ever verified or even deduplicated:
+    *
+    *  1. SEED pass: from the raw prefix-candidate stream (no
+    *     distinct), each node keeps only its MINIMUM candidate
+    *     neighbour per direction — a groupBy whose map-side partial
+    *     aggregation collapses the 21M-row stream to <=2n rows before
+    *     the exchange (the distinct that dominates setSimJoin shuffles
+    *     everything). Verify those <=2n edges, union-find them
+    *     ([[dupClustersStar]]).
+    *  2. CROSS pass: re-stream the candidates, drop every pair whose
+    *     endpoints already share a provisional component (label attach
+    *     is a broadcast hash join on the n-row label frame — map-side,
+    *     no shuffle), distinct+verify only the survivors, and re-run
+    *     the star alternation over seed+cross verified edges.
+    *
+    * Exactness: every candidate pair is either verified (seed or
+    * cross) or intra-component under edges that were themselves
+    * verified — and candidate generation is complete for true pairs
+    * (prefix-filter property), so component equality with the
+    * all-pairs graph holds on ANY corpus; the corpus only controls how
+    * FEW cross-pairs survive (dense near-clique clusters -> the seed
+    * pass alone captures nearly everything). This is the 100 TB path:
+    * representatives, not pairs, and the pair-quadratic term never
+    * leaves the map side. */
+  def setSimCanonical(docs: DataFrame, num: Long = setSimNum,
+      den: Long = setSimDen): DataFrame = {
+    val spark = docs.sparkSession
+    val (pref, docToks) = setSimParts(docs, num, den)
+    val cands = candStream(pref, num, den)
+    // ONE pass over the candidate stream: explode each pair into both
+    // directions and take FOUR probe neighbours per node (min, max,
+    // and min/max under a hash reshuffle of the id space) — all plain
+    // min/max aggregates, so the map-side partial agg collapses the
+    // stream to <=4 rows per node per task and the exchange carries
+    // O(n) rows however quadratic the stream is. One probe per node
+    // proved too sparse in practice (2/5 of min-candidates failed
+    // verification at sf0.1 and the provisional components fractured
+    // the dense cluster -> 3.7M surviving cross pairs); four diverse
+    // probes connect a dense component with high probability, which
+    // only SPEED depends on — exactness rides the cross sweep.
+    val hv = pmod(xxhash64(col("e.v")), lit(1L << 22)) * lit(1L << 40) +
+      col("e.v")
+    val probes = cands.select(explode(array(
+        struct(col("da").as("u"), col("db").as("v")),
+        struct(col("db").as("u"), col("da").as("v")))).as("e"))
+      .groupBy(col("e.u").as("u"))
+      .agg(min(col("e.v")).as("p1"), max(col("e.v")).as("p2"),
+        min(hv).as("h1"), max(hv).as("h2"))
+    val seed = probes.select(col("u"), explode(array(col("p1"), col("p2"),
+        pmod(col("h1"), lit(1L << 40)), pmod(col("h2"), lit(1L << 40))))
+        .as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("da"),
+        greatest(col("u"), col("v")).as("db"))
+      .distinct()
+    val seedOk = verifyPairs(seed, docToks, num, den)
+      .select("da", "db").localCheckpoint()
+    val nodes = docs.select(col("doc_id"))
+    val labels0 = graft.Conf.withConf(spark, "spark.sql.shuffle.partitions",
+        clusterShufflePartitions) {
+      dupClustersStar(nodes, seedOk)._1.localCheckpoint()
+    }
+    def lab(side: String) = broadcast(labels0
+      .select(col("doc_id").as(side), col("cluster_id").as(s"l$side")))
+    val cross = cands
+      .join(lab("da"), "da").join(lab("db"), "db")
+      .filter(col("lda") =!= col("ldb"))
+      .select("da", "db").distinct()
+    val crossOk = verifyPairs(cross, docToks, num, den).select("da", "db")
+    // second alternation runs on the CONTRACTED graph — labels0's
+    // (doc -> provisional root) star edges plus the cross-verified
+    // pairs; same components as seed+cross edges, but the input is
+    // already component-stars so the loop converges in ~2 rounds
+    val contracted = labels0.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("da"), col("cluster_id").as("db"))
+    val labels = graft.Conf.withConf(spark, "spark.sql.shuffle.partitions",
+        clusterShufflePartitions) {
+      dupClustersStar(nodes, contracted.union(crossOk))._1.localCheckpoint()
+    }
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_id")) // bounded by the largest cluster
+    labels.select(col("doc_id"), col("cluster_id").as("canonical_id"))
+      .withColumn("n_members", count(lit(1)).over(wc))
+  }
+
+  /** Gate form of [[setSimCanonical]]. */
+  def setSimCanonicalQuery(spark: SparkSession, dir: String): DataFrame =
+    setSimCanonical(Tables.load(spark, dir, "documents"))
 
   // --- Block-level (passage) dedup ---------------------------------------
 
@@ -1352,6 +1447,7 @@ object Dedup {
     "dedup_minhash_calibration" -> minhashCalibration _,
     "dedup_method_agreement" -> methodAgreement _,
     "dedup_setsim" -> setSimQuery _,
+    "dedup_setsim_canonical" -> setSimCanonicalQuery _,
     "dedup_clusters" -> clustersQuery _,
     "dedup_clusters_star" -> clustersStarQuery _)
 
@@ -1800,5 +1896,31 @@ object Dedup {
          |FROM inter
          |JOIN sz sa ON sa.doc_id = da
          |JOIN sz sb ON sb.doc_id = db
-         |WHERE $setSimDen * i >= $setSimNum * (sa.n + sb.n - i)""".stripMargin)
+         |WHERE $setSimDen * i >= $setSimNum * (sa.n + sb.n - i)""".stripMargin,
+    // components of the exact-Jaccard pair graph (same pair set as
+    // dedup_setsim) via the house recursive closure; min doc per
+    // component = canonical, window count = cluster size
+    "dedup_setsim_canonical" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id,
+         |    unnest(list_distinct(str_split(text, ' '))) AS tok
+         |  FROM documents),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM tok GROUP BY doc_id),
+         |sp AS MATERIALIZED (SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM tok a JOIN tok b ON b.tok = a.tok AND a.doc_id < b.doc_id
+         |  JOIN sz sa ON sa.doc_id = a.doc_id
+         |  JOIN sz sb ON sb.doc_id = b.doc_id
+         |  GROUP BY 1, 2, sa.n, sb.n
+         |  HAVING $setSimDen * count(*) >= $setSimNum * (sa.n + sb.n - count(*))),
+         |edges AS (SELECT da AS u, db AS v FROM sp
+         |          UNION SELECT db, da FROM sp),
+         |reach(n, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.n = e.v),
+         |cl AS (SELECT n AS doc_id, min(r) AS canonical_id FROM reach GROUP BY n)
+         |SELECT doc_id, canonical_id,
+         |  CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+         |    AS n_members
+         |FROM cl""".stripMargin)
 }
