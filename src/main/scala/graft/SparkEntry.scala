@@ -72,7 +72,8 @@ object SparkEntry {
       analytics.Aqp.queries ++
       analytics.Sketches.queries ++
       analytics.Privacy.queries ++
-      streaming.StreamSketch.queries
+      streaming.StreamSketch.queries ++
+      plans.ApproxRewrite.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -129,5 +130,6 @@ object SparkEntry {
       analytics.Aqp.oracles ++
       analytics.Sketches.oracles ++
       analytics.Privacy.oracles ++
-      streaming.StreamSketch.oracles
+      streaming.StreamSketch.oracles ++
+      plans.ApproxRewrite.oracles
 }

@@ -150,7 +150,12 @@ object Png {
       val data = png.slice(off + 8, off + 8 + len)
       tag match {
         case "IHDR" =>
+          require(len >= 13, s"IHDR too short: $len bytes")
           w = u32(off + 8).toInt; h = u32(off + 12).toInt
+          // PNG dims are u31 by spec, but a crafted header can still
+          // claim multi-GB images; dimension sanity is enforced against
+          // the actual IDAT payload below, once all chunks are read
+          require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
           require(data(8) == 8, "only bit depth 8 supported")
           bpp = data(9) match {
             case 0 => 1
@@ -165,10 +170,23 @@ object Png {
       off += 12 + len
     }
     require(bpp > 0, "missing IHDR")
+    // Allocation guard BEFORE sizing any buffer: stride = w*bpp and
+    // (stride+1)*h overflow Int for crafted headers (surfacing as
+    // NegativeArraySizeException) or allocate multi-GB arrays the
+    // short-inflate check would only catch after the fact. The raw
+    // image cannot exceed the IDAT payload times zlib's maximum
+    // expansion ratio (1032:1 for the degenerate all-literal case)
+    // plus stream framing slack — anything larger is a forged header.
+    val idatBytes = idat.toByteArray
+    val rawLenL = (w.toLong * bpp + 1L) * h.toLong
+    require(rawLenL <= idatBytes.length.toLong * 1032L + 64L,
+      s"dimensions ${w}x$h ($bpp bpp) exceed IDAT capacity ${idatBytes.length}")
+    require(rawLenL <= Int.MaxValue - 8,
+      s"image too large: ${w}x$h ($bpp bpp)")
     val inf = new Inflater()
-    inf.setInput(idat.toByteArray)
+    inf.setInput(idatBytes)
     val stride = w * bpp
-    val raw = new Array[Byte]((stride + 1) * h)
+    val raw = new Array[Byte](rawLenL.toInt)
     var got = 0
     var stalled = false
     while (got < raw.length && !inf.finished() && !stalled) {

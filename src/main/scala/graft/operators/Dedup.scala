@@ -153,28 +153,39 @@ object Dedup {
       if (reproducible) charPolyHash(col("g"), 31L, P2)
       else pmod(xxhash64(col("g")), lit(P2))
     // duplicates don't affect a min, so shingle rows need no distinct
-    shingleRows(docs)
-      .withColumn("h", shingleHash)
-      .groupBy("doc_id")
+    minhashAgg(shingleRows(docs).withColumn("h", shingleHash))
+  }
+
+  /** The 16 permuted-min aggregates over a (doc_id, h) frame — the
+    * signature kernel shared by the shingle-space [[minhashSigs]] and
+    * the token-space seeding in [[setSimCanonical]] (same permutation
+    * family, different element universe). */
+  private def minhashAgg(rows: DataFrame): DataFrame =
+    rows.groupBy("doc_id")
       .agg(
         min(pmod(lit(permA.head) * col("h") + lit(permB.head), lit(P))).as("m0"),
         (1 until numPerms).map(i =>
           min(pmod(lit(permA(i)) * col("h") + lit(permB(i)), lit(P)))
             .as(s"m$i")): _*)
-  }
 
   /** (doc_id, band_id, bucket) — LSH banding of the MinHash signature;
     * near-dup candidates are rows sharing (band_id, bucket). The bucket
     * is an integer Horner combine of the band's minhashes (the inputs
     * are already hashes, so no re-mixing is needed; max value ~2^46,
     * overflow-free, and bit-reproducible in the DuckDB oracle). */
-  def minhashBands(docs: DataFrame, reproducible: Boolean = false): DataFrame = {
+  def minhashBands(docs: DataFrame, reproducible: Boolean = false): DataFrame =
+    sigBands(minhashSigs(docs, reproducible))
+
+  /** LSH banding of an m0..m15 signature frame (see [[minhashBands]]);
+    * factored out so [[setSimCanonical]] can band its token-space
+    * signatures through the identical bucket combine. */
+  private def sigBands(sigs: DataFrame): DataFrame = {
     val bands = (0 until numPerms / bandRows).map { b =>
       val cols = (b * bandRows until (b + 1) * bandRows).map(i => col(s"m$i"))
       val bucket = cols.reduceLeft((acc, m) => acc * 31 + m)
       struct(lit(b).as("band_id"), bucket.as("bucket"))
     }
-    minhashSigs(docs, reproducible)
+    sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band_id"), col("bb.bucket"))
   }
@@ -732,9 +743,14 @@ object Dedup {
     * (tid, doc_id, sz, rn — PERSISTED, it seeds every candidate pass)
     * and the per-doc sorted tid arrays the merge verifier consumes
     * (PERSISTED — both [[setSimJoin]]'s single verify and
-    * [[setSimCanonical]]'s two verify rounds read it). */
+    * [[setSimCanonical]]'s verify rounds read it). The third element
+    * is the cleanup hook that unpersists all three cached frames (tok,
+    * pref, docToks); callers MUST invoke it once their results are
+    * materialized — repeated library calls must not leak cached
+    * partitions across invocations (both public entry points do this
+    * in a `finally` after localCheckpoint-ing their output). */
   private[operators] def setSimParts(docs: DataFrame, num: Long,
-      den: Long): (DataFrame, DataFrame) = {
+      den: Long): (DataFrame, DataFrame, () => Unit) = {
     // tok feeds ranking, both verify arms, and sizes; persist beats
     // re-tokenizing four times (same reasoning as jaccardVerify's g)
     val tok = docs
@@ -761,7 +777,10 @@ object Dedup {
     val docToks = tokT.groupBy("doc_id")
       .agg(sort_array(collect_list(col("tid"))).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (pref, docToks)
+    val cleanup = () => {
+      tok.unpersist(); pref.unpersist(); docToks.unpersist(); ()
+    }
+    (pref, docToks, cleanup)
   }
 
   /** The raw PPJoin candidate stream off a prefix frame — NO distinct:
@@ -813,9 +832,16 @@ object Dedup {
       .filter(lit(den) * col("inter_cnt") >= lit(num) * col("union_cnt"))
   }
 
+  /** NOTE ON CACHING: the EVAL form below returns a lazy O(pairs)
+    * frame over [[setSimParts]]'s session-cached tok/pref/docToks —
+    * eagerly materializing ~5M pairs just to unpersist them costs
+    * +1.2 s at sf0.1 (measured, localCheckpoint variant), so callers
+    * that invoke it repeatedly should `spark.catalog.clearCache()`
+    * between calls (Bench does). The PRODUCTION path
+    * [[setSimCanonical]] has O(n) output and cleans up after itself. */
   def setSimJoin(docs: DataFrame, num: Long = setSimNum,
       den: Long = setSimDen): DataFrame = {
-    val (pref, docToks) = setSimParts(docs, num, den)
+    val (pref, docToks, _) = setSimParts(docs, num, den)
     val cand = candStream(pref, num, den).distinct()
     // Verification by sorted-array merge, not a token-explode join: on
     // template-heavy corpora the candidate set is output-bounded (this
@@ -857,91 +883,103 @@ object Dedup {
     * exact-Jaccard>=num/den pair graph — O(docs) output instead of
     * [[setSimJoin]]'s O(pairs) (~5M rows at sf0.1, measured exponent
     * 1.11 purely from EMITTING them). The components are EXACTLY those
-    * of the full verified pair graph, but almost none of the quadratic
-    * pair volume is ever verified or even deduplicated:
+    * of the full verified pair graph, but most of the candidate volume
+    * is excluded as intra-component before verification:
     *
-    *  1. SEED pass: from the raw prefix-candidate stream (no
-    *     distinct), each node keeps only its MINIMUM candidate
-    *     neighbour per direction — a groupBy whose map-side partial
-    *     aggregation collapses the 21M-row stream to <=2n rows before
-    *     the exchange (the distinct that dominates setSimJoin shuffles
-    *     everything). Verify those <=2n edges, union-find them
-    *     ([[dupClustersStar]]).
-    *  2. CROSS pass: re-stream the candidates, drop every pair whose
-    *     endpoints already share a provisional component (label attach
-    *     is a broadcast hash join on the n-row label frame — map-side,
-    *     no shuffle), distinct+verify only the survivors, and re-run
-    *     the star alternation over seed+cross verified edges.
+    *  1. SEED at n-scale, no quadratic pass: token-space MinHash
+    *     signatures off the already-persisted per-doc token arrays
+    *     (the SAME Jaccard domain the operator thresholds on — the
+    *     shingle-space sketch of [[minhashBands]] measures a different
+    *     similarity and bucketed almost nothing on near-threshold
+    *     corpora), LSH-banded, then per (band, bucket) a STAR to the
+    *     bucket minimum — O(n·bands) edges total, never a within-
+    *     bucket pair enumeration. Verify those edges exactly and
+    *     union-find them ([[dupClustersStar]]) -> provisional labels.
+    *     Seed quality only affects SPEED, never the result.
+    *  2. EXACT SWEEP, the single pass over the quadratic prefix-
+    *     candidate stream: attach provisional labels (broadcast hash
+    *     join on the n-row label frame — map-side; at cluster scale
+    *     swap for a bucketed co-partitioned join when labels outgrow
+    *     broadcast), keep only CROSS-component occurrences (the dense
+    *     intra-cluster bulk — ~3/4 of distinct candidates at sf0.1 —
+    *     drops before any exchange), distinct + verify all survivors,
+    *     contract verified winners to component-pair edges (map-side
+    *     collapse), and run the final star alternation on the
+    *     COMPONENT graph, not the document graph.
     *
-    * Exactness: every candidate pair is either verified (seed or
-    * cross) or intra-component under edges that were themselves
-    * verified — and candidate generation is complete for true pairs
-    * (prefix-filter property), so component equality with the
-    * all-pairs graph holds on ANY corpus; the corpus only controls how
-    * FEW cross-pairs survive (dense near-clique clusters -> the seed
-    * pass alone captures nearly everything). This is the 100 TB path:
-    * representatives, not pairs, and the pair-quadratic term never
-    * leaves the map side. */
+    * Exactness: every merge uses only verified pairs, and every
+    * candidate pair is either verified (seed or sweep) or
+    * intra-component under verified edges — and candidate generation
+    * is complete for true pairs (prefix-filter property), so component
+    * equality with the all-pairs graph holds on ANY corpus; the corpus
+    * only controls how FEW candidates survive to the sweep. This is
+    * the 100 TB path: representatives, not pairs; the candidate stream
+    * is consumed in ONE pass and its intra-component bulk never leaves
+    * the map side. */
   def setSimCanonical(docs: DataFrame, num: Long = setSimNum,
       den: Long = setSimDen): DataFrame = {
     val spark = docs.sparkSession
-    val (pref, docToks) = setSimParts(docs, num, den)
-    val cands = candStream(pref, num, den)
-    // ONE pass over the candidate stream: explode each pair into both
-    // directions and take FOUR probe neighbours per node (min, max,
-    // and min/max under a hash reshuffle of the id space) — all plain
-    // min/max aggregates, so the map-side partial agg collapses the
-    // stream to <=4 rows per node per task and the exchange carries
-    // O(n) rows however quadratic the stream is. One probe per node
-    // proved too sparse in practice (2/5 of min-candidates failed
-    // verification at sf0.1 and the provisional components fractured
-    // the dense cluster -> 3.7M surviving cross pairs); four diverse
-    // probes connect a dense component with high probability, which
-    // only SPEED depends on — exactness rides the cross sweep.
-    val hv = pmod(xxhash64(col("e.v")), lit(1L << 22)) * lit(1L << 40) +
-      col("e.v")
-    val probes = cands.select(explode(array(
-        struct(col("da").as("u"), col("db").as("v")),
-        struct(col("db").as("u"), col("da").as("v")))).as("e"))
-      .groupBy(col("e.u").as("u"))
-      .agg(min(col("e.v")).as("p1"), max(col("e.v")).as("p2"),
-        min(hv).as("h1"), max(hv).as("h2"))
-    val seed = probes.select(col("u"), explode(array(col("p1"), col("p2"),
-        pmod(col("h1"), lit(1L << 40)), pmod(col("h2"), lit(1L << 40))))
-        .as("v"))
-      .filter(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("da"),
-        greatest(col("u"), col("v")).as("db"))
-      .distinct()
-    val seedOk = verifyPairs(seed, docToks, num, den)
-      .select("da", "db").localCheckpoint()
-    val nodes = docs.select(col("doc_id"))
-    val labels0 = graft.Conf.withConf(spark, "spark.sql.shuffle.partitions",
-        clusterShufflePartitions) {
-      dupClustersStar(nodes, seedOk)._1.localCheckpoint()
-    }
-    def lab(side: String) = broadcast(labels0
-      .select(col("doc_id").as(side), col("cluster_id").as(s"l$side")))
-    val cross = cands
-      .join(lab("da"), "da").join(lab("db"), "db")
-      .filter(col("lda") =!= col("ldb"))
-      .select("da", "db").distinct()
-    val crossOk = verifyPairs(cross, docToks, num, den).select("da", "db")
-    // second alternation runs on the CONTRACTED graph — labels0's
-    // (doc -> provisional root) star edges plus the cross-verified
-    // pairs; same components as seed+cross edges, but the input is
-    // already component-stars so the loop converges in ~2 rounds
-    val contracted = labels0.filter(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id").as("da"), col("cluster_id").as("db"))
-    val labels = graft.Conf.withConf(spark, "spark.sql.shuffle.partitions",
-        clusterShufflePartitions) {
-      dupClustersStar(nodes, contracted.union(crossOk))._1.localCheckpoint()
-    }
-    val wc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("canonical_id")) // bounded by the largest cluster
-    labels.select(col("doc_id"), col("cluster_id").as("canonical_id"))
-      .withColumn("n_members", count(lit(1)).over(wc))
+    val (pref, docToks, cleanup) = setSimParts(docs, num, den)
+    try {
+      val nodes = docs.select(col("doc_id"))
+      // -- 1. token-space MinHash bucket-star seeding --------------------
+      val sigs = minhashAgg(docToks
+        .select(col("doc_id"), explode(col("toks")).as("tid"))
+        .withColumn("h", pmod(xxhash64(col("tid")), lit(P2))))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band_id"), col("bucket"))
+      val bandSeed = sigBands(sigs)
+        .withColumn("bmin", min(col("doc_id")).over(wB))
+        .filter(col("doc_id") =!= col("bmin"))
+        .select(col("bmin").as("da"), col("doc_id").as("db"))
+        .distinct()
+      val seedOk = verifyPairs(bandSeed, docToks, num, den)
+        .select("da", "db").localCheckpoint()
+      // AQE off for the star loops: each round's stages are tiny (n- or
+      // component-scale) and AQE's per-stage re-planning is pure latency
+      // at that size; the loops run 2-4 rounds so the overhead compounds
+      val labels0 = graft.Conf.withConf(spark, "spark.sql.adaptive.enabled",
+          "false") {
+        graft.Conf.withConf(spark, "spark.sql.shuffle.partitions",
+            clusterShufflePartitions) {
+          dupClustersStar(nodes, seedOk)._1.localCheckpoint()
+        }
+      }
+      // -- 2. exact sweep over the single candidate-stream pass ----------
+      def side(from: String, to: String) = broadcast(
+        labels0.select(col("doc_id").as(from), col("cluster_id").as(to)))
+      val cross = candStream(pref, num, den)
+        .join(side("da", "lda"), "da")
+        .join(side("db", "ldb"), "db")
+        .filter(col("lda") =!= col("ldb"))
+        .distinct() // (lda, ldb) are functions of (da, db): pair-distinct
+      val crossOk = verifyPairs(cross, docToks, num, den)
+        .select(least(col("lda"), col("ldb")).as("da"),
+          greatest(col("lda"), col("ldb")).as("db"))
+        .distinct() // component-pair edges — map-side collapse
+      val superN0 = labels0.select(col("cluster_id").as("doc_id")).distinct()
+      val superLab = graft.Conf.withConf(spark, "spark.sql.adaptive.enabled",
+          "false") {
+        graft.Conf.withConf(spark, "spark.sql.shuffle.partitions",
+            clusterShufflePartitions) {
+          dupClustersStar(superN0, crossOk)._1.localCheckpoint()
+        }
+      }
+      // compose doc -> comp0 -> root; every star labels a component
+      // with its MIN member id, so the root is the min doc_id of the
+      // final component — the canonical representative. The final
+      // localCheckpoint materializes before the finally unpersists.
+      val labels = labels0.select(col("doc_id"), col("cluster_id").as("c0"))
+        .join(broadcast(superLab.select(col("doc_id").as("c0"),
+          col("cluster_id").as("canonical_id"))), "c0")
+        .select(col("doc_id"), col("canonical_id"))
+        .localCheckpoint()
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("canonical_id")) // bounded by the largest cluster
+      labels.withColumn("n_members", count(lit(1)).over(wc))
+    } finally cleanup()
   }
+
 
   /** Gate form of [[setSimCanonical]]. */
   def setSimCanonicalQuery(spark: SparkSession, dir: String): DataFrame =

@@ -5,6 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, NamedExpression
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count_distinct, expr}
 
 /** Opt-in approximate-query mode for distinct counts — the BlinkDB /
   * "approximation knob" idea (Agarwal et al., EuroSys 2013) applied at
@@ -85,4 +87,92 @@ object ApproxRewrite extends Rule[LogicalPlan] {
             p.percentageExpression, Literal(acc, IntegerType), 0, 0),
           mode, isDistinct = false, filter, NamedExpression.newExprId)
     }.asInstanceOf[NamedExpression]
+
+  // --- accuracy-readout gate (r8 verdict #3) -----------------------------
+
+  /** HLL error budget for the gate: 3x the default rsd (0.05), in ppm.
+    * HLL++'s relative standard deviation makes a 3-sigma miss a
+    * ~0.3% event; the gate publishes err DIV budget, so staying inside
+    * the budget is hash-checked against the oracle's literal 0. */
+  val HllBudgetPpm = 150000L
+
+  /** Rank half-width for the percentile check: +-0.5% of rank, vs the
+    * GK summary's deterministic guarantee of 1/accuracy = 0.01% —
+    * 50x headroom, so the gate is stable across partitionings while
+    * still catching a broken rewrite (a wrong quantile lands far
+    * outside +-0.5% on this corpus). */
+  val PctlRankEps = 0.005
+
+  /** Oracle-checked ACCURACY readout for the rewrite (the r7/r8 plan-
+    * shape tests prove the rule fires; this proves what it produces is
+    * within budget). The estimates are computed through the REWRITE
+    * PATH — exact `count(DISTINCT)` / `percentile` syntax with both
+    * flags on, materialized inside the conf scope because the rule
+    * fires at action planning — then checked against lazily-recomputed
+    * exact values. Published schema is engine-portable: the exact NDVs
+    * (DuckDB recomputes them), `ok` booleans, and `err_band` =
+    * err_ppm DIV budget_ppm (the oracle's literal 0 — any budget
+    * violation hash-fails the gate). Two marker rows assert the plan
+    * actually rewrote (guards against the flags silently not firing,
+    * which would make the accuracy rows trivially green). */
+  def approxErrorBudget(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") * 100).cast("long").as("cents"))
+    val (est, plan) = graft.Conf.withConf(spark, Flag, "true") {
+      graft.Conf.withConf(spark, PercentileFlag, "true") {
+        val q = li.agg(
+          count_distinct(col("l_partkey")).as("d_part"),
+          count_distinct(col("l_suppkey")).as("d_supp"),
+          expr("percentile(cents, 0.5)").as("p50"),
+          expr("percentile(cents, 0.95)").as("p95"))
+        (q.head(), q.queryExecution.optimizedPlan.toString)
+      }
+    }
+    // exact references: one plain distinct+count per column (avoids the
+    // multi-distinct Expand plan), one exact percentile sweep at the
+    // rank-eps bounds; all bounded collects (single-row aggregates)
+    val exactPart = li.select(col("l_partkey")).distinct().count()
+    val exactSupp = li.select(col("l_suppkey")).distinct().count()
+    val bounds = li.agg(expr(
+      s"percentile(cents, array(${0.5 - PctlRankEps}, ${0.5 + PctlRankEps}, " +
+        s"${0.95 - PctlRankEps}, ${0.95 + PctlRankEps}))").as("b")).head()
+      .getSeq[Double](0)
+    def hllRow(name: String, estV: Long, exactV: Long) = {
+      val errPpm = math.abs(estV - exactV) * 1000000L / math.max(exactV, 1L)
+      (name, exactV, errPpm <= HllBudgetPpm, errPpm / HllBudgetPpm)
+    }
+    def pctlRow(name: String, estV: Double, lo: Double, hi: Double) = {
+      val ok = estV >= lo - 1.0 && estV <= hi + 1.0 // 1-cent slack
+      (name, -1L, ok, if (ok) 0L else 1L)
+    }
+    val rows = Seq(
+      hllRow("hll_partkey", est.getLong(0), exactPart),
+      hllRow("hll_suppkey", est.getLong(1), exactSupp),
+      pctlRow("gk_p50_rank_eps", est.getDouble(2), bounds(0), bounds(1)),
+      pctlRow("gk_p95_rank_eps", est.getDouble(3), bounds(2), bounds(3)),
+      ("rewrite_count_distinct", -1L,
+        plan.contains("approx_count_distinct"), 0L),
+      ("rewrite_percentile", -1L, plan.contains("percentile_approx"), 0L))
+    import spark.implicits._
+    rows.toDF("metric", "exact_value", "ok", "err_band")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "approx_error_budget" -> approxErrorBudget _)
+
+  val oracles: Map[String, String] = Map(
+    // The oracle recomputes the exact NDVs and pins every ok/err_band
+    // to TRUE/0 — the CLAIM "estimates stay in budget and the rewrite
+    // fired" is what hashing checks.
+    "approx_error_budget" ->
+      """SELECT 'hll_partkey' AS metric,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_value,
+        |  TRUE AS ok, CAST(0 AS BIGINT) AS err_band FROM lineitem
+        |UNION ALL SELECT 'hll_suppkey',
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT), TRUE, 0 FROM lineitem
+        |UNION ALL SELECT 'gk_p50_rank_eps', -1, TRUE, 0
+        |UNION ALL SELECT 'gk_p95_rank_eps', -1, TRUE, 0
+        |UNION ALL SELECT 'rewrite_count_distinct', -1, TRUE, 0
+        |UNION ALL SELECT 'rewrite_percentile', -1, TRUE, 0""".stripMargin)
 }

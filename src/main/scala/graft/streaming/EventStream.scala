@@ -50,7 +50,7 @@ object EventStream {
       val out = spark.table(name).cache()
       out.count()
       out
-    } finally q.stop()
+    } finally { StreamMetrics.record(q); q.stop() }
   }
 
   /** Append-mode + watermark variant of the tumbling aggregation — the
@@ -148,7 +148,7 @@ object EventStream {
         .cache()
       out.count()
       out
-    } finally q.stop()
+    } finally { StreamMetrics.record(q); q.stop() }
   }
 
   /** Cross-batch streaming dedup: the corpus is replayed TWICE (one file
@@ -185,7 +185,7 @@ object EventStream {
       val out = spark.table(name).cache()
       out.count()
       out
-    } finally q.stop()
+    } finally { StreamMetrics.record(q); q.stop() }
   }
 
   /** Streaming keyed upsert (M3 in streaming form): version 1 of every
@@ -231,7 +231,7 @@ object EventStream {
       val out = spark.table(name).cache()
       out.count()
       out
-    } finally q.stop()
+    } finally { StreamMetrics.record(q); q.stop() }
   }
 
   /** Delta-emitting streaming LWW upsert — the production form of
@@ -284,7 +284,7 @@ object EventStream {
       val out = spark.table(name).cache()
       out.count()
       out
-    } finally q.stop()
+    } finally { StreamMetrics.record(q); q.stop() }
   }
 
   /** The arrival-time state-v2 form of the delta-emitting LWW upsert:
@@ -357,7 +357,7 @@ object EventStream {
         val out = spark.table(name).cache()
         out.count()
         out
-      } finally q.stop()
+      } finally { StreamMetrics.record(q); q.stop() }
     } finally {
       prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     }
@@ -401,7 +401,7 @@ object EventStream {
       val out = spark.table(name).cache()
       out.count()
       out
-    } finally q.stop()
+    } finally { StreamMetrics.record(q); q.stop() }
   }
 
   /** Sliding (1h window / 15min hop) event-time aggregation as a
@@ -435,7 +435,7 @@ object EventStream {
       val out = spark.table(name).cache()
       out.count()
       out
-    } finally q.stop()
+    } finally { StreamMetrics.record(q); q.stop() }
   }
 
   /** Streaming count-min sketch: the [[graft.analytics.OlapQueries
@@ -479,7 +479,7 @@ object EventStream {
       val out = spark.table(name).cache()
       out.count()
       out
-    } finally q.stop()
+    } finally { StreamMetrics.record(q); q.stop() }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

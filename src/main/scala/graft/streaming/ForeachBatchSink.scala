@@ -74,7 +74,7 @@ object ForeachBatchSink {
       .outputMode("append")
       .foreachBatch(mergeBatch)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { StreamMetrics.record(q); q.stop() }
     spark.read.parquet(table)
       .select(col("user_id"), col("value"),
         date_trunc("second", col("ts")).as("ts_s"))
@@ -126,7 +126,7 @@ object ForeachBatchSink {
       .outputMode("append")
       .foreachBatch(applyBatch)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { StreamMetrics.record(q); q.stop() }
     Scd.deriveHistory(spark.read.parquet(table))
   }
 

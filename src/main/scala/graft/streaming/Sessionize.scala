@@ -216,7 +216,7 @@ object Sessionize {
       val out = spark.table(name).filter(col("user_id") >= 0).cache()
       out.count()
       out
-    } finally q.stop()
+    } finally { StreamMetrics.record(q); q.stop() }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -98,7 +98,7 @@ object StreamAsof {
       val out = spark.table(name).cache()
       out.count()
       out
-    } finally q.stop()
+    } finally { StreamMetrics.record(q); q.stop() }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

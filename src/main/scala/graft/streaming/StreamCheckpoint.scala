@@ -51,7 +51,7 @@ object StreamCheckpoint {
           df.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         }
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally { StreamMetrics.record(q); q.stop() }
     }
     place(batch.filter(col("ts") < cut), "b00.parquet", 0)
     run() // first life: commits batch 0 (the pre-cut file)

@@ -62,7 +62,7 @@ object StreamDrift {
           val s = spark.table(name).cache()
           s.count()
           s
-        } finally q.stop()
+        } finally { StreamMetrics.record(q); q.stop() }
       // drift scoring on the bounded snapshot (days × types × bins):
       // a day-bin the reference never saw smooths to ref_cnt 0 + 1
       // (left join), the batch psi convention

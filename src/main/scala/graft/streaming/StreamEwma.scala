@@ -95,7 +95,7 @@ object StreamEwma {
       val out = spark.table(name).cache()
       out.count()
       out
-    } finally q.stop()
+    } finally { StreamMetrics.record(q); q.stop() }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -71,7 +71,7 @@ object StreamJoin {
       val out = spark.table(name).cache()
       out.count()
       out
-    } finally q.stop()
+    } finally { StreamMetrics.record(q); q.stop() }
   }
 
   /** LEFT OUTER stream-stream join — the strictly harder shape: a
@@ -142,7 +142,7 @@ object StreamJoin {
       val out = spark.table(name).filter(col("user_id") >= 0).cache()
       out.count()
       out
-    } finally q.stop()
+    } finally { StreamMetrics.record(q); q.stop() }
   }
 
   /** FULL OUTER stream-stream join — both sides' unmatched rows are
@@ -212,7 +212,7 @@ object StreamJoin {
       val out = spark.table(name).filter(col("uid") >= 0).cache()
       out.count()
       out
-    } finally q.stop()
+    } finally { StreamMetrics.record(q); q.stop() }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

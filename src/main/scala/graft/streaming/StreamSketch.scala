@@ -55,7 +55,7 @@ object StreamSketch {
           val out = spark.table(name).cache()
           out.count() // pin the final register snapshot before stop
           out
-        } finally q.stop()
+        } finally { StreamMetrics.record(q); q.stop() }
       // Batch side: the exact truth the stream cannot legally compute,
       // riding the same hash so bucket-local distinct sums are global.
       val truth = graft.Tables.load(spark, dir, "lineitem")

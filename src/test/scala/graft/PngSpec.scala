@@ -113,4 +113,48 @@ class PngSpec extends AnyFunSuite {
     assert(e.getMessage.contains("short inflate"))
     assert((System.nanoTime() - t0) / 1e9 < 5.0, "decode did not fail fast")
   }
+
+  /** Doctor IHDR width/height (big-endian u32 at data offsets 0/4) and
+    * re-stamp its CRC; returns the same array for chaining. */
+  private def forgeDims(png: Array[Byte], w: Long, h: Long): Array[Byte] = {
+    import java.util.zip.CRC32
+    def put(at: Int, v: Long): Unit = {
+      png(at) = (v >>> 24).toByte; png(at + 1) = (v >>> 16).toByte
+      png(at + 2) = (v >>> 8).toByte; png(at + 3) = v.toByte
+    }
+    put(16, w); put(20, h) // IHDR data starts at 16
+    val crc = new CRC32
+    crc.update(png, 12, 4 + 13)
+    put(16 + 13, crc.getValue)
+    png
+  }
+
+  test("a forged giant header is rejected before allocation") {
+    // 65535x65535 claimed off a 8x2 payload: must die on the IDAT
+    // capacity bound, not attempt a 4 GiB allocation
+    val e = intercept[IllegalArgumentException](
+      Png.decode(forgeDims(Png.encode(8, 2, lcgPixels(23, 16)), 65535L, 65535L)))
+    assert(e.getMessage.contains("IDAT capacity"))
+  }
+
+  test("header dims that overflow Int fail as a parse error") {
+    // (w*bpp+1)*h overflows Int32: must be IllegalArgumentException,
+    // never NegativeArraySizeException/OutOfMemoryError
+    val forged = forgeDims(Png.encode(8, 2, lcgPixels(24, 16)),
+      (1L << 30) - 1, 1L << 30)
+    intercept[IllegalArgumentException](Png.decode(forged))
+  }
+
+  test("zero-dimension headers are rejected") {
+    val e = intercept[IllegalArgumentException](
+      Png.decode(forgeDims(Png.encode(8, 2, lcgPixels(25, 16)), 0L, 2L)))
+    assert(e.getMessage.contains("bad dimensions"))
+  }
+
+  test("a stream missing IEND is a parse error, not an index crash") {
+    val png = Png.encode(8, 8, lcgPixels(26, 64))
+    val cut = png.take(png.length - 12) // IEND chunk is exactly 12 bytes
+    val e = intercept[IllegalArgumentException](Png.decode(cut))
+    assert(e.getMessage.contains("truncated"))
+  }
 }

@@ -23,9 +23,12 @@ import subprocess
 import sys
 
 # One-plus representative per heavy plan family; streaming gates are
-# excluded (micro-batch harness constant dominates, exponent meaningless).
+# excluded from the TIME fit (micro-batch harness constant dominates,
+# exponent meaningless) — their scaling evidence is state growth, see
+# graft.StreamScale / STREAMSCALE.json.
 GATES = [
-    "dedup_setsim", "dedup_minhash_bands", "dedup_simhash_pairs",
+    "dedup_setsim", "dedup_setsim_canonical", "dedup_minhash_bands",
+    "dedup_simhash_pairs",
     "dedup_clusters", "dedup_semantic", "dedup_containment",
     "embed_clusters", "embed_neardup_lsh", "knn_ivf", "knn_brute",
     "graph_modularity", "graph_pagerank", "graph_component_sizes",
