@@ -401,9 +401,61 @@ object Multimodal {
         "checksum")
   }
 
+  /** REAL pixel resize through the real codec (the metadata-only
+    * [[resizePlan]] computes target boxes; this one moves pixels):
+    * per asset, generate the SAME deterministic grayscale image as
+    * [[pngDecode]], round-trip it through an actual PNG, then
+    * nearest-neighbor downsample to the half box (ow = (w+1)/2,
+    * oh = (h+1)/2) with pure integer source mapping
+    * (ix = ox*w DIV ow, iy = oy*h DIV oh) and publish statistics of
+    * the RESIZED pixels. The oracle regenerates the selected source
+    * pixels straight from the generator at the mapped coordinates — it
+    * never sees a PNG and never materializes the full image — so the
+    * gate proves codec round-trip AND the exact resize kernel.
+    * Same plan shape as the decode gates: one scan, codec + kernel in
+    * `mapPartitions` (payload-local, no shuffle), one row per asset. */
+  def pngResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < 120)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { a =>
+          val w = (a % 24 + 8).toInt
+          val h = ((a * 3) % 24 + 8).toInt
+          val px = Array.tabulate(w * h)(i =>
+            (h3(a * 65536L + i) % 256).toByte)
+          val png = graft.functions.Png.encode(w, h, px,
+            r => ((r + a) % 5).toInt)
+          val (dw, dh, dec) = graft.functions.Png.decode(png)
+          val ow = (dw + 1) / 2; val oh = (dh + 1) / 2
+          var sum = 0L; var wsum = 0L; var mn = 255L; var mx = 0L
+          var oy = 0
+          while (oy < oh) {
+            val iy = oy * dh / oh
+            var ox = 0
+            while (ox < ow) {
+              val ix = ox * dw / ow
+              val v = dec(iy * dw + ix) & 0xFF
+              val j = oy * ow + ox
+              sum += v; wsum += (j + 1L) * v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              ox += 1
+            }
+            oy += 1
+          }
+          (a, ow.toLong, oh.toLong, sum, wsum, mn, mx)
+        }
+      }
+      .toDF("asset_id", "out_w", "out_h", "pixel_sum", "checksum",
+        "px_min", "px_max")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_png_decode" -> pngDecode _,
     "multimodal_png_rgb" -> pngDecodeRgb _,
+    "multimodal_png_resize" -> pngResize _,
     "multimodal_audio_windows" -> audioWindows _,
     "multimodal_meta" -> metaQuery _,
     "multimodal_frames" -> frameSample _,
@@ -456,6 +508,60 @@ object Multimodal {
         |  CAST(sum(CASE WHEN i % 3 = 2 THEN p ELSE 0 END) AS BIGINT) AS sum_b,
         |  CAST(sum((i + 1) * p) AS BIGINT) AS checksum
         |FROM px GROUP BY a""".stripMargin,
+    "multimodal_png_resize" ->
+      """WITH ids AS (SELECT doc_id AS a, doc_id % 24 + 8 AS w,
+        |    (doc_id * 3) % 24 + 8 AS h,
+        |    (doc_id % 24 + 8 + 1) // 2 AS ow,
+        |    ((doc_id * 3) % 24 + 8 + 1) // 2 AS oh
+        |  FROM documents WHERE doc_id < 120),
+        |ex AS (SELECT a, w, h, ow, oh,
+        |    unnest(generate_series(CAST(0 AS BIGINT), ow * oh - 1)) AS j
+        |  FROM ids),
+        |src AS (SELECT a, ow, oh, j,
+        |    ((j // ow) * h // oh) * w + ((j % ow) * w // ow) AS i
+        |  FROM ex),
+        |px AS (SELECT a, ow, oh, j,
+        |    (xor(
+        |       (((a * 65536 + i) % 2147483648 * 1103515245 + 12345)
+        |         % 2147483648 * 1103515245 + 12345) % 2147483648,
+        |       ((((a * 65536 + i) % 2147483648 * 1103515245 + 12345)
+        |         % 2147483648 * 1103515245 + 12345) % 2147483648) >> 15
+        |     ) * 1103515245 + 12345) % 2147483648 % 256 AS p
+        |  FROM src)
+        |SELECT a AS asset_id, CAST(ow AS BIGINT) AS out_w,
+        |  CAST(oh AS BIGINT) AS out_h,
+        |  CAST(sum(p) AS BIGINT) AS pixel_sum,
+        |  CAST(sum((j + 1) * p) AS BIGINT) AS checksum,
+        |  CAST(min(p) AS BIGINT) AS px_min,
+        |  CAST(max(p) AS BIGINT) AS px_max
+        |FROM px GROUP BY a, ow, oh""".stripMargin,
+    "multimodal_png_resize" ->
+      """WITH ids AS (SELECT doc_id AS a, doc_id % 24 + 8 AS w,
+        |    (doc_id * 3) % 24 + 8 AS h,
+        |    (doc_id % 24 + 8 + 1) // 2 AS ow,
+        |    ((doc_id * 3) % 24 + 8 + 1) // 2 AS oh
+        |  FROM documents WHERE doc_id < 120),
+        |ex AS (SELECT a, w, h, ow, oh,
+        |    unnest(generate_series(CAST(0 AS BIGINT), ow * oh - 1)) AS j
+        |  FROM ids),
+        |src AS (SELECT a, ow, oh, j,
+        |    ((j // ow) * h // oh) * w + ((j % ow) * w // ow) AS i
+        |  FROM ex),
+        |px AS (SELECT a, ow, oh, j,
+        |    (xor(
+        |       (((a * 65536 + i) % 2147483648 * 1103515245 + 12345)
+        |         % 2147483648 * 1103515245 + 12345) % 2147483648,
+        |       ((((a * 65536 + i) % 2147483648 * 1103515245 + 12345)
+        |         % 2147483648 * 1103515245 + 12345) % 2147483648) >> 15
+        |     ) * 1103515245 + 12345) % 2147483648 % 256 AS p
+        |  FROM src)
+        |SELECT a AS asset_id, CAST(ow AS BIGINT) AS out_w,
+        |  CAST(oh AS BIGINT) AS out_h,
+        |  CAST(sum(p) AS BIGINT) AS pixel_sum,
+        |  CAST(sum((j + 1) * p) AS BIGINT) AS checksum,
+        |  CAST(min(p) AS BIGINT) AS px_min,
+        |  CAST(max(p) AS BIGINT) AS px_max
+        |FROM px GROUP BY a, ow, oh""".stripMargin,
     "multimodal_audio_windows" ->
       s"""WITH a AS (SELECT doc_id AS asset_id,
          |    CAST(octet_length(encode(text)) * $audioMsPerByte AS BIGINT)

@@ -79,7 +79,13 @@ object EventStream {
       value: String)(body: => T): T =
     graft.Conf.withConf(spark, key, value)(body)
 
-  private[streaming] val streamShufflePartitions = "8"
+  // 4, not 8, since round 9: A/B on the five heaviest stream gates at
+  // sf0.1 (min-of-3 each) measured 8 -> 20.26 s, 4 -> 18.54 s,
+  // 2 -> 20.25 s — store open/commit overhead falls to 4 and compute
+  // serialization takes over below it. Output-invariant (ConfParitySpec
+  // sweeps the partition axis); STREAMSCALE.json state totals are
+  // partition-count-independent.
+  private[streaming] val streamShufflePartitions = "4"
 
   /** Land ONE DataFrame as a single parquet file `staging/<name>` with
     * a back-dated mtime at slot order `slot` — the unit step of replay
