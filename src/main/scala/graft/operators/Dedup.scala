@@ -113,7 +113,7 @@ object Dedup {
   // Fixed pseudorandom permutation parameters (overflow-free: coefficients
   // < 2^31 and shingle hashes reduced mod P2 < 2^31, so a*h+b < 2^62).
   private val P = 2147483647L // 2^31 - 1
-  private val P2 = 2000000011L
+  private[operators] val P2 = 2000000011L
   private val P3 = 2147483629L // second prime: upper 24 simhash bits
   val numPerms = 16
   val bandRows = 4
@@ -160,7 +160,7 @@ object Dedup {
     * signature kernel shared by the shingle-space [[minhashSigs]] and
     * the token-space seeding in [[setSimCanonical]] (same permutation
     * family, different element universe). */
-  private def minhashAgg(rows: DataFrame): DataFrame =
+  private[operators] def minhashAgg(rows: DataFrame): DataFrame =
     rows.groupBy("doc_id")
       .agg(
         min(pmod(lit(permA.head) * col("h") + lit(permB.head), lit(P))).as("m0"),
@@ -179,7 +179,7 @@ object Dedup {
   /** LSH banding of an m0..m15 signature frame (see [[minhashBands]]);
     * factored out so [[setSimCanonical]] can band its token-space
     * signatures through the identical bucket combine. */
-  private def sigBands(sigs: DataFrame): DataFrame = {
+  private[operators] def sigBands(sigs: DataFrame): DataFrame = {
     val bands = (0 until numPerms / bandRows).map { b =>
       val cols = (b * bandRows until (b + 1) * bandRows).map(i => col(s"m$i"))
       val bucket = cols.reduceLeft((acc, m) => acc * 31 + m)
@@ -411,6 +411,80 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("root"), col("doc_id")).as("cluster_id"))
     (labels, iter)
+  }
+
+  /** Edge-count gate below which [[componentsAdaptive]] solves
+    * connected components driver-side. 4M edges = 64 MB of longs on
+    * the driver — far under any sane driver heap, and far above the
+    * verified-edge volume any bench SF produces. Conf-tunable so a
+    * memory-constrained driver can lower it (or force the distributed
+    * path with 0). */
+  private def localSolveMaxEdges(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dedup.localSolveMaxEdges")
+      .map(_.toLong).getOrElse(4000000L)
+
+  /** Runtime-adaptive connected components — the same decision AQE
+    * makes for joins (measure first, then pick the physical strategy).
+    * The verified-edge frame callers pass is localCheckpoint-
+    * materialized, so counting it is metadata-cheap; below
+    * [[localSolveMaxEdges]] a single-pass driver union-find (path
+    * halving + union-by-min, O(E·α)) replaces 2-4 distributed star
+    * rounds whose cost at that size is pure job-scheduling latency —
+    * measured: the two star loops were 2.6 s of the 7.1 s canonical
+    * dedup gate at sf0.1, over 8.4k and 1.7k edges respectively. Above
+    * the cap — the 100 TB regime, where verified seed edges are
+    * O(n·bands) — [[dupClustersStar]] runs unchanged (AQE off + small
+    * shuffle-partition override, as before: per-round stages are edge-
+    * scale and re-planning is pure latency). Both paths label every
+    * component by its MINIMUM member id, so they are interchangeable
+    * by construction; AdaptiveComponentsSpec proves label equality on
+    * shared edge frames and exercises the cap=0 fallback. */
+  private[operators] def componentsAdaptive(nodes: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    if (pairs.count() <= localSolveMaxEdges(spark)) {
+      val parent = new java.util.HashMap[Long, Long](1 << 14)
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path halving: put() only touches EXISTING keys
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      // union-by-min: the larger root attaches under the smaller, so a
+      // tree root IS its component's minimum at every point in time
+      pairs.select(col("da").cast("long"), col("db").cast("long"))
+        .collect().foreach { r =>
+          val ra = find(r.getLong(0))
+          val rb = find(r.getLong(1))
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+      // only nodes whose root differs from themselves need rows; the
+      // join below coalesces everyone else to self — keeps the
+      // broadcast at (merged nodes), not (all nodes)
+      val lab = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      parent.keySet().forEach { k =>
+        val r = find(k)
+        if (r != k) lab += ((k, r))
+      }
+      import spark.implicits._
+      nodes.join(broadcast(lab.toSeq.toDF("doc_id", "root")), Seq("doc_id"),
+          "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    } else {
+      graft.Conf.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+        graft.Conf.withConf(spark, "spark.sql.shuffle.partitions",
+            clusterShufflePartitions) {
+          dupClustersStar(nodes, pairs)._1
+        }
+      }
+    }
   }
 
   /** Gate query: same fixpoint as [[clustersQuery]] via the star
@@ -894,7 +968,7 @@ object Dedup {
     *     corpora), LSH-banded, then per (band, bucket) a STAR to the
     *     bucket minimum — O(n·bands) edges total, never a within-
     *     bucket pair enumeration. Verify those edges exactly and
-    *     union-find them ([[dupClustersStar]]) -> provisional labels.
+    *     union-find them ([[componentsAdaptive]]) -> provisional labels.
     *     Seed quality only affects SPEED, never the result.
     *  2. EXACT SWEEP, the single pass over the quadratic prefix-
     *     candidate stream: attach provisional labels (broadcast hash
@@ -904,7 +978,7 @@ object Dedup {
     *     intra-cluster bulk — ~3/4 of distinct candidates at sf0.1 —
     *     drops before any exchange), distinct + verify all survivors,
     *     contract verified winners to component-pair edges (map-side
-    *     collapse), and run the final star alternation on the
+    *     collapse), and solve components adaptively on the
     *     COMPONENT graph, not the document graph.
     *
     * Exactness: every merge uses only verified pairs, and every
@@ -935,17 +1009,15 @@ object Dedup {
         .distinct()
       val seedOk = verifyPairs(bandSeed, docToks, num, den)
         .select("da", "db").localCheckpoint()
-      // AQE off for the star loops: each round's stages are tiny (n- or
-      // component-scale) and AQE's per-stage re-planning is pure latency
-      // at that size; the loops run 2-4 rounds so the overhead compounds
-      val labels0 = graft.Conf.withConf(spark, "spark.sql.adaptive.enabled",
-          "false") {
-        graft.Conf.withConf(spark, "spark.sql.shuffle.partitions",
-            clusterShufflePartitions) {
-          dupClustersStar(nodes, seedOk)._1.localCheckpoint()
-        }
-      }
+      val labels0 = componentsAdaptive(nodes, seedOk).localCheckpoint()
       // -- 2. exact sweep over the single candidate-stream pass ----------
+      // Labels attach to the CANDIDATE stream (two broadcast probes per
+      // candidate), not to the prefix frame feeding the self-join: the
+      // in-join variant (label column on both sides, lda =!= ldb inside
+      // the join condition) measured 6.71 s vs 4.30 s for this form in
+      // an interleaved same-JVM A/B at sf0.1 — widening the self-join
+      // inputs costs more than the post-join probes save, because the
+      // two sides of the self-join stop sharing one exchange.
       def side(from: String, to: String) = broadcast(
         labels0.select(col("doc_id").as(from), col("cluster_id").as(to)))
       val cross = candStream(pref, num, den)
@@ -957,14 +1029,9 @@ object Dedup {
         .select(least(col("lda"), col("ldb")).as("da"),
           greatest(col("lda"), col("ldb")).as("db"))
         .distinct() // component-pair edges — map-side collapse
+        .localCheckpoint() // materialize once: the solve counts, then reads
       val superN0 = labels0.select(col("cluster_id").as("doc_id")).distinct()
-      val superLab = graft.Conf.withConf(spark, "spark.sql.adaptive.enabled",
-          "false") {
-        graft.Conf.withConf(spark, "spark.sql.shuffle.partitions",
-            clusterShufflePartitions) {
-          dupClustersStar(superN0, crossOk)._1.localCheckpoint()
-        }
-      }
+      val superLab = componentsAdaptive(superN0, crossOk)
       // compose doc -> comp0 -> root; every star labels a component
       // with its MIN member id, so the root is the min doc_id of the
       // final component — the canonical representative. The final
