@@ -31,8 +31,9 @@ object StreamScale {
     "stream_tumbling_append", "stream_sliding", "stream_dedup",
     "stream_sessionize", "stream_stream_join", "stream_stream_left",
     "stream_stream_full", "stream_upsert_latest", "stream_upsert_deltas",
-    "stream_upsert_deltas_tws", "stream_ewma", "stream_pattern_match",
-    "stream_asof", "stream_sketch_distinct", "stream_cms", "stream_psi")
+    "stream_upsert_deltas_tws", "stream_neardup_minhash", "stream_ewma",
+    "stream_pattern_match", "stream_asof", "stream_sketch_distinct",
+    "stream_cms", "stream_psi")
 
   def main(args: Array[String]): Unit = {
     val sfDirs =

@@ -156,6 +156,61 @@ object Dedup {
     minhashAgg(shingleRows(docs).withColumn("h", shingleHash))
   }
 
+  /** Per-DOCUMENT reproducible MinHash band buckets as a compiled
+    * Scala kernel (tokens → 3-gram shingles → [[charPolyHash]] → 16
+    * permuted mins → Horner band buckets, all integer-exact twins of
+    * the Column pipeline). This is the stateless-map shape the
+    * CONTINUOUS near-dup detector needs
+    * ([[graft.streaming.EventStream]] `stream_neardup_minhash`): the
+    * only stateful operator in that query must be the bucket registry
+    * itself, so signatures must compute per row with no aggregation
+    * exchange — and per-row COLUMN forms of this pipeline are
+    * higher-order functions, which are CodegenFallback: the
+    * interpreted expression tree measured **81 s** at sf0.1 where this
+    * kernel (same arithmetic, compiled) plus the stateful stage runs
+    * in single-digit seconds. Payload-local compiled code via
+    * `mapPartitions` is the same sanctioned non-Catalyst escape the
+    * multimodal codec uses; bucket-for-bucket equality with
+    * [[minhashBands]] is pinned by StreamNearDupSpec on the real
+    * corpus. Docs with < 3 tokens have no shingles and return an
+    * empty array (never bucketed), matching the batch/oracle len>=3
+    * filter. */
+  def bandHitsLocal(text: String): Array[(Int, Long)] = {
+    val t = text.split(" ", -1) // keep empties: twin of split(c, " ")
+    if (t.length < 3) return Array.empty
+    val nSh = t.length - 2
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i < nSh) {
+      val g = t(i) + " " + t(i + 1) + " " + t(i + 2)
+      // zero-padded fixed-width poly fold = charPolyHash(g, 31, P2):
+      // substring past the end is "" and ascii("") is 0
+      var acc = 0L
+      var j = 0
+      while (j < polyWidth) {
+        val c = if (j < g.length) g.charAt(j).toLong else 0L
+        acc = (acc * 31 + c) % P2
+        j += 1
+      }
+      var k = 0
+      while (k < numPerms) {
+        val v = (permA(k) * acc + permB(k)) % P // operands positive: % = pmod
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    Array.tabulate(numPerms / bandRows) { b =>
+      var bucket = mins(b * bandRows)
+      var r = 1
+      while (r < bandRows) {
+        bucket = bucket * 31 + mins(b * bandRows + r)
+        r += 1
+      }
+      (b, bucket)
+    }
+  }
+
   /** The 16 permuted-min aggregates over a (doc_id, h) frame — the
     * signature kernel shared by the shingle-space [[minhashSigs]] and
     * the token-space seeding in [[setSimCanonical]] (same permutation
@@ -1018,8 +1073,20 @@ object Dedup {
       // an interleaved same-JVM A/B at sf0.1 — widening the self-join
       // inputs costs more than the post-join probes save, because the
       // two sides of the self-join stop sharing one exchange.
-      def side(from: String, to: String) = broadcast(
-        labels0.select(col("doc_id").as(from), col("cluster_id").as(to)))
+      // The broadcast hint is COUNT-GATED (labels0 is checkpointed, so
+      // the count is metadata-cheap): labels are one row per DOCUMENT,
+      // and at corpus scales where n rows outgrow executor memory the
+      // hint silently becomes the failure mode — past the cap the
+      // attach degrades to a plain shuffled join Catalyst co-partitions
+      // with the candidate stream (the docstring's "swap for a
+      // co-partitioned join when labels outgrow broadcast", now real).
+      val labelsFit = labels0.count() <=
+        spark.conf.getOption("spark.graft.dedup.broadcastLabelsMaxRows")
+          .map(_.toLong).getOrElse(10000000L)
+      def side(from: String, to: String) = {
+        val s = labels0.select(col("doc_id").as(from), col("cluster_id").as(to))
+        if (labelsFit) broadcast(s) else s
+      }
       val cross = candStream(pref, num, den)
         .join(side("da", "lda"), "da")
         .join(side("db", "ldb"), "db")
@@ -1036,9 +1103,14 @@ object Dedup {
       // with its MIN member id, so the root is the min doc_id of the
       // final component — the canonical representative. The final
       // localCheckpoint materializes before the finally unpersists.
+      // component count <= label count, so the same fit decision holds
+      val superSide = {
+        val s = superLab.select(col("doc_id").as("c0"),
+          col("cluster_id").as("canonical_id"))
+        if (labelsFit) broadcast(s) else s
+      }
       val labels = labels0.select(col("doc_id"), col("cluster_id").as("c0"))
-        .join(broadcast(superLab.select(col("doc_id").as("c0"),
-          col("cluster_id").as("canonical_id"))), "c0")
+        .join(superSide, "c0")
         .select(col("doc_id"), col("canonical_id"))
         .localCheckpoint()
       val wc = org.apache.spark.sql.expressions.Window
@@ -1594,6 +1666,14 @@ object Dedup {
 
   private def minhashOracle: String =
     s"WITH ${minhashCtes()}\n${minhashBandsUnion()}"
+
+  /** Band CTE chain exposed for the streaming near-dup oracle
+    * ([[graft.streaming.EventStream]] `stream_neardup_minhash`): the
+    * same signature + Horner-bucket pipeline as the batch gate, ending
+    * in `bands(doc_id, band_id, bucket)` — so the streaming detector
+    * is oracle-checked against the EXACT batch bucket function. */
+  private[graft] def minhashBandsCtes: String =
+    s"${minhashCtes()},\nbands AS (\n${minhashBandsUnion()}\n)"
 
   /** SimHash signature computation as a flat CTE list ending in
     * `sig(doc_id, simhash48)` — shared by the signature gate and the

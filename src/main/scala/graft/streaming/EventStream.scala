@@ -11,6 +11,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class UpsertEvent(event_id: Long, version: Long, value: Double)
 case class UpsertState(version: Long, value: Double)
 
+/** Row shapes for the continuous near-dup detector: the raw document,
+  * one LSH band bucket hit per (doc, band), and one emitted dup flag
+  * per (doc, band) whose bucket had an earlier occupant. */
+case class DocText(doc_id: Long, text: String)
+case class BandHit(band_id: Int, bucket: Long, doc_id: Long)
+case class DupBand(doc_id: Long, band_id: Int)
+
 /** Structured Streaming surface (SURVEY.md §2.8): the reference's
   * scheduled micro-batch dataflow expressed as a real streaming query.
   *
@@ -369,6 +376,107 @@ object EventStream {
     }
   }
 
+  /** Bucket registry for the continuous near-dup detector: per LSH
+    * (band, bucket) key, one ValueState holding the MINIMUM doc_id
+    * ever seen in that bucket. Every arriving doc that is not the
+    * bucket minimum (counting both prior state and smaller ids in the
+    * same micro-batch) is flagged — so a doc is emitted exactly when
+    * an earlier doc (smaller id, = earlier arrival under ordered
+    * replay) shares the bucket, which is precisely the batch LSH
+    * candidate condition. State is O(distinct buckets), 16 bytes a
+    * row in RocksDB — dedup-against-all-history without holding any
+    * document content; production would add a TTLConfig horizon. */
+  class BucketMinProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[(Int, Long), BandHit, DupBand] {
+    @transient private var minSeen:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      minSeen = getHandle.getValueState[Long]("min_doc",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandHit],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[DupBand] = {
+      // bounded by this bucket's occupancy within ONE micro-batch
+      val ids = rows.map(_.doc_id).toArray
+      val prior = if (minSeen.exists()) Some(minSeen.get()) else None
+      val globalMin = prior.fold(ids.min)(math.min(_, ids.min))
+      minSeen.update(globalMin)
+      ids.iterator.filter(_ != globalMin).map(DupBand(_, key._1))
+    }
+  }
+
+  /** Continuous MinHash-LSH near-duplicate detection — the streaming
+    * twin of the batch `dedup_minhash_bands` gate and the shape a
+    * 100 TB ingest pipeline actually runs: documents arrive, each is
+    * checked against ALL history, and the only state is the bucket
+    * registry (4 longs per doc ever seen — never document content).
+    * Per-row compiled signatures
+    * ([[graft.operators.Dedup.bandHitsLocal]] via `mapPartitions` —
+    * the Column HOF form is CodegenFallback and measured 81 s at
+    * sf0.1) keep the plan a stateless map into ONE stateful operator;
+    * the corpus replays in four ascending-doc_id batches so "earlier
+    * doc" means both smaller id and earlier arrival. Output: per
+    * document, how many of its 4 bands had an earlier occupant, and
+    * the dup flag — oracle-checked against the batch bucket function
+    * in DuckDB. */
+  def streamNearDupMinhash(spark: SparkSession, dir: String): DataFrame =
+    withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      // 1-row bounded agg: replay cut points, not data, reach the driver
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      val cuts = Seq(mx / 4, mx / 2, 3 * mx / 4)
+      val parts = Seq(
+        docs.filter(col("doc_id") <= cuts(0)),
+        docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+        docs.filter(col("doc_id") > cuts(1) && col("doc_id") <= cuts(2)),
+        docs.filter(col("doc_id") > cuts(2)))
+      val staging = stageReplay(parts)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .as[DocText]
+        .mapPartitions(_.flatMap { d =>
+          graft.operators.Dedup.bandHitsLocal(d.text)
+            .iterator.map { case (b, bk) => BandHit(b, bk, d.doc_id) }
+        })
+        .groupByKey(r => (r.band_id, r.bucket))
+        .transformWithState(new BucketMinProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val name = "graft_stream_neardup"
+      val q = stream.writeStream
+        .outputMode("update").format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        // batch readout over the collected emissions: flags per doc,
+        // zero-filled from the static doc list
+        val dups = spark.table(name)
+          .groupBy("doc_id")
+          .agg(count_distinct(col("band_id")).as("n_dup_bands"))
+        val out = docs.select("doc_id")
+          .join(dups, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_dup_bands"), lit(0L)).as("n_dup_bands"),
+            (coalesce(col("n_dup_bands"), lit(0L)) > 0).cast("long")
+              .as("is_dup"))
+          .cache()
+        out.count()
+        out
+      } finally { StreamMetrics.record(q); q.stop() }
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   /** Static dimension for stream enrichment: event_type -> engagement
     * class. A literal table so the gate is deterministic; in production
     * this is any slowly-changing dim the stream joins against. */
@@ -497,6 +605,7 @@ object EventStream {
     "stream_upsert_latest" -> streamUpsertLatest _,
     "stream_upsert_deltas" -> streamUpsertDeltas _,
     "stream_upsert_deltas_tws" -> streamUpsertDeltasTws _,
+    "stream_neardup_minhash" -> streamNearDupMinhash _,
     "stream_static_join" -> streamStaticJoin _)
 
   private val tumblingSql =
@@ -562,6 +671,21 @@ object EventStream {
     // trigger: every key at version 1, the replayed subset at version 2.
     // The fMGWS and transformWithState forms share it.
     "stream_upsert_deltas" -> deltasOracle,
-    "stream_upsert_deltas_tws" -> deltasOracle)
+    "stream_upsert_deltas_tws" -> deltasOracle,
+    // batch recompute of the continuous detector: a doc is dup in band
+    // b iff an earlier (smaller-id) doc shares its band-b bucket —
+    // same signature/bucket pipeline as dedup_minhash_bands
+    "stream_neardup_minhash" ->
+      s"""WITH ${graft.operators.Dedup.minhashBandsCtes},
+         |dup AS (
+         |  SELECT y.doc_id, count(DISTINCT y.band_id) AS n
+         |  FROM bands x JOIN bands y
+         |    ON x.band_id = y.band_id AND x.bucket = y.bucket
+         |   AND x.doc_id < y.doc_id
+         |  GROUP BY y.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(dup.n, 0) AS BIGINT) AS n_dup_bands,
+         |  CAST(COALESCE(dup.n, 0) > 0 AS BIGINT) AS is_dup
+         |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id""".stripMargin)
 
 }

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract of the continuous MinHash-LSH near-dup detector
+  * (`stream_neardup_minhash`): flags must equal the batch LSH
+  * condition "an earlier (smaller-id) doc shares a band bucket" —
+  * including ties arriving in the SAME micro-batch — and per-row
+  * streaming signatures must agree with the batch explode+agg kernel
+  * bucket-for-bucket. */
+class StreamNearDupSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+
+  test("compiled per-row band buckets match the batch signature kernel") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, graft.SparkTestSession.sf, "documents")
+      .select(col("doc_id"), col("text")).cache()
+    val rowForm = docs.as[DocText]
+      .flatMap(d => graft.operators.Dedup.bandHitsLocal(d.text)
+        .map { case (b, bk) => (d.doc_id, b, bk) })
+      .toDF("doc_id", "band_id", "bucket")
+    val batchForm = graft.operators.Dedup
+      .minhashBands(docs, reproducible = true)
+      .select(col("doc_id"), col("band_id"), col("bucket"))
+    assert(rowForm.exceptAll(batchForm).isEmpty &&
+      batchForm.exceptAll(rowForm).isEmpty,
+      "compiled per-row and explode+agg signatures disagree")
+    docs.unpersist()
+  }
+
+  test("streaming flags equal the batch earlier-occupant condition") {
+    val sf = graft.SparkTestSession.sf
+    val out = EventStream.streamNearDupMinhash(spark, sf).cache()
+    val docs = graft.Tables.load(spark, sf, "documents")
+    // batch recompute of the same condition
+    val bands = graft.operators.Dedup.minhashBands(docs, reproducible = true)
+    val expect = bands.as("y")
+      .join(bands.as("x"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"), "left_semi")
+      .select(col("y.doc_id"), col("y.band_id")).distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_bands"))
+    val joined = out.join(expect.withColumnRenamed("n_dup_bands", "n_exp"),
+      Seq("doc_id"), "left")
+      .withColumn("n_exp", coalesce(col("n_exp"), lit(0L)))
+    assert(joined.filter(col("n_dup_bands") =!= col("n_exp")).isEmpty,
+      "streaming band-dup counts diverge from the batch condition")
+    // sanity: the corpus actually contains near-dups and non-dups
+    val n = out.count()
+    val nd = out.filter(col("is_dup") === 1).count()
+    assert(nd > 0 && nd < n, s"degenerate corpus: $nd of $n flagged")
+    out.unpersist()
+  }
+}
