@@ -75,7 +75,11 @@ class ConfParitySpec extends AnyFunSuite {
     // survivor set), and the TWA window pass
     "dp_randomized_response", "dp_sum_clipped",
     "join_q3_shipping", "agg_q6_forecast", "join_q19_disjunctive",
-    "ts_twa")
+    "ts_twa",
+    // r9: the canonical dedup's adaptive component solve (driver
+    // union-find under the edge cap) plus its min-id tie rules must
+    // hold under every scheduling variant
+    "dedup_setsim_canonical")
 
   private val variants: Seq[(String, Seq[(String, String)])] = Seq(
     "p9-noAQE" -> Seq(
