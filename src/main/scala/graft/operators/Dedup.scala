@@ -1046,11 +1046,42 @@ object Dedup {
     * is consumed in ONE pass and its intra-component bulk never leaves
     * the map side. */
   def setSimCanonical(docs: DataFrame, num: Long = setSimNum,
-      den: Long = setSimDen): DataFrame = {
-    val spark = docs.sparkSession
+      den: Long = setSimDen): DataFrame =
+    withMemberCounts(canonicalLabels(docs, num, den))
+
+  /** (doc_id, canonical_id, n_members) from a bare label frame — the
+    * shared readout of the full and incremental canonical forms. */
+  private def withMemberCounts(labels: DataFrame): DataFrame = {
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_id")) // bounded by the largest cluster
+    labels.withColumn("n_members", count(lit(1)).over(wc))
+  }
+
+  /** The label stage of [[setSimCanonical]]: (doc_id, canonical_id),
+    * localCheckpoint-materialized with the shared part caches already
+    * released — safe to hold across later part builds, which is what
+    * [[setSimCanonicalIncremental]] does with the base corpus. */
+  private[operators] def canonicalLabels(docs: DataFrame, num: Long,
+      den: Long): DataFrame = {
     val (pref, docToks, cleanup) = setSimParts(docs, num, den)
-    try {
-      val nodes = docs.select(col("doc_id"))
+    try canonicalLabelsFromParts(docs.select(col("doc_id")), pref, docToks,
+      num, den)
+    finally cleanup()
+  }
+
+  /** [[canonicalLabels]] over CALLER-OWNED part frames (caller manages
+    * the cache lifecycle). The part frames may be a SUBSET filter of a
+    * larger corpus' parts — prefix-filter completeness holds under any
+    * consistent token order, so ranking base-corpus prefixes by
+    * FULL-corpus document frequency still generates every true base
+    * pair, and the resulting labels are graph-determined and therefore
+    * identical to a base-only build (IncrementalCanonSpec pins this).
+    * That is what lets the incremental gate build ONE token index for
+    * both its stages instead of two. */
+  private def canonicalLabelsFromParts(nodes: DataFrame, pref: DataFrame,
+      docToks: DataFrame, num: Long, den: Long): DataFrame = {
+    val spark = nodes.sparkSession
+    locally {
       // -- 1. token-space MinHash bucket-star seeding --------------------
       val sigs = minhashAgg(docToks
         .select(col("doc_id"), explode(col("toks")).as("tid"))
@@ -1109,20 +1140,146 @@ object Dedup {
           col("cluster_id").as("canonical_id"))
         if (labelsFit) broadcast(s) else s
       }
-      val labels = labels0.select(col("doc_id"), col("cluster_id").as("c0"))
+      labels0.select(col("doc_id"), col("cluster_id").as("c0"))
         .join(superSide, "c0")
         .select(col("doc_id"), col("canonical_id"))
         .localCheckpoint()
-      val wc = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("canonical_id")) // bounded by the largest cluster
-      labels.withColumn("n_members", count(lit(1)).over(wc))
-    } finally cleanup()
+    }
   }
 
 
   /** Gate form of [[setSimCanonical]]. */
   def setSimCanonicalQuery(spark: SparkSession, dir: String): DataFrame =
     setSimCanonical(Tables.load(spark, dir, "documents"))
+
+  /** INCREMENTAL canonical maintenance — fold a DELTA batch of new
+    * documents into an existing canonical labeling without recomputing
+    * the corpus, and produce labels IDENTICAL to a full recompute over
+    * base ∪ delta (the gate shares [[setSimCanonical]]'s DuckDB oracle
+    * verbatim — that equality IS the contract). This is the nightly-
+    * crawl shape at 100 TB, where re-running full canonical dedup per
+    * snapshot is a non-starter: work scales with the delta and the
+    * components it touches, never with base×base.
+    *
+    * Why exactness survives the shortcut: the full pair graph over
+    * base ∪ delta decomposes into base-base pairs, which are already
+    * intra-component under the base labeling (it was computed exactly,
+    * and adding documents never removes edges), and pairs touching a
+    * delta doc, which this path generates completely (delta prefixes
+    * joined against the UNION-corpus prefix frame — the prefix filter
+    * is complete under any consistent df order, and both directions
+    * normalize through least/greatest). Contracting base endpoints to
+    * their base canonical id before the component solve is exactly the
+    * associativity of union-find: merging within base first, then
+    * merging the delta edges, reaches the same fixpoint — and since a
+    * base canonical id IS the min doc_id of its component, min-label
+    * union-find over contracted nodes yields the min doc_id of the
+    * merged component. Untouched base components never appear in an
+    * edge and keep their label; novel delta docs label themselves.
+    *
+    * Production feeds the STORED canonical table as `baseLabels` and a
+    * persisted token/df index for the base side (same convention as
+    * [[incrementalDedup]]'s band index); the gate recomputes both
+    * inline — the dataflow is identical. */
+  def setSimCanonicalIncremental(docs: DataFrame, baseLabels: DataFrame,
+      deltaPred: Column, num: Long = setSimNum,
+      den: Long = setSimDen): DataFrame = {
+    val (pref, docToks, cleanup) = setSimParts(docs, num, den)
+    try incrementalFromParts(docs, baseLabels, deltaPred, pref, docToks,
+      num, den)
+    finally cleanup()
+  }
+
+  /** [[setSimCanonicalIncremental]] over caller-owned part frames (the
+    * gate builds ONE union-corpus token index and feeds both the base
+    * label stage and this delta fold from it). */
+  private def incrementalFromParts(docs: DataFrame, baseLabels: DataFrame,
+      deltaPred: Column, pref: DataFrame, docToks: DataFrame, num: Long,
+      den: Long): DataFrame = {
+    val spark = docs.sparkSession
+    locally {
+      // delta-touching candidates: delta prefixes vs the union prefix
+      // frame, both directions normalized; base×base never enters
+      val a = pref.filter(deltaPred)
+        .select(col("tid"), col("doc_id").as("dd"), col("sz").as("nd"),
+          col("rn").as("rnd"))
+      val b = pref.select(col("tid").as("tid2"), col("doc_id").as("do"),
+        col("sz").as("no"), col("rn").as("rno"))
+      val ubound = lit(1L) + least(col("nd") - col("rnd"), col("no") - col("rno"))
+      val cand = a.join(b, col("tid") === col("tid2")
+          && col("dd") =!= col("do")
+          && lit(num) * col("nd") <= lit(den) * col("no")
+          && lit(num) * col("no") <= lit(den) * col("nd")
+          && lit(num + den) * ubound >= lit(num) * (col("nd") + col("no")))
+        .select(least(col("dd"), col("do")).as("da"),
+          greatest(col("dd"), col("do")).as("db"))
+        .distinct()
+      val ok = verifyPairs(cand, docToks, num, den).select("da", "db")
+      // contract base endpoints through the base labeling (delta docs
+      // have no base label and stay themselves), then solve components
+      // over (base canonical ids ∪ delta doc ids)
+      val fit = baseLabels.count() <=
+        spark.conf.getOption("spark.graft.dedup.broadcastLabelsMaxRows")
+          .map(_.toLong).getOrElse(10000000L)
+      def lab(from: String, to: String) = {
+        val s = baseLabels.select(col("doc_id").as(from),
+          col("canonical_id").as(to))
+        if (fit) broadcast(s) else s
+      }
+      val contracted = ok
+        .join(lab("da", "la"), Seq("da"), "left")
+        .join(lab("db", "lb"), Seq("db"), "left")
+        .select(coalesce(col("la"), col("da")).as("u"),
+          coalesce(col("lb"), col("db")).as("v"))
+        .select(least(col("u"), col("v")).as("da"),
+          greatest(col("u"), col("v")).as("db"))
+        .filter(col("da") =!= col("db"))
+        .distinct()
+        .localCheckpoint()
+      val deltaIds = docs.filter(deltaPred).select(col("doc_id"))
+      val nodes = baseLabels.select(col("canonical_id").as("doc_id"))
+        .distinct().union(deltaIds)
+      val roots = componentsAdaptive(nodes, contracted).localCheckpoint()
+      def rootSide(from: String) = {
+        val s = roots.select(col("doc_id").as(from),
+          col("cluster_id").as("root"))
+        if (fit) broadcast(s) else s
+      }
+      val labels = baseLabels
+        .select(col("doc_id"), col("canonical_id").as("c0"))
+        .join(rootSide("c0"), "c0")
+        .select(col("doc_id"), col("root").as("canonical_id"))
+        .union(deltaIds.join(rootSide("doc_id"), "doc_id")
+          .select(col("doc_id"), col("root").as("canonical_id")))
+        .localCheckpoint()
+      withMemberCounts(labels)
+    }
+  }
+
+  /** Gate form of [[setSimCanonicalIncremental]]: the newest 20% of
+    * doc_ids play the delta crawl, the rest the already-canonicalized
+    * base (labels recomputed inline via [[canonicalLabels]]; production
+    * reads the stored table). Shares [[setSimCanonical]]'s oracle —
+    * incremental must equal full recompute row-for-row. */
+  def setSimCanonicalIncrementalQuery(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val mx = docs.agg(max("doc_id")).head().getLong(0) // 1-row bounded agg
+    val cut = 4L * mx / 5L
+    // one union-corpus token index feeds BOTH stages: the base label
+    // build runs on the base-filtered part frames (valid — see
+    // canonicalLabelsFromParts — and labels are graph-determined, so
+    // they match the stored table production would feed in)
+    val (pref, docToks, cleanup) = setSimParts(docs, setSimNum, setSimDen)
+    try {
+      val baseLab = canonicalLabelsFromParts(
+        docs.filter(col("doc_id") <= cut).select(col("doc_id")),
+        pref.filter(col("doc_id") <= cut),
+        docToks.filter(col("doc_id") <= cut), setSimNum, setSimDen)
+      incrementalFromParts(docs, baseLab, col("doc_id") > cut,
+        pref, docToks, setSimNum, setSimDen)
+    } finally cleanup()
+  }
 
   // --- Block-level (passage) dedup ---------------------------------------
 
@@ -1625,6 +1782,7 @@ object Dedup {
     "dedup_method_agreement" -> methodAgreement _,
     "dedup_setsim" -> setSimQuery _,
     "dedup_setsim_canonical" -> setSimCanonicalQuery _,
+    "dedup_canonical_incremental" -> setSimCanonicalIncrementalQuery _,
     "dedup_clusters" -> clustersQuery _,
     "dedup_clusters_star" -> clustersStarQuery _)
 
@@ -2084,8 +2242,14 @@ object Dedup {
          |WHERE $setSimDen * i >= $setSimNum * (sa.n + sb.n - i)""".stripMargin,
     // components of the exact-Jaccard pair graph (same pair set as
     // dedup_setsim) via the house recursive closure; min doc per
-    // component = canonical, window count = cluster size
-    "dedup_setsim_canonical" ->
+    // component = canonical, window count = cluster size. The
+    // INCREMENTAL gate binds to the SAME full-recompute oracle — the
+    // delta fold must be row-for-row indistinguishable from recomputing
+    // canonical labels over the whole corpus.
+    "dedup_canonical_incremental" -> setSimCanonicalOracle,
+    "dedup_setsim_canonical" -> setSimCanonicalOracle)
+
+  private lazy val setSimCanonicalOracle: String =
       s"""WITH RECURSIVE tok AS (SELECT doc_id,
          |    unnest(list_distinct(str_split(text, ' '))) AS tok
          |  FROM documents),
@@ -2107,5 +2271,5 @@ object Dedup {
          |SELECT doc_id, canonical_id,
          |  CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
          |    AS n_members
-         |FROM cl""".stripMargin)
+         |FROM cl""".stripMargin
 }
