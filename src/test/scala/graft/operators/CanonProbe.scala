@@ -44,6 +44,26 @@ object CanonProbe {
       s
     }
     println(f"[probe] canonical min ${ts.min}%.2f  median ${ts.sorted(Ordering.Double.TotalOrdering)(ts.size / 2)}%.2f")
+    // fold-only: production feeds the STORED canonical table (and a
+    // persisted token index); the per-snapshot cost is the delta fold.
+    // Precompute base labels once outside the timer, then time the
+    // public incremental entry point — an honest UPPER bound on the
+    // fold (it still rebuilds the union token index the gate shares).
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val cut = 4L * mx / 5L
+    val baseLab = Dedup
+      .canonicalLabels(docs.filter(col("doc_id") <= cut), num, den)
+      .localCheckpoint()
+    spark.catalog.clearCache(); System.gc()
+    val fs = (1 to rounds).map { i =>
+      val s = t(s"incremental fold (stored base) #$i") {
+        graft.Bench.materialize(Dedup.setSimCanonicalIncremental(
+          docs, baseLab, col("doc_id") > cut, num, den))
+      }
+      spark.catalog.clearCache(); System.gc()
+      s
+    }
+    println(f"[probe] fold min ${fs.min}%.2f  median ${fs.sorted(Ordering.Double.TotalOrdering)(fs.size / 2)}%.2f")
     spark.stop()
   }
 }

@@ -27,7 +27,8 @@ import sys
 # exponent meaningless) — their scaling evidence is state growth, see
 # graft.StreamScale / STREAMSCALE.json.
 GATES = [
-    "dedup_setsim", "dedup_setsim_canonical", "dedup_minhash_bands",
+    "dedup_setsim", "dedup_setsim_canonical", "dedup_canonical_incremental",
+    "dedup_minhash_bands",
     "dedup_simhash_pairs",
     "dedup_clusters", "dedup_semantic", "dedup_containment",
     "embed_clusters", "embed_neardup_lsh", "knn_ivf", "knn_brute",
