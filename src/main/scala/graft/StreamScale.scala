@@ -48,6 +48,9 @@ object StreamScale {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // progress retention far above any staged-replay trigger count —
+      // StreamMetrics.record refuses to publish truncated histories
+      .config("spark.sql.streaming.numRecentProgressUpdates", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Conf.silenceBoundedWindowLogs()

@@ -220,12 +220,16 @@ object TextAnalysis {
     }
   }
 
-  /** Token-term codes of a document (length*7 + first-char code —
-    * identical to the SQL rendering for this ASCII corpus;
-    * ascii('') = 0 matches the engine's empty-token guard). */
+  /** Token-term codes of a document (length*7 + first-char code).
+    * Length and first char are CODE POINTS — SQL `length()` counts
+    * code points and `ascii()` returns the first code point in both
+    * Spark and DuckDB, so a UTF-16 `String.length`/`charAt` rendering
+    * would diverge on any supplementary character; ascii('') = 0
+    * matches the engine's empty-token guard. */
   private[graft] def termCodes(text: String): Array[Long] =
     text.split(" ", -1).map(t =>
-      t.length.toLong * 7 + (if (t.isEmpty) 0L else t.charAt(0).toLong))
+      t.codePointCount(0, t.length).toLong * 7 +
+        (if (t.isEmpty) 0L else t.codePointAt(0).toLong))
 
   def winnowing(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -184,11 +184,22 @@ object Dedup {
     while (i < nSh) {
       val g = t(i) + " " + t(i + 1) + " " + t(i + 2)
       // zero-padded fixed-width poly fold = charPolyHash(g, 31, P2):
-      // substring past the end is "" and ascii("") is 0
+      // substring past the end is "" and ascii("") is 0. Iterate CODE
+      // POINTS, not UTF-16 units — Spark's substring/ascii and
+      // DuckDB's array_extract/ascii both index and value by code
+      // point (probed: ascii('😀x' substring 1) = 128512 in
+      // both), so a surrogate-pair charAt walk would diverge from the
+      // Column twin on any supplementary character.
       var acc = 0L
       var j = 0
+      var off = 0
       while (j < polyWidth) {
-        val c = if (j < g.length) g.charAt(j).toLong else 0L
+        val c =
+          if (off < g.length) {
+            val cp = g.codePointAt(off)
+            off += Character.charCount(cp)
+            cp.toLong
+          } else 0L
         acc = (acc * 31 + c) % P2
         j += 1
       }
@@ -469,14 +480,64 @@ object Dedup {
   }
 
   /** Edge-count gate below which [[componentsAdaptive]] solves
-    * connected components driver-side. 4M edges = 64 MB of longs on
-    * the driver — far under any sane driver heap, and far above the
-    * verified-edge volume any bench SF produces. Conf-tunable so a
-    * memory-constrained driver can lower it (or force the distributed
-    * path with 0). */
+    * connected components driver-side. Honest arithmetic at the cap:
+    * 2M edges touch ≤4M nodes; the primitive open-addressing parent
+    * map holds them in two long arrays at ≤75% load → ≤128 MB
+    * worst-case driver footprint (edges stream in one partition at a
+    * time via toLocalIterator — never a corpus-sized Row array).
+    * That fits even a default-1g driver with headroom, and is orders
+    * of magnitude above the verified-edge volume any bench SF
+    * produces. Conf-tunable so a memory-constrained driver can lower
+    * it (or force the distributed path with 0). */
   private def localSolveMaxEdges(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.dedup.localSolveMaxEdges")
-      .map(_.toLong).getOrElse(4000000L)
+      .map(_.toLong).getOrElse(2000000L)
+
+  /** Minimal open-addressing long→long map (linear probing,
+    * power-of-two capacity, Long.MinValue as the empty slot — node
+    * ids are nonnegative). The driver union-find at the
+    * [[localSolveMaxEdges]] cap holds millions of entries, where
+    * java.util.HashMap's ~50-100 B/entry of boxed Longs and node
+    * objects would be a 10× undercount of the documented footprint;
+    * this stays at 16 B/entry ÷ load factor, flat arrays, zero
+    * allocation per operation. */
+  private final class LongLongMap(initCap: Int) {
+    private val EMPTY = Long.MinValue
+    private var cap = Integer.highestOneBit(math.max(initCap, 16)) * 2
+    private var ks = Array.fill(cap)(EMPTY)
+    private var vs = new Array[Long](cap)
+    private var n = 0
+    private def slot(k: Long): Int = {
+      // Stafford mix13 finalizer — full avalanche before masking
+      var h = k; h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+      h ^= h >>> 27; h *= 0x94d049bb133111ebL; h ^= h >>> 31
+      var i = h.toInt & (cap - 1)
+      while (ks(i) != EMPTY && ks(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def getOrElse(k: Long, dflt: Long): Long = {
+      val i = slot(k); if (ks(i) == EMPTY) dflt else vs(i)
+    }
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (ks(i) == EMPTY) { ks(i) = k; vs(i) = v; n += 1; maybeGrow() }
+      else vs(i) = v
+    }
+    def size: Int = n
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (ks(i) != EMPTY) f(ks(i)); i += 1 }
+    }
+    private def maybeGrow(): Unit = if (n * 4 > cap * 3) {
+      val (oks, ovs, ocap) = (ks, vs, cap)
+      cap *= 2; ks = Array.fill(cap)(EMPTY); vs = new Array[Long](cap)
+      var i = 0
+      while (i < ocap) {
+        if (oks(i) != EMPTY) { val j = slot(oks(i)); ks(j) = oks(i); vs(j) = ovs(i) }
+        i += 1
+      }
+    }
+  }
 
   /** Runtime-adaptive connected components — the same decision AQE
     * makes for joins (measure first, then pick the physical strategy).
@@ -498,38 +559,51 @@ object Dedup {
       pairs: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
     if (pairs.count() <= localSolveMaxEdges(spark)) {
-      val parent = new java.util.HashMap[Long, Long](1 << 14)
+      val parent = new LongLongMap(1 << 14)
       def find(x0: Long): Long = {
         var x = x0
-        var p = parent.getOrDefault(x, x)
-        while (p != x) { // path halving: put() only touches EXISTING keys
-          val gp = parent.getOrDefault(p, p)
+        var p = parent.getOrElse(x, x)
+        while (p != x) { // path halving
+          val gp = parent.getOrElse(p, p)
           parent.put(x, gp)
           x = gp
-          p = parent.getOrDefault(x, x)
+          p = parent.getOrElse(x, x)
         }
         x
       }
       // union-by-min: the larger root attaches under the smaller, so a
-      // tree root IS its component's minimum at every point in time
-      pairs.select(col("da").cast("long"), col("db").cast("long"))
-        .collect().foreach { r =>
-          val ra = find(r.getLong(0))
-          val rb = find(r.getLong(1))
-          if (ra < rb) parent.put(rb, ra)
-          else if (rb < ra) parent.put(ra, rb)
-        }
+      // tree root IS its component's minimum at every point in time.
+      // toLocalIterator holds ONE partition's rows at a time — the
+      // edge frame never materializes as a driver-wide Row array.
+      val edgeIt = pairs
+        .select(col("da").cast("long"), col("db").cast("long"))
+        .toLocalIterator()
+      while (edgeIt.hasNext) {
+        val r = edgeIt.next()
+        val ra = find(r.getLong(0))
+        val rb = find(r.getLong(1))
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
       // only nodes whose root differs from themselves need rows; the
       // join below coalesces everyone else to self — keeps the
-      // broadcast at (merged nodes), not (all nodes)
-      val lab = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      parent.keySet().forEach { k =>
+      // broadcast at (merged nodes), not (all nodes). The label frame
+      // is built distributively from two broadcast PRIMITIVE arrays
+      // (16 B/entry), never a driver-side buffer of boxed tuples.
+      val kb = Array.newBuilder[Long]
+      val vb = Array.newBuilder[Long]
+      parent.foreachKey { k =>
         val r = find(k)
-        if (r != k) lab += ((k, r))
+        if (r != k) { kb += k; vb += r }
       }
+      val (kArr, vArr) = (kb.result(), vb.result())
+      val bk = spark.sparkContext.broadcast(kArr)
+      val bv = spark.sparkContext.broadcast(vArr)
       import spark.implicits._
-      nodes.join(broadcast(lab.toSeq.toDF("doc_id", "root")), Seq("doc_id"),
-          "left")
+      val lab = spark.range(kArr.length)
+        .map(i => (bk.value(i.toInt), bv.value(i.toInt)))
+        .toDF("doc_id", "root")
+      nodes.join(broadcast(lab), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("root"), col("doc_id")).as("cluster_id"))
     } else {
@@ -917,28 +991,38 @@ object Dedup {
     * ([[setSimJoin]] must — it verifies each pair once) or to consume
     * the stream map-side ([[setSimCanonical]]'s partial-aggregated
     * seed pass never materializes it). */
-  private[operators] def candStream(pref: DataFrame, num: Long, den: Long): DataFrame = {
-    // length filter inside the join: |a| and |b| within a factor of
-    // den/num of each other, else Jaccard can't reach num/den
-    val a = pref.select(col("tid"), col("doc_id").as("da"), col("sz").as("na"),
+  private[operators] def candStream(pref: DataFrame, num: Long, den: Long): DataFrame =
+    prefJoin(pref, pref, num, den, col("da") < col("db"))
+
+  /** The PPJoin-filtered prefix self/cross join — the single home of
+    * the length-ratio and position bounds shared by the full sweep
+    * ([[candStream]]) and the incremental delta fold (which passes a
+    * delta-FILTERED left side and an unordered id condition, then
+    * normalizes pair direction itself).
+    *
+    * Length filter inside the join: |a| and |b| within a factor of
+    * den/num of each other, else Jaccard can't reach num/den.
+    * PPJoin position filter (Xiao et al., "Efficient Similarity Joins
+    * for Near Duplicate Detection", WWW'08): when the shared token
+    * sits at prefix positions (rna, rnb), every intersection token of
+    * the pair lies at or after those positions in BOTH df-ordered
+    * sets, so overlap <= 1 + min(na-rna, nb-rnb). Jaccard >= num/den
+    * needs overlap >= num/(num+den)·(na+nb); prune when the bound
+    * can't reach it. Lossless for pair EXISTENCE: the pair's EARLIEST
+    * shared prefix token always satisfies the bound, so every true
+    * pair still reaches the distinct. The win is WHERE it runs —
+    * inside the join, before the candidate shuffle: 52M candidate
+    * rows -> 21M at sf0.1, and the distinct that dominated the gate
+    * (13 of 17.8 s) shrinks with it. */
+  private def prefJoin(prefL: DataFrame, prefR: DataFrame, num: Long,
+      den: Long, idCond: Column): DataFrame = {
+    val a = prefL.select(col("tid"), col("doc_id").as("da"), col("sz").as("na"),
       col("rn").as("rna"))
-    val b = pref.select(col("tid").as("tid2"), col("doc_id").as("db"),
+    val b = prefR.select(col("tid").as("tid2"), col("doc_id").as("db"),
       col("sz").as("nb"), col("rn").as("rnb"))
-    // PPJoin position filter (Xiao et al., "Efficient Similarity Joins
-    // for Near Duplicate Detection", WWW'08): when the shared token
-    // sits at prefix positions (rna, rnb), every intersection token of
-    // the pair lies at or after those positions in BOTH df-ordered
-    // sets, so overlap <= 1 + min(na-rna, nb-rnb). Jaccard >= num/den
-    // needs overlap >= num/(num+den)·(na+nb); prune when the bound
-    // can't reach it. Lossless for pair EXISTENCE: the pair's EARLIEST
-    // shared prefix token always satisfies the bound, so every true
-    // pair still reaches the distinct. The win is WHERE it runs —
-    // inside the join, before the candidate shuffle: 52M candidate
-    // rows -> 21M at sf0.1, and the distinct that dominated the gate
-    // (13 of 17.8 s) shrinks with it.
     val ubound = lit(1L) + least(col("na") - col("rna"), col("nb") - col("rnb"))
     a.join(b, col("tid") === col("tid2")
-        && col("da") < col("db")
+        && idCond
         && lit(num) * col("na") <= lit(den) * col("nb")
         && lit(num) * col("nb") <= lit(den) * col("na")
         && lit(num + den) * ubound >= lit(num) * (col("na") + col("nb")))
@@ -1081,7 +1165,6 @@ object Dedup {
   private def canonicalLabelsFromParts(nodes: DataFrame, pref: DataFrame,
       docToks: DataFrame, num: Long, den: Long): DataFrame = {
     val spark = nodes.sparkSession
-    locally {
       // -- 1. token-space MinHash bucket-star seeding --------------------
       val sigs = minhashAgg(docToks
         .select(col("doc_id"), explode(col("toks")).as("tid"))
@@ -1144,7 +1227,6 @@ object Dedup {
         .join(superSide, "c0")
         .select(col("doc_id"), col("canonical_id"))
         .localCheckpoint()
-    }
   }
 
 
@@ -1197,22 +1279,15 @@ object Dedup {
       deltaPred: Column, pref: DataFrame, docToks: DataFrame, num: Long,
       den: Long): DataFrame = {
     val spark = docs.sparkSession
-    locally {
       // delta-touching candidates: delta prefixes vs the union prefix
-      // frame, both directions normalized; base×base never enters
-      val a = pref.filter(deltaPred)
-        .select(col("tid"), col("doc_id").as("dd"), col("sz").as("nd"),
-          col("rn").as("rnd"))
-      val b = pref.select(col("tid").as("tid2"), col("doc_id").as("do"),
-        col("sz").as("no"), col("rn").as("rno"))
-      val ubound = lit(1L) + least(col("nd") - col("rnd"), col("no") - col("rno"))
-      val cand = a.join(b, col("tid") === col("tid2")
-          && col("dd") =!= col("do")
-          && lit(num) * col("nd") <= lit(den) * col("no")
-          && lit(num) * col("no") <= lit(den) * col("nd")
-          && lit(num + den) * ubound >= lit(num) * (col("nd") + col("no")))
-        .select(least(col("dd"), col("do")).as("da"),
-          greatest(col("dd"), col("do")).as("db"))
+      // frame via the shared PPJoin kernel (one home for the
+      // length-ratio/position bounds — a tuning fix to prefJoin
+      // reaches both the full sweep and this fold), both directions
+      // normalized; base×base never enters
+      val cand = prefJoin(pref.filter(deltaPred), pref, num, den,
+          col("da") =!= col("db"))
+        .select(least(col("da"), col("db")).as("da"),
+          greatest(col("da"), col("db")).as("db"))
         .distinct()
       val ok = verifyPairs(cand, docToks, num, den).select("da", "db")
       // contract base endpoints through the base labeling (delta docs
@@ -1253,7 +1328,6 @@ object Dedup {
           .select(col("doc_id"), col("root").as("canonical_id")))
         .localCheckpoint()
       withMemberCounts(labels)
-    }
   }
 
   /** Gate form of [[setSimCanonicalIncremental]]: the newest 20% of

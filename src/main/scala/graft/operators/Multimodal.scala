@@ -535,33 +535,6 @@ object Multimodal {
         |  CAST(min(p) AS BIGINT) AS px_min,
         |  CAST(max(p) AS BIGINT) AS px_max
         |FROM px GROUP BY a, ow, oh""".stripMargin,
-    "multimodal_png_resize" ->
-      """WITH ids AS (SELECT doc_id AS a, doc_id % 24 + 8 AS w,
-        |    (doc_id * 3) % 24 + 8 AS h,
-        |    (doc_id % 24 + 8 + 1) // 2 AS ow,
-        |    ((doc_id * 3) % 24 + 8 + 1) // 2 AS oh
-        |  FROM documents WHERE doc_id < 120),
-        |ex AS (SELECT a, w, h, ow, oh,
-        |    unnest(generate_series(CAST(0 AS BIGINT), ow * oh - 1)) AS j
-        |  FROM ids),
-        |src AS (SELECT a, ow, oh, j,
-        |    ((j // ow) * h // oh) * w + ((j % ow) * w // ow) AS i
-        |  FROM ex),
-        |px AS (SELECT a, ow, oh, j,
-        |    (xor(
-        |       (((a * 65536 + i) % 2147483648 * 1103515245 + 12345)
-        |         % 2147483648 * 1103515245 + 12345) % 2147483648,
-        |       ((((a * 65536 + i) % 2147483648 * 1103515245 + 12345)
-        |         % 2147483648 * 1103515245 + 12345) % 2147483648) >> 15
-        |     ) * 1103515245 + 12345) % 2147483648 % 256 AS p
-        |  FROM src)
-        |SELECT a AS asset_id, CAST(ow AS BIGINT) AS out_w,
-        |  CAST(oh AS BIGINT) AS out_h,
-        |  CAST(sum(p) AS BIGINT) AS pixel_sum,
-        |  CAST(sum((j + 1) * p) AS BIGINT) AS checksum,
-        |  CAST(min(p) AS BIGINT) AS px_min,
-        |  CAST(max(p) AS BIGINT) AS px_max
-        |FROM px GROUP BY a, ow, oh""".stripMargin,
     "multimodal_audio_windows" ->
       s"""WITH a AS (SELECT doc_id AS asset_id,
          |    CAST(octet_length(encode(text)) * $audioMsPerByte AS BIGINT)

@@ -35,6 +35,18 @@ object StreamMetrics {
   def record(q: StreamingQuery): Unit = if (enabled) {
     val ps = q.recentProgress
     if (ps != null && ps.nonEmpty) {
+      // recentProgress is a RING of the last numRecentProgressUpdates
+      // entries (default 100): a run with more triggers would silently
+      // drop its earliest batches from rowsIn/batches/peaks — the
+      // exact numbers STREAMSCALE.json exists to get right. Truncation
+      // must be LOUD, not a quietly understated in_growth. The
+      // measuring harness (graft.StreamScale) raises the conf far
+      // above any staged-replay trigger count.
+      val cap = q.sparkSession.conf
+        .get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
+      require(ps.length < cap,
+        s"progress history hit the $cap-entry retention cap — metrics " +
+          "would be truncated; raise spark.sql.streaming.numRecentProgressUpdates")
       val name = Option(q.name).getOrElse(q.id.toString)
       def rowsOf(p: org.apache.spark.sql.streaming.StreamingQueryProgress) =
         Option(p.stateOperators).fold(0L)(_.map(_.numRowsTotal).sum)

@@ -6,6 +6,25 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class TextAnalysisSpec extends AnyFunSuite {
 
+  test("termCodes uses code points, matching the SQL length/ascii pair") {
+    // SQL length() counts code points and ascii() returns the first
+    // code point (both Spark and DuckDB); the compiled twin must not
+    // fall back to UTF-16 String.length/charAt, which double-count
+    // supplementary characters and return surrogate halves.
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val smiley = new String(Character.toChars(0x1F600)) // non-BMP
+    val text = s"héllo $smiley ${smiley}x café plain"
+    val sqlForm = Seq(text).toDF("text")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .select((length(col("t")) * 7 +
+        coalesce(ascii(col("t")), lit(0))).cast("long"))
+      .as[Long].collect()
+    assert(TextAnalysis.termCodes(text).toSeq == sqlForm.toSeq,
+      "compiled termCodes diverges from the SQL rendering")
+  }
+
   test("winnowing guarantee: a shared k+w-1 token run forces a shared print") {
     import graft.functions.TextAnalysis.{winnowK => k, winnowW => w, winnowSelect}
     // SWA 2003 theorem 1: any common substring of >= k+w-1 tokens

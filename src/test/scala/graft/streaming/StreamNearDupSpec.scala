@@ -29,6 +29,32 @@ class StreamNearDupSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("per-row band buckets match the Column kernel on non-ASCII text") {
+    // Spark's substring/ascii and DuckDB's ascii are CODE-POINT-based;
+    // the compiled kernel must walk code points too, or any
+    // supplementary character (surrogate pair in UTF-16) inside a
+    // shingle's first 24 code points shifts every following position.
+    import spark.implicits._
+    val smiley = new String(Character.toChars(0x1F600))
+    val docs = Seq(
+      (1L, s"héllo wörld $smiley café naïve tokens here"),
+      (2L, s"$smiley$smiley twice leading pair € euro and münchen"),
+      (3L, "plain ascii control row with several tokens"),
+      (4L, s"héllo wörld $smiley café naïve tokens here")) // dup of 1
+      .toDF("doc_id", "text").cache()
+    val rowForm = docs.as[DocText]
+      .flatMap(d => graft.operators.Dedup.bandHitsLocal(d.text)
+        .map { case (b, bk) => (d.doc_id, b, bk) })
+      .toDF("doc_id", "band_id", "bucket")
+    val batchForm = graft.operators.Dedup
+      .minhashBands(docs, reproducible = true)
+      .select(col("doc_id"), col("band_id"), col("bucket"))
+    assert(rowForm.exceptAll(batchForm).isEmpty &&
+      batchForm.exceptAll(rowForm).isEmpty,
+      "compiled kernel diverges from the Column twin on non-ASCII text")
+    docs.unpersist()
+  }
+
   test("streaming flags equal the batch earlier-occupant condition") {
     val sf = graft.SparkTestSession.sf
     val out = EventStream.streamNearDupMinhash(spark, sf).cache()
