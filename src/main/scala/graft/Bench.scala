@@ -63,6 +63,10 @@ object Bench {
       // run; drop them so later queries aren't timed under the memory
       // pressure of earlier ones
       spark.catalog.clearCache()
+      // drop this gate's replay staging dirs (result is materialized);
+      // a 3-pass sweep would otherwise hold one corpus copy per stream
+      // gate per pass under /tmp
+      graft.streaming.EventStream.purgeStaging()
       // force a GC so the ContextCleaner reclaims dead broadcasts /
       // shuffle files / RDD blocks NOW, between gates, instead of mid-
       // way through a later gate's timed window. Round 7's forensics:

@@ -68,6 +68,7 @@ object StreamScale {
             false
           }
         spark.catalog.clearCache()
+        graft.streaming.EventStream.purgeStaging()
         // a gate may run several queries (e.g. static prep); sum them
         val ss = StreamMetrics.snapshot.values
         sf -> (if (!ok || ss.isEmpty) None else Some((

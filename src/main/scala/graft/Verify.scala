@@ -27,7 +27,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: $msg")
         errors(name) = msg.linesIterator.take(3).mkString(" | ").take(500)
       }
-      finally spark.catalog.clearCache() // drop per-query persists
+      finally {
+        spark.catalog.clearCache() // drop per-query persists
+        // the parquet dump above materialized the result, so this
+        // gate's replay staging dirs are no longer referenced
+        graft.streaming.EventStream.purgeStaging()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

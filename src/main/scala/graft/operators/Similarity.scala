@@ -326,27 +326,53 @@ object Similarity {
     * sequential left-to-right float accumulation both here and in the
     * DuckDB oracle), so the gate hash-checks despite being
     * "approximate" w.r.t. true nearest neighbors. */
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def knnIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfTop3(spark, dir, kmeansCentroidsFor)
+
+  /** The shared IVF probe dataflow of [[knnIvf]] and [[knnIvfSampled]]
+    * — the two gates differ ONLY in how the coarse quantizer is
+    * trained, so the assignment/probe/top-3 logic has one home and a
+    * tie-break or probe fix cannot silently reach one gate and not the
+    * other. */
+  private def ivfTop3(spark: SparkSession, dir: String,
+      centroids: (String, DataFrame) => Seq[(Long, Seq[Double])]): DataFrame = {
     import graft.functions.VectorExpressions.cosine_sim
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asD(col("embedding")).as("v"))
       .cache() // scanned once per Lloyd round + once for final assignment
     // both the probe branch and the corpus branch read the assignment;
     // cache it so the k-expression argmax (and its codegen) runs once
-    val assigned = assignToCentroids(e, kmeansCentroidsFor(dir, e)).cache()
+    val assigned = assignToCentroids(e, centroids(dir, e)).cache()
     val queries = assigned.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("cent_id").as("qcent"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
-    assigned.join(broadcast(queries), col("cent_id") === col("qcent")
-        && col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine_sim(col("v"), col("qv")))
-      .withColumn("rn", row_number().over(wTop).cast("long"))
-      .filter(col("rn") <= 3)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rn"),
-        round(col("sim"), 4).as("sim_r4"))
+    checkpointThenRelease(
+      assigned.join(broadcast(queries), col("cent_id") === col("qcent")
+          && col("vec_id") =!= col("query_id"))
+        .withColumn("sim", cosine_sim(col("v"), col("qv")))
+        .withColumn("rn", row_number().over(wTop).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rn"),
+          round(col("sim"), 4).as("sim_r4")),
+      e, assigned)
+  }
+
+  /** Materialize `out` (localCheckpoint — eager) and then release the
+    * gate-local cached inputs. The library-hygiene contract the r8
+    * review set for setSimParts, applied to every caching gate here:
+    * repeated library calls must not accumulate cached copies of the
+    * embeddings corpus in executor storage — the checkpointed result
+    * is self-contained, so the inputs can drop before the caller ever
+    * evaluates it. (The bench additionally clearCache()s between
+    * gates; this makes gates clean for callers that don't.) */
+  private def checkpointThenRelease(out: DataFrame,
+      cached: DataFrame*): DataFrame = {
+    val ck = out.localCheckpoint()
+    cached.foreach(_.unpersist())
+    ck
   }
 
   /** Training-sample modulus for [[knnIvfSampled]]: the coarse
@@ -380,27 +406,8 @@ object Similarity {
     * [[knnIvf]] only through centroid positions; recall vs the exact
     * top-k stays governed by k and nprobe, not by training-set size —
     * the sample only has to place 64 centroids, not memorize vectors. */
-  def knnIvfSampled(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorExpressions.cosine_sim
-    val e = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), asD(col("embedding")).as("v"))
-      .cache() // scanned once per Lloyd round + once for final assignment
-    val assigned =
-      assignToCentroids(e, kmeansCentroidsSampledFor(dir, e)).cache()
-    val queries = assigned.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("cent_id").as("qcent"))
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    assigned.join(broadcast(queries), col("cent_id") === col("qcent")
-        && col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine_sim(col("v"), col("qv")))
-      .withColumn("rn", row_number().over(wTop).cast("long"))
-      .filter(col("rn") <= 3)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rn"),
-        round(col("sim"), 4).as("sim_r4"))
-  }
+  def knnIvfSampled(spark: SparkSession, dir: String): DataFrame =
+    ivfTop3(spark, dir, kmeansCentroidsSampledFor)
 
   /** In-cluster near-duplicate threshold for [[semanticDedup]] — same
     * 0.4 regime as [[embedNearDup]] so the corpus has real drop signal. */
@@ -484,10 +491,12 @@ object Similarity {
       }
       .toDF("vec_id").distinct()
       .withColumn("dropped", lit(true))
-    assigned.select(col("vec_id"), col("cent_id"))
-      .join(dropped, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cent_id"),
-        not(coalesce(col("dropped"), lit(false))).as("kept"))
+    checkpointThenRelease(
+      assigned.select(col("vec_id"), col("cent_id"))
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cent_id"),
+          not(coalesce(col("dropped"), lit(false))).as("kept")),
+      e, assigned)
   }
 
   /** Cells probed per query by [[knnIvfProbe]]. */
@@ -531,7 +540,7 @@ object Similarity {
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
-    assigned
+    val out = assigned
       .join(broadcast(cells), col("cent_id") === col("probe_cent"))
       .join(broadcast(qv), col("query_id") === col("qid"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -540,6 +549,7 @@ object Similarity {
       .filter(col("rn") <= 3)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rn"),
         round(col("sim"), 4).as("sim_r4"))
+    checkpointThenRelease(out, e, assigned)
   }
 
   /** Metadata-filtered exact top-3 — the vector-DB staple (retrieve
@@ -636,8 +646,14 @@ object Similarity {
         .collect() // pqK rows — bounded and corpus-independent
         .map(r => r.getLong(0) -> r.getSeq[Double](1))
         .sortBy(_._1)
+      require(sample.nonEmpty, "PQ codebook training needs a non-empty corpus")
+      // corpora smaller than pqK cycle the sample (deterministic
+      // duplicate entries — the same graceful degradation as
+      // kmeansCentroids' short-sample path) instead of crashing on
+      // sample(k) out of bounds; every gate SF carries >= pqK vectors,
+      // so the gate oracles never see the cycled branch
       var cb = Array.tabulate(pqSub, pqK, pqDsub) { (s, k, d) =>
-        sample(k)._2(s * pqDsub + d)
+        sample(k % sample.length)._2(s * pqDsub + d)
       }
       for (_ <- 0 until pqIters) {
         val stats = e
@@ -820,11 +836,12 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("dist2").asc, col("neighbor_id").asc)
-    dists.toDF()
+    val out = dists.toDF()
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("rn"),
         round(col("dist2"), 4).as("dist2_r4"))
+    checkpointThenRelease(out, e)
   }
 
   // --- SRP-LSH near-dup (the sub-quadratic scale path) -------------------
@@ -1048,11 +1065,12 @@ object Similarity {
       .join(p.alias("e3"),
         col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-    tri.select(col("x").as("vec_id"))
+    val out = tri.select(col("x").as("vec_id"))
       .union(tri.select(col("y").as("vec_id")))
       .union(tri.select(col("z").as("vec_id")))
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_tri"))
+    checkpointThenRelease(out, p)
   }
 
   /** Gate form: the global census (one row, even on a triangle-free
@@ -1134,8 +1152,10 @@ object Similarity {
       val seeds = Tables.load(spark, dir, "embeddings")
         .filter(col("vec_id") % bfsSeedMod === 0)
         .select(col("vec_id").as("n"))
-      bfsHopsFrom(edges, seeds)
-        .select(col("n").as("vec_id"), col("d").as("dist"))
+      checkpointThenRelease(
+        bfsHopsFrom(edges, seeds)
+          .select(col("n").as("vec_id"), col("d").as("dist")),
+        edges)
     }
 
   /** Degree cap for [[linkPredict]] wedge centers. A center vertex w
@@ -1181,10 +1201,12 @@ object Similarity {
       val wedges = centered.alias("x").join(centered.alias("y"),
           col("x.u") === col("y.u") && col("x.v") < col("y.v"))
         .select(col("x.v").as("a"), col("y.v").as("b"), col("x.d").as("d"))
-      wedges.groupBy("a", "b")
-        .agg(count(lit(1)).as("cn"),
-          sum(expr(s"$lpRaScale div d")).as("ra_fp"))
-        .join(pairs, Seq("a", "b"), "left_anti")
+      checkpointThenRelease(
+        wedges.groupBy("a", "b")
+          .agg(count(lit(1)).as("cn"),
+            sum(expr(s"$lpRaScale div d")).as("ra_fp"))
+          .join(pairs, Seq("a", "b"), "left_anti"),
+        pairs)
     }
 
   /** Core order and unrolled peel rounds for [[kcore]]. */
@@ -1227,6 +1249,8 @@ object Similarity {
           .filter(col("d") >= kcoreK)
           .localCheckpoint()
       }
+      // live is already checkpoint-materialized; just release the edges
+      edges.unpersist()
       live.select(col("u").as("vec_id"), col("d").as("deg"))
     }
 
@@ -1293,9 +1317,15 @@ object Similarity {
         .select(col("u"), expr("pr div d").as("c"))
         .join(edges, "u")
         .groupBy("v").agg(sum("c").as("s"))
+      // damping in DECIMAL(38,0): inbound mass s to a hub is bounded
+      // only by total mass n*prScale, so the 17x amplification wraps a
+      // LONG once n exceeds ~5.4e5 — the decimal multiply is exact up
+      // to the long-sum envelope (n <= ~9.2e6 at prScale 1e12; beyond
+      // that, lower prScale), matching the oracle's HUGEINT arithmetic
       pr = nodes.join(contribs, nodes("vec_id") === contribs("v"), "left")
         .select(col("vec_id"),
-          (lit(prBase) + expr("(17 * coalesce(s, 0L)) div 20")).as("pr"))
+          (lit(prBase) + expr(
+            "(17 * cast(coalesce(s, 0L) as decimal(38,0))) div 20")).as("pr"))
     }
     pr.select(col("vec_id"), col("pr").as("pr_fp"))
   }

@@ -34,7 +34,10 @@ object EventStream {
   def streamTumbling(spark: SparkSession, dir: String): DataFrame =
     withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
     // ts normalization is schema-adaptive (ns-long vs timestamp[us]
-    // corpora) — same convention as Tables.load.
+    // corpora). The flag is set session-wide ON PURPOSE — the same
+    // deliberate convention as Tables.load: it is required for every
+    // read of the legacy ns-int64 corpus and a no-op on timestamp
+    // corpora, so scoping it per gate would only thrash the conf.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream
@@ -110,23 +113,53 @@ object EventStream {
         && f.getName.endsWith(".parquet")).get
     val dest = staging.resolve(name)
     Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
-    dest.toFile.setLastModified(t0 + slot * 60000L)
-    ()
+    // replay ORDER rides on these mtimes (file source processes
+    // oldest-first); a silently failed write would let natural sub-ms
+    // write times interleave micro-batches and produce a wrong-order
+    // replay with no error pointing here — fail loudly instead
+    require(dest.toFile.setLastModified(t0 + slot * 60000L),
+      s"setLastModified failed on $dest — staged replay order would be undefined")
   }
 
   /** Stage DataFrames as one parquet file each in a fresh directory with
     * strictly ascending modification times, so a file streaming source
     * with `maxFilesPerTrigger=1` replays them as ordered micro-batches
-    * (the source processes oldest mtime first). */
+    * (the source processes oldest mtime first). Every dir is registered
+    * for cleanup: the harnesses call [[purgeStaging]] between gates
+    * (safe — each gate materializes its memory-sink snapshot before
+    * returning, so nothing re-reads staging), and a JVM shutdown hook
+    * sweeps whatever remains, so a bench sweep no longer accumulates
+    * one corpus copy per stream gate per pass under /tmp. */
   private[streaming] def stageReplay(frames: Seq[DataFrame]): String = {
     import java.nio.file.Files
     val work = Files.createTempDirectory("graft_stream_replay")
+    stagingDirs.add(work)
     val staging = work.resolve("input")
     Files.createDirectories(staging)
     frames.zipWithIndex.foreach { case (df, i) =>
       stageFile(df, work, staging, f"b$i%02d.parquet", i)
     }
     staging.toString
+  }
+
+  private val stagingDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => purgeStaging()))
+  }
+
+  /** Delete every replay staging dir created so far. Callers must only
+    * invoke this once in-flight gate results are materialized (the
+    * Bench/Verify/StreamScale loops do, per gate). */
+  def purgeStaging(): Unit = {
+    var p = stagingDirs.poll()
+    while (p != null) { deleteRec(p.toFile); p = stagingDirs.poll() }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val cs = f.listFiles()
+    if (cs != null) cs.foreach(deleteRec)
+    f.delete(); ()
   }
 
   def streamTumblingAppend(spark: SparkSession, dir: String): DataFrame =

@@ -74,6 +74,38 @@ def _check_signed_div():
 
 _check_signed_div()
 
+# Engine-semantics fixture #2: several exact-path embedding oracles
+# (knn_brute, knn_hard_negatives, embed_neardup, embed_lsh_recall,
+# knn_ivf_recall) rank/threshold on UNROUNDED list_cosine_similarity,
+# while the Spark side accumulates left-to-right. Probed 2026-08: DuckDB's
+# list_cosine_similarity is bit-identical to the explicit left-to-right
+# fold (dot/(sqrt*sqrt), 0 mismatches over all 124,750 sf0.01 pairs), so
+# the oracles are ulp-safe. If a DuckDB upgrade changes the accumulation
+# (pairwise/SIMD reassociation), hash mismatches would otherwise appear as
+# unexplained rank flips near ties — pin the equivalence loudly instead.
+def _check_cosine_order():
+    dim = con.execute("SELECT len(embedding) FROM embeddings LIMIT 1").fetchone()[0]
+    def fold(x, y):
+        return (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+                f"list_transform(range({dim}), i -> {x}[i+1] * {y}[i+1])), "
+                f"(p,q) -> p+q)")
+    manual = (f"({fold('a.v','b.v')} / "
+              f"(sqrt({fold('a.v','a.v')}) * sqrt({fold('b.v','b.v')})))")
+    n, bad = con.execute(f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 200)
+        SELECT count(*),
+               sum(CASE WHEN list_cosine_similarity(a.v, b.v) = {manual}
+                        THEN 0 ELSE 1 END)
+        FROM e a JOIN e b ON a.vec_id < b.vec_id""").fetchone()
+    if bad:
+        fails.append(("_fixture_cosine_order",
+                      f"list_cosine_similarity diverged from the "
+                      f"left-to-right fold on {bad}/{n} pairs — exact-path "
+                      f"embedding oracles are no longer ulp-safe"))
+
+_check_cosine_order()
+
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize timestamps to ns-free strings? keep as is; sort rows
