@@ -233,9 +233,13 @@ object StatsQueries {
       .agg(
         coalesce(sum(when(col("pre"), col("c"))), lit(0L)).as("x"),
         coalesce(sum(when(!col("pre"), col("c"))), lit(0L)).as("y"))
+      // arm via LCG mod the ODD prime 2000000011 THEN mod 2: reducing
+      // mod 2^31 preserves user_id's low bit (odd*id+odd), so "% 2"
+      // would be a pure PARITY split — confounded with anything that
+      // interleaves by id (signup order, source round-robin)
       .withColumn("arm",
-        pmod(col("user_id") * lit(1103515245L) + lit(12345L),
-          lit(2147483648L)) % 2)
+        pmod(pmod(col("user_id") * lit(1103515245L) + lit(12345L),
+          lit(2147483648L)), lit(2000000011L)) % 2)
       .cache() // one row per user — bounded, feeds both aggregates
     val g = users.agg(
       count(lit(1)).as("n"),
@@ -277,7 +281,7 @@ object StatsQueries {
 
   /** Welch's unequal-variance t-test — the default two-sample A/B
     * readout (Welch 1947; what scipy's `ttest_ind(equal_var=False)`
-    * computes), per event type over the same LCG-parity arm split as
+    * computes), per event type over the same LCG-hash arm split as
     * [[cupedAb]]: does the value distribution differ between arms?
     * Published as t² (direction lives in the mean columns) and the
     * Welch–Satterthwaite degrees of freedom, both as truncated
@@ -307,8 +311,8 @@ object StatsQueries {
     import org.apache.spark.sql.types.DecimalType
     val d38 = DecimalType(38, 0)
     val cents = round(col("value") * 100).cast("long")
-    val arm = pmod(col("user_id") * lit(1103515245L) + lit(12345L),
-      lit(2147483648L)) % 2
+    val arm = pmod(pmod(col("user_id") * lit(1103515245L) + lit(12345L),
+      lit(2147483648L)), lit(2000000011L)) % 2 // see cupedAb's arm note
     def armSum(a: Int, v: Column): Column =
       sum(when(col("arm") === a, v).otherwise(lit(0L)).cast(d38))
     Tables.load(spark, dir, "events")
@@ -901,7 +905,7 @@ object StatsQueries {
          |    CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '$cupedSplit'
          |      THEN CAST(round(value * 100) AS BIGINT) END), 0)
          |      AS BIGINT) AS y,
-         |    ((user_id * 1103515245 + 12345) % 2147483648) % 2 AS arm
+         |    (((user_id * 1103515245 + 12345) % 2147483648) % 2000000011) % 2 AS arm
          |  FROM events GROUP BY user_id),
          |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
          |    CAST(sum(x) AS HUGEINT) AS sx,
@@ -924,7 +928,7 @@ object StatsQueries {
          |FROM a CROSS JOIN t""".stripMargin,
     "stats_welch" ->
       """WITH o AS (SELECT event_type,
-        |    ((user_id * 1103515245 + 12345) % 2147483648) % 2 AS arm,
+        |    (((user_id * 1103515245 + 12345) % 2147483648) % 2000000011) % 2 AS arm,
         |    CAST(round(value * 100) AS BIGINT) AS c
         |  FROM events),
         |a AS (SELECT event_type,

@@ -28,6 +28,16 @@ object TextAnalysis {
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words))).cast("long")
 
+  /** Quality-rule pieces shared by [[textQuality]] and its consumers
+    * (TrainPrep.curate, TrainPrep.tokenBudget). One home: a change to
+    * the stopword list or the keep thresholds reaches the scorer and
+    * every pipeline that claims to apply "the same rule" — previously
+    * the expressions were re-inlined at each site and could drift. */
+  val qualityMinTokens = 40L
+  private[graft] def stopCount(toks: Column): Column = hits(toks, stopEn)
+  private[graft] def qualityKeep(nTok: Column, stopCnt: Column): Column =
+    nTok >= qualityMinTokens && stopCnt > 0
+
   /** Token counting: total tokens, distinct tokens, chars. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
@@ -83,25 +93,32 @@ object TextAnalysis {
     * across engines would break hash parity (same no-float-in-the-
     * decision pattern as `agg_outliers`). DECIMAL(14,0) casts keep the
     * products exact out to trillion-token corpora (28 digits < 38).
-    * The total-token count is a bounded O(1) driver collect (one
-    * scalar), not a cross join — a 1-row broadcast join would plan as
-    * the BroadcastNestedLoopJoin the surface-wide plan audit bans. */
+    * The total-token count rides the vocabulary-bounded global window
+    * (|V| rows, one partition), not a cross join — a 1-row broadcast
+    * join would plan as the BroadcastNestedLoopJoin the surface-wide
+    * plan audit bans, and a separate count() action would re-scan the
+    * corpus for one scalar. */
   def cooccurrence(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     def d14(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(14, 0))
     val toks = docs.select(explode(tokens(col("text"))).as("w"))
+    // total-token count rides the vocabulary-bounded global window
+    // (the lmScore pattern: |V| rows, one partition) instead of a
+    // separate toks.count() job — that scalar cost a second full
+    // corpus scan + explode whose only output was one Long
     val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
-    val n = toks.count()
+      .withColumn("n_total", sum(col("c")).over(graft.Tables.boundedGlobalFrame))
     val bi = graft.operators.Dedup.shingleRows(docs, n = 2)
       .groupBy("g").agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= pmiMinCount)
       .select(substring_index(col("g"), " ", 1).as("w1"),
         substring_index(col("g"), " ", -1).as("w2"), col("c_xy"))
     bi
-      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x"),
+        col("n_total")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
       .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
-        (d14(col("c_xy")) * d14(lit(n)) >=
+        (d14(col("c_xy")) * d14(col("n_total")) >=
           d14(lit(2)) * d14(col("c_x")) * d14(col("c_y"))).as("is_phrase"))
   }
 
@@ -118,7 +135,7 @@ object TextAnalysis {
       stopCnt.as("stop_cnt"),
       (stopCnt.cast("double") / nTok.cast("double")).as("stop_ratio"),
       (charSum.cast("double") / nTok.cast("double")).as("mean_tok_len"),
-      when(nTok >= 40 && stopCnt > 0, "keep").otherwise("drop")
+      when(qualityKeep(nTok, stopCnt), "keep").otherwise("drop")
         .as("quality_class"))
   }
 
@@ -656,8 +673,14 @@ object TextAnalysis {
         .limit(1).collect()(0) // ONE row: the argmax merge
       val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((t.toLong, a, b, c))
+      // build the replace through Column/lit, NOT an interpolated expr
+      // string: merge symbols are corpus-derived, and a vocabulary
+      // word containing a quote or backslash (the bpeLikePattern's
+      // first alternative explicitly anticipates apostrophes) would
+      // crash SQL parsing mid-round if spliced into SQL text
       vocab = vocab.withColumn("s",
-          expr(s"replace(s, '_${a}__${b}_', '_${a}${b}_')"))
+          org.apache.spark.sql.functions.replace(col("s"),
+            lit(s"_${a}__${b}_"), lit(s"_${a}${b}_")))
         .localCheckpoint()
     }
     (vocab, merges.toSeq)

@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextAnalysis
 import graft.functions.TextAnalysis.tokens
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-set preparation operators over `documents` — the last mile
@@ -39,6 +39,27 @@ object TrainPrep {
     * `xxhash64(text)` (better mixing, one native op); the char-poly
     * keeps the gate hash-checkable, exactly as in [[Dedup]]. */
   private val splitMod = 100L
+
+  /** Full-period LCG permutation of a nonnegative id — the
+    * deterministic rank key shared by the sampling family. ORDERING
+    * use only: as a small-modulus bucket key its low bits carry the
+    * id's structure (see [[lcgBucket]]). One home for the magic
+    * constants, which must stay byte-identical to their oracle
+    * renderings. */
+  private def lcgRank(c: Column): Column =
+    pmod(c * lit(1103515245L) + lit(12345L), lit(2147483648L))
+
+  /** Small-modulus bucket assignment of an id: LCG, then reduce mod
+    * the PRIME 2000000011 BEFORE the small modulus. Reducing the LCG
+    * mod 2^31 preserves the id's parity (odd·id + odd keeps the low
+    * bit when the modulus is even), so e.g. a mod-10 fold key would
+    * lock even ids out of folds {0,2,4,6,8} entirely — a
+    * doc-id-parity-biased eval set the shared-formula oracle could
+    * never catch. The odd-prime reduction (the [[splitBucket]]
+    * pattern) destroys that structure. */
+  private def lcgBucket(c: Column, m: Long): Column =
+    pmod(pmod(c * lit(1103515245L) + lit(12345L), lit(2000000011L)), lit(m))
+
   private def splitBucket(reproducible: Boolean) = {
     val h =
       if (reproducible) Dedup.charPolyHash(col("text"), 31L, 2000000011L)
@@ -74,8 +95,7 @@ object TrainPrep {
   def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame =
     Dedup.clustersQuery(spark, dir)
       .select(col("doc_id"), col("cluster_id"),
-        pmod(pmod(col("cluster_id") * lit(1103515245L) + lit(12345L),
-          lit(2147483648L)), lit(10L)).as("fold"))
+        lcgBucket(col("cluster_id"), 10L).as("fold"))
       .withColumn("is_eval", col("fold") === 0L)
 
   // --- Stratified sampling ------------------------------------------------
@@ -90,20 +110,27 @@ object TrainPrep {
     * stratum is exact, so class balance is preserved to the row. One
     * stratum-keyed window pass; no driver participation. */
   def stratifiedSample(docs: DataFrame, stratum: String,
-      frac: Double): DataFrame = {
+      frac: Double): DataFrame =
+    rankedKeep(docs, stratum, lit(frac), "n_stratum")
+
+  /** The shared exact-fraction keep kernel of [[stratifiedSample]] and
+    * [[mixtureSample]] (they differ only in stratum column and how the
+    * fraction resolves): LCG-rank rows within each stratum, keep the
+    * first ceil(frac·|stratum|). One home for the rank/tie-break
+    * convention so a fix cannot reach one sampler and not the other. */
+  private def rankedKeep(docs: DataFrame, stratum: String, frac: Column,
+      nName: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratum))
       .orderBy(col("r"), col("doc_id"))
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratum))
     docs
-      .withColumn("r",
-        pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(2147483648L)))
+      .withColumn("r", lcgRank(col("doc_id")))
       .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n_stratum", count(lit(1)).over(wAll))
-      .filter(col("rn") <=
-        ceil(lit(frac) * col("n_stratum").cast("double")))
-      .select(col("doc_id"), col(stratum), col("rn"), col("n_stratum"))
+      .withColumn(nName, count(lit(1)).over(wAll))
+      .filter(col("rn") <= ceil(frac * col(nName).cast("double")))
+      .select(col("doc_id"), col(stratum), col("rn"), col(nName))
   }
 
   def sampleQuery(spark: SparkSession, dir: String): DataFrame =
@@ -124,21 +151,10 @@ object TrainPrep {
     * extra shuffle over the stratified form. */
   def mixtureSample(docs: DataFrame, weights: Map[String, Double],
       default: Double): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(col("r"), col("doc_id"))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
     val frac = weights.foldLeft(lit(default)) { case (acc, (s, f)) =>
       when(col("source") === s, f).otherwise(acc)
     }
-    docs
-      .withColumn("r",
-        pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(2147483648L)))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n_source", count(lit(1)).over(wAll))
-      .filter(col("rn") <= ceil(frac * col("n_source").cast("double")))
-      .select(col("doc_id"), col("source"), col("rn"), col("n_source"))
+    rankedKeep(docs, "source", frac, "n_source")
   }
 
   def mixQuery(spark: SparkSession, dir: String): DataFrame =
@@ -207,15 +223,14 @@ object TrainPrep {
   def curate(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     val nTok = size(t).cast("long")
-    val stopCnt = size(filter(t,
-      x => x.isInCollection(TextAnalysis.stopEn))).cast("long")
+    val stopCnt = TextAnalysis.stopCount(t)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("content_hash")).orderBy(col("doc_id"))
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         sha2(col("text"), 256).as("content_hash"),
         nTok.as("n_tokens"), stopCnt.as("stop_cnt"))
-      .filter(col("n_tokens") >= 40 && col("stop_cnt") > 0)
+      .filter(TextAnalysis.qualityKeep(col("n_tokens"), col("stop_cnt")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_cnt"))
@@ -240,8 +255,7 @@ object TrainPrep {
       org.apache.spark.sql.Encoders.product[TopK.Scored])
     Tables.load(spark, dir, "documents")
       .select(col("source"), col("doc_id"),
-        pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
-          lit(2147483648L)).cast("double").as("pri"))
+        lcgRank(col("doc_id")).cast("double").as("pri"))
       .groupBy("source")
       .agg(topk(col("pri"), col("doc_id")).as("top"))
       .select(col("source"), posexplode(col("top")).as(Seq("i", "s")))
@@ -263,8 +277,15 @@ object TrainPrep {
     * are exactly representable doubles, so both engines interpolate
     * from identical inputs. */
   /** Shared SQL skeleton — the Spark text and the DuckDB oracle differ
-    * only in the dialect functions passed in. */
-  private[operators] def pplBucketsText(q25: String, q75: String,
+    * only in the dialect functions passed in. Both quartiles come from
+    * ONE array-percentile subquery repeated verbatim: the two
+    * occurrences canonicalize identically, so Spark's ReuseSubquery
+    * plans the corpus-scale sc aggregation once (two DIFFERENT scalar
+    * subqueries — percentile 0.25 vs 0.75 — defeat the reuse and
+    * instantiate the whole tf/uni pipeline per threshold). `idx`
+    * renders element access (Spark arrays are 0-based, DuckDB lists
+    * 1-based). */
+  private[operators] def pplBucketsText(qArr: String, idx: Int => String,
       splitTokens: String, flog2: String => String): String =
     s"""WITH tf AS (SELECT doc_id, term, count(1) AS tf FROM (
        |    SELECT doc_id, $splitTokens AS term FROM documents) x
@@ -277,8 +298,8 @@ object TrainPrep {
        |      / CAST(sum(tf.tf) AS DOUBLE) AS avg_bits
        |  FROM tf JOIN uni ON tf.term = uni.term GROUP BY tf.doc_id)
        |SELECT doc_id, avg_bits,
-       |  CASE WHEN avg_bits <= (SELECT $q25 FROM sc) THEN 'head'
-       |       WHEN avg_bits >= (SELECT $q75 FROM sc) THEN 'tail'
+       |  CASE WHEN avg_bits <= (SELECT $qArr FROM sc)${idx(0)} THEN 'head'
+       |       WHEN avg_bits >= (SELECT $qArr FROM sc)${idx(1)} THEN 'tail'
        |       ELSE 'middle' END AS bucket
        |FROM sc""".stripMargin
 
@@ -286,7 +307,7 @@ object TrainPrep {
     Tables.register(spark, dir, "documents")
     def fl(x: String) = s"(length(conv(CAST($x AS STRING), 10, 2)) - 1)"
     spark.sql(pplBucketsText(
-      "percentile(avg_bits, 0.25D)", "percentile(avg_bits, 0.75D)",
+      "percentile(avg_bits, array(0.25D, 0.75D))", i => s"[$i]",
       "explode(split(text, ' '))", fl))
   }
 
@@ -390,9 +411,7 @@ object TrainPrep {
   def weightedSample(docs: DataFrame, k: Int = weightedK): DataFrame =
     docs.select(col("doc_id"),
         (lit(1L) + pmod(col("n_chars"), lit(10L))).as("weight"))
-      .withColumn("pri",
-        pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
-          lit(2147483648L)) * col("weight"))
+      .withColumn("pri", lcgRank(col("doc_id")) * col("weight"))
       .orderBy(col("pri").desc, col("doc_id"))
       .limit(k)
 
@@ -728,8 +747,7 @@ object TrainPrep {
     val t = tokens(col("text"))
     val d = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), size(t).cast("long").as("n_tokens"),
-        size(filter(t, x => x.isInCollection(TextAnalysis.stopEn)))
-          .cast("long").as("stop_cnt"))
+        TextAnalysis.stopCount(t).as("stop_cnt"))
       .withColumn("prio_q6", expr("1000000 * stop_cnt DIV n_tokens"))
       .withColumn("band", expr(s"prio_q6 DIV $budgetBandWidth"))
     val wIn = org.apache.spark.sql.expressions.Window
@@ -855,13 +873,16 @@ object TrainPrep {
     * the corpus through one task, while (shard, pos_in_shard) is the
     * same information under the layout a trainer actually consumes. */
   def shuffleQuery(spark: SparkSession, dir: String): DataFrame = {
-    val skey = pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
-      lit(2147483648L))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), skey.as("skey"))
-      .withColumn("shard", pmod(col("skey"), lit(shuffleShards.toLong)))
+      .select(col("doc_id"), lcgRank(col("doc_id")).as("skey"))
+      // shard membership through lcgBucket, NOT skey % S: with the
+      // 2^31 modulus, skey % 16 collapses to the affine (13·doc_id+9)
+      // mod 16 — relabeled round-robin, so any doc_id-periodic source
+      // interleave maps whole groups to fixed shards
+      .withColumn("shard",
+        lcgBucket(col("doc_id"), shuffleShards.toLong))
       .withColumn("pos_in_shard", row_number().over(w).cast("long"))
   }
 
@@ -1063,7 +1084,7 @@ object TrainPrep {
     },
     "train_mix_temperature" -> mixTemperatureText,
     "curate_ppl_buckets" -> pplBucketsText(
-      "quantile_cont(avg_bits, 0.25)", "quantile_cont(avg_bits, 0.75)",
+      "quantile_cont(avg_bits, [0.25, 0.75])", i => s"[${i + 1}]",
       "unnest(str_split(text, ' '))",
       x => s"(length(printf('%b', CAST($x AS BIGINT))) - 1)"),
     "curate_ppl_buckets_lang" -> pplBucketsLangText(
@@ -1101,17 +1122,19 @@ object TrainPrep {
     "train_split_safe" ->
       s"""WITH RECURSIVE ${Dedup.closureCtes}
          |SELECT doc_id, cluster_id,
-         |  ((cluster_id * 1103515245 + 12345) % 2147483648) % 10
+         |  ((cluster_id * 1103515245 + 12345) % 2000000011) % 10
          |    AS fold,
-         |  ((cluster_id * 1103515245 + 12345) % 2147483648) % 10 = 0
+         |  ((cluster_id * 1103515245 + 12345) % 2000000011) % 10 = 0
          |    AS is_eval
          |FROM cl""".stripMargin,
     "train_shuffle" ->
       s"""WITH s AS (SELECT doc_id,
-         |    (doc_id * 1103515245 + 12345) % 2147483648 AS skey
+         |    (doc_id * 1103515245 + 12345) % 2147483648 AS skey,
+         |    ((doc_id * 1103515245 + 12345) % 2000000011)
+         |      % $shuffleShards AS shard
          |  FROM documents)
-         |SELECT doc_id, skey, skey % $shuffleShards AS shard,
-         |  CAST(row_number() OVER (PARTITION BY skey % $shuffleShards
+         |SELECT doc_id, skey, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
          |    ORDER BY skey, doc_id) AS BIGINT) AS pos_in_shard
          |FROM s""".stripMargin,
     "train_split" -> {
@@ -1132,7 +1155,8 @@ object TrainPrep {
          |    count(*) OVER (PARTITION BY source) AS n_source
          |  FROM documents)
          |SELECT doc_id, source, rn, n_source FROM r
-         |WHERE rn <= ceil((CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
+         |WHERE rn <= ceil((CASE source ${mixWeights.map { case (s, f) =>
+             s"WHEN '$s' THEN $f" }.mkString(" ")}
          |  ELSE $mixDefault END) * CAST(n_source AS DOUBLE))""".stripMargin,
     "train_sample_stratified" ->
       s"""WITH r AS (

@@ -84,7 +84,7 @@ class LmPathSafetySpec extends AnyFunSuite {
       assert(g.map(_._3).distinct.length == 1))
     // folds match the LCG of the cluster id
     split.foreach { case (_, cl, fold) =>
-      assert(fold == ((cl * 1103515245L + 12345L) % 2147483648L) % 10) }
+      assert(fold == ((cl * 1103515245L + 12345L) % 2000000011L) % 10) }
     // every LSH candidate pair shares a fold (the leakage guarantee)
     val docs = Tables.load(spark, sf, "documents")
     val byDoc = split.map(s => s._1 -> s._3).toMap

@@ -33,7 +33,7 @@ class StatsQueriesSpec extends AnyFunSuite {
     val sf = SparkTestSession.sf
     val obs = Tables.load(spark, sf, "events")
       .selectExpr("event_type",
-        "((user_id * 1103515245 + 12345) % 2147483648) % 2 AS arm",
+        "(((user_id * 1103515245 + 12345) % 2147483648) % 2000000011) % 2 AS arm",
         "CAST(round(value * 100) AS BIGINT) AS c")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val rows = StatsQueries.welchT(spark, sf).collect()
