@@ -44,8 +44,16 @@ object Aqp {
   /** lineitem row key: l_orderkey * 8 + l_linenumber (linenumber ≤ 7
     * by TPC-H construction, so the key is collision-free). */
   private def bucketCol: Column =
-    pmod(pmod(col("l_orderkey") * 8 + col("l_linenumber"), lit(M))
-      * A + C, lit(M)) % buckets
+    pmod(pmod(pmod(col("l_orderkey") * 8 + col("l_linenumber"), lit(M))
+      * A + C, lit(M)), lit(P)) % buckets
+
+  /** Odd prime reduction BEFORE the mod-100 bucket: the LCG mod 2^31
+    * preserves the key's parity (even modulus, odd multiplier and
+    * increment), so `% 100` alone makes every bucket parity-pure —
+    * bucket 0's "1% Bernoulli universe" would contain ONLY
+    * odd-linenumber rows, a biased sampling frame the shared-formula
+    * oracle reproduces and cannot catch. */
+  private val P = 2000000011L
 
   /** Shared base projection: integer cents + sample bucket. */
   private def base(spark: SparkSession, dir: String): DataFrame =
@@ -55,7 +63,7 @@ object Aqp {
 
   private val bucketSql =
     "((l_orderkey * 8 + l_linenumber) % 2147483648 * 1103515245 + 12345)" +
-      " % 2147483648 % 100"
+      " % 2147483648 % 2000000011 % 100"
 
   private val baseSql =
     s"""b AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
@@ -157,7 +165,7 @@ object Aqp {
       .selectExpr("o_orderpriority AS priority",
         "CAST(round(o_totalprice * 100) AS BIGINT) AS y",
         "(o_orderkey % 2147483648 * 1103515245 + 12345)" +
-          " % 2147483648 % 100 AS bucket")
+          " % 2147483648 % 2000000011 % 100 AS bucket") // see P's note
       .groupBy("priority")
       .agg(
         count(lit(1)).as("n_total"),
@@ -219,7 +227,7 @@ object Aqp {
       s"""WITH b AS (SELECT o_orderpriority AS priority,
          |    CAST(round(o_totalprice * 100) AS BIGINT) AS y,
          |    (o_orderkey % 2147483648 * 1103515245 + 12345)
-         |      % 2147483648 % 100 AS bucket
+         |      % 2147483648 % 2000000011 % 100 AS bucket
          |  FROM orders),
          |g AS (SELECT priority,
          |    CAST(count(*) AS BIGINT) AS n_total,

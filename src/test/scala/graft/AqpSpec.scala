@@ -23,7 +23,7 @@ class AqpSpec extends AnyFunSuite {
       .collect() // sf0.001: 6k rows — test-only
     df.toSeq.map { r =>
       val key = r.getLong(0) * 8 + r.getInt(1)
-      val bucket = ((key % M) * A + C) % M % 100
+      val bucket = ((key % M) * A + C) % M % 2000000011L % 100
       val cents = math.round(r.getDouble(2) * 100)
       (bucket, cents)
     }
@@ -68,7 +68,7 @@ class AqpSpec extends AnyFunSuite {
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
       .collect() // sf0.001: 1.5k rows — test-only
       .map { r =>
-        val bucket = (r.getLong(0) % M * A + C) % M % 100
+        val bucket = (r.getLong(0) % M * A + C) % M % 2000000011L % 100
         (r.getString(1), bucket, math.round(r.getDouble(2) * 100))
       }.toSeq
     val got = analytics.Aqp.groupbyCi(spark, sf).collect()
