@@ -17,6 +17,23 @@ import org.apache.spark.sql.SparkSession
   */
 object Conf {
 
+  /** Materialize `out` (eager localCheckpoint) and then release the
+    * gate-local cached inputs — the library-hygiene contract
+    * (CacheHygieneSpec): every public query must leave the session's
+    * cache registry empty once its result is materialized, so repeated
+    * library calls never accumulate cached corpus copies in executor
+    * storage. The checkpointed result is self-contained (lineage cut),
+    * so the inputs can drop before the caller ever evaluates it, and
+    * its blocks are ContextCleaner-scoped — freed when the frame is
+    * garbage collected — rather than registry entries that outlive the
+    * call. */
+  def checkpointThenRelease(out: org.apache.spark.sql.DataFrame,
+      cached: org.apache.spark.sql.Dataset[_]*): org.apache.spark.sql.DataFrame = {
+    val ck = out.localCheckpoint()
+    cached.foreach(_.unpersist())
+    ck
+  }
+
   /** Triangle block-join group count G: G*(G+1)/2 tasks, each holding
     * 2n/G vectors. Raise on a cluster so blocks fit executor memory. */
   val NeardupGroups = "spark.graft.neardup.groups"

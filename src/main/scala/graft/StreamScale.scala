@@ -29,6 +29,7 @@ object StreamScale {
     * one checkpoint dir; covered by its own gate). */
   val gates: Seq[String] = Seq(
     "stream_tumbling_append", "stream_sliding", "stream_dedup",
+    "stream_dedup_watermarked",
     "stream_sessionize", "stream_stream_join", "stream_stream_left",
     "stream_stream_full", "stream_upsert_latest", "stream_upsert_deltas",
     "stream_upsert_deltas_tws", "stream_neardup_minhash", "stream_ewma",

@@ -71,6 +71,7 @@ object Verify {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.streaming.numRecentProgressUpdates", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

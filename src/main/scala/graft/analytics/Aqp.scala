@@ -12,8 +12,9 @@ import graft.Tables
   *
   * Sampling is a PURE PER-ROW PREDICATE on an LCG permutation of the
   * row key (the same glibc-rand constants as
-  * [[graft.operators.TrainPrep]]'s shuffle, pre-reduced mod 2^31 so the
-  * product stays in a 64-bit long at any corpus size): membership is
+  * [[graft.operators.TrainPrep]]'s shuffle, pre-reduced mod the odd
+  * prime [[P]] so the product stays in a 64-bit long at any corpus
+  * size): membership is
   * reproducible across engines, retries, and partitionings — no RNG
   * state, no `TABLESAMPLE` nondeterminism — which is what makes the
   * estimates oracle-checkable and the sample REUSABLE (every query
@@ -32,11 +33,13 @@ import graft.Tables
   */
 object Aqp {
 
-  /** glibc-rand LCG; key is pre-reduced mod 2^31 so `key*A + C` is
-    * exact in a long for ANY 64-bit row key (2^31 * A + C < 2^63). */
+  /** glibc-rand LCG; key is pre-reduced mod the ODD PRIME P so
+    * `key*A + C` is exact in a long for ANY 64-bit row key
+    * (P·A ≈ 2.2e18 < 2^63) — and, because reduction mod P is a ring
+    * homomorphism, (key mod P)·A + C ≡ key·A + C (mod P): the
+    * pre-reduction changes nothing but the overflow headroom. */
   private val A = 1103515245L
   private val C = 12345L
-  private val M = 2147483648L
 
   /** Buckets 0..99: a 1% Bernoulli universe per bucket. */
   private val buckets = 100L
@@ -44,15 +47,18 @@ object Aqp {
   /** lineitem row key: l_orderkey * 8 + l_linenumber (linenumber ≤ 7
     * by TPC-H construction, so the key is collision-free). */
   private def bucketCol: Column =
-    pmod(pmod(pmod(col("l_orderkey") * 8 + col("l_linenumber"), lit(M))
-      * A + C, lit(M)), lit(P)) % buckets
+    pmod(pmod(col("l_orderkey") * 8 + col("l_linenumber"), lit(P))
+      * A + C, lit(P)) % buckets
 
-  /** Odd prime reduction BEFORE the mod-100 bucket: the LCG mod 2^31
-    * preserves the key's parity (even modulus, odd multiplier and
-    * increment), so `% 100` alone makes every bucket parity-pure —
-    * bucket 0's "1% Bernoulli universe" would contain ONLY
-    * odd-linenumber rows, a biased sampling frame the shared-formula
-    * oracle reproduces and cannot catch. */
+  /** The LCG state is reduced mod this ODD prime — never mod 2^31 —
+    * before the mod-100 bucket. An even modulus preserves the key's
+    * parity (odd multiplier, odd increment), so a 2^31 reduction
+    * followed by `% 100` makes every bucket ~parity-pure: bucket 0's
+    * "1% Bernoulli universe" would be ~93% odd-key rows, a biased
+    * sampling frame the shared-formula oracle reproduces and cannot
+    * catch. (A previous revision applied `% P` AFTER `% 2^31`, which
+    * only remaps the ~6.9% of LCG outputs ≥ P and leaves the parity
+    * lock in place; the prime must be the reduction modulus itself.) */
   private val P = 2000000011L
 
   /** Shared base projection: integer cents + sample bucket. */
@@ -62,8 +68,8 @@ object Aqp {
         bucketCol.cast("long").as("bucket"))
 
   private val bucketSql =
-    "((l_orderkey * 8 + l_linenumber) % 2147483648 * 1103515245 + 12345)" +
-      " % 2147483648 % 2000000011 % 100"
+    "((l_orderkey * 8 + l_linenumber) % 2000000011 * 1103515245 + 12345)" +
+      " % 2000000011 % 100"
 
   private val baseSql =
     s"""b AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
@@ -164,8 +170,8 @@ object Aqp {
     Tables.load(spark, dir, "orders")
       .selectExpr("o_orderpriority AS priority",
         "CAST(round(o_totalprice * 100) AS BIGINT) AS y",
-        "(o_orderkey % 2147483648 * 1103515245 + 12345)" +
-          " % 2147483648 % 2000000011 % 100 AS bucket") // see P's note
+        "(o_orderkey % 2000000011 * 1103515245 + 12345)" +
+          " % 2000000011 % 100 AS bucket") // see P's note
       .groupBy("priority")
       .agg(
         count(lit(1)).as("n_total"),
@@ -226,8 +232,8 @@ object Aqp {
     "aqp_groupby_ci" ->
       s"""WITH b AS (SELECT o_orderpriority AS priority,
          |    CAST(round(o_totalprice * 100) AS BIGINT) AS y,
-         |    (o_orderkey % 2147483648 * 1103515245 + 12345)
-         |      % 2147483648 % 2000000011 % 100 AS bucket
+         |    (o_orderkey % 2000000011 * 1103515245 + 12345)
+         |      % 2000000011 % 100 AS bucket
          |  FROM orders),
          |g AS (SELECT priority,
          |    CAST(count(*) AS BIGINT) AS n_total,

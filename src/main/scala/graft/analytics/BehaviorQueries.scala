@@ -686,10 +686,16 @@ object BehaviorQueries {
       .groupBy(concat(col("a"), lit(">"), col("b"), lit(">"), col("c"))
         .as("pattern"))
       .agg(count(lit(1)).as("support"))
-    p2.unionByName(p3)
-      .select(col("pattern"), col("support"),
-        lit(nUsers).as("n_users"),
-        expr(s"1000000 * support DIV $nUsers").as("support_q6"))
+    // checkpoint-then-release (CacheHygieneSpec + the r9 in-suite
+    // regression adjudication): the result is ≤|alphabet|³ rows; the
+    // |users|·|alphabet| frame must not stay cached into later gates,
+    // where it competes for executor storage with THEIR caches
+    graft.Conf.checkpointThenRelease(
+      p2.unionByName(p3)
+        .select(col("pattern"), col("support"),
+          lit(nUsers).as("n_users"),
+          expr(s"1000000 * support DIV $nUsers").as("support_q6")),
+      u)
   }
 
   /** Fixed-point scale and unrolled iteration count for
@@ -733,7 +739,11 @@ object BehaviorQueries {
           "left")
         .select(col("event_type"), coalesce(col("s"), lit(0L)).as("pi"))
     }
-    pi.select(col("event_type"), col("pi").as("pi_fp"))
+    // checkpoint-then-release (CacheHygieneSpec): |alphabet| rows out;
+    // the cell/node frames must not outlive the call
+    graft.Conf.checkpointThenRelease(
+      pi.select(col("event_type"), col("pi").as("pi_fp")),
+      cells, nodes)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

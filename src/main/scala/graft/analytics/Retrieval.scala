@@ -204,7 +204,9 @@ object Retrieval {
         }
         out
       }
-    picks.toDF()
+    // checkpoint-then-release (CacheHygieneSpec): k rows per query
+    // out; the candidate pool must not outlive the call
+    graft.Conf.checkpointThenRelease(picks.toDF(), cand)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -233,13 +233,16 @@ object StatsQueries {
       .agg(
         coalesce(sum(when(col("pre"), col("c"))), lit(0L)).as("x"),
         coalesce(sum(when(!col("pre"), col("c"))), lit(0L)).as("y"))
-      // arm via LCG mod the ODD prime 2000000011 THEN mod 2: reducing
-      // mod 2^31 preserves user_id's low bit (odd*id+odd), so "% 2"
-      // would be a pure PARITY split — confounded with anything that
-      // interleaves by id (signup order, source round-robin)
+      // arm via LCG reduced mod the ODD prime 2000000011, THEN mod 2:
+      // an even reduction modulus preserves user_id's low bit
+      // (odd*id+odd), so a 2^31 reduction before "% 2" is a ~pure
+      // PARITY split — confounded with anything that interleaves by
+      // id (signup order, source round-robin). The prime reduction is
+      // THE modulus (user_id pre-reduced mod the same prime for
+      // 64-bit headroom — a no-op mod P, it's a ring homomorphism).
       .withColumn("arm",
-        pmod(pmod(col("user_id") * lit(1103515245L) + lit(12345L),
-          lit(2147483648L)), lit(2000000011L)) % 2)
+        pmod(pmod(col("user_id"), lit(2000000011L)) * lit(1103515245L)
+          + lit(12345L), lit(2000000011L)) % 2)
       .cache() // one row per user — bounded, feeds both aggregates
     val g = users.agg(
       count(lit(1)).as("n"),
@@ -262,21 +265,25 @@ object StatsQueries {
     def d(v: java.math.BigDecimal): String =
       s"CAST('${v.toPlainString}' AS DECIMAL(38,0))"
     val (tnS, tdS, sxS) = (d(tn), d(td), d(sx))
-    users.groupBy("arm")
-      .agg(
-        count(lit(1)).as("n_users"),
-        sum(col("y")).as("sum_post_cents"),
-        sum(col("x").cast(d38)).as("sxa"),
-        sum(col("y").cast(d38)).as("sya"))
-      .selectExpr(
-        "arm", "n_users", "sum_post_cents",
-        "CAST((1000000 * sya) DIV CAST(n_users AS DECIMAL(38,0)) AS BIGINT)" +
-          " AS mean_post_q6",
-        s"""CAST((1000000 * (sya * $tdS * $n
-           |  - $tnS * (sxa * $n - $sxS * CAST(n_users AS DECIMAL(38,0)))))
-           |  DIV (CAST(n_users AS DECIMAL(38,0)) * $n * $tdS)
-           |  AS BIGINT) AS mean_adj_q6""".stripMargin,
-        s"CAST((1000000 * $tnS) DIV $tdS AS BIGINT) AS theta_q6")
+    // checkpoint-then-release (CacheHygieneSpec): 2 rows out; the
+    // per-user frame must not stay cached in the caller's session
+    graft.Conf.checkpointThenRelease(
+      users.groupBy("arm")
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(col("y")).as("sum_post_cents"),
+          sum(col("x").cast(d38)).as("sxa"),
+          sum(col("y").cast(d38)).as("sya"))
+        .selectExpr(
+          "arm", "n_users", "sum_post_cents",
+          "CAST((1000000 * sya) DIV CAST(n_users AS DECIMAL(38,0)) AS BIGINT)" +
+            " AS mean_post_q6",
+          s"""CAST((1000000 * (sya * $tdS * $n
+             |  - $tnS * (sxa * $n - $sxS * CAST(n_users AS DECIMAL(38,0)))))
+             |  DIV (CAST(n_users AS DECIMAL(38,0)) * $n * $tdS)
+             |  AS BIGINT) AS mean_adj_q6""".stripMargin,
+          s"CAST((1000000 * $tnS) DIV $tdS AS BIGINT) AS theta_q6"),
+      users)
   }
 
   /** Welch's unequal-variance t-test — the default two-sample A/B
@@ -311,8 +318,9 @@ object StatsQueries {
     import org.apache.spark.sql.types.DecimalType
     val d38 = DecimalType(38, 0)
     val cents = round(col("value") * 100).cast("long")
-    val arm = pmod(pmod(col("user_id") * lit(1103515245L) + lit(12345L),
-      lit(2147483648L)), lit(2000000011L)) % 2 // see cupedAb's arm note
+    val arm = pmod(pmod(col("user_id"), lit(2000000011L))
+      * lit(1103515245L) + lit(12345L),
+      lit(2000000011L)) % 2 // see cupedAb's arm note
     def armSum(a: Int, v: Column): Column =
       sum(when(col("arm") === a, v).otherwise(lit(0L)).cast(d38))
     Tables.load(spark, dir, "events")
@@ -905,7 +913,7 @@ object StatsQueries {
          |    CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '$cupedSplit'
          |      THEN CAST(round(value * 100) AS BIGINT) END), 0)
          |      AS BIGINT) AS y,
-         |    (((user_id * 1103515245 + 12345) % 2147483648) % 2000000011) % 2 AS arm
+         |    (((user_id % 2000000011) * 1103515245 + 12345) % 2000000011) % 2 AS arm
          |  FROM events GROUP BY user_id),
          |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
          |    CAST(sum(x) AS HUGEINT) AS sx,
@@ -928,7 +936,7 @@ object StatsQueries {
          |FROM a CROSS JOIN t""".stripMargin,
     "stats_welch" ->
       """WITH o AS (SELECT event_type,
-        |    (((user_id * 1103515245 + 12345) % 2147483648) % 2000000011) % 2 AS arm,
+        |    (((user_id % 2000000011) * 1103515245 + 12345) % 2000000011) % 2 AS arm,
         |    CAST(round(value * 100) AS BIGINT) AS c
         |  FROM events),
         |a AS (SELECT event_type,

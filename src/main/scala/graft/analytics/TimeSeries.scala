@@ -409,8 +409,8 @@ object TimeSeries {
   def crossCorr(spark: SparkSession, dir: String): DataFrame = {
     // persisted: both join sides read the grid, and without it Catalyst
     // re-derives each side from its own corpus scan (2x the real cost);
-    // the grid itself is calendar-bounded. Bench/Verify clear caches
-    // per query, so the persist is scoped to this run.
+    // the grid itself is calendar-bounded and released below
+    // (checkpoint-then-release) before the frame returns.
     val hourly = Tables.load(spark, dir, "events")
       .groupBy(expr("unix_timestamp(date_trunc('hour', ts)) DIV 3600")
         .as("eh"))
@@ -423,13 +423,18 @@ object TimeSeries {
       .select(col("eh"), col("y"),
         explode(expr(s"sequence(0L, ${xcorrLags}L)")).as("lag"))
       .select((col("eh") - col("lag")).as("eh"), col("lag"), col("y"))
-    hourly.select(col("eh"), col("x")).join(ylag, "eh")
-      .groupBy("lag")
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
-      .withColumn("cov_num", col("n") * col("sxy") - col("sx") * col("sy"))
+    // checkpoint-then-release (CacheHygieneSpec): ≤(lags+1) rows out;
+    // the calendar grid must not outlive the call
+    graft.Conf.checkpointThenRelease(
+      hourly.select(col("eh"), col("x")).join(ylag, "eh")
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("cov_num",
+          col("n") * col("sxy") - col("sx") * col("sy")),
+      hourly)
   }
 
   /** CUSUM changepoint scan (Page 1954) over the daily revenue series,

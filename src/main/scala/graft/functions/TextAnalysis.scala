@@ -286,11 +286,15 @@ object TextAnalysis {
       .filter(col("df") <= winnowDfCap)
       .select("fp")
     val filtered = fps.join(rare, "fp")
-    filtered.as("x").join(filtered.as("y"),
-        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= winnowMinShared)
+    // checkpoint-then-release (CacheHygieneSpec): pair-bounded output,
+    // the fingerprint frame must not outlive the call
+    graft.Conf.checkpointThenRelease(
+      filtered.as("x").join(filtered.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= winnowMinShared),
+      fps)
   }
 
   /** Corpus term frequencies: explode tokens -> hash-agg counts ->
@@ -327,12 +331,15 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(df, "term")
-      .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        col("score"), col("rn"))
+    // checkpoint-then-release (CacheHygieneSpec)
+    graft.Conf.checkpointThenRelease(
+      tf.join(df, "term")
+        .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"), col("rn")),
+      tf)
   }
 
   /** Text normalization — the scrub pass that precedes hashing/dedup in
@@ -544,14 +551,17 @@ object TextAnalysis {
     val wAll = graft.Tables.boundedGlobalFrame
     val uni = tf.groupBy("term").agg(sum("tf").as("c"))
       .withColumn("n_total", sum(col("c")).over(wAll))
-    tf.join(uni, "term")
-      .groupBy("doc_id")
-      .agg(sum(col("tf")).as("n_tokens"),
-        sum(col("tf") * (flog2(col("n_total")) - flog2(col("c"))))
-          .as("bits"))
-      .select(col("doc_id"), col("n_tokens"), col("bits"),
-        (col("bits").cast("double") / col("n_tokens").cast("double"))
-          .as("avg_bits"))
+    // checkpoint-then-release (CacheHygieneSpec)
+    graft.Conf.checkpointThenRelease(
+      tf.join(uni, "term")
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * (flog2(col("n_total")) - flog2(col("c"))))
+            .as("bits"))
+        .select(col("doc_id"), col("n_tokens"), col("bits"),
+          (col("bits").cast("double") / col("n_tokens").cast("double"))
+            .as("avg_bits")),
+      tf)
   }
 
   /** Bigram language-model scoring with add-one smoothing — the
@@ -585,14 +595,17 @@ object TextAnalysis {
       .agg(countDistinct(col("w"))).collect()(0).getLong(0)
     val cb = bg.groupBy("w1", "w2").agg(sum("tf").as("cb"))
     val cp = bg.groupBy("w1").agg(sum("tf").as("cp"))
-    bg.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
-      .groupBy("doc_id")
-      .agg(sum(col("tf")).as("n_bigrams"),
-        sum(col("tf") * (flog2(col("cp") + lit(vocabV))
-          - flog2(col("cb") + 1))).as("bits"))
-      .select(col("doc_id"), col("n_bigrams"), col("bits"),
-        (col("bits").cast("double") / col("n_bigrams").cast("double"))
-          .as("avg_bits"))
+    // checkpoint-then-release (CacheHygieneSpec)
+    graft.Conf.checkpointThenRelease(
+      bg.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_bigrams"),
+          sum(col("tf") * (flog2(col("cp") + lit(vocabV))
+            - flog2(col("cb") + 1))).as("bits"))
+        .select(col("doc_id"), col("n_bigrams"), col("bits"),
+          (col("bits").cast("double") / col("n_bigrams").cast("double"))
+            .as("avg_bits")),
+      bg)
   }
 
   /** Character-diversity score — the entropy-flavored repetition /

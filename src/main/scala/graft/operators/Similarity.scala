@@ -383,11 +383,18 @@ object Similarity {
     * vectors whose LCG permutation of vec_id lands in residue 0 mod
     * [[ivfSampleMod]]. A different multiplier than the init
     * permutation (69069 vs 1103515245) so membership in the sample is
-    * uncorrelated with init order. Engine-portable integer arithmetic
-    * (the oracle computes the same residues). */
+    * uncorrelated with init order. The LCG state is reduced mod the
+    * ODD prime 2000000011 — never mod 2^31 — because an even
+    * reduction modulus preserves vec_id's low bits under the odd
+    * multiplier (69069 ≡ 1 mod 4), which would make the mod-4 sample
+    * exactly {vec_id ≡ 3 (mod 4)}: a low-bit-pure training frame,
+    * biased whenever embeddings correlate with id structure.
+    * Engine-portable integer arithmetic (the oracle computes the same
+    * residues); vec_id pre-reduced mod the same prime for 64-bit
+    * headroom (a no-op mod P — ring homomorphism). */
   private def trainSample(e: DataFrame): DataFrame =
-    e.filter(pmod(pmod(col("vec_id") * lit(69069L) + lit(1L),
-      lit(2147483648L)), lit(ivfSampleMod)) === 0)
+    e.filter(pmod(pmod(pmod(col("vec_id"), lit(2000000011L)) * lit(69069L)
+      + lit(1L), lit(2000000011L)), lit(ivfSampleMod)) === 0)
 
   private val sampledQuantizerMemo =
     new scala.collection.concurrent.TrieMap[String, Seq[(Long, Seq[Double])]]
@@ -1964,7 +1971,7 @@ object Similarity {
     "knn_ivf_sampled" ->
       s"""WITH $eCte,
          |es AS (SELECT * FROM e
-         |       WHERE (vec_id * 69069 + 1) % 2147483648 % $ivfSampleMod = 0),
+         |       WHERE (vec_id % 2000000011 * 69069 + 1) % 2000000011 % $ivfSampleMod = 0),
          |${assignedCtesBody("es")},
          |q AS (SELECT vec_id AS query_id, v AS qv, cent_id AS qcent
          |      FROM assigned WHERE vec_id < 20),

@@ -524,11 +524,15 @@ object TrainPrep {
       .groupBy("doc_id")
       .agg(sum("tf").as("n_feat"),
         sum(col("tf") * col("lam")).as("dsir_bits"))
-    docs.select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_feat"), lit(0L)).as("n_feat"),
-        coalesce(col("dsir_bits"), lit(0L)).as("dsir_bits"))
+    // checkpoint-then-release (CacheHygieneSpec): one row per doc out;
+    // the bucketed tf frame must not outlive the call
+    graft.Conf.checkpointThenRelease(
+      docs.select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+          coalesce(col("dsir_bits"), lit(0L)).as("dsir_bits")),
+      tf)
   }
 
   // --- Cross-modal joint curation -----------------------------------------
@@ -632,10 +636,14 @@ object TrainPrep {
       // bucket-bounded frame; checkpoint truncates the per-round plan
       w = Some(next.localCheckpoint())
     }
-    margins(w)
-      .select(col("doc_id"), col("y").as("label"), col("m").as("margin"),
-        when(col("m") > 0, 1L).otherwise(-1L).as("pred"))
-      .withColumn("correct", col("pred") === col("label"))
+    // checkpoint-then-release (CacheHygieneSpec): one row per doc out;
+    // the presence-pair frame must not outlive the call
+    graft.Conf.checkpointThenRelease(
+      margins(w)
+        .select(col("doc_id"), col("y").as("label"), col("m").as("margin"),
+          when(col("m") > 0, 1L).otherwise(-1L).as("pred"))
+        .withColumn("correct", col("pred") === col("label")),
+      feats)
   }
 
   /** Classifier evaluation for [[perceptron]] — the readout every

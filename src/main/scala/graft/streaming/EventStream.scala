@@ -57,9 +57,10 @@ object EventStream {
     try {
       q.processAllAvailable()
       // materialize the final snapshot before stopping the query
-      val out = spark.table(name).cache()
-      out.count()
-      out
+      // eager localCheckpoint: the snapshot materializes before the
+      // query stops, WITHOUT a cacheManager entry — callers inherit no
+      // cached frames (blocks are ContextCleaner-scoped, not leaked)
+      spark.table(name).localCheckpoint(true)
     } finally { StreamMetrics.record(q); q.stop() }
   }
 
@@ -191,8 +192,8 @@ object EventStream {
       q.processAllAvailable()
       val out = spark.table(name)
         .filter(col("hour_start") < lit("2100-01-01").cast("timestamp"))
-        .cache()
-      out.count()
+        // eager localCheckpoint, not cache: see streamTumbling
+        .localCheckpoint(true)
       out
     } finally { StreamMetrics.record(q); q.stop() }
   }
@@ -228,9 +229,73 @@ object EventStream {
       .start()
     try {
       q.processAllAvailable()
-      val out = spark.table(name).cache()
-      out.count()
-      out
+      // eager localCheckpoint: the snapshot materializes before the
+      // query stops, WITHOUT a cacheManager entry — callers inherit no
+      // cached frames (blocks are ContextCleaner-scoped, not leaked)
+      spark.table(name).localCheckpoint(true)
+    } finally { StreamMetrics.record(q); q.stop() }
+  }
+
+  /** TTL-bounded streaming dedup — the 100 TB form of [[streamDedup]].
+    *
+    * [[streamDedup]]'s 90-day horizon exceeds the corpus span, so its
+    * per-event state never evicts: STREAMSCALE measured state_growth
+    * 10.0 at 10× input — exact-forever dedup is linear in keys ever
+    * seen, by definition. This gate runs the SAME
+    * `dropDuplicatesWithinWatermark` operator the way a deployment
+    * actually bounds it: the corpus replays as event-time-ordered
+    * 2-day micro-batches (each staged twice back-to-back, so every
+    * key's duplicate arrives well inside the horizon), under a 2-day
+    * watermark delay. The watermark then advances batch by batch and
+    * the state store retains only keys newer than (watermark − delay)
+    * — peak state is rate × horizon (~4 of 30 days ≈ 13% of corpus
+    * keys), independent of HISTORY length, which is the bound that
+    * matters on an unbounded stream. On this corpus a 10× SF is 10×
+    * RATE over the same 30-day span, so peak state still scales with
+    * rate — the plateau this gate demonstrates is eviction: end-state
+    * ≪ peak ≪ keys-ever, and per-batch state stabilizes after the
+    * horizon warm-up instead of growing with every batch.
+    *
+    * Correctness is exact despite the TTL because the replay is
+    * event-time ordered and each duplicate lands one trigger after its
+    * original (state provably still live — slice span 2 d < delay 2 d
+    * + slice alignment); output is therefore exactly the distinct
+    * corpus and the gate shares [[streamDedup]]'s plain-scan oracle. */
+  def streamDedupWatermarked(spark: SparkSession, dir: String): DataFrame =
+    withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
+    val batch = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+    val d0 = batch.agg(min(to_date(col("ts")))).head().getDate(0) // 1-row agg
+    // 15 × 2-day event-time slices, each staged twice (the duplicate
+    // arrives next trigger, inside the live-state horizon)
+    val slices = (0 until 15).flatMap { i =>
+      val s = batch.filter(
+        datediff(to_date(col("ts")), lit(d0)) >= i * 2 &&
+          datediff(to_date(col("ts")), lit(d0)) < (i + 1) * 2)
+      Seq(s, s)
+    }
+    val staging = stageReplay(slices)
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+      .withWatermark("ts", "2 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts_s"), col("value"))
+    val name = "graft_stream_dedup_wm"
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      // eager localCheckpoint: the snapshot materializes before the
+      // query stops, WITHOUT a cacheManager entry — callers inherit no
+      // cached frames (blocks are ContextCleaner-scoped, not leaked)
+      spark.table(name).localCheckpoint(true)
     } finally { StreamMetrics.record(q); q.stop() }
   }
 
@@ -274,9 +339,10 @@ object EventStream {
       .start()
     try {
       q.processAllAvailable()
-      val out = spark.table(name).cache()
-      out.count()
-      out
+      // eager localCheckpoint: the snapshot materializes before the
+      // query stops, WITHOUT a cacheManager entry — callers inherit no
+      // cached frames (blocks are ContextCleaner-scoped, not leaked)
+      spark.table(name).localCheckpoint(true)
     } finally { StreamMetrics.record(q); q.stop() }
   }
 
@@ -327,9 +393,10 @@ object EventStream {
       .start()
     try {
       q.processAllAvailable()
-      val out = spark.table(name).cache()
-      out.count()
-      out
+      // eager localCheckpoint: the snapshot materializes before the
+      // query stops, WITHOUT a cacheManager entry — callers inherit no
+      // cached frames (blocks are ContextCleaner-scoped, not leaked)
+      spark.table(name).localCheckpoint(true)
     } finally { StreamMetrics.record(q); q.stop() }
   }
 
@@ -400,9 +467,10 @@ object EventStream {
         .start()
       try {
         q.processAllAvailable()
-        val out = spark.table(name).cache()
-        out.count()
-        out
+        // eager localCheckpoint: the snapshot materializes before the
+        // query stops, WITHOUT a cacheManager entry — callers inherit no
+        // cached frames (blocks are ContextCleaner-scoped, not leaked)
+        spark.table(name).localCheckpoint(true)
       } finally { StreamMetrics.record(q); q.stop() }
     } finally {
       prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
@@ -501,8 +569,8 @@ object EventStream {
             coalesce(col("n_dup_bands"), lit(0L)).as("n_dup_bands"),
             (coalesce(col("n_dup_bands"), lit(0L)) > 0).cast("long")
               .as("is_dup"))
-          .cache()
-        out.count()
+          // eager localCheckpoint, not cache: see streamTumbling
+          .localCheckpoint(true)
         out
       } finally { StreamMetrics.record(q); q.stop() }
     } finally {
@@ -545,9 +613,10 @@ object EventStream {
       .start()
     try {
       q.processAllAvailable()
-      val out = spark.table(name).cache()
-      out.count()
-      out
+      // eager localCheckpoint: the snapshot materializes before the
+      // query stops, WITHOUT a cacheManager entry — callers inherit no
+      // cached frames (blocks are ContextCleaner-scoped, not leaked)
+      spark.table(name).localCheckpoint(true)
     } finally { StreamMetrics.record(q); q.stop() }
   }
 
@@ -579,9 +648,10 @@ object EventStream {
       .start()
     try {
       q.processAllAvailable()
-      val out = spark.table(name).cache()
-      out.count()
-      out
+      // eager localCheckpoint: the snapshot materializes before the
+      // query stops, WITHOUT a cacheManager entry — callers inherit no
+      // cached frames (blocks are ContextCleaner-scoped, not leaked)
+      spark.table(name).localCheckpoint(true)
     } finally { StreamMetrics.record(q); q.stop() }
   }
 
@@ -623,9 +693,10 @@ object EventStream {
       .start()
     try {
       q.processAllAvailable()
-      val out = spark.table(name).cache()
-      out.count()
-      out
+      // eager localCheckpoint: the snapshot materializes before the
+      // query stops, WITHOUT a cacheManager entry — callers inherit no
+      // cached frames (blocks are ContextCleaner-scoped, not leaked)
+      spark.table(name).localCheckpoint(true)
     } finally { StreamMetrics.record(q); q.stop() }
   }
 
@@ -635,6 +706,7 @@ object EventStream {
     "stream_tumbling" -> streamTumbling _,
     "stream_tumbling_append" -> streamTumblingAppend _,
     "stream_dedup" -> streamDedup _,
+    "stream_dedup_watermarked" -> streamDedupWatermarked _,
     "stream_upsert_latest" -> streamUpsertLatest _,
     "stream_upsert_deltas" -> streamUpsertDeltas _,
     "stream_upsert_deltas_tws" -> streamUpsertDeltasTws _,
@@ -676,6 +748,13 @@ object EventStream {
     "stream_tumbling_append" -> tumblingSql,
     // a doubled replay deduplicates back to exactly the distinct corpus
     "stream_dedup" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, value
+        |FROM events""".stripMargin,
+    // TTL-bounded variant: in-window duplicates all dropped, so the
+    // output is the same distinct corpus (see streamDedupWatermarked's
+    // exactness argument)
+    "stream_dedup_watermarked" ->
       """SELECT event_id, user_id, event_type,
         |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, value
         |FROM events""".stripMargin,

@@ -213,9 +213,10 @@ object Sessionize {
       .start()
     try {
       q.processAllAvailable()
-      val out = spark.table(name).filter(col("user_id") >= 0).cache()
-      out.count()
-      out
+      // eager localCheckpoint: the snapshot materializes before the
+      // query stops, WITHOUT a cacheManager entry — callers inherit no
+      // cached frames (blocks are ContextCleaner-scoped, not leaked)
+      spark.table(name).filter(col("user_id") >= 0).localCheckpoint(true)
     } finally { StreamMetrics.record(q); q.stop() }
   }
 

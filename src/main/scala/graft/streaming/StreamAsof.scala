@@ -95,9 +95,10 @@ object StreamAsof {
       q.processAllAvailable()
       // each purchase arrives in exactly one trigger, so the sink
       // already holds one row per purchase — no latest-update fold
-      val out = spark.table(name).cache()
-      out.count()
-      out
+      // eager localCheckpoint: the snapshot materializes before the
+      // query stops, WITHOUT a cacheManager entry — callers inherit no
+      // cached frames (blocks are ContextCleaner-scoped, not leaked)
+      spark.table(name).localCheckpoint(true)
     } finally { StreamMetrics.record(q); q.stop() }
   }
 

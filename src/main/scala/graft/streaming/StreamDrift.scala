@@ -59,9 +59,10 @@ object StreamDrift {
       val snap =
         try {
           q.processAllAvailable()
-          val s = spark.table(name).cache()
-          s.count()
-          s
+          // eager localCheckpoint: the snapshot materializes before the
+          // query stops, WITHOUT a cacheManager entry — callers inherit no
+          // cached frames (blocks are ContextCleaner-scoped, not leaked)
+          spark.table(name).localCheckpoint(true)
         } finally { StreamMetrics.record(q); q.stop() }
       // drift scoring on the bounded snapshot (days × types × bins):
       // a day-bin the reference never saw smooths to ref_cnt 0 + 1

@@ -92,9 +92,10 @@ object StreamEwma {
       .start()
     try {
       q.processAllAvailable()
-      val out = spark.table(name).cache()
-      out.count()
-      out
+      // eager localCheckpoint: the snapshot materializes before the
+      // query stops, WITHOUT a cacheManager entry — callers inherit no
+      // cached frames (blocks are ContextCleaner-scoped, not leaked)
+      spark.table(name).localCheckpoint(true)
     } finally { StreamMetrics.record(q); q.stop() }
   }
 

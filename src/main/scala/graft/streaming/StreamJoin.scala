@@ -68,9 +68,10 @@ object StreamJoin {
       .start()
     try {
       q.processAllAvailable()
-      val out = spark.table(name).cache()
-      out.count()
-      out
+      // eager localCheckpoint: the snapshot materializes before the
+      // query stops, WITHOUT a cacheManager entry — callers inherit no
+      // cached frames (blocks are ContextCleaner-scoped, not leaked)
+      spark.table(name).localCheckpoint(true)
     } finally { StreamMetrics.record(q); q.stop() }
   }
 
@@ -139,9 +140,10 @@ object StreamJoin {
       .start()
     try {
       q.processAllAvailable()
-      val out = spark.table(name).filter(col("user_id") >= 0).cache()
-      out.count()
-      out
+      // eager localCheckpoint: the snapshot materializes before the
+      // query stops, WITHOUT a cacheManager entry — callers inherit no
+      // cached frames (blocks are ContextCleaner-scoped, not leaked)
+      spark.table(name).filter(col("user_id") >= 0).localCheckpoint(true)
     } finally { StreamMetrics.record(q); q.stop() }
   }
 
@@ -209,9 +211,10 @@ object StreamJoin {
       .start()
     try {
       q.processAllAvailable()
-      val out = spark.table(name).filter(col("uid") >= 0).cache()
-      out.count()
-      out
+      // eager localCheckpoint: the snapshot materializes before the
+      // query stops, WITHOUT a cacheManager entry — callers inherit no
+      // cached frames (blocks are ContextCleaner-scoped, not leaked)
+      spark.table(name).filter(col("uid") >= 0).localCheckpoint(true)
     } finally { StreamMetrics.record(q); q.stop() }
   }
 

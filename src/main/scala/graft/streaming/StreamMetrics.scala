@@ -41,12 +41,20 @@ object StreamMetrics {
       // exact numbers STREAMSCALE.json exists to get right. Truncation
       // must be LOUD, not a quietly understated in_growth. The
       // measuring harness (graft.StreamScale) raises the conf far
-      // above any staged-replay trigger count.
+      // above any staged-replay trigger count, and Bench/Verify/test
+      // sessions do too (defense in depth should metrics ever be
+      // enabled there). `length == cap` alone is NOT proof of
+      // truncation — a replay can legitimately run exactly `cap`
+      // triggers — so only fail on the certain signal: a full ring
+      // whose earliest retained entry is not the query's first batch.
+      // (A checkpoint-resumed query starts at batchId > 0, but its
+      // replays are far shorter than any configured cap.)
       val cap = q.sparkSession.conf
         .get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
-      require(ps.length < cap,
-        s"progress history hit the $cap-entry retention cap — metrics " +
-          "would be truncated; raise spark.sql.streaming.numRecentProgressUpdates")
+      require(ps.length < cap || ps.head.batchId == 0L,
+        s"progress history hit the $cap-entry retention cap with earliest " +
+          s"retained batchId ${ps.head.batchId} — metrics are truncated; " +
+          "raise spark.sql.streaming.numRecentProgressUpdates")
       val name = Option(q.name).getOrElse(q.id.toString)
       def rowsOf(p: org.apache.spark.sql.streaming.StreamingQueryProgress) =
         Option(p.stateOperators).fold(0L)(_.map(_.numRowsTotal).sum)

@@ -113,8 +113,8 @@ object StreamPattern {
         .agg(max(struct(col("n_events"), col("n_conversions"))).as("s"))
         .select(col("user_id"), col("s.n_events").as("n_events"),
           col("s.n_conversions").as("n_conversions"))
-        .cache()
-      out.count()
+        // eager localCheckpoint, not cache: see streamTumbling
+        .localCheckpoint(true)
       out
     } finally { StreamMetrics.record(q); q.stop() }
   }

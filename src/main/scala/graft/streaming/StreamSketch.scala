@@ -52,9 +52,10 @@ object StreamSketch {
       val snapshot =
         try {
           q.processAllAvailable()
-          val out = spark.table(name).cache()
-          out.count() // pin the final register snapshot before stop
-          out
+          // eager localCheckpoint: the snapshot materializes before the
+          // query stops, WITHOUT a cacheManager entry — callers inherit no
+          // cached frames (blocks are ContextCleaner-scoped, not leaked)
+          spark.table(name).localCheckpoint(true)
         } finally { StreamMetrics.record(q); q.stop() }
       // Batch side: the exact truth the stream cannot legally compute,
       // riding the same hash so bucket-local distinct sums are global.

@@ -14,7 +14,7 @@ class AqpSpec extends AnyFunSuite {
 
   private val A = 1103515245L
   private val C = 12345L
-  private val M = 2147483648L
+  private val P = 2000000011L
 
   /** Independent Scala reimplementation of the gate's row arithmetic. */
   private def rows(): Seq[(Long, Long)] = {
@@ -23,7 +23,7 @@ class AqpSpec extends AnyFunSuite {
       .collect() // sf0.001: 6k rows — test-only
     df.toSeq.map { r =>
       val key = r.getLong(0) * 8 + r.getInt(1)
-      val bucket = ((key % M) * A + C) % M % 2000000011L % 100
+      val bucket = ((key % P) * A + C) % P % 100
       val cents = math.round(r.getDouble(2) * 100)
       (bucket, cents)
     }
@@ -68,7 +68,7 @@ class AqpSpec extends AnyFunSuite {
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
       .collect() // sf0.001: 1.5k rows — test-only
       .map { r =>
-        val bucket = (r.getLong(0) % M * A + C) % M % 2000000011L % 100
+        val bucket = (r.getLong(0) % P * A + C) % P % 100
         (r.getString(1), bucket, math.round(r.getDouble(2) * 100))
       }.toSeq
     val got = analytics.Aqp.groupbyCi(spark, sf).collect()
@@ -99,5 +99,41 @@ class AqpSpec extends AnyFunSuite {
     assert(r.getAs[Long]("max_abs_err_q6")
       == BigInt(1000000) * worst / truth)
     assert(r.getAs[Long]("n_within_2pct") <= 20)
+  }
+
+  test("sample buckets are parity-balanced (the frame-bias regression)") {
+    // The LCG reduced mod an EVEN modulus preserves the key's parity,
+    // so a 2^31 reduction before % 100 makes bucket 0 ~pure in key
+    // parity (a prior revision measured 93% odd-key rows). This test
+    // measures the fixed formula: every bucket must hold BOTH
+    // parities at a near-even split — an independent check the
+    // shared-formula DuckDB oracle structurally cannot provide.
+    val byBucketParity = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber")
+      .collect().toSeq // sf0.001: 6k rows — test-only
+      .map { r =>
+        val key = r.getLong(0) * 8 + r.getInt(1)
+        (((key % P) * A + C) % P % 100, key & 1L)
+      }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // the corpus's own parity split is NOT 50/50 (key parity is
+    // l_linenumber parity, and low linenumbers dominate in TPC-H):
+    // the unbiased-frame invariant is that EVERY bucket reproduces
+    // the corpus split, whatever it is — the broken formula put each
+    // bucket at 0% or 100%.
+    val oddAll = byBucketParity.collect { case ((_, 1L), c) => c }.sum
+    val nAll = byBucketParity.values.sum
+    val corpusOdd = oddAll.toDouble / nAll
+    assert(corpusOdd > 0.2 && corpusOdd < 0.8, s"degenerate corpus $corpusOdd")
+    for (b <- 0L until 100L) {
+      val odd = byBucketParity.getOrElse((b, 1L), 0).toDouble
+      val even = byBucketParity.getOrElse((b, 0L), 0).toDouble
+      val n = odd + even
+      assert(n > 0, s"bucket $b empty")
+      // sf0.001 buckets hold ~60 rows; 4-sigma binomial band ≈ ±0.26
+      assert(math.abs(odd / n - corpusOdd) < 0.27,
+        s"bucket $b parity split ${odd / n} vs corpus $corpusOdd — " +
+          "sampling frame biased")
+    }
   }
 }

@@ -12,6 +12,9 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // stream gates can exceed the 100-entry default progress ring;
+      // StreamMetrics refuses to publish truncated state metrics
+      .config("spark.sql.streaming.numRecentProgressUpdates", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

@@ -33,7 +33,7 @@ class StatsQueriesSpec extends AnyFunSuite {
     val sf = SparkTestSession.sf
     val obs = Tables.load(spark, sf, "events")
       .selectExpr("event_type",
-        "(((user_id * 1103515245 + 12345) % 2147483648) % 2000000011) % 2 AS arm",
+        "(((user_id % 2000000011) * 1103515245 + 12345) % 2000000011) % 2 AS arm",
         "CAST(round(value * 100) AS BIGINT) AS c")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val rows = StatsQueries.welchT(spark, sf).collect()
@@ -216,5 +216,33 @@ class StatsQueriesSpec extends AnyFunSuite {
     val varAdj = users.map(u =>
       (u._3 - thetaRef * u._2) - (my - thetaRef * mx)).map(d => d * d).sum / n
     assert(varAdj < vary, s"adjusted variance $varAdj !< raw $vary")
+  }
+
+  test("A/B arm is uncorrelated with user_id parity (confound regression)") {
+    // An even LCG reduction modulus preserves user_id's low bit, so a
+    // mod-2^31 reduction before "% 2" made the arm ~93% determined by
+    // id parity — confounding the CUPED/Welch readouts with any
+    // id-interleaved assignment. Measure the fixed formula directly:
+    // within each id-parity class the arm split must be near-even.
+    val ids = Tables.load(spark, SparkTestSession.sf, "events")
+      .select("user_id").distinct()
+      .collect().map(_.getLong(0)) // sf0.001: ~hundreds of users
+    assert(ids.nonEmpty)
+    def arm(id: Long): Long = ((id % 2000000011L) * 1103515245L + 12345L) %
+      2000000011L % 2
+    for (parity <- Seq(0L, 1L)) {
+      val cls = ids.filter(id => (id & 1L) == parity)
+      if (cls.length >= 50) {
+        val a1 = cls.count(arm(_) == 1L).toDouble / cls.length
+        assert(math.abs(a1 - 0.5) < 0.25,
+          s"parity-$parity ids: arm-1 share $a1 — assignment confounded")
+      }
+    }
+    // and the engine-side arm matches this reference formula
+    val gotArms = Tables.load(spark, SparkTestSession.sf, "events")
+      .selectExpr("user_id",
+        "(((user_id % 2000000011) * 1103515245 + 12345) % 2000000011) % 2 AS a")
+      .distinct().collect()
+    gotArms.foreach(r => assert(r.getLong(1) == arm(r.getLong(0))))
   }
 }

@@ -55,4 +55,21 @@ class AdaptiveComponentsSpec extends AnyFunSuite {
     assert(local == dist)
     assert(local.size == n)
   }
+
+  test("the default edge cap's driver footprint bound is <= 128 MB") {
+    // Pins the documented arithmetic (SCALE.md / localSolveMaxEdges
+    // scaladoc) to the SHIPPED constant so doc and code cannot drift:
+    // capEdges edges touch <= 2*capEdges nodes; the open-addressing
+    // parent map stores them in two long arrays (16 B/slot) at a
+    // power-of-two capacity kept under 75% load, so worst-case bytes
+    // = 16 * nextPow2(ceil(nodes / 0.75)).
+    val capEdges = Dedup.localSolveMaxEdges(spark)
+    assert(capEdges == 2000000L, s"cap drifted to $capEdges — update SCALE.md")
+    val maxNodes = 2L * capEdges
+    def nextPow2(x: Long): Long = java.lang.Long.highestOneBit(x - 1) * 2
+    val slots = nextPow2(maxNodes * 4L / 3L + 1)
+    val bytes = 16L * slots
+    assert(bytes <= 128L * 1024 * 1024,
+      s"driver union-find worst case $bytes B exceeds the documented 128 MB")
+  }
 }

@@ -62,4 +62,34 @@ class StreamStateBoundSpec extends AnyFunSuite {
       assert(removed > 0L, "watermark never evicted any state rows")
     } finally q.stop()
   }
+
+  test("watermarked dedup evicts state and still emits the exact distinct corpus") {
+    val sf = graft.SparkTestSession.sf
+    StreamMetrics.clear()
+    StreamMetrics.enabled = true
+    try {
+      val out = EventStream.streamDedupWatermarked(spark, sf)
+      val n = graft.Tables.load(spark, sf, "events").count()
+      // exactness: every duplicate dropped, nothing else — the oracle
+      // gate hashes this; here we pin counts + key-distinctness
+      assert(out.count() == n, "output must be the distinct corpus")
+      assert(out.select("event_id").distinct().count() == n)
+      // eviction: the TTL bound means peak state is rate × horizon
+      // (~4 of 30 days), NOT keys-ever — stream_dedup's un-TTL'd form
+      // holds all n keys at peak (STREAMSCALE state_growth 10.0)
+      val st = StreamMetrics.snapshot.values
+        .find(_.query == "graft_stream_dedup_wm")
+      assert(st.nonEmpty, "state metrics not recorded")
+      assert(st.get.stateRowsPeak > 0)
+      assert(st.get.stateRowsPeak < n / 2,
+        s"peak state ${st.get.stateRowsPeak} of $n keys — watermark " +
+          "eviction is not bounding dedup state")
+      assert(st.get.stateRows <= st.get.stateRowsPeak)
+    } finally {
+      StreamMetrics.enabled = false
+      StreamMetrics.clear()
+      EventStream.purgeStaging()
+      spark.catalog.clearCache()
+    }
+  }
 }
