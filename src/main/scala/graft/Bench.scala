@@ -203,6 +203,11 @@ object Bench {
       "store_time_travel", "stream_asof", "behavior_markov_stationary",
       "ts_bollinger",
       // round-6/7 additions, one per new family
+      // round-8/9/10 headline additions: the canonical-dedup pair the
+      // verdict tracks, the TTL-bounded stream dedup, the error-budget
+      // eval
+      "dedup_setsim_canonical", "dedup_canonical_incremental",
+      "stream_dedup_watermarked", "approx_error_budget",
       "sketch_hll_distinct", "sketch_kmv_union", "aqp_uniform_sum",
       "agg_q1_pricing", "join_q5_volume", "join_q19_disjunctive",
       "agg_q6_forecast", "dp_sum_clipped", "ts_twa")
