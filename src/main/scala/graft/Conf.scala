@@ -29,6 +29,14 @@ object Conf {
     * call. */
   def checkpointThenRelease(out: org.apache.spark.sql.DataFrame,
       cached: org.apache.spark.sql.Dataset[_]*): org.apache.spark.sql.DataFrame = {
+    // Plan-introspection escape hatch (PlanAuditSpec): a checkpointed
+    // result explains as `Scan ExistingRDD`, hiding the executed plan
+    // from the codegen audit. With this conf set the LAZY frame
+    // returns — nothing is materialized or released, so it is for
+    // `.explain`-style inspection only, never for executing gates.
+    if (out.sparkSession.conf
+        .getOption("spark.graft.internal.lazyPlans").contains("true"))
+      return out
     val ck = out.localCheckpoint()
     cached.foreach(_.unpersist())
     ck

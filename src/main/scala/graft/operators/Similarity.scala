@@ -369,11 +369,8 @@ object Similarity {
     * evaluates it. (The bench additionally clearCache()s between
     * gates; this makes gates clean for callers that don't.) */
   private def checkpointThenRelease(out: DataFrame,
-      cached: DataFrame*): DataFrame = {
-    val ck = out.localCheckpoint()
-    cached.foreach(_.unpersist())
-    ck
-  }
+      cached: DataFrame*): DataFrame =
+    graft.Conf.checkpointThenRelease(out, cached: _*)
 
   /** Training-sample modulus for [[knnIvfSampled]]: the coarse
     * quantizer trains on the ~1/ivfSampleMod hash-slice of the corpus. */

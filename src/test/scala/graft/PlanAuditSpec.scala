@@ -49,7 +49,12 @@ class PlanAuditSpec extends AnyFunSuite {
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
        if !allow.contains(name)) {
     test(s"$name plans without nested-loop or cartesian operators") {
-      val qe = fn(spark, SparkTestSession.sf).queryExecution
+      // lazyPlans: checkpoint-then-release gates otherwise explain as
+      // an opaque `Scan ExistingRDD`, which would pass this audit
+      // vacuously — inspect the plan that computes the result
+      val qe = Conf.withConf(spark, "spark.graft.internal.lazyPlans", "true") {
+        fn(spark, SparkTestSession.sf).queryExecution
+      }
       val plan = qe.executedPlan.toString
       for (op <- banned)
         assert(!plan.contains(op), s"$name plan contains $op:\n$plan")
@@ -88,9 +93,15 @@ class PlanAuditSpec extends AnyFunSuite {
       // codegen spans as stages execute; disabling it for the audit
       // exposes the static codegen'd plan without running anything
       // (the codegen decision per operator is AQE-independent)
+      // lazyPlans: gates checkpoint-then-release their results (cache
+      // hygiene), which would explain as an opaque `Scan ExistingRDD`;
+      // the introspection conf returns the lazy frame so the audit
+      // sees the plan that actually computes the result
       val plan = Conf.withConf(spark, "spark.sql.adaptive.enabled", "false") {
-        SparkEntry.queries(name)(spark, SparkTestSession.sf)
-          .queryExecution.executedPlan.toString
+        Conf.withConf(spark, "spark.graft.internal.lazyPlans", "true") {
+          SparkEntry.queries(name)(spark, SparkTestSession.sf)
+            .queryExecution.executedPlan.toString
+        }
       }
       assert(plan.contains("*("),
         s"$name has NO WholeStageCodegen span:\n$plan")
