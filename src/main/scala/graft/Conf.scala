@@ -27,16 +27,18 @@ object Conf {
     * its blocks are ContextCleaner-scoped — freed when the frame is
     * garbage collected — rather than registry entries that outlive the
     * call. */
+  /** Plan-introspection escape hatch (PlanAuditSpec / PlanDump /
+    * Explain): a checkpointed result explains as `Scan ExistingRDD`,
+    * hiding the executed plan from audits and dumps. When set, every
+    * hygiene site returns its LAZY frame — nothing is materialized or
+    * released — so it is for `.explain`-style inspection only, never
+    * for executing gates. */
+  def lazyPlans(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.internal.lazyPlans").contains("true")
+
   def checkpointThenRelease(out: org.apache.spark.sql.DataFrame,
       cached: org.apache.spark.sql.Dataset[_]*): org.apache.spark.sql.DataFrame = {
-    // Plan-introspection escape hatch (PlanAuditSpec): a checkpointed
-    // result explains as `Scan ExistingRDD`, hiding the executed plan
-    // from the codegen audit. With this conf set the LAZY frame
-    // returns — nothing is materialized or released, so it is for
-    // `.explain`-style inspection only, never for executing gates.
-    if (out.sparkSession.conf
-        .getOption("spark.graft.internal.lazyPlans").contains("true"))
-      return out
+    if (lazyPlans(out.sparkSession)) return out
     val ck = out.localCheckpoint()
     cached.foreach(_.unpersist())
     ck

@@ -22,10 +22,15 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
-      try println(SparkEntry.queries(n)(spark, sfDir)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
+      // lazyPlans: see PlanDump — inspect the computing plan, not the
+      // checkpoint scan, and don't execute the gate to explain it
+      try println(Conf.withConf(spark, "spark.graft.internal.lazyPlans", "true") {
+        SparkEntry.queries(n)(spark, sfDir)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+      })
       catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+      finally spark.catalog.clearCache() // lazyPlans skips the gates' own release
     }
     spark.stop()
   }

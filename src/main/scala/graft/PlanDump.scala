@@ -92,10 +92,15 @@ object PlanDump {
     sb.append("no-nested-loop invariant over the WHOLE surface, this file ")
     sb.append("records what the interesting plans actually look like.\n")
     for (name <- picks; fn <- SparkEntry.queries.get(name)) {
+      // lazyPlans: checkpoint-then-release gates otherwise dump as an
+      // opaque `Scan ExistingRDD` AND execute their full workload here
       val plan =
-        try fn(spark, sfDir).queryExecution.explainString(
-          ExplainMode.fromString("formatted"))
+        try Conf.withConf(spark, "spark.graft.internal.lazyPlans", "true") {
+          fn(spark, sfDir).queryExecution.explainString(
+            ExplainMode.fromString("formatted"))
+        }
         catch { case e: Throwable => s"(failed: ${e.getMessage})" }
+        finally spark.catalog.clearCache() // lazyPlans skips the gates' own release
       // full plans for the heavies run to thousands of lines of
       // per-column detail; the operator tree + first detail blocks
       // carry the plan shape

@@ -1090,10 +1090,13 @@ object Dedup {
     // (the threshold lands in the join condition, so the kernel runs
     // 2-3x per pair and every element access allocates a UTF8String).
     // Dictionary-encoded long arrays + the same kernel: 18.35 s.
-    try verifyPairs(cand, docToks, num, den)
+    val out = verifyPairs(cand, docToks, num, den)
       .select("da", "db", "inter_cnt", "union_cnt")
-      .localCheckpoint()
-    finally cleanup()
+    // honor the lazyPlans introspection conf like every other hygiene
+    // site (Conf.checkpointThenRelease can't be used verbatim here —
+    // the release is setSimParts' cleanup hook, not a frame list)
+    if (graft.Conf.lazyPlans(docs.sparkSession)) out
+    else try out.localCheckpoint() finally cleanup()
   }
 
   /** Gate form: the pair list itself. A per-doc census variant was
@@ -1374,13 +1377,19 @@ object Dedup {
       dir: String): java.nio.file.Path = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = new java.io.File(s"$dir/documents.parquet")
-    val key = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(
-      s"${src.getAbsolutePath}:${src.length}:${src.lastModified}" +
-        s":$setSimNum:$setSimDen:v1"))
+    // two-part key: <corpus path> — stable across regenerations — and
+    // <content generation> (length/mtime/threshold params), so stale
+    // generations of the SAME corpus are recognizable and evictable
+    // without touching other corpora's staging (sf0.01 and sf0.1
+    // coexist under one root)
+    val pathKey = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(src.getAbsolutePath))
+    val genKey = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(
+      s"${src.length}:${src.lastModified}:$setSimNum:$setSimDen:v1"))
     val root = Paths.get(System.getProperty("java.io.tmpdir"), "graft-canon-staging")
-    val out = root.resolve(s"canon-$key")
+    val out = root.resolve(s"canon-$pathKey-$genKey")
     if (Files.exists(out.resolve("_DONE"))) return out
-    val tmp = root.resolve(s"canon-$key.build-${java.util.UUID.randomUUID}")
+    val tmp = root.resolve(s"canon-$pathKey-$genKey.build-${java.util.UUID.randomUUID}")
     Files.createDirectories(tmp)
     val docs = Tables.load(spark, dir, "documents")
     val mx = docs.agg(max("doc_id")).head().getLong(0) // 1-row bounded agg
@@ -1412,15 +1421,39 @@ object Dedup {
         if (Files.exists(out.resolve("_DONE"))) { deleteRecursively(tmp); }
         else return tmp
       }
+      evictStaleStaging(root, pathKey, keep = out.getFileName.toString)
       out
+    } catch { case e: Throwable =>
+      // a failed build must not leak its partial dir (the same
+      // lifecycle rule EventStream.purgeStaging enforces for replays)
+      deleteRecursively(tmp)
+      throw e
     } finally cleanup()
+  }
+
+  /** Drop superseded staging for one corpus path: completed dirs of
+    * other generations, and abandoned `.build-*` dirs older than an
+    * hour (a LIVE concurrent build is younger; race losers and crash
+    * leftovers are not). Never touches other corpora's keys. */
+  private def evictStaleStaging(root: java.nio.file.Path, pathKey: String,
+      keep: String): Unit = {
+    val kids = root.toFile.listFiles()
+    if (kids == null) return
+    val cutoff = System.currentTimeMillis() - 3600000L
+    kids.iterator
+      .filter(_.getName.startsWith(s"canon-$pathKey-"))
+      .filter(_.getName != keep)
+      .filter(f => !f.getName.contains(".build-") || f.lastModified < cutoff)
+      .foreach(f => deleteRecursively(f.toPath))
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
     }
   }
 

@@ -248,10 +248,12 @@ object EventStream {
     * the PREVIOUS slice, so every duplicate arrives one trigger after
     * its original — inside the horizon), under a 3-day watermark
     * delay. The watermark then advances batch by batch and the state
-    * store retains only keys newer than (watermark − delay) — peak
-    * state is rate × horizon (≈6 of 30 days ≈ 20% of corpus keys),
-    * independent of HISTORY length, which is the bound that matters on
-    * an unbounded stream. On this corpus a 10× SF is 10× RATE over the
+    * store retains only keys newer than (watermark − delay) — end
+    * state is the horizon tail (≈6 of 30 days ≈ 20% of corpus keys;
+    * STREAMSCALE measures 19,975 of 100k at sf0.1) and peak adds the
+    * in-flight slice + its duplicate copy (≈30%, measured 30,243) —
+    * rate × horizon either way, independent of HISTORY length, which
+    * is the bound that matters on an unbounded stream. On this corpus a 10× SF is 10× RATE over the
     * same 30-day span, so peak state still scales with rate — the
     * plateau this gate demonstrates is eviction: end-state ≪ peak ≪
     * keys-ever, and per-batch state stabilizes after the horizon
@@ -272,19 +274,25 @@ object EventStream {
     val batch = Tables.load(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"), col("value"))
-    val d0 = batch.agg(min(to_date(col("ts")))).head().getDate(0) // 1-row agg
-    // 10 × 3-day event-time slices; batch k carries slice k PLUS a
-    // duplicate copy of slice k-1 (one trailing all-duplicate batch
-    // flushes slice 9's copies), so every duplicate arrives one
-    // trigger after its original — provably inside the live-state
-    // horizon: after batch k-1 the store retains keys with
+    val span = batch.agg(min(to_date(col("ts"))), max(to_date(col("ts"))))
+      .head() // 1-row bounded agg
+    val d0 = span.getDate(0)
+    val nDays = java.time.temporal.ChronoUnit.DAYS
+      .between(d0.toLocalDate, span.getDate(1).toLocalDate).toInt + 1
+    // 3-day event-time slices COVERING the measured span (a hardcoded
+    // count would silently drop events past its horizon if the corpus
+    // generator ever widens the 30-day window); batch k carries slice
+    // k PLUS a duplicate copy of slice k-1 (one trailing all-duplicate
+    // batch flushes the last slice's copies), so every duplicate
+    // arrives one trigger after its original — provably inside the
+    // live-state horizon: after batch k-1 the store retains keys with
     // t > maxTs(k-1) − 2·delay, and all of slice k-1 has
-    // t ≥ maxTs(k-1) − 3 d > that bound at delay = 3 d. Eleven staged
-    // files, not one per (slice, copy): the staging writes and
+    // t ≥ maxTs(k-1) − 3 d > that bound at delay = 3 d. One staged
+    // file per batch, not per (slice, copy): the staging writes and
     // triggers are harness cost, not operator cost (a first cut with
     // 30 files spent 12.6 s mostly staging + trigger cycles).
-    val staged = batch.localCheckpoint(true) // 11 slice writes read blocks, not parquet
-    val nSlices = 10
+    val staged = batch.localCheckpoint(true) // slice writes read blocks, not parquet
+    val nSlices = (nDays + 2) / 3
     def slice(i: Int) = staged.filter(
       datediff(to_date(col("ts")), lit(d0)) >= i * 3 &&
         datediff(to_date(col("ts")), lit(d0)) < (i + 1) * 3)

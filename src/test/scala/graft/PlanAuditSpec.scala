@@ -51,10 +51,18 @@ class PlanAuditSpec extends AnyFunSuite {
     test(s"$name plans without nested-loop or cartesian operators") {
       // lazyPlans: checkpoint-then-release gates otherwise explain as
       // an opaque `Scan ExistingRDD`, which would pass this audit
-      // vacuously — inspect the plan that computes the result
+      // vacuously — inspect the plan that computes the result.
+      // clearCache first: under lazyPlans gate constructors register
+      // persist() entries they never release (by design), and a STALE
+      // entry from an earlier test would let CacheManager substitute
+      // InMemoryRelation into THIS plan, hiding operators from the
+      // banned-op scan (the trailing clear keeps the last test from
+      // leaking into other suites).
+      spark.catalog.clearCache()
       val qe = Conf.withConf(spark, "spark.graft.internal.lazyPlans", "true") {
         fn(spark, SparkTestSession.sf).queryExecution
       }
+      spark.catalog.clearCache()
       val plan = qe.executedPlan.toString
       for (op <- banned)
         assert(!plan.contains(op), s"$name plan contains $op:\n$plan")
@@ -97,12 +105,14 @@ class PlanAuditSpec extends AnyFunSuite {
       // hygiene), which would explain as an opaque `Scan ExistingRDD`;
       // the introspection conf returns the lazy frame so the audit
       // sees the plan that actually computes the result
+      spark.catalog.clearCache() // see the main audit's cache note
       val plan = Conf.withConf(spark, "spark.sql.adaptive.enabled", "false") {
         Conf.withConf(spark, "spark.graft.internal.lazyPlans", "true") {
           SparkEntry.queries(name)(spark, SparkTestSession.sf)
             .queryExecution.executedPlan.toString
         }
       }
+      spark.catalog.clearCache()
       assert(plan.contains("*("),
         s"$name has NO WholeStageCodegen span:\n$plan")
       // the parquet scan's consumer must be code-generated: a columnar
