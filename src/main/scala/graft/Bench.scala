@@ -207,7 +207,8 @@ object Bench {
       // verdict tracks, the TTL-bounded stream dedup, the error-budget
       // eval
       "dedup_setsim_canonical", "dedup_canonical_incremental",
-      "stream_dedup_watermarked", "approx_error_budget",
+      "stream_dedup_watermarked", "stream_neardup_ttl",
+      "approx_error_budget",
       "sketch_hll_distinct", "sketch_kmv_union", "aqp_uniform_sum",
       "agg_q1_pricing", "join_q5_volume", "join_q19_disjunctive",
       "agg_q6_forecast", "dp_sum_clipped", "ts_twa")

@@ -32,7 +32,8 @@ object StreamScale {
     "stream_dedup_watermarked",
     "stream_sessionize", "stream_stream_join", "stream_stream_left",
     "stream_stream_full", "stream_upsert_latest", "stream_upsert_deltas",
-    "stream_upsert_deltas_tws", "stream_neardup_minhash", "stream_ewma",
+    "stream_upsert_deltas_tws", "stream_neardup_minhash",
+    "stream_neardup_ttl", "stream_ewma",
     "stream_pattern_match", "stream_asof", "stream_sketch_distinct",
     "stream_cms", "stream_psi")
 

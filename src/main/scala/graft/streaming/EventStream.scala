@@ -18,6 +18,11 @@ case class DocText(doc_id: Long, text: String)
 case class BandHit(band_id: Int, bucket: Long, doc_id: Long)
 case class DupBand(doc_id: Long, band_id: Int)
 
+/** Band hit carrying the synthetic event time (doc_id as crawl clock)
+  * for the TTL-bounded registry's watermark + timers. */
+case class BandHitT(band_id: Int, bucket: Long, doc_id: Long,
+    ts: java.sql.Timestamp)
+
 /** Structured Streaming surface (SURVEY.md §2.8): the reference's
   * scheduled micro-batch dataflow expressed as a real streaming query.
   *
@@ -604,6 +609,147 @@ object EventStream {
     }
   }
 
+  /** Synthetic crawl clock for the TTL'd near-dup registry: doc_id
+    * IS the arrival order in this corpus, so event time is
+    * `epoch0 + doc_id` seconds — engine-portable integer arithmetic
+    * the oracle reproduces as plain id differences. */
+  private[streaming] val nearDupEpoch0 = 1700000000L
+
+  /** Recency horizon for [[streamNearDupTtl]], in doc_ids (= seconds
+    * of the synthetic clock): 1/5 of the id space, so the horizon is
+    * scale-free and strictly smaller than the quartile replay batches
+    * (eviction provably fires mid-replay at every SF). */
+  private[streaming] def nearDupHorizon(maxDocId: Long): Long = maxDocId / 5
+
+  /** TTL-bounded bucket registry: per (band, bucket), the MOST RECENT
+    * occupant doc_id (max — order-independent within a batch after the
+    * in-group sort), flagging an arrival whose distance to the
+    * previous occupant is within the horizon, and EVICTING buckets
+    * untouched for a horizon via event-time timers. Eviction is
+    * provably lossless for the flag semantics: a bucket is cleared
+    * only when `watermark > ts(occupant) + w`, and any later arrival d
+    * has ts(d) > watermark, so d − occupant > w — it would not have
+    * been flagged against that occupant anyway. One live timer per
+    * bucket (the stale one is deleted on re-touch), so timer state is
+    * bounded by live buckets too. */
+  class BucketRecentProcessor(w: Long, epoch0: Long)
+      extends org.apache.spark.sql.streaming
+      .StatefulProcessor[(Int, Long), BandHitT, DupBand] {
+    @transient private var last:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    private def expiryMs(occ: Long): Long = (epoch0 + occ + w + 1) * 1000L
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[Long]("last_doc",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandHitT],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[DupBand] = {
+      // bounded by this bucket's occupancy within ONE micro-batch;
+      // ascending-id order makes the fold arrival-order-independent
+      val ids = rows.map(_.doc_id).toArray.sorted
+      val prior = if (last.exists()) Some(last.get()) else None
+      var occ = prior.getOrElse(Long.MinValue)
+      val out = Array.newBuilder[DupBand]
+      for (d <- ids) {
+        if (occ != Long.MinValue && d - occ <= w) out += DupBand(d, key._1)
+        if (d > occ) occ = d
+      }
+      last.update(occ)
+      prior.filter(_ != occ).foreach(p => getHandle.deleteTimer(expiryMs(p)))
+      if (prior.forall(_ != occ)) getHandle.registerTimer(expiryMs(occ))
+      out.result().iterator
+    }
+    override def handleExpiredTimer(key: (Int, Long),
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[DupBand] = {
+      // a re-touch deletes its stale timer, but be defensive: only
+      // clear when the CURRENT occupant is really past the horizon
+      if (last.exists() &&
+          expiryMs(last.get()) <= expiredTimerInfo.getExpiryTimeInMs)
+        last.clear()
+      Iterator.empty
+    }
+  }
+
+  /** TTL-BOUNDED continuous near-dup — the 100 TB form of
+    * [[streamNearDupMinhash]], whose registry holds 4 buckets per doc
+    * EVER seen (dedup-against-all-history cannot forget; STREAMSCALE
+    * measured its state linear in docs). Real ingest pipelines dedup
+    * against a RECENCY WINDOW — "is this a re-crawl of something seen
+    * this week" — and that form has rate × horizon state: the same
+    * band-bucket registry, but per bucket the most recent occupant
+    * only, flags limited to arrivals within `w` of the previous
+    * occupant, and buckets untouched for a horizon evicted by
+    * event-time timers (doc_id doubles as the crawl clock via a
+    * synthetic timestamp; watermark delay 0 — the replay is
+    * id-ordered). Same stateless compiled-signature map into ONE
+    * stateful operator; output is per document the number of
+    * recently-occupied bands and the recent-dup flag, oracle-checked
+    * against a lag-window over the batch bucket function in DuckDB
+    * (previous occupant = lag(doc_id) per bucket in id order; flag =
+    * distance ≤ w — eviction provably never changes a flag, see
+    * [[BucketRecentProcessor]]). */
+  def streamNearDupTtl(spark: SparkSession, dir: String): DataFrame =
+    withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      // 1-row bounded agg: replay cut points, not data, reach the driver
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      val w = nearDupHorizon(mx)
+      val cuts = Seq(mx / 4, mx / 2, 3 * mx / 4)
+      val parts = Seq(
+        docs.filter(col("doc_id") <= cuts(0)),
+        docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+        docs.filter(col("doc_id") > cuts(1) && col("doc_id") <= cuts(2)),
+        docs.filter(col("doc_id") > cuts(2)))
+      val staging = stageReplay(parts)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .withColumn("ts", timestamp_seconds(lit(nearDupEpoch0) + col("doc_id")))
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, String, java.sql.Timestamp)]
+        .mapPartitions(_.flatMap { case (id, text, ts) =>
+          graft.operators.Dedup.bandHitsLocal(text)
+            .iterator.map { case (b, bk) => BandHitT(b, bk, id, ts) }
+        })
+        .groupByKey(r => (r.band_id, r.bucket))
+        .transformWithState(new BucketRecentProcessor(w, nearDupEpoch0),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Update())
+      val name = "graft_stream_neardup_ttl"
+      val q = stream.writeStream
+        .outputMode("update").format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        val dups = spark.table(name)
+          .groupBy("doc_id")
+          .agg(count_distinct(col("band_id")).as("n_dup_bands_recent"))
+        val out = docs.select("doc_id")
+          .join(dups, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_dup_bands_recent"), lit(0L))
+              .as("n_dup_bands_recent"),
+            (coalesce(col("n_dup_bands_recent"), lit(0L)) > 0).cast("long")
+              .as("is_dup_recent"))
+          // eager localCheckpoint, not cache: see streamTumbling
+          .localCheckpoint(true)
+        out
+      } finally { StreamMetrics.record(q); q.stop() }
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   /** Static dimension for stream enrichment: event_type -> engagement
     * class. A literal table so the gate is deterministic; in production
     * this is any slowly-changing dim the stream joins against. */
@@ -737,6 +883,7 @@ object EventStream {
     "stream_upsert_deltas" -> streamUpsertDeltas _,
     "stream_upsert_deltas_tws" -> streamUpsertDeltasTws _,
     "stream_neardup_minhash" -> streamNearDupMinhash _,
+    "stream_neardup_ttl" -> streamNearDupTtl _,
     "stream_static_join" -> streamStaticJoin _)
 
   private val tumblingSql =
@@ -824,6 +971,27 @@ object EventStream {
          |SELECT d.doc_id,
          |  CAST(COALESCE(dup.n, 0) AS BIGINT) AS n_dup_bands,
          |  CAST(COALESCE(dup.n, 0) > 0 AS BIGINT) AS is_dup
+         |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id""".stripMargin,
+    // TTL'd registry: previous occupant = lag per bucket in id order;
+    // flagged iff within the horizon (max(doc_id)/5 — the gate's w).
+    // Bucket eviction never changes a flag (see BucketRecentProcessor),
+    // so the horizon predicate IS the full semantics.
+    "stream_neardup_ttl" ->
+      s"""WITH ${graft.operators.Dedup.minhashBandsCtes},
+         |prev AS (
+         |  SELECT doc_id, band_id,
+         |    lag(doc_id) OVER (PARTITION BY band_id, bucket
+         |                      ORDER BY doc_id) AS p
+         |  FROM bands),
+         |dup AS (
+         |  SELECT doc_id, count(DISTINCT band_id) AS n
+         |  FROM prev
+         |  WHERE p IS NOT NULL
+         |    AND doc_id - p <= (SELECT max(doc_id) // 5 FROM documents)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(dup.n, 0) AS BIGINT) AS n_dup_bands_recent,
+         |  CAST(COALESCE(dup.n, 0) > 0 AS BIGINT) AS is_dup_recent
          |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id""".stripMargin)
 
 }

@@ -79,4 +79,53 @@ class StreamNearDupSpec extends AnyFunSuite {
     assert(nd > 0 && nd < n, s"degenerate corpus: $nd of $n flagged")
     out.unpersist()
   }
+
+  test("TTL'd flags equal the lag-within-horizon condition, with bounded state") {
+    val sf = graft.SparkTestSession.sf
+    StreamMetrics.clear()
+    StreamMetrics.enabled = true
+    try {
+      val out = EventStream.streamNearDupTtl(spark, sf).cache()
+      val docs = graft.Tables.load(spark, sf, "documents")
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      val w = EventStream.nearDupHorizon(mx)
+      // batch recompute: previous occupant per bucket (lag in id
+      // order), flagged iff within the horizon
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band_id"), col("bucket")).orderBy(col("doc_id"))
+      val expect = graft.operators.Dedup
+        .minhashBands(docs, reproducible = true)
+        .withColumn("p", lag(col("doc_id"), 1).over(wl))
+        .filter(col("p").isNotNull && col("doc_id") - col("p") <= w)
+        .select(col("doc_id"), col("band_id")).distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_exp"))
+      val joined = out.join(expect, Seq("doc_id"), "left")
+        .withColumn("n_exp", coalesce(col("n_exp"), lit(0L)))
+      assert(joined.filter(col("n_dup_bands_recent") =!= col("n_exp")).isEmpty,
+        "TTL'd streaming counts diverge from the lag-horizon condition")
+      // the TTL must actually narrow the flags vs dedup-against-all-history
+      val full = EventStream.streamNearDupMinhash(spark, sf)
+        .filter(col("is_dup") === 1).count()
+      val recent = out.filter(col("is_dup_recent") === 1).count()
+      assert(recent > 0 && recent < full,
+        s"horizon had no effect: $recent recent vs $full all-history")
+      // eviction bounds the registry: END state must be well under the
+      // ~4-buckets-per-doc all-history registry (which never shrinks)
+      val st = StreamMetrics.snapshot.values
+        .find(_.query == "graft_stream_neardup_ttl")
+      assert(st.nonEmpty, "state metrics not recorded")
+      val allHistory = StreamMetrics.snapshot.values
+        .find(_.query == "graft_stream_neardup")
+      assert(allHistory.nonEmpty)
+      assert(st.get.stateRows < allHistory.get.stateRows / 2,
+        s"TTL registry ${st.get.stateRows} rows not bounded vs " +
+          s"all-history ${allHistory.get.stateRows}")
+      out.unpersist()
+    } finally {
+      StreamMetrics.enabled = false
+      StreamMetrics.clear()
+      EventStream.purgeStaging()
+      spark.catalog.clearCache()
+    }
+  }
 }
