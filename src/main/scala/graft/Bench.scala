@@ -50,11 +50,14 @@ object Bench {
     // deltas can be NORMALIZED against measured host throughput instead
     // of asserted — round 9's +26% suite drift on untouched code was
     // unadjudicatable without one. Whole-stage-codegen'd long
-    // arithmetic over 1e9 rows: no shuffle, no IO, no GC pressure —
-    // pure cores × clock.
+    // arithmetic: no shuffle, no IO, no GC pressure — pure cores ×
+    // clock. 8e9 rows (~1 s): the first cut used 1e9 (~0.15 s) and its
+    // readings spanned 0.11–0.17 s ACROSS same-code runs whose suite
+    // totals moved the other way — sub-second canaries measure
+    // scheduler jitter, not sustained throughput.
     val canary = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      spark.range(1000000000L).selectExpr("sum(id * 3 + 7)").collect()
+      spark.range(8000000000L).selectExpr("sum(id * 3 + 7)").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run (driver sets
