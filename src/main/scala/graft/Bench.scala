@@ -45,25 +45,56 @@ object Bench {
       // times the fold itself
       graft.operators.Dedup.ensureCanonicalStaging(spark, sfDir)
     } catch { case _: Throwable => () }
-    // Host-speed canary (fixed CPU-bound microbenchmark, min of 3):
-    // published in both JSON artifacts so driver-vs-builder wall-clock
-    // deltas can be NORMALIZED against measured host throughput instead
-    // of asserted — round 9's +26% suite drift on untouched code was
-    // unadjudicatable without one. Whole-stage-codegen'd long
-    // arithmetic: no shuffle, no IO, no GC pressure — pure cores ×
-    // clock. 8e9 rows (~1 s): the first cut used 1e9 (~0.15 s) and its
-    // readings spanned 0.11–0.17 s ACROSS same-code runs whose suite
-    // totals moved the other way — sub-second canaries measure
-    // scheduler jitter, not sustained throughput.
-    val canary = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
-      spark.range(8000000000L).selectExpr("sum(id * 3 + 7)").collect()
-      (System.nanoTime() - t0) / 1e9
-    }.min
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run (driver sets
     // only SF_DIR/CPUS, so driver rounds always measure everything)
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Host-speed canaries (fixed microbenchmarks, min of 3 each):
+    // published in both JSON artifacts so driver-vs-builder wall-clock
+    // deltas can be NORMALIZED against measured host throughput instead
+    // of asserted — round 9's +26% suite drift on untouched code was
+    // unadjudicatable without one. The WORKLOADS ARE VERSIONED via
+    // canary_rows/canary_shuffle_rows fields (r10 resized the CPU
+    // canary between its two artifacts and made them incomparable;
+    // never again — a reader must refuse to compare canaries whose
+    // rows fields differ). Skipped (-1) in SPARK_GRAFT_ONLY dev-loop
+    // runs, where nothing consumes them.
+    //
+    // canary_sec — whole-stage-codegen'd long arithmetic: no shuffle,
+    // no IO, no GC pressure — pure cores × clock. 8e9 rows (~1 s):
+    // sub-second canaries measure scheduler jitter, not sustained
+    // throughput. `id % 1000` keeps the running sum ~4e12, inside Long
+    // under ANSI too (the previous id*3+7 form summed to ~9.6e19 and
+    // survived only because ansi.enabled is forced false here).
+    val canaryRows = 8000000000L
+    def minOf3(work: => Unit): Double =
+      if (only.nonEmpty) -1.0
+      else (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        work
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val canary = minOf3 {
+      spark.range(canaryRows).selectExpr("sum(id % 1000)").collect(); ()
+    }
+    // canary_shuffle_sec — the dimension the CPU canary provably can't
+    // see (r10: driver host 2.9× FASTER per-row on the CPU canary, yet
+    // ran the shuffle-bound dedup gates ~3× slower): a fixed full-row
+    // exchange of 1e8 (id, key) rows through repartition(64) into a
+    // hash agg — ~1.6 GB of shuffle write+read hitting the same local
+    // dirs and page cache the suite's wide exchanges use. Tracks
+    // disk/FS contention; compare like-rows canaries only.
+    val canaryShuffleRows = 100000000L
+    val canaryShuffle = minOf3 {
+      spark.range(canaryShuffleRows)
+        .select(col("id"),
+          org.apache.spark.sql.functions.pmod(
+            xxhash64(col("id")), org.apache.spark.sql.functions.lit(1000000L))
+            .as("k"))
+        .repartition(64, col("k"))
+        .groupBy("k").agg(sum("id").as("s"))
+        .agg(sum("s")).collect(); ()
+    }
     val benched = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // two passes, min per query: single-pass numbers at local[32] swing
@@ -159,9 +190,28 @@ object Bench {
     // — that would both lose the artifact and poison prev_delta.
     val isArtifactRun =
       sfDir.split('/').last == "sf0.1" && only.isEmpty
+    // per-FAMILY bound tags (r10 verdict #8): which canary a family's
+    // round-over-round drift should be read against — "cpu" tracks
+    // canary_sec (cores × clock), "shuffle" tracks canary_shuffle_sec
+    // (exchange/disk), "harness+state" is micro-batch trigger cycles +
+    // state-store commits (neither canary; replay machinery dominates).
+    // Adjudicated from the r10 356-vs-400 split: the gates that moved
+    // between artifacts were exactly the shuffle-tagged families while
+    // the CPU canary said the slower host was FASTER per-row.
+    val familyBound =
+      """{"dedup":"shuffle","embed":"shuffle","knn":"cpu","text":"cpu",""" +
+      """"train":"shuffle","curate":"shuffle","graph":"shuffle",""" +
+      """"behavior":"shuffle","stream":"harness+state","sessionize":"harness+state",""" +
+      """"agg":"cpu","join":"cpu","window":"cpu","sql":"cpu","setops":"cpu",""" +
+      """"asof":"cpu","skew":"shuffle","sketch":"cpu","aqp":"cpu","dp":"cpu",""" +
+      """"stats":"cpu","ts":"cpu","func":"cpu","core":"cpu","multimodal":"cpu",""" +
+      """"search":"cpu","decontaminate":"cpu","pii":"cpu","dq":"cpu",""" +
+      """"ingest":"cpu","pipeline":"harness+state","catalog":"cpu",""" +
+      """"upsert":"cpu","export":"cpu","schema":"cpu","store":"cpu",""" +
+      """"scd2":"cpu","meta":"cpu","approx":"cpu","yearly":"cpu"}"""
     try if (isArtifactRun) {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
-      try w.println(s"""{"metric":"total","value":${fmt(okResults.values.sum)},"unit":"sec","n":${okResults.size},"canary_sec":${fmt(canary)},"errors":$errJson,"queries":$full,"spread":${toJson(spreads, identity)},"prev_delta":${toJson(deltas, identity)},"sf":"${sfDir.split('/').last}"}""")
+      try w.println(s"""{"metric":"total","value":${fmt(okResults.values.sum)},"unit":"sec","n":${okResults.size},"canary_sec":${fmt(canary)},"canary_rows":$canaryRows,"canary_shuffle_sec":${fmt(canaryShuffle)},"canary_shuffle_rows":$canaryShuffleRows,"family_bound":$familyBound,"errors":$errJson,"queries":$full,"spread":${toJson(spreads, identity)},"prev_delta":${toJson(deltas, identity)},"sf":"${sfDir.split('/').last}"}""")
       finally w.close()
     } catch { case _: Throwable => () }
     // scaling harness: SPARK_GRAFT_OUT=<path> dumps the complete
@@ -174,7 +224,7 @@ object Bench {
     // JSON line the driver reads.
     try sys.env.get("SPARK_GRAFT_OUT").foreach { p =>
       val w = new java.io.PrintWriter(p)
-      try w.println(s"""{"metric":"total","value":${fmt(okResults.values.sum)},"unit":"sec","n":${okResults.size},"canary_sec":${fmt(canary)},"errors":$errJson,"queries":$full,"sf":"${sfDir.split('/').last}"}""")
+      try w.println(s"""{"metric":"total","value":${fmt(okResults.values.sum)},"unit":"sec","n":${okResults.size},"canary_sec":${fmt(canary)},"canary_rows":$canaryRows,"canary_shuffle_sec":${fmt(canaryShuffle)},"canary_shuffle_rows":$canaryShuffleRows,"errors":$errJson,"queries":$full,"sf":"${sfDir.split('/').last}"}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] SPARK_GRAFT_OUT write failed: $e")
@@ -218,7 +268,7 @@ object Bench {
     val qs = toJson(okResults.view.filterKeys(headline).toMap, identity)
     val total = if (okResults.nonEmpty) okResults.values.sum else 0.0
     val sfTag = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${okResults.size},"canary_sec":${fmt(canary)},"errors":$errJson,"queries":$qs,"sf":"$sfTag"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${okResults.size},"canary_sec":${fmt(canary)},"canary_rows":$canaryRows,"canary_shuffle_sec":${fmt(canaryShuffle)},"canary_shuffle_rows":$canaryShuffleRows,"errors":$errJson,"queries":$qs,"sf":"$sfTag"}""")
     spark.stop()
   }
 }

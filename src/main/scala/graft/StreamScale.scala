@@ -58,31 +58,88 @@ object StreamScale {
     Conf.silenceBoundedWindowLogs()
     StreamMetrics.enabled = true
     val queries = SparkEntry.queries
+    def measure(tag: String)(run: => org.apache.spark.sql.DataFrame)
+        : Option[(Long, Long, Long, Long, Long, Long)] = {
+      StreamMetrics.clear()
+      val ok =
+        try { Bench.materialize(run); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[streamscale] $tag FAILED: ${e.getMessage}")
+          false
+        }
+      spark.catalog.clearCache()
+      graft.streaming.EventStream.purgeStaging()
+      // a gate may run several queries (e.g. static prep); sum them
+      val ss = StreamMetrics.snapshot.values
+      if (!ok || ss.isEmpty) None else Some((
+        ss.map(_.rowsIn).sum, ss.map(_.stateRows).sum,
+        ss.map(_.stateBytes).sum, ss.map(_.batches).sum,
+        ss.map(_.stateRowsPeak).sum, ss.map(_.stateBytesPeak).sum))
+    }
     // per gate per sf: (rows_in, state_rows, state_bytes, batches)
     val rows = gates.map { g =>
       val perSf = sfDirs.map { dir =>
         val sf = dir.split('/').last
-        StreamMetrics.clear()
-        val ok =
-          try { Bench.materialize(queries(g)(spark, dir)); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[streamscale] $g @ $sf FAILED: ${e.getMessage}")
-            false
-          }
-        spark.catalog.clearCache()
-        graft.streaming.EventStream.purgeStaging()
-        // a gate may run several queries (e.g. static prep); sum them
-        val ss = StreamMetrics.snapshot.values
-        sf -> (if (!ok || ss.isEmpty) None else Some((
-          ss.map(_.rowsIn).sum, ss.map(_.stateRows).sum,
-          ss.map(_.stateBytes).sum, ss.map(_.batches).sum,
-          ss.map(_.stateRowsPeak).sum, ss.map(_.stateBytesPeak).sum)))
+        sf -> measure(s"$g @ $sf")(queries(g)(spark, dir))
       }
       g -> perSf
     }
+    // ---- fixed-rate HISTORY sweep (r10 verdict #4) --------------------
+    // The per-SF sweep above scales RATE (10× events over the same
+    // 30-day span), so TTL-bounded operators correctly show state ∝
+    // rate — the physics, but not the claim the operators exist to
+    // make. This section holds the RATE fixed and grows HISTORY 10×:
+    // bounded-horizon state must stay ≈flat (growth ≤~1.2), which is
+    // the 100 TB / unbounded-stream evidence.
+    import org.apache.spark.sql.functions._
+    val histRows: Seq[(String, Seq[(String,
+        Option[(Long, Long, Long, Long, Long, Long)])])] = {
+      val base = sfDirs.head
+      val big = sfDirs.last
+      // watermarked dedup: long form = 10 time-shifted copies of the
+      // base corpus (ids offset to stay unique) — same events/day,
+      // 10× the span, replayed through the same 5-day-slice harness
+      val ev = graft.Tables.load(spark, base, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value"))
+      val mxId = ev.agg(max("event_id")).head().getLong(0)
+      val longEv = (0 until 10).map { k =>
+        ev.select((col("event_id") + lit(k * (mxId + 1))).as("event_id"),
+          col("user_id"), col("event_type"),
+          (col("ts") + expr(s"interval ${k * 31} days")).as("ts"),
+          col("value"))
+      }.reduce(_.unionByName(_))
+      val wmShort = measure("stream_dedup_watermarked_history short")(
+        graft.streaming.EventStream.streamDedupWatermarkedOn(spark, ev))
+      val wmLong = measure("stream_dedup_watermarked_history long")(
+        graft.streaming.EventStream.streamDedupWatermarkedOn(spark, longEv))
+      // TTL near-dup: the doc_id clock ticks 1 doc/second at EVERY sf
+      // (id = arrival order), so sf0.01 → sf0.1 at a FIXED horizon is
+      // already fixed-rate 10×-history; batches of a fixed id width
+      // keep the timer-eviction cadence identical at both lengths
+      // (see streamNearDupTtlOn — corpus-proportional batches would
+      // make peak state a batch-size artifact)
+      val dShort = graft.Tables.load(spark, base, "documents")
+        .select(col("doc_id"), col("text"))
+      val wFix = graft.streaming.EventStream.nearDupHorizon(
+        dShort.agg(max("doc_id")).head().getLong(0))
+      val ndShort = measure("stream_neardup_ttl_history short")(
+        graft.streaming.EventStream.streamNearDupTtlOn(spark, dShort,
+          Some(wFix), batchIdWidth = Some(wFix)))
+      val ndLong = measure("stream_neardup_ttl_history long")(
+        graft.streaming.EventStream.streamNearDupTtlOn(spark,
+          graft.Tables.load(spark, big, "documents")
+            .select(col("doc_id"), col("text")),
+          Some(wFix), batchIdWidth = Some(wFix)))
+      Seq(
+        "stream_dedup_watermarked_history" ->
+          Seq("short" -> wmShort, "long" -> wmLong),
+        "stream_neardup_ttl_history" ->
+          Seq("short" -> ndShort, "long" -> ndLong))
+    }
     StreamMetrics.enabled = false
     def fmt(v: Double): String = f"$v%.2f"
-    val json = rows.map { case (g, perSf) =>
+    val json = (rows ++ histRows).map { case (g, perSf) =>
       val cells = perSf.map { case (sf, st) =>
         val body = st.fold("null") { case (in, sr, sb, nb, srp, sbp) =>
           s"""{"rows_in":$in,"state_rows":$sr,"state_bytes":$sb,""" +

@@ -2,7 +2,7 @@ package graft.analytics
 
 import graft.Tables
 import graft.Tables.dsum
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Event-behavior analytics over the `events` stream table — the three
@@ -656,33 +656,63 @@ object BehaviorQueries {
     * before it, t_b before max_c guarantees a c after it.
     *
     * Scale shape: ONE events scan → per-(user, type) min/max hash agg
-    * (the only corpus-scale shuffle); the pair self-join and the
-    * (a, c)-bounds join fan out by at most |alphabet| and |alphabet|²
-    * per row — bounded constants, not data — and every pattern count
-    * lands in a ≤|alphabet|³-row frame. The total-user count rides in
-    * as a literal scalar (the Zorder pattern, not a 1-row crossJoin). */
+    * (the only corpus-scale shuffle); the pair self-join fans out by
+    * at most |alphabet| per row — a bounded constant, not data — and
+    * every pattern count lands in a ≤|alphabet|³-row frame. The
+    * total-user count rides in as a literal scalar (the Zorder
+    * pattern, not a 1-row crossJoin).
+    *
+    * The triple path never fans the corpus by |alphabet|²: an r9/r10
+    * shape joined a |users|·|alphabet|² bounds frame against the raw
+    * events scan on a range condition and DISTINCT-ed the fan-out —
+    * |events|·|alphabet|² rows through an exchange, which spilled
+    * under suite memory pressure (driver bench 5.77 s, spread 8.37).
+    * Instead, b-membership is PRE-AGGREGATED against the a-side mins:
+    * ∃ b ∈ (mn_a, mx_c) ⟺ min{ts_b > mn_a} < mx_c, so one join of
+    * events against the per-user a-mins (|alphabet| fan-out, count-
+    * gated broadcast, partial-aggregated min BEFORE its exchange)
+    * yields nxt(user, a, b) — a ≤|users|·|alphabet|² frame — and the
+    * c-side bound is then a bounded-frame join, no distinct anywhere
+    * (each join row is already unique per (user, a, b, c)). */
   def seqSupport(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     val u = ev.groupBy(col("user_id"), col("event_type"))
       .agg(min("ts").as("mn"), max("ts").as("mx"))
-      .cache() // |users|·|alphabet| rows — feeds three joins
-    val nUsers = ev.select("user_id").distinct().count() // ONE scalar
+      .cache() // |users|·|alphabet| rows — feeds four joins
+    // ONE scalar, read off the cached bounded frame (not a second
+    // corpus-scale distinct over the events scan)
+    val nUsers = u.select("user_id").distinct().count()
+    // count-gated broadcast: |users|·|alphabet| rows fit an executor
+    // far past this corpus' scale, but at 100 TB user counts the hint
+    // must degrade to a plain shuffled join Catalyst co-partitions
+    // with the events exchange (same rule as Dedup's label attach)
+    val uFits = u.count() <=
+      spark.conf.getOption("spark.graft.behavior.broadcastUsersMaxRows")
+        .map(_.toLong).getOrElse(10000000L)
+    def uSide(cols: Column*): DataFrame = {
+      val s = u.select(cols: _*)
+      if (uFits) broadcast(s) else s
+    }
     val p2 = u.alias("x").join(u.alias("y"),
         col("x.user_id") === col("y.user_id")
           && col("x.mn") < col("y.mx"))
       .groupBy(concat(col("x.event_type"), lit(">"), col("y.event_type"))
         .as("pattern"))
       .agg(count(lit(1)).as("support"))
-    val bounds = u.alias("x").join(u.alias("z"),
-        col("x.user_id") === col("z.user_id"))
-      .select(col("x.user_id").as("uid"), col("x.event_type").as("a"),
-        col("z.event_type").as("c"), col("x.mn"), col("z.mx"))
-    val p3 = bounds.join(
-        ev.select(col("user_id"), col("event_type").as("b"), col("ts")),
-        col("user_id") === col("uid")
-          && col("ts") > col("mn") && col("ts") < col("mx"))
-      .select(col("uid"), col("a"), col("b"), col("c"))
-      .distinct() // one vote per (user, pattern)
+    // nxt(user, a, b) = earliest b-event strictly after the user's
+    // first a — the partial-agg-friendly reduction of b-membership:
+    // the |alphabet| fan-out collapses map-side into min() before the
+    // (user, a, b) exchange ever runs
+    val nxt = ev.select(col("user_id"), col("event_type").as("b"), col("ts"))
+      .join(uSide(col("user_id"), col("event_type").as("a"), col("mn")),
+        Seq("user_id"))
+      .filter(col("ts") > col("mn"))
+      .groupBy(col("user_id"), col("a"), col("b"))
+      .agg(min("ts").as("nts"))
+    val p3 = nxt
+      .join(uSide(col("user_id"), col("event_type").as("c"), col("mx")),
+        Seq("user_id"))
+      .filter(col("nts") < col("mx"))
       .groupBy(concat(col("a"), lit(">"), col("b"), lit(">"), col("c"))
         .as("pattern"))
       .agg(count(lit(1)).as("support"))

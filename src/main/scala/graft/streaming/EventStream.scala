@@ -249,58 +249,72 @@ object EventStream {
     * seen, by definition. This gate runs the SAME
     * `dropDuplicatesWithinWatermark` operator the way a deployment
     * actually bounds it: the corpus replays as event-time-ordered
-    * 3-day micro-batches (each batch also carrying a duplicate copy of
+    * 5-day micro-batches (each batch also carrying a duplicate copy of
     * the PREVIOUS slice, so every duplicate arrives one trigger after
     * its original — inside the horizon), under a 3-day watermark
     * delay. The watermark then advances batch by batch and the state
     * store retains only keys newer than (watermark − delay) — end
-    * state is the horizon tail (≈6 of 30 days ≈ 20% of corpus keys;
-    * STREAMSCALE measures 19,975 of 100k at sf0.1) and peak adds the
-    * in-flight slice + its duplicate copy (≈30%, measured 30,243) —
-    * rate × horizon either way, independent of HISTORY length, which
-    * is the bound that matters on an unbounded stream. On this corpus a 10× SF is 10× RATE over the
-    * same 30-day span, so peak state still scales with rate — the
-    * plateau this gate demonstrates is eviction: end-state ≪ peak ≪
-    * keys-ever, and per-batch state stabilizes after the horizon
-    * warm-up instead of growing with every batch.
+    * state is the horizon tail and peak adds the in-flight slice +
+    * its duplicate copy — rate × horizon either way, independent of
+    * HISTORY length, which is the bound that matters on an unbounded
+    * stream (STREAMSCALE's `_history` row measures exactly that:
+    * fixed-rate 10× history, flat peak state). On this corpus a 10×
+    * SF is 10× RATE over the same 30-day span, so peak state still
+    * scales with rate — the plateau this gate demonstrates is
+    * eviction: end-state ≪ peak ≪ keys-ever, and per-batch state
+    * stabilizes after the horizon warm-up instead of growing with
+    * every batch.
     *
     * Correctness is exact despite the TTL because the replay is
     * event-time ordered and each duplicate lands one trigger after its
     * original, when its key's state is provably still live: after
-    * batch k−1 the store retains t > maxTs(k−1) − 2·delay, and all of
-    * slice k−1 has t ≥ maxTs(k−1) − 3 d, strictly newer at delay =
-    * 3 d. First occurrences are never late (slice k's min ts exceeds
-    * the watermark set by slice k−1) and duplicates dropped as either
+    * batch k−1 the store retains t > maxTs(k−1) − 2·delay = −6 d, and
+    * all of slice k−1 has t > maxTs(k−1) − 5 d, strictly newer (the
+    * general rule: slice width < 2·delay; 5-day slices are the widest
+    * whole-day slices a 3-day delay admits, chosen in r11 to cut the
+    * replay from 11 to 7 triggers — the trigger cycles are harness
+    * cost, not operator cost, and output is batch-count-invariant).
+    * First occurrences are never late (slice k's min ts exceeds the
+    * watermark set by slice k−1) and duplicates dropped as either
     * state-hits or late rows are duplicates either way — so output is
     * exactly the distinct corpus and the gate shares [[streamDedup]]'s
     * plain-scan oracle. */
   def streamDedupWatermarked(spark: SparkSession, dir: String): DataFrame =
+    streamDedupWatermarkedOn(spark,
+      Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value")))
+
+  /** [[streamDedupWatermarked]] over a caller-owned events frame — the
+    * form the STREAMSCALE fixed-rate history sweep feeds with a
+    * time-stretched corpus (same rate, 10× span) to demonstrate state
+    * ∝ rate × horizon, independent of history length. */
+  private[graft] def streamDedupWatermarkedOn(spark: SparkSession,
+      events: DataFrame): DataFrame =
     withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
-    val batch = Tables.load(spark, dir, "events")
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("ts"), col("value"))
+    val batch = events
     val span = batch.agg(min(to_date(col("ts"))), max(to_date(col("ts"))))
       .head() // 1-row bounded agg
     val d0 = span.getDate(0)
     val nDays = java.time.temporal.ChronoUnit.DAYS
       .between(d0.toLocalDate, span.getDate(1).toLocalDate).toInt + 1
-    // 3-day event-time slices COVERING the measured span (a hardcoded
+    // 5-day event-time slices COVERING the measured span (a hardcoded
     // count would silently drop events past its horizon if the corpus
     // generator ever widens the 30-day window); batch k carries slice
     // k PLUS a duplicate copy of slice k-1 (one trailing all-duplicate
     // batch flushes the last slice's copies), so every duplicate
     // arrives one trigger after its original — provably inside the
-    // live-state horizon: after batch k-1 the store retains keys with
-    // t > maxTs(k-1) − 2·delay, and all of slice k-1 has
-    // t ≥ maxTs(k-1) − 3 d > that bound at delay = 3 d. One staged
-    // file per batch, not per (slice, copy): the staging writes and
-    // triggers are harness cost, not operator cost (a first cut with
-    // 30 files spent 12.6 s mostly staging + trigger cycles).
+    // live-state horizon (slice width 5 d < 2·delay = 6 d, see the
+    // scaladoc proof). One staged file per batch, not per (slice,
+    // copy): the staging writes and triggers are harness cost, not
+    // operator cost (a first cut with 30 files spent 12.6 s mostly
+    // staging + trigger cycles; 3-day slices still paid 11 triggers).
     val staged = batch.localCheckpoint(true) // slice writes read blocks, not parquet
-    val nSlices = (nDays + 2) / 3
+    val sliceDays = 5
+    val nSlices = (nDays + sliceDays - 1) / sliceDays
     def slice(i: Int) = staged.filter(
-      datediff(to_date(col("ts")), lit(d0)) >= i * 3 &&
-        datediff(to_date(col("ts")), lit(d0)) < (i + 1) * 3)
+      datediff(to_date(col("ts")), lit(d0)) >= i * sliceDays &&
+        datediff(to_date(col("ts")), lit(d0)) < (i + 1) * sliceDays)
     val frames = (0 to nSlices).map { k =>
       if (k == 0) slice(0)
       else if (k < nSlices) slice(k).unionByName(slice(k - 1))
@@ -619,7 +633,7 @@ object EventStream {
     * of the synthetic clock): 1/5 of the id space, so the horizon is
     * scale-free and strictly smaller than the quartile replay batches
     * (eviction provably fires mid-replay at every SF). */
-  private[streaming] def nearDupHorizon(maxDocId: Long): Long = maxDocId / 5
+  private[graft] def nearDupHorizon(maxDocId: Long): Long = maxDocId / 5
 
   /** TTL-bounded bucket registry: per (band, bucket), the MOST RECENT
     * occupant doc_id (max — order-independent within a batch after the
@@ -694,6 +708,27 @@ object EventStream {
     * distance ≤ w — eviction provably never changes a flag, see
     * [[BucketRecentProcessor]]). */
   def streamNearDupTtl(spark: SparkSession, dir: String): DataFrame =
+    streamNearDupTtlOn(spark,
+      Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
+      horizonOverride = None)
+
+  /** [[streamNearDupTtl]] over a caller-owned docs frame with an
+    * optional FIXED horizon and an optional fixed id-width replay
+    * batching — the STREAMSCALE fixed-rate history sweep holds the
+    * horizon at the short corpus' value while the id-clock history
+    * grows 10×, demonstrating peak state ∝ rate × horizon independent
+    * of history length. The fixed batch width matters for that
+    * measurement: event-time TIMERS only fire at micro-batch
+    * boundaries (the watermark is frozen within a batch), so a replay
+    * whose batches scale with the corpus (the gate's quartiles) makes
+    * PEAK state track batch size, a harness artifact — batches of a
+    * fixed id width keep eviction firing at the same cadence at every
+    * history length, so peak measures the operator's rate × horizon
+    * bound. (The gate form keeps quartiles: its oracle and its
+    * eviction-fires-mid-replay narrative are scale-free by mx/5.) */
+  private[graft] def streamNearDupTtlOn(spark: SparkSession,
+      docsIn: DataFrame, horizonOverride: Option[Long],
+      batchIdWidth: Option[Long] = None): DataFrame =
     withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
@@ -701,17 +736,19 @@ object EventStream {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val docs = Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), col("text"))
+      val docs = docsIn
       // 1-row bounded agg: replay cut points, not data, reach the driver
       val mx = docs.agg(max("doc_id")).head().getLong(0)
-      val w = nearDupHorizon(mx)
-      val cuts = Seq(mx / 4, mx / 2, 3 * mx / 4)
-      val parts = Seq(
-        docs.filter(col("doc_id") <= cuts(0)),
-        docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
-        docs.filter(col("doc_id") > cuts(1) && col("doc_id") <= cuts(2)),
-        docs.filter(col("doc_id") > cuts(2)))
+      val w = horizonOverride.getOrElse(nearDupHorizon(mx))
+      // interior cut points: ascending-id ranges (lo, hi]
+      val cuts: Seq[Long] = batchIdWidth match {
+        case Some(wd) => (wd until mx by wd).toSeq
+        case None => Seq(mx / 4, mx / 2, 3 * mx / 4)
+      }
+      val parts = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+        .map { case (lo, hi) =>
+          docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        }
       val staging = stageReplay(parts)
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)

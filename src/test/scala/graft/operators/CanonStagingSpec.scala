@@ -44,12 +44,72 @@ class CanonStagingSpec extends AnyFunSuite {
         .filter(org.apache.spark.sql.functions.col("doc_id") <= cut).count()
       assert(spark.read.parquet(p1.resolve("base_labels.parquet").toString)
         .count() == nBase)
+      // the sketch methods' stored pair tables ship with the index
+      assert(java.nio.file.Files.exists(p1.resolve("mh_pairs.parquet")))
+      assert(java.nio.file.Files.exists(p1.resolve("sh_pairs.parquet")))
       // corpus regenerated in place (same path, new mtime) -> new key
       assert(corpus.setLastModified(corpus.lastModified() + 60000L))
       val p3 = Dedup.ensureCanonicalStaging(spark, dir.getAbsolutePath)
       assert(p3 != p1, "staging not invalidated by a corpus change")
       assert(java.nio.file.Files.exists(p3.resolve("_DONE")))
+      // DEFERRED auto-eviction (r10 advice): the superseded-but-young
+      // p1 generation survives the p3 build — a concurrent JVM still
+      // reading it must never lose its parquet mid-query; automatic GC
+      // only claims completed generations older than an hour
+      assert(java.nio.file.Files.exists(p1.resolve("_DONE")),
+        "young superseded generation was evicted during a build")
+      // the explicit GC VERB evicts superseded generations NOW (the
+      // operator's "nothing else is reading these" declaration), and
+      // keeps the current one
+      Dedup.evictCanonicalStaging(dir.getAbsolutePath)
+      assert(!java.nio.file.Files.exists(p1),
+        "evictCanonicalStaging left a stale completed generation")
+      assert(java.nio.file.Files.exists(p3.resolve("_DONE")),
+        "evictCanonicalStaging deleted the CURRENT generation")
+      // keepCurrent = false drops everything (corpus decommission)
+      Dedup.evictCanonicalStaging(dir.getAbsolutePath, keepCurrent = false)
+      assert(!java.nio.file.Files.exists(p3))
     } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(dir)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("generation key sees same-length same-mtime content rewrites") {
+    // the (length, mtime) key alone is blind to a corpus regenerated
+    // in place with identical byte length inside the FS mtime
+    // granularity — the content fingerprint (first/last block hash)
+    // must split these generations (r10 advice #2)
+    val dir = freshCorpusDir()
+    val corpus = new java.io.File(dir, "documents.parquet")
+    try {
+      val p1 = Dedup.ensureCanonicalStaging(spark, dir.getAbsolutePath)
+      // same-length rewrite: flip one byte mid-file, restore the mtime
+      val mtime = corpus.lastModified()
+      val raf = new java.io.RandomAccessFile(corpus, "rw")
+      try {
+        raf.seek(corpus.length() / 2)
+        val b = raf.read()
+        raf.seek(corpus.length() / 2)
+        raf.write(b ^ 0x01)
+      } finally raf.close()
+      assert(corpus.setLastModified(mtime))
+      assert(corpus.length() == new java.io.File(dir, "documents.parquet").length())
+      // the flipped byte may corrupt the parquet (it usually lands in a
+      // compressed data page), so the REBUILD may legitimately fail —
+      // the contract under test is only "no silent reuse": a reuse
+      // would return p1 without ever touching the file's data, so
+      // EITHER outcome below proves the key split
+      val stale =
+        try Some(Dedup.ensureCanonicalStaging(spark, dir.getAbsolutePath))
+        catch { case _: Throwable => None }
+      stale.foreach(p => assert(p != p1,
+        "content rewrite with identical length+mtime reused stale staging"))
+    } finally {
+      Dedup.evictCanonicalStaging(dir.getAbsolutePath, keepCurrent = false)
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
       }
