@@ -136,16 +136,64 @@ object EventStream {
     * returning, so nothing re-reads staging), and a JVM shutdown hook
     * sweeps whatever remains, so a bench sweep no longer accumulates
     * one corpus copy per stream gate per pass under /tmp. */
-  private[streaming] def stageReplay(frames: Seq[DataFrame]): String = {
+  private[streaming] def stageReplay(frames: Seq[DataFrame]): String =
+    stageReplayKeyed(frames.map(f => (f, None)))
+
+  /** [[stageReplay]] where frames tagged with a cache key are staged
+    * from a once-per-JVM parquet byte cache instead of a fresh Spark
+    * write job. Sentinel frames are deterministic 1-row far-future
+    * markers that never change within a JVM, yet each used to cost a
+    * full coalesce(1) write JOB per gate per bench pass (12 sentinel
+    * writes per pass across the watermark-flush gates — pure harness
+    * tax the r10 verdict charged against the stream gates' wall
+    * time). The tagged frame is written once under a shutdown-hook-
+    * scoped cache dir, then byte-copied into each staging dir; replay
+    * mtime ordering is applied to the COPY, exactly as [[stageFile]]
+    * does. Callers must only tag frames whose content is a pure
+    * function of the key. */
+  private[streaming] def stageReplayKeyed(
+      frames: Seq[(DataFrame, Option[String])]): String = {
     import java.nio.file.Files
     val work = Files.createTempDirectory("graft_stream_replay")
     stagingDirs.add(work)
     val staging = work.resolve("input")
     Files.createDirectories(staging)
-    frames.zipWithIndex.foreach { case (df, i) =>
-      stageFile(df, work, staging, f"b$i%02d.parquet", i)
+    frames.zipWithIndex.foreach {
+      case ((df, None), i) =>
+        stageFile(df, work, staging, f"b$i%02d.parquet", i)
+      case ((df, Some(key)), i) =>
+        val src = sentinelCache.computeIfAbsent(key, _ => {
+          val d = Files.createTempDirectory("graft_sentinel_cache")
+          sentinelDirs.add(d)
+          val tmp = d.resolve("w").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-")
+              && f.getName.endsWith(".parquet")).get
+          val dest = d.resolve("f.parquet")
+          Files.move(part.toPath, dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dest
+        })
+        val dest = staging.resolve(f"b$i%02d.parquet")
+        Files.copy(src, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val t0 = System.currentTimeMillis() - 600000L
+        require(dest.toFile.setLastModified(t0 + i * 60000L),
+          s"setLastModified failed on $dest — staged replay order would be undefined")
     }
     staging.toString
+  }
+
+  private val sentinelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private val sentinelDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = sentinelDirs.poll()
+      while (p != null) { deleteRec(p.toFile); p = sentinelDirs.poll() }
+    }))
   }
 
   private val stagingDirs =
@@ -176,8 +224,9 @@ object EventStream {
     def sentinel(ts: String) =
       Seq((java.sql.Timestamp.valueOf(ts), "sentinel", 0.0))
         .toDF("ts", "event_type", "value")
-    val staging = stageReplay(Seq(batch,
-      sentinel("2200-01-01 00:00:00"), sentinel("2200-01-02 00:00:00")))
+    val staging = stageReplayKeyed(Seq(batch -> None,
+      sentinel("2200-01-01 00:00:00") -> Some("tumbling_sent_1"),
+      sentinel("2200-01-02 00:00:00") -> Some("tumbling_sent_2")))
     val stream = spark.readStream
       .schema(batch.schema)
       .option("maxFilesPerTrigger", "1")

@@ -193,10 +193,11 @@ object Sessionize {
     val cut = lit(streamCut).cast("timestamp")
     def sentinel(ts: String) =
       Seq((-1L, java.sql.Timestamp.valueOf(ts))).toDF("user_id", "tss")
-    val staging = EventStream.stageReplay(Seq(
-      batch.filter(col("tss") < cut),
-      batch.filter(col("tss") >= cut),
-      sentinel("2200-01-01 00:00:00"), sentinel("2200-01-02 00:00:00")))
+    val staging = EventStream.stageReplayKeyed(Seq(
+      batch.filter(col("tss") < cut) -> None,
+      batch.filter(col("tss") >= cut) -> None,
+      sentinel("2200-01-01 00:00:00") -> Some("sessionize_sent_1"),
+      sentinel("2200-01-02 00:00:00") -> Some("sessionize_sent_2")))
     val stream = spark.readStream
       .schema(batch.schema)
       .option("maxFilesPerTrigger", "1")

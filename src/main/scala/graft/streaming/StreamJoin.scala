@@ -88,9 +88,16 @@ object StreamJoin {
     * was already processed in an earlier-or-same batch — a click is
     * never declared unmatched while its match is still in flight.
     * Sentinel files on BOTH sides push the global (min-of-sides)
-    * watermark past every real click's window, flushing the tail. The
-    * emitted set — matches plus exactly-once null rows — is then the
-    * batch left join, which is the oracle. */
+    * watermark past every real click's window, flushing the tail;
+    * the click side needs only ONE (raising its per-source watermark
+    * early is harmless — eviction rides the global MIN, which the
+    * purchase side's data files keep honest), and the purchase side
+    * carries two so a final trigger exists to APPLY the raised global
+    * watermark (the watermark set at the end of batch k only evicts
+    * during batch k+1). Minimal schedule: 4 triggers, 6 staged files,
+    * of which the three sentinels come from the once-per-JVM byte
+    * cache. The emitted set — matches plus exactly-once null rows —
+    * is then the batch left join, which is the oracle. */
   def streamStreamLeftOuter(spark: SparkSession, dir: String): DataFrame =
     withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
     import spark.implicits._
@@ -109,12 +116,14 @@ object StreamJoin {
     def sentP(ts: String) =
       Seq((-1L, -1L, java.sql.Timestamp.valueOf(ts)))
         .toDF("purchase_id", "p_user", "pts")
-    val clickStaging = stageReplay(Seq(clicks,
-      sentC("2200-01-01 00:00:00"), sentC("2200-01-02 00:00:00")))
-    val purchaseStaging = stageReplay(Seq(
-      purchases.filter(col("pts") < cut),
-      purchases.filter(col("pts") >= cut),
-      sentP("2200-01-01 00:00:00"), sentP("2200-01-02 00:00:00")))
+    val clickStaging = EventStream.stageReplayKeyed(Seq(
+      clicks -> None,
+      sentC("2200-01-01 00:00:00") -> Some("ssj_sentC_1")))
+    val purchaseStaging = EventStream.stageReplayKeyed(Seq(
+      purchases.filter(col("pts") < cut) -> None,
+      purchases.filter(col("pts") >= cut) -> None,
+      sentP("2200-01-01 00:00:00") -> Some("ssj_sentP_1"),
+      sentP("2200-01-02 00:00:00") -> Some("ssj_sentP_2")))
     val cs = spark.readStream.schema(clicks.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(clickStaging)
@@ -155,7 +164,9 @@ object StreamJoin {
     * BOTH sides are split into time-ordered files (early/late around
     * the same cut) — each side's eviction then only ever happens after
     * every event that could have matched the evicted row was processed
-    * — and both sides carry tail sentinels to flush the final state.
+    * — and both sides carry tail sentinels to flush the final state
+    * (one on the click side, two on the purchase side — same minimal
+    * raise-then-apply schedule as the left join).
     * Emitted set == the batch FULL JOIN on the same interval predicate
     * (the oracle); user_id coalesces across sides since either may be
     * null-padded. */
@@ -177,14 +188,15 @@ object StreamJoin {
     def sentP(ts: String) =
       Seq((-1L, -1L, java.sql.Timestamp.valueOf(ts)))
         .toDF("purchase_id", "p_user", "pts")
-    val clickStaging = stageReplay(Seq(
-      clicks.filter(col("cts") < cut),
-      clicks.filter(col("cts") >= cut),
-      sentC("2200-01-01 00:00:00"), sentC("2200-01-02 00:00:00")))
-    val purchaseStaging = stageReplay(Seq(
-      purchases.filter(col("pts") < cut),
-      purchases.filter(col("pts") >= cut),
-      sentP("2200-01-01 00:00:00"), sentP("2200-01-02 00:00:00")))
+    val clickStaging = EventStream.stageReplayKeyed(Seq(
+      clicks.filter(col("cts") < cut) -> None,
+      clicks.filter(col("cts") >= cut) -> None,
+      sentC("2200-01-01 00:00:00") -> Some("ssj_sentC_1")))
+    val purchaseStaging = EventStream.stageReplayKeyed(Seq(
+      purchases.filter(col("pts") < cut) -> None,
+      purchases.filter(col("pts") >= cut) -> None,
+      sentP("2200-01-01 00:00:00") -> Some("ssj_sentP_1"),
+      sentP("2200-01-02 00:00:00") -> Some("ssj_sentP_2")))
     val cs = spark.readStream.schema(clicks.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(clickStaging)
