@@ -53,7 +53,7 @@ object PlanDump {
     "join_point_in_time",    // SCD2 interval residual on one exchange
     "graph_link_predict",    // degree-capped wedge join + anti-join
     "ts_rolling_slope",      // five integer moments, one window pass
-    "behavior_seq_support",  // bounds reduction + alphabet fan-out
+    "behavior_seq_support",  // min-ts pre-agg before alphabet fan-out
     "asof_join_nearest",     // two merge scans + row-wise argmin
     "graph_pagerank",        // checkpointed edges, unrolled iteration
     "multimodal_phash_pairs", // real aHash + 16-bit band equi-join

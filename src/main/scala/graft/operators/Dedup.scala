@@ -1000,6 +1000,22 @@ object Dedup {
     * in a `finally` after localCheckpoint-ing their output). */
   private[operators] def setSimParts(docs: DataFrame, num: Long,
       den: Long): (DataFrame, DataFrame, () => Unit) = {
+    val (_, pref, docToks, cleanup) = setSimPartsFull(docs, num, den)
+    (pref, docToks, cleanup)
+  }
+
+  /** [[setSimParts]] plus the UNFILTERED df-ordered rank frame
+    * `ranked` (doc_id, tid, rn, sz) it derives the prefix from —
+    * `ranked` is the threshold-INDEPENDENT token index
+    * ([[containmentJoinFromParts]] cuts its own asymmetric prefixes
+    * from it, and [[ensureCanonicalStaging]] persists it so any
+    * future prefix-filtered operator reads storage instead of
+    * re-ranking the corpus). `ranked` itself is returned LAZY (its
+    * consumers either write it once or filter it into the persisted
+    * `pref`); only tok/pref/docToks are cached, and `cleanup`
+    * releases all three. */
+  private[operators] def setSimPartsFull(docs: DataFrame, num: Long,
+      den: Long): (DataFrame, DataFrame, DataFrame, () => Unit) = {
     // tok feeds ranking, both verify arms, and sizes; persist beats
     // re-tokenizing four times (same reasoning as jaccardVerify's g)
     val tok = docs
@@ -1018,9 +1034,11 @@ object Dedup {
       .partitionBy(col("doc_id")).orderBy(col("df"), col("tid"))
     val wSz = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
-    val pref = tokT
+    val ranked = tokT
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("sz", count(lit(1)).over(wSz))
+      .select(col("doc_id"), col("tid"), col("rn"), col("sz"))
+    val pref = ranked
       .filter(lit(num) * col("sz") <= lit(den) * (col("sz") - col("rn") + 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docToks = tokT.groupBy("doc_id")
@@ -1029,7 +1047,7 @@ object Dedup {
     val cleanup = () => {
       tok.unpersist(); pref.unpersist(); docToks.unpersist(); ()
     }
-    (pref, docToks, cleanup)
+    (ranked, pref, docToks, cleanup)
   }
 
   /** The raw PPJoin candidate stream off a prefix frame — NO distinct:
@@ -1465,12 +1483,18 @@ object Dedup {
     // base-filtered part frames (valid — see canonicalLabelsFromParts
     // — and labels are graph-determined, so they match what a
     // base-only build would have stored)
-    val (pref, docToks, cleanup) = setSimParts(docs, setSimNum, setSimDen)
+    val (ranked, pref, docToks, cleanup) =
+      setSimPartsFull(docs, setSimNum, setSimDen)
     try {
       pref.write.mode("overwrite")
         .parquet(tmp.resolve("pref.parquet").toString)
       docToks.write.mode("overwrite")
         .parquet(tmp.resolve("doctoks.parquet").toString)
+      // the threshold-independent df-ordered rank index (see
+      // setSimPartsFull) — the containment join cuts its asymmetric
+      // prefixes from this instead of re-ranking the corpus
+      ranked.write.mode("overwrite")
+        .parquet(tmp.resolve("ranked.parquet").toString)
       canonicalLabelsFromParts(
         docs.filter(col("doc_id") <= cut).select(col("doc_id")),
         pref.filter(col("doc_id") <= cut),
@@ -1539,7 +1563,7 @@ object Dedup {
       } finally raf.close()
     } catch { case _: java.io.IOException => 0 }
     Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(
-      s"${src.length}:${src.lastModified}:$fp:$setSimNum:$setSimDen:v2"))
+      s"${src.length}:${src.lastModified}:$fp:$setSimNum:$setSimDen:v3"))
   }
 
   /** Explicit staging GC verb — the caller-facing form of the lazy
@@ -1810,18 +1834,23 @@ object Dedup {
   def containmentJoin(docs: DataFrame, num: Long = containNum,
       den: Long = containDen,
       probePred: Column = lit(true)): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-    val dict = tokenDict(dfreq)
-    val tokT = tok.join(dict, "tok").select(col("doc_id"), col("tid"), col("df"))
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("tid"))
-    val wSz = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val ranked = tokT
-      .withColumn("rn", row_number().over(wOrd))
-      .withColumn("sz", count(lit(1)).over(wSz))
+    val (ranked, _, docToks, cleanup) = setSimPartsFull(docs, num, den)
+    val out = containmentJoinFromParts(ranked, docToks, num, den, probePred)
+    // honor lazyPlans like setSimJoin (the release is the parts
+    // cleanup hook, not a frame list)
+    if (graft.Conf.lazyPlans(docs.sparkSession)) out
+    else try out.localCheckpoint() finally cleanup()
+  }
+
+  /** The probe/index/verify dataflow of [[containmentJoin]] over a
+    * caller-owned df-ordered rank frame (doc_id, tid, rn, sz) and the
+    * per-doc sorted tid arrays — the staged-index form (both are
+    * corpus artifacts [[ensureCanonicalStaging]] persists; the rank
+    * frame is threshold-independent, so ONE stored index serves every
+    * containment/Jaccard threshold). */
+  private def containmentJoinFromParts(ranked: DataFrame,
+      docToks: DataFrame, num: Long, den: Long,
+      probePred: Column): DataFrame = {
     // A-side prefix: rn <= na - ceil(t*na) + 1  ⟺  den*(rn-1) <= (den-num)*na
     val probe = ranked
       .filter(probePred)
@@ -1842,20 +1871,14 @@ object Dedup {
           col("nb") - col("rnb"))) >= lit(num) * col("na"))
       .select("da", "db").distinct()
     import graft.functions.SortedIntersectCount.sorted_intersect_count
-    val docToks = tokT.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("tid"))).as("toks"))
-    // checkpoint-then-release (CacheHygieneSpec): pair-bounded output,
-    // the token explode must not outlive the call
-    graft.Conf.checkpointThenRelease(
-      cand
-        .join(docToks.select(col("doc_id").as("da"), col("toks").as("ta")), "da")
-        .join(docToks.select(col("doc_id").as("db"), col("toks").as("tb")), "db")
-        .withColumn("inter_cnt", sorted_intersect_count(col("ta"), col("tb")))
-        .filter(lit(den) * col("inter_cnt") >= lit(num) * size(col("ta")))
-        .select(col("da"), col("db"), col("inter_cnt"),
-          size(col("ta")).cast("long").as("na"),
-          size(col("tb")).cast("long").as("nb")),
-      tok)
+    cand
+      .join(docToks.select(col("doc_id").as("da"), col("toks").as("ta")), "da")
+      .join(docToks.select(col("doc_id").as("db"), col("toks").as("tb")), "db")
+      .withColumn("inter_cnt", sorted_intersect_count(col("ta"), col("tb")))
+      .filter(lit(den) * col("inter_cnt") >= lit(num) * size(col("ta")))
+      .select(col("da"), col("db"), col("inter_cnt"),
+        size(col("ta")).cast("long").as("na"),
+        size(col("tb")).cast("long").as("nb"))
   }
 
   /** Gate form: delta-batch containment census — docs with
@@ -1870,9 +1893,16 @@ object Dedup {
     * variant — but here it aggregates a 10x-smaller pair stream)
     * keeps gate output O(probe docs): (doc, #containing supersets,
     * best partner by highest overlap then smallest id, na). */
-  def containmentQuery(spark: SparkSession, dir: String): DataFrame =
-    containmentJoin(Tables.load(spark, dir, "documents"),
-      probePred = col("doc_id") % 10 === 0)
+  def containmentQuery(spark: SparkSession, dir: String): DataFrame = {
+    // staged token index (threshold-independent rank frame + sorted
+    // tid arrays — see ensureCanonicalStaging): the gate times the
+    // probe/index join + verify, not the corpus re-ranking
+    val st = ensureCanonicalStaging(spark, dir)
+    containmentJoinFromParts(
+      spark.read.parquet(st.resolve("ranked.parquet").toString),
+      spark.read.parquet(st.resolve("doctoks.parquet").toString),
+      containNum, containDen, probePred = col("doc_id") % 10 === 0)
+  }
       .groupBy(col("da"))
       .agg(count(lit(1)).as("n_contained"),
         min(struct(negate(col("inter_cnt")).as("ni"), col("db").as("db")))
