@@ -137,7 +137,11 @@ object EventStream {
     * sweeps whatever remains, so a bench sweep no longer accumulates
     * one corpus copy per stream gate per pass under /tmp. */
   private[streaming] def stageReplay(frames: Seq[DataFrame]): String =
-    stageReplayKeyed(frames.map(f => (f, None)))
+    // multi-frame replays are always same-schema splits of one frame,
+    // so they take the one-job union path (unionByName fails loudly on
+    // a schema mismatch, which is the contract a future caller wants)
+    if (frames.size > 1) stageReplayUnion(frames)
+    else stageReplayKeyed(frames.map(f => (f, None)))
 
   /** [[stageReplay]] where frames tagged with a cache key are staged
     * from a once-per-JVM parquet byte cache instead of a fresh Spark
@@ -181,6 +185,50 @@ object EventStream {
         val t0 = System.currentTimeMillis() - 600000L
         require(dest.toFile.setLastModified(t0 + i * 60000L),
           s"setLastModified failed on $dest — staged replay order would be undefined")
+    }
+    staging.toString
+  }
+
+  /** [[stageReplay]] for SAME-SCHEMA frames via ONE write job: union
+    * the frames with a slot column, repartition on it (all of a
+    * slot's rows land in exactly one task, so `partitionBy` writes
+    * exactly one part file per slot dir), then move each slot's file
+    * into replay position with the ordered mtimes. A per-frame
+    * coalesce(1) write is a separate Spark JOB — 7 jobs for the
+    * watermarked-dedup replay, 63 for the fixed-rate history sweep —
+    * pure harness tax this removes. A slot with no rows writes no dir
+    * and falls back to the per-frame empty write, keeping the
+    * batch-count contract exact. */
+  private[streaming] def stageReplayUnion(frames: Seq[DataFrame]): String = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val work = Files.createTempDirectory("graft_stream_replay")
+    stagingDirs.add(work)
+    val staging = work.resolve("input")
+    Files.createDirectories(staging)
+    val slotted = frames.zipWithIndex
+      .map { case (df, i) => df.withColumn("__slot", lit(i)) }
+      .reduce(_.unionByName(_))
+    val tmp = work.resolve("u").toString
+    slotted.repartition(col("__slot")).write
+      .partitionBy("__slot").mode("overwrite").parquet(tmp)
+    val t0 = System.currentTimeMillis() - 600000L
+    frames.indices.foreach { i =>
+      val parts = Option(new java.io.File(tmp, s"__slot=$i").listFiles())
+        .map(_.filter(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).toSeq)
+        .getOrElse(Seq.empty)
+      val dest = staging.resolve(f"b$i%02d.parquet")
+      if (parts.isEmpty)
+        stageFile(frames(i).limit(0), work, staging, f"b$i%02d.parquet", i)
+      else {
+        // one partition per slot by construction; more files would
+        // silently split a micro-batch — fail loudly instead
+        require(parts.size == 1,
+          s"slot $i wrote ${parts.size} files — replay batching undefined")
+        Files.move(parts.head.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+        require(dest.toFile.setLastModified(t0 + i * 60000L),
+          s"setLastModified failed on $dest — staged replay order would be undefined")
+      }
     }
     staging.toString
   }
