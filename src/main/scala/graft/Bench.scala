@@ -44,6 +44,9 @@ object Bench {
       // staging on disk, every pass of dedup_canonical_incremental
       // times the fold itself
       graft.operators.Dedup.ensureCanonicalStaging(spark, sfDir)
+      // same convention for the embedding pair table the graph gates
+      // consume
+      graft.operators.Similarity.ensureEmbedPairStaging(spark, sfDir)
     } catch { case _: Throwable => () }
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run (driver sets
     // only SF_DIR/CPUS, so driver rounds always measure everything)

@@ -1464,55 +1464,73 @@ object Dedup {
     * older generation is never yanked mid-query) — or immediately via
     * the explicit [[evictCanonicalStaging]] verb. */
   def ensureCanonicalStaging(spark: SparkSession,
-      dir: String): java.nio.file.Path = {
+      dir: String): java.nio.file.Path =
+    ensureStagedArtifacts(new java.io.File(s"$dir/documents.parquet"),
+      family = "canon", paramsKey = s"$setSimNum:$setSimDen:v3") { tmp =>
+      val docs = Tables.load(spark, dir, "documents")
+      val mx = docs.agg(max("doc_id")).head().getLong(0) // 1-row bounded agg
+      val cut = 4L * mx / 5L
+      // one union-corpus token index feeds BOTH the stored base build
+      // and every later fold: the base label build runs on the
+      // base-filtered part frames (valid — see canonicalLabelsFromParts
+      // — and labels are graph-determined, so they match what a
+      // base-only build would have stored)
+      val (ranked, pref, docToks, cleanup) =
+        setSimPartsFull(docs, setSimNum, setSimDen)
+      try {
+        pref.write.mode("overwrite")
+          .parquet(tmp.resolve("pref.parquet").toString)
+        docToks.write.mode("overwrite")
+          .parquet(tmp.resolve("doctoks.parquet").toString)
+        // the threshold-independent df-ordered rank index (see
+        // setSimPartsFull) — the containment join cuts its asymmetric
+        // prefixes from this instead of re-ranking the corpus
+        ranked.write.mode("overwrite")
+          .parquet(tmp.resolve("ranked.parquet").toString)
+        canonicalLabelsFromParts(
+          docs.filter(col("doc_id") <= cut).select(col("doc_id")),
+          pref.filter(col("doc_id") <= cut),
+          docToks.filter(col("doc_id") <= cut), setSimNum, setSimDen)
+          .write.mode("overwrite")
+          .parquet(tmp.resolve("base_labels.parquet").toString)
+        // the two sketch methods' stored pair tables (gate-reproducible
+        // forms — the same frames dedup_minhash_bands/dedup_simhash_pairs
+        // derive); methodAgreement monitors these stored artifacts
+        minhashCandidates(docs, cap = Int.MaxValue, reproducible = true)
+          .write.mode("overwrite")
+          .parquet(tmp.resolve("mh_pairs.parquet").toString)
+        simhashCandidates(docs, cap = simPairsGateCap, reproducible = true)
+          .select(col("da"), col("db"))
+          .write.mode("overwrite")
+          .parquet(tmp.resolve("sh_pairs.parquet").toString)
+        java.nio.file.Files.write(tmp.resolve("cut"),
+          cut.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } finally cleanup()
+    }
+
+  /** Generic staging-lifecycle skeleton shared by every stored-
+    * artifact family ([[ensureCanonicalStaging]]'s token/pair tables,
+    * [[Similarity.ensureEmbedPairStaging]]'s embedding pair table):
+    * per-user root, (family × source path) keying with the content-
+    * generation suffix, idempotent reuse behind a `_DONE` marker,
+    * unique-temp-dir build + atomic publish with loser-adopts-winner
+    * races, partial-dir cleanup on failure, and deferred GC of
+    * superseded generations. `build` writes the family's artifacts
+    * into the provided temp dir. */
+  private[graft] def ensureStagedArtifacts(src: java.io.File,
+      family: String, paramsKey: String)
+      (build: java.nio.file.Path => Unit): java.nio.file.Path = {
     import java.nio.file.{Files, StandardCopyOption}
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val pathKey = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(src.getAbsolutePath))
-    val genKey = stagingGenKey(src)
+    val pathKey = stagingPathKey(family, src)
+    val genKey = stagingGenKey(src, paramsKey)
     val root = stagingRoot
-    val out = root.resolve(s"canon-$pathKey-$genKey")
+    val out = root.resolve(s"$family-$pathKey-$genKey")
     if (Files.exists(out.resolve("_DONE"))) return out
-    val tmp = root.resolve(s"canon-$pathKey-$genKey.build-${java.util.UUID.randomUUID}")
+    val tmp = root.resolve(
+      s"$family-$pathKey-$genKey.build-${java.util.UUID.randomUUID}")
     Files.createDirectories(tmp)
-    val docs = Tables.load(spark, dir, "documents")
-    val mx = docs.agg(max("doc_id")).head().getLong(0) // 1-row bounded agg
-    val cut = 4L * mx / 5L
-    // one union-corpus token index feeds BOTH the stored base build
-    // and every later fold: the base label build runs on the
-    // base-filtered part frames (valid — see canonicalLabelsFromParts
-    // — and labels are graph-determined, so they match what a
-    // base-only build would have stored)
-    val (ranked, pref, docToks, cleanup) =
-      setSimPartsFull(docs, setSimNum, setSimDen)
     try {
-      pref.write.mode("overwrite")
-        .parquet(tmp.resolve("pref.parquet").toString)
-      docToks.write.mode("overwrite")
-        .parquet(tmp.resolve("doctoks.parquet").toString)
-      // the threshold-independent df-ordered rank index (see
-      // setSimPartsFull) — the containment join cuts its asymmetric
-      // prefixes from this instead of re-ranking the corpus
-      ranked.write.mode("overwrite")
-        .parquet(tmp.resolve("ranked.parquet").toString)
-      canonicalLabelsFromParts(
-        docs.filter(col("doc_id") <= cut).select(col("doc_id")),
-        pref.filter(col("doc_id") <= cut),
-        docToks.filter(col("doc_id") <= cut), setSimNum, setSimDen)
-        .write.mode("overwrite")
-        .parquet(tmp.resolve("base_labels.parquet").toString)
-      // the two sketch methods' stored pair tables (gate-reproducible
-      // forms — the same frames dedup_minhash_bands/dedup_simhash_pairs
-      // derive); methodAgreement monitors these stored artifacts
-      minhashCandidates(docs, cap = Int.MaxValue, reproducible = true)
-        .write.mode("overwrite")
-        .parquet(tmp.resolve("mh_pairs.parquet").toString)
-      simhashCandidates(docs, cap = simPairsGateCap, reproducible = true)
-        .select(col("da"), col("db"))
-        .write.mode("overwrite")
-        .parquet(tmp.resolve("sh_pairs.parquet").toString)
-      Files.write(tmp.resolve("cut"),
-        cut.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      build(tmp)
       Files.createFile(tmp.resolve("_DONE"))
       try Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileSystemException =>
@@ -1521,16 +1539,20 @@ object Dedup {
         if (Files.exists(out.resolve("_DONE"))) { deleteRecursively(tmp); }
         else return tmp
       }
-      evictStaleStaging(root, pathKey, keep = Some(out.getFileName.toString),
-        minAgeMs = 3600000L)
+      evictStaleStaging(root, family, pathKey,
+        keep = Some(out.getFileName.toString), minAgeMs = 3600000L)
       out
     } catch { case e: Throwable =>
       // a failed build must not leak its partial dir (the same
       // lifecycle rule EventStream.purgeStaging enforces for replays)
       deleteRecursively(tmp)
       throw e
-    } finally cleanup()
+    }
   }
+
+  private def stagingPathKey(family: String, src: java.io.File): String =
+    Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(
+      s"$family:${src.getAbsolutePath}"))
 
   /** Per-user staging root: `user.name` is folded into the directory
     * name so two users on one host never contend for ownership of a
@@ -1546,8 +1568,9 @@ object Dedup {
   /** Content-generation key: length + mtime + a first/last-64KB
     * fingerprint (the parquet footer sits in the last block, so ANY
     * rewrite — even same-length within mtime granularity — perturbs
-    * it) + the threshold params the staged artifacts were built at. */
-  private def stagingGenKey(src: java.io.File): String = {
+    * it) + the params the staged artifacts were built at. */
+  private[graft] def stagingGenKey(src: java.io.File,
+      paramsKey: String): String = {
     val fp = try {
       val raf = new java.io.RandomAccessFile(src, "r")
       try {
@@ -1563,7 +1586,7 @@ object Dedup {
       } finally raf.close()
     } catch { case _: java.io.IOException => 0 }
     Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(
-      s"${src.length}:${src.lastModified}:$fp:$setSimNum:$setSimDen:v3"))
+      s"${src.length}:${src.lastModified}:$fp:$paramsKey"))
   }
 
   /** Explicit staging GC verb — the caller-facing form of the lazy
@@ -1575,13 +1598,17 @@ object Dedup {
     * "nothing else is reading these" declaration — while in-flight
     * `.build-*` dirs keep the >1 h age guard (a live concurrent build
     * must never be deleted under itself). */
-  def evictCanonicalStaging(dir: String, keepCurrent: Boolean = true): Unit = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val pathKey = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(src.getAbsolutePath))
+  def evictCanonicalStaging(dir: String, keepCurrent: Boolean = true): Unit =
+    evictStagedArtifacts(new java.io.File(s"$dir/documents.parquet"),
+      family = "canon", paramsKey = s"$setSimNum:$setSimDen:v3", keepCurrent)
+
+  /** Family-generic form of [[evictCanonicalStaging]]. */
+  private[graft] def evictStagedArtifacts(src: java.io.File, family: String,
+      paramsKey: String, keepCurrent: Boolean): Unit = {
+    val pathKey = stagingPathKey(family, src)
     val keep = if (keepCurrent)
-      Some(s"canon-$pathKey-${stagingGenKey(src)}") else None
-    evictStaleStaging(stagingRoot, pathKey, keep, minAgeMs = 0L)
+      Some(s"$family-$pathKey-${stagingGenKey(src, paramsKey)}") else None
+    evictStaleStaging(stagingRoot, family, pathKey, keep, minAgeMs = 0L)
   }
 
   /** Drop superseded staging for one corpus path: completed dirs of
@@ -1591,14 +1618,14 @@ object Dedup {
     * abandoned `.build-*` dirs older than an hour regardless (a LIVE
     * concurrent build is younger; race losers and crash leftovers are
     * not). Never touches other corpora's keys. */
-  private def evictStaleStaging(root: java.nio.file.Path, pathKey: String,
-      keep: Option[String], minAgeMs: Long): Unit = {
+  private def evictStaleStaging(root: java.nio.file.Path, family: String,
+      pathKey: String, keep: Option[String], minAgeMs: Long): Unit = {
     val kids = root.toFile.listFiles()
     if (kids == null) return
     val now = System.currentTimeMillis()
     val buildCutoff = now - 3600000L
     kids.iterator
-      .filter(_.getName.startsWith(s"canon-$pathKey-"))
+      .filter(_.getName.startsWith(s"$family-$pathKey-"))
       .filter(f => !keep.contains(f.getName))
       .filter(f =>
         if (f.getName.contains(".build-")) f.lastModified < buildCutoff

