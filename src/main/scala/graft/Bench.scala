@@ -37,17 +37,46 @@ object Bench {
         .foreach(q => materialize(q(spark, sfDir)))
       // from_json/to_timestamp machinery has its own first-touch cost
       SparkEntry.queries.get("ingest_parse").foreach(q => materialize(q(spark, sfDir)))
-      // pre-stage the incremental-canonical fold's stored inputs (base
-      // canonical table + token index): production folds against
-      // YESTERDAY'S stored table, so the input build is a once-per-
-      // corpus cost that must not be inside any timed pass — with the
-      // staging on disk, every pass of dedup_canonical_incremental
-      // times the fold itself
-      graft.operators.Dedup.ensureCanonicalStaging(spark, sfDir)
-      // same convention for the embedding pair table the graph gates
-      // consume
-      graft.operators.Similarity.ensureEmbedPairStaging(spark, sfDir)
     } catch { case _: Throwable => () }
+    // Pre-stage the stored corpus artifacts the staged-consumer gates
+    // read (base canonical table + token index + both sketch pair
+    // tables; embedding LSH pair table): production folds/monitors run
+    // against YESTERDAY'S stored artifacts, so the input build is a
+    // once-per-corpus cost that must not sit inside any timed pass.
+    // The build is NOT free at 100 TB, so it is TIMED here and
+    // published as its own metric (staging_build_sec) in every JSON
+    // artifact — the recurring per-corpus-generation cost, reported
+    // next to (not inside) the per-query consumer times. A failure is
+    // LOUD: the first timed consumer gate would otherwise silently
+    // absorb a full rebuild and the artifact would misattribute it.
+    // SPARK_GRAFT_STAGE_FRESH=1 (tools/scaling.py) evicts first so the
+    // measured build is a real from-scratch cost at every SF.
+    def timedSec(work: => Unit): Double = {
+      val t0 = System.nanoTime(); work; (System.nanoTime() - t0) / 1e9
+    }
+    val stageFresh = sys.env.get("SPARK_GRAFT_STAGE_FRESH").contains("1")
+    val stagingCanonSec =
+      try {
+        if (stageFresh)
+          graft.operators.Dedup.evictCanonicalStaging(sfDir, keepCurrent = false)
+        timedSec(graft.operators.Dedup.ensureCanonicalStaging(spark, sfDir))
+      } catch { case e: Throwable =>
+        System.err.println("[bench] CANONICAL STAGING BUILD FAILED — first " +
+          s"timed consumer gate will absorb a full rebuild: $e")
+        -1.0
+      }
+    val stagingEmbedSec =
+      try {
+        if (stageFresh)
+          graft.operators.Similarity.evictEmbedPairStaging(sfDir, keepCurrent = false)
+        timedSec(graft.operators.Similarity.ensureEmbedPairStaging(spark, sfDir))
+      } catch { case e: Throwable =>
+        System.err.println("[bench] EMBED PAIR STAGING BUILD FAILED — first " +
+          s"timed consumer gate will absorb a full rebuild: $e")
+        -1.0
+      }
+    val stagingJson =
+      s"""{"canon":${f"$stagingCanonSec%.2f"},"embpairs":${f"$stagingEmbedSec%.2f"}}"""
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run (driver sets
     // only SF_DIR/CPUS, so driver rounds always measure everything)
     val only: Option[Set[String]] =
@@ -69,6 +98,14 @@ object Bench {
     // throughput. `id % 1000` keeps the running sum ~4e12, inside Long
     // under ANSI too (the previous id*3+7 form summed to ~9.6e19 and
     // survived only because ansi.enabled is forced false here).
+    // canary_version: bumped on ANY canary workload change, not just a
+    // row-count change (r11 changed the CPU canary's expression from
+    // sum(id*3+7) to sum(id%1000) at unchanged canary_rows, so the
+    // "refuse to compare canaries whose rows fields differ" guard never
+    // tripped and r10-vs-r11 canaries were silently incomparable).
+    // v2 = {cpu: sum(id%1000) @ 8e9, shuffle: repartition(64)+agg @ 1e8}.
+    // A reader must refuse to compare canaries across versions.
+    val canaryVersion = 2
     val canaryRows = 8000000000L
     def minOf3(work: => Unit): Double =
       if (only.nonEmpty) -1.0
@@ -212,26 +249,6 @@ object Bench {
       """"ingest":"cpu","pipeline":"harness+state","catalog":"cpu",""" +
       """"upsert":"cpu","export":"cpu","schema":"cpu","store":"cpu",""" +
       """"scd2":"cpu","meta":"cpu","approx":"cpu","yearly":"cpu"}"""
-    try if (isArtifactRun) {
-      val w = new java.io.PrintWriter("BENCH_FULL.json")
-      try w.println(s"""{"metric":"total","value":${fmt(okResults.values.sum)},"unit":"sec","n":${okResults.size},"canary_sec":${fmt(canary)},"canary_rows":$canaryRows,"canary_shuffle_sec":${fmt(canaryShuffle)},"canary_shuffle_rows":$canaryShuffleRows,"family_bound":$familyBound,"errors":$errJson,"queries":$full,"spread":${toJson(spreads, identity)},"prev_delta":${toJson(deltas, identity)},"sf":"${sfDir.split('/').last}"}""")
-      finally w.close()
-    } catch { case _: Throwable => () }
-    // scaling harness: SPARK_GRAFT_OUT=<path> dumps the complete
-    // per-query map for THIS run to an explicit path — any SF, any
-    // SPARK_GRAFT_ONLY subset — without touching the committed sf0.1
-    // artifact or its prev_delta chain. tools/scaling.py runs Bench
-    // once per SF and fits per-query scaling exponents from these.
-    // swallow-and-report like the artifact write above: a bad path must
-    // not crash Bench AFTER the full run completed and lose the stdout
-    // JSON line the driver reads.
-    try sys.env.get("SPARK_GRAFT_OUT").foreach { p =>
-      val w = new java.io.PrintWriter(p)
-      try w.println(s"""{"metric":"total","value":${fmt(okResults.values.sum)},"unit":"sec","n":${okResults.size},"canary_sec":${fmt(canary)},"canary_rows":$canaryRows,"canary_shuffle_sec":${fmt(canaryShuffle)},"canary_shuffle_rows":$canaryShuffleRows,"errors":$errJson,"queries":$full,"sf":"${sfDir.split('/').last}"}""")
-      finally w.close()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] SPARK_GRAFT_OUT write failed: $e")
-    }
     // BYTE BUDGET: the driver reads this subset off the last ~2 KB of
     // the build log — the full map lives in BENCH_FULL.json. The r11
     // line measured 2,140 bytes; additions must be paid for by
@@ -276,14 +293,77 @@ object Bench {
       // round (set-sim agreement monitor, stream-stream outer joins,
       // the two staged-index consumers); paid for by dropping
       // window_topn / knn_pq_adc / sketch_kmv_union / aqp_uniform_sum
-      // / dp_sum_clipped / ts_twa — all stable sub-second gates whose
-      // record continues in BENCH_FULL.json
+      // / dp_sum_clipped / ts_twa / text_quality — all stable
+      // sub-second gates whose record continues in BENCH_FULL.json.
+      // MEMBERSHIP IS FROZEN from r12 (advice r11 #2): cross-round
+      // headline totals must measure the same set; new flagship gates
+      // go to BENCH_FULL and the verdict reads them there.
       "dedup_method_agreement", "stream_stream_left", "stream_stream_full",
       "dedup_containment", "dedup_cosine", "stream_sessionize")
+    // MEASUREMENT BASIS (advice r11): per-gate times are only
+    // comparable across rounds on an unchanged basis. Two basis shifts
+    // are on record, tagged here so a reader of round-over-round deltas
+    // knows which gates' drops are routing changes, not code speedups:
+    //  - r11 routed these gates onto pre-built staged corpus artifacts
+    //    (the warmup build above, now timed as staging_build_sec);
+    //  - r12 caches staged REPLAY inputs per (key × JVM), so stream
+    //    gates' pass-2+ times exclude the replay staging write jobs
+    //    (pass 1 still pays any cache miss; min-of-passes reads cached).
+    // Producer gates (dedup_minhash_bands, dedup_simhash_pairs,
+    // dedup_jaccard_exact, embed_neardup_lsh) stay inline end-to-end.
+    val basisJson =
+      """{"staged_r11":["dedup_setsim","dedup_setsim_canonical",""" +
+      """"dedup_canonical_incremental","dedup_method_agreement",""" +
+      """"dedup_canonical","dedup_clusters","dedup_clusters_star",""" +
+      """"dedup_cross_source","dedup_minhash_calibration","dedup_cosine",""" +
+      """"dedup_containment","embed_clusters","graph_modularity",""" +
+      """"graph_label_prop","graph_pagerank","graph_triangles",""" +
+      """"graph_component_sizes","graph_bfs_hops","graph_link_predict",""" +
+      """"graph_kcore"],""" +
+      """"replay_cached_r12":["stream_tumbling_append","stream_dedup",""" +
+      """"stream_dedup_watermarked","stream_upsert_latest",""" +
+      """"stream_upsert_deltas","stream_upsert_deltas_tws",""" +
+      """"stream_neardup_minhash","stream_neardup_ttl","stream_static_join",""" +
+      """"stream_cms","stream_stream_join","stream_stream_left",""" +
+      """"stream_stream_full","stream_sessionize","stream_pattern_match",""" +
+      """"stream_asof","stream_ewma","stream_psi","stream_sketch_distinct"]}"""
+    // Headline membership changed in r11 (6 added, 7 dropped); publish
+    // BOTH subtotals for the transition window so cross-round headline
+    // totals stay meaningful (advice r11 #2). Old basis = current set
+    // minus the r11 additions plus the r10 drops.
+    val r11Adds = Set("dedup_method_agreement", "stream_stream_left",
+      "stream_stream_full", "dedup_containment", "dedup_cosine",
+      "stream_sessionize")
+    val r10Drops = Set("window_topn", "text_quality", "knn_pq_adc",
+      "sketch_kmv_union", "aqp_uniform_sum", "dp_sum_clipped", "ts_twa")
+    try if (isArtifactRun) {
+      val hlNew = okResults.view.filterKeys(headline).values.sum
+      val hlOld = okResults.view
+        .filterKeys(k => (headline.contains(k) && !r11Adds.contains(k)) ||
+          r10Drops.contains(k)).values.sum
+      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      try w.println(s"""{"metric":"total","value":${fmt(okResults.values.sum)},"unit":"sec","n":${okResults.size},"canary_version":$canaryVersion,"canary_sec":${fmt(canary)},"canary_rows":$canaryRows,"canary_shuffle_sec":${fmt(canaryShuffle)},"canary_shuffle_rows":$canaryShuffleRows,"staging_build_sec":$stagingJson,"headline_subtotal":${fmt(hlNew)},"headline_subtotal_r10basis":${fmt(hlOld)},"measurement_basis":$basisJson,"family_bound":$familyBound,"errors":$errJson,"queries":$full,"spread":${toJson(spreads, identity)},"prev_delta":${toJson(deltas, identity)},"sf":"${sfDir.split('/').last}"}""")
+      finally w.close()
+    } catch { case _: Throwable => () }
+    // scaling harness: SPARK_GRAFT_OUT=<path> dumps the complete
+    // per-query map for THIS run to an explicit path — any SF, any
+    // SPARK_GRAFT_ONLY subset — without touching the committed sf0.1
+    // artifact or its prev_delta chain. tools/scaling.py runs Bench
+    // once per SF and fits per-query scaling exponents from these.
+    // swallow-and-report like the artifact write above: a bad path must
+    // not crash Bench AFTER the full run completed and lose the stdout
+    // JSON line the driver reads.
+    try sys.env.get("SPARK_GRAFT_OUT").foreach { p =>
+      val w = new java.io.PrintWriter(p)
+      try w.println(s"""{"metric":"total","value":${fmt(okResults.values.sum)},"unit":"sec","n":${okResults.size},"canary_version":$canaryVersion,"canary_sec":${fmt(canary)},"canary_rows":$canaryRows,"canary_shuffle_sec":${fmt(canaryShuffle)},"canary_shuffle_rows":$canaryShuffleRows,"staging_build_sec":$stagingJson,"errors":$errJson,"queries":$full,"sf":"${sfDir.split('/').last}"}""")
+      finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] SPARK_GRAFT_OUT write failed: $e")
+    }
     val qs = toJson(okResults.view.filterKeys(headline).toMap, identity)
     val total = if (okResults.nonEmpty) okResults.values.sum else 0.0
     val sfTag = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${okResults.size},"canary_sec":${fmt(canary)},"canary_rows":$canaryRows,"canary_shuffle_sec":${fmt(canaryShuffle)},"canary_shuffle_rows":$canaryShuffleRows,"errors":$errJson,"queries":$qs,"sf":"$sfTag"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${okResults.size},"canary_version":$canaryVersion,"canary_sec":${fmt(canary)},"canary_rows":$canaryRows,"canary_shuffle_sec":${fmt(canaryShuffle)},"canary_shuffle_rows":$canaryShuffleRows,"staging_sec":$stagingJson,"errors":$errJson,"queries":$qs,"sf":"$sfTag"}""")
     spark.stop()
   }
 }

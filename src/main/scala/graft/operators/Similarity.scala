@@ -987,14 +987,24 @@ object Similarity {
     * persisted output. The LSH pipeline itself stays timed and
     * oracled end-to-end by its own gates (`embed_neardup_lsh`, with
     * `embed_lsh_recall` proving recall against the exact baseline). */
+  private def embPairsParamsKey: String = s"$lshBands:$lshBits:v1"
+
   private[graft] def ensureEmbedPairStaging(spark: SparkSession,
       dir: String): java.nio.file.Path =
     Dedup.ensureStagedArtifacts(
       new java.io.File(s"$dir/embeddings.parquet"),
-      family = "embpairs", paramsKey = s"$lshBands:$lshBits:v1") { tmp =>
+      family = "embpairs", paramsKey = embPairsParamsKey) { tmp =>
       embedNearDupLsh(spark, dir).write.mode("overwrite")
         .parquet(tmp.resolve("pairs.parquet").toString)
     }
+
+  /** Explicit GC verb for the embedding pair-table staging family —
+    * the embpairs twin of [[Dedup.evictCanonicalStaging]] (same
+    * semantics: superseded completed generations dropped immediately,
+    * in-flight builds keep the 1 h age guard). */
+  def evictEmbedPairStaging(dir: String, keepCurrent: Boolean = true): Unit =
+    Dedup.evictStagedArtifacts(new java.io.File(s"$dir/embeddings.parquet"),
+      family = "embpairs", paramsKey = embPairsParamsKey, keepCurrent)
 
   /** The staged verified pair table (a, b) for `dir`'s embeddings. */
   private def stagedEmbedPairs(spark: SparkSession, dir: String): DataFrame =
