@@ -18,6 +18,8 @@ import org.apache.spark.sql.SparkSession
   * runMain graft.Ops backup <table> <path>
   * runMain graft.Ops restore <path> <table>
   * runMain graft.Ops retention [dataDays] [logDays]
+  * runMain graft.Ops staging-report          # staged-artifact root readout
+  * runMain graft.Ops staging-gc [dir] [--all]  # evict staged generations
   * }}}
   *
   * Exit code 0 iff the operation succeeded (health: all checks green;
@@ -153,6 +155,47 @@ object Ops {
       if (logs.isEmpty) out("[ops] status run: none recorded")
       0
 
+    case "staging-report" :: Nil =>
+      // day-2 visibility for the stored-artifact root (canon token/pair
+      // tables, embpairs LSH pairs): generations, completeness, age,
+      // size — the readout that bounds "is lazy GC keeping up with
+      // corpus churn". Listing a local temp root: bounded, no Spark.
+      val gens = operators.Dedup.stagingReport()
+      gens.foreach { g =>
+        out(f"[ops] staging ${g.family}%s ${g.name}%s " +
+          f"${if (g.done) "DONE" else "BUILDING"}%s " +
+          f"age=${g.ageMs / 1000}%ds size=${g.bytes / 1024}%dKB")
+      }
+      val total = gens.map(_.bytes).sum
+      out(s"[ops] staging total: ${gens.size} generations, " +
+        s"${total / 1024} KB" +
+        (if (gens.exists(!_.done)) s", ${gens.count(!_.done)} in-flight"
+         else ""))
+      0
+
+    case "staging-gc" :: rest if rest.isEmpty || rest.length <= 2 &&
+        rest.takeWhile(_ != "--all").forall(!_.startsWith("--")) =>
+      // explicit GC across BOTH staged families for a corpus dir
+      // (default: current generations kept; --all decommissions). With
+      // no dir, GC every corpus the standard testdata layout knows —
+      // callers with custom corpora pass the dir explicitly.
+      val all = rest.contains("--all")
+      val dirs = rest.filterNot(_ == "--all") match {
+        case d :: Nil => Seq(d)
+        case _ => Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+          "/root/testdata/sf0.1").filter(new java.io.File(_).isDirectory)
+      }
+      val before = operators.Dedup.stagingReport().map(_.bytes).sum
+      dirs.foreach { d =>
+        operators.Dedup.evictCanonicalStaging(d, keepCurrent = !all)
+        operators.Similarity.evictEmbedPairStaging(d, keepCurrent = !all)
+        out(s"[ops] staging-gc $d${if (all) " (--all)" else ""}")
+      }
+      val after = operators.Dedup.stagingReport().map(_.bytes).sum
+      out(s"[ops] staging-gc reclaimed ${(before - after) / 1024} KB, " +
+        s"${after / 1024} KB remain")
+      0
+
     case "retention" :: rest
         if rest.length <= 2 &&
           rest.forall(a => scala.util.Try(a.toInt).isSuccess) =>
@@ -172,7 +215,8 @@ object Ops {
       out("[ops] usage: health | validate-env | status | " +
         "pipeline [symbols...] | " +
         "backup <table> <path> | restore <path> <table> | " +
-        "retention [dataDays] [logDays]")
+        "retention [dataDays] [logDays] | " +
+        "staging-report | staging-gc [dir] [--all]")
       2
   }
 }

@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   *    boilerplate trigram shared by d documents would emit d² join
   *    rows on a single key.
   */
+/** One staged-artifact generation under the per-user staging root
+  * (see [[Dedup.stagingReport]]): `done` distinguishes published
+  * generations from in-flight/abandoned `.build-*` dirs. */
+case class StagingGeneration(family: String, name: String, done: Boolean,
+    ageMs: Long, bytes: Long)
+
 object Dedup {
 
   /** Distinct word-trigram shingles of the token array (docs here always
@@ -1565,10 +1571,44 @@ object Dedup {
       s"graft-canon-staging-$user")
   }
 
+  /** Build-logic fingerprint folded into every staged generation key:
+    * a hash of the operator CLASSFILE bytes that produce the staged
+    * artifacts (Dedup for the canon family, Similarity for embpairs —
+    * one combined fingerprint keyed over both, so a change to either
+    * pipeline re-stages both families: over-eager by one cheap build,
+    * never stale). The hand-bumped params-version suffixes remain the
+    * documented knob for SEMANTIC changes; this closes the silent
+    * hole behind them — a code change to minhashCandidates /
+    * simhashCandidates / setSimPartsFull / embedNearDupLsh without a
+    * manual bump would otherwise keep serving pair tables built by
+    * the old code, surfacing only as confusing downstream oracle
+    * failures (r11 advice). Classfile bytes are stable within a
+    * compile and change with any recompiled logic, which is exactly
+    * the invalidation granularity wanted; cost is one staging rebuild
+    * per (re)build per corpus, absorbed by the Bench warmup. */
+  private[graft] lazy val stagingLogicFingerprint: String = {
+    def h(res: String): Int = {
+      val in = getClass.getResourceAsStream(res)
+      if (in == null) 0
+      else {
+        try scala.util.hashing.MurmurHash3.bytesHash(in.readAllBytes())
+        finally in.close()
+      }
+    }
+    val fp = h("/graft/operators/Dedup$.class") ^
+      java.lang.Integer.rotateLeft(h("/graft/operators/Similarity$.class"), 16)
+    // a classloader that can't serve the bytes of THIS loaded class
+    // would silently disable the invalidation — fail loudly instead
+    require(fp != 0, "staging logic fingerprint unavailable: operator " +
+      "classfile bytes not readable from the classloader")
+    Integer.toHexString(fp)
+  }
+
   /** Content-generation key: length + mtime + a first/last-64KB
     * fingerprint (the parquet footer sits in the last block, so ANY
     * rewrite — even same-length within mtime granularity — perturbs
-    * it) + the params the staged artifacts were built at. */
+    * it) + the params the staged artifacts were built at + the
+    * [[stagingLogicFingerprint]] of the code that builds them. */
   private[graft] def stagingGenKey(src: java.io.File,
       paramsKey: String): String = {
     val fp = try {
@@ -1586,7 +1626,7 @@ object Dedup {
       } finally raf.close()
     } catch { case _: java.io.IOException => 0 }
     Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(
-      s"${src.length}:${src.lastModified}:$fp:$paramsKey"))
+      s"${src.length}:${src.lastModified}:$fp:$stagingLogicFingerprint:$paramsKey"))
   }
 
   /** Explicit staging GC verb — the caller-facing form of the lazy
@@ -1601,6 +1641,33 @@ object Dedup {
   def evictCanonicalStaging(dir: String, keepCurrent: Boolean = true): Unit =
     evictStagedArtifacts(new java.io.File(s"$dir/documents.parquet"),
       family = "canon", paramsKey = s"$setSimNum:$setSimDen:v3", keepCurrent)
+
+  /** One row per staged generation under the per-user root — the
+    * observability half of the staging lifecycle (the root is
+    * otherwise invisible: artifacts accrue under /tmp with lazy >1 h
+    * GC, and nothing reported generations or sizes). Driver-side
+    * only: lists a LOCAL temp root, bounded by generations on disk.
+    * Row: (family, dirName, done, ageMs, bytes) — `done` false means
+    * an in-flight or abandoned `.build-*` dir. */
+  def stagingReport(): Seq[StagingGeneration] = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .map(sizeOf).sum
+      else f.length()
+    val now = System.currentTimeMillis()
+    Option(stagingRoot.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
+      .toSeq.filter(_.isDirectory)
+      .map { d =>
+        StagingGeneration(
+          family = d.getName.takeWhile(_ != '-'),
+          name = d.getName,
+          done = new java.io.File(d, "_DONE").exists(),
+          ageMs = math.max(0L, now - d.lastModified),
+          bytes = sizeOf(d))
+      }
+      .sortBy(g => (g.family, g.name))
+  }
 
   /** Family-generic form of [[evictCanonicalStaging]]. */
   private[graft] def evictStagedArtifacts(src: java.io.File, family: String,

@@ -75,14 +75,17 @@ object EventStream {
     * passes its end, which is what a sink at scale needs).
     *
     * Determinism harness: the events are replayed as ONE file, followed
-    * by two far-future sentinel files (ascending mtimes +
-    * maxFilesPerTrigger=1 force three ordered micro-batches, since the
-    * file source processes oldest-mtime first). The watermark after the
-    * first sentinel batch passes every real window's end, so the second
-    * sentinel batch flushes them all in append mode; sentinel windows
-    * themselves are never flushed (no fourth batch) and are filtered by
-    * the far-future cutoff anyway. Output therefore equals the batch
-    * tumbling aggregation — the oracle is shared. */
+    * by one far-future sentinel file (ascending mtimes +
+    * maxFilesPerTrigger=1 force ordered micro-batches, since the file
+    * source processes oldest-mtime first). The sentinel batch raises
+    * the watermark past every real window's end, and the engine's own
+    * no-data micro-batch applies it, flushing them all in append mode
+    * (deterministic: the stateful agg reports shouldRunAnotherBatch on
+    * watermark advance, and processAllAvailable cannot return before
+    * that batch commits); sentinel windows themselves are never
+    * flushed and are filtered by the far-future cutoff anyway. Output
+    * therefore equals the batch tumbling aggregation — the oracle is
+    * shared. */
   /** Run `body` with a session conf temporarily overridden (gates run
     * sequentially, so a scoped override is race-free). Streaming state
     * operators allocate one state-store task per shuffle partition per
@@ -109,9 +112,12 @@ object EventStream {
     * StreamCheckpoint (frames landed across query restarts). */
   private[streaming] def stageFile(df: org.apache.spark.sql.DataFrame,
       work: java.nio.file.Path, staging: java.nio.file.Path,
-      name: String, slot: Int): Unit = {
+      name: String, slot: Int,
+      // callers that already stamped OTHER slots must thread their t0
+      // (a fresh now-based t0 after a >60 s write job could overtake
+      // the next slot's mtime and silently reorder the replay)
+      t0: Long = System.currentTimeMillis() - 600000L): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
-    val t0 = System.currentTimeMillis() - 600000L
     val tmp = work.resolve(s"w$slot").toString
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
@@ -162,9 +168,12 @@ object EventStream {
     stagingDirs.add(work)
     val staging = work.resolve("input")
     Files.createDirectories(staging)
+    // one t0 for ALL slots (a per-slot "now" after a >60 s write job
+    // could overtake the next slot's mtime and reorder the replay)
+    val t0 = System.currentTimeMillis() - 600000L
     frames.zipWithIndex.foreach {
       case ((df, None), i) =>
-        stageFile(df, work, staging, f"b$i%02d.parquet", i)
+        stageFile(df, work, staging, f"b$i%02d.parquet", i, t0)
       case ((df, Some(key)), i) =>
         val src = sentinelCache.computeIfAbsent(key, _ => {
           val d = Files.createTempDirectory("graft_sentinel_cache")
@@ -182,7 +191,6 @@ object EventStream {
         val dest = staging.resolve(f"b$i%02d.parquet")
         Files.copy(src, dest,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val t0 = System.currentTimeMillis() - 600000L
         require(dest.toFile.setLastModified(t0 + i * 60000L),
           s"setLastModified failed on $dest — staged replay order would be undefined")
     }
@@ -219,7 +227,10 @@ object EventStream {
         .getOrElse(Seq.empty)
       val dest = staging.resolve(f"b$i%02d.parquet")
       if (parts.isEmpty)
-        stageFile(frames(i).limit(0), work, staging, f"b$i%02d.parquet", i)
+        // thread THIS staging's t0: stageFile's own default recomputes
+        // "now", which after a >60 s union write would overtake the
+        // following slot's mtime and reorder the replay
+        stageFile(frames(i).limit(0), work, staging, f"b$i%02d.parquet", i, t0)
       else {
         // one partition per slot by construction; more files would
         // silently split a micro-batch — fail loudly instead
@@ -232,6 +243,66 @@ object EventStream {
     }
     staging.toString
   }
+
+  /** Per-JVM cache of FULLY STAGED replay-input directories, keyed by
+    * a caller-supplied key that must DETERMINE the staged content —
+    * include the corpus dir; within one JVM the corpus files are
+    * immutable, the same contract the sentinel byte cache rides on.
+    *
+    * First call per key runs `build` (any stageReplay* form) and
+    * copies the resulting input files into a shutdown-scoped cache
+    * dir; later calls materialize a fresh staging dir from the cached
+    * bytes with re-applied ascending replay mtimes — no Spark write
+    * jobs at all. Replay staging is HARNESS cost, not operator cost:
+    * a bench sweep runs each gate 2-3 passes, and gates share source
+    * schedules (the three upsert forms stage identical frames; both
+    * outer joins stage the same purchase files), so without this
+    * every pass pays the same coalesce(1)/union write jobs again.
+    * A gate's FIRST run in a JVM still pays the build (cache miss);
+    * min-of-passes therefore reads the cached form — tagged in
+    * BENCH_FULL's measurement_basis so round deltas aren't misread.
+    * purgeStaging() never touches the cache (per-gate staging dirs
+    * stay per-gate); cache dirs die with the JVM's shutdown hook. */
+  private[streaming] def stageReplayCached(key: String)
+      (build: => String): String = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val hit = replayDirCache.get(key)
+    if (hit == null) {
+      val src = java.nio.file.Paths.get(build)
+      val d = Files.createTempDirectory("graft_replay_cache")
+      sentinelDirs.add(d)
+      Option(src.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.copy(f.toPath, d.resolve(f.getName),
+          StandardCopyOption.REPLACE_EXISTING))
+      // losing a (theoretical) publish race just strands one cache dir
+      // until the shutdown sweep — gates run sequentially in practice
+      replayDirCache.putIfAbsent(key, d)
+      return src.toString
+    }
+    val work = Files.createTempDirectory("graft_stream_replay")
+    stagingDirs.add(work)
+    val staging = work.resolve("input")
+    Files.createDirectories(staging)
+    // slot order = the b<NN>.parquet naming every stageReplay* form
+    // uses; sort numerically (b100 would sort before b99 lexically)
+    val named = Option(hit.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet"))
+      .sortBy(f => scala.util.Try(
+        f.getName.stripPrefix("b").stripSuffix(".parquet").toInt)
+        .getOrElse(Int.MaxValue))
+    val t0 = System.currentTimeMillis() - 600000L
+    named.zipWithIndex.foreach { case (f, i) =>
+      val dest = staging.resolve(f.getName)
+      Files.copy(f.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+      require(dest.toFile.setLastModified(t0 + i * 60000L),
+        s"setLastModified failed on $dest — staged replay order would be undefined")
+    }
+    staging.toString
+  }
+
+  private val replayDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
   private val sentinelCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
@@ -272,9 +343,10 @@ object EventStream {
     def sentinel(ts: String) =
       Seq((java.sql.Timestamp.valueOf(ts), "sentinel", 0.0))
         .toDF("ts", "event_type", "value")
-    val staging = stageReplayKeyed(Seq(batch -> None,
-      sentinel("2200-01-01 00:00:00") -> Some("tumbling_sent_1"),
-      sentinel("2200-01-02 00:00:00") -> Some("tumbling_sent_2")))
+    val staging = stageReplayCached(s"tumbapp:$dir") {
+      stageReplayKeyed(Seq(batch -> None,
+        sentinel("2200-01-01 00:00:00") -> Some("tumbling_sent_1")))
+    }
     val stream = spark.readStream
       .schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
@@ -314,7 +386,9 @@ object EventStream {
     val batch = Tables.load(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"), col("value"))
-    val staging = stageReplay(Seq(batch, batch))
+    val staging = stageReplayCached(s"sdedup:$dir") {
+      stageReplay(Seq(batch, batch))
+    }
     val stream = spark.readStream
       .schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
@@ -380,44 +454,52 @@ object EventStream {
     streamDedupWatermarkedOn(spark,
       Tables.load(spark, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
-          col("ts"), col("value")))
+          col("ts"), col("value")),
+      cacheKey = Some(s"wmdedup:$dir"))
 
   /** [[streamDedupWatermarked]] over a caller-owned events frame — the
     * form the STREAMSCALE fixed-rate history sweep feeds with a
     * time-stretched corpus (same rate, 10× span) to demonstrate state
     * ∝ rate × horizon, independent of history length. */
   private[graft] def streamDedupWatermarkedOn(spark: SparkSession,
-      events: DataFrame): DataFrame =
+      events: DataFrame, cacheKey: Option[String] = None): DataFrame =
     withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
     val batch = events
-    val span = batch.agg(min(to_date(col("ts"))), max(to_date(col("ts"))))
-      .head() // 1-row bounded agg
-    val d0 = span.getDate(0)
-    val nDays = java.time.temporal.ChronoUnit.DAYS
-      .between(d0.toLocalDate, span.getDate(1).toLocalDate).toInt + 1
-    // 5-day event-time slices COVERING the measured span (a hardcoded
-    // count would silently drop events past its horizon if the corpus
-    // generator ever widens the 30-day window); batch k carries slice
-    // k PLUS a duplicate copy of slice k-1 (one trailing all-duplicate
-    // batch flushes the last slice's copies), so every duplicate
-    // arrives one trigger after its original — provably inside the
-    // live-state horizon (slice width 5 d < 2·delay = 6 d, see the
-    // scaladoc proof). One staged file per batch, not per (slice,
-    // copy): the staging writes and triggers are harness cost, not
-    // operator cost (a first cut with 30 files spent 12.6 s mostly
-    // staging + trigger cycles; 3-day slices still paid 11 triggers).
-    val staged = batch.localCheckpoint(true) // slice writes read blocks, not parquet
-    val sliceDays = 5
-    val nSlices = (nDays + sliceDays - 1) / sliceDays
-    def slice(i: Int) = staged.filter(
-      datediff(to_date(col("ts")), lit(d0)) >= i * sliceDays &&
-        datediff(to_date(col("ts")), lit(d0)) < (i + 1) * sliceDays)
-    val frames = (0 to nSlices).map { k =>
-      if (k == 0) slice(0)
-      else if (k < nSlices) slice(k).unionByName(slice(k - 1))
-      else slice(nSlices - 1)
+    // The span agg, the slice checkpoint, and the slice writes are all
+    // replay-harness construction — inside the build closure so a
+    // cache hit (gate form, pass 2+) skips every one of them.
+    def buildStaging(): String = {
+      val span = batch.agg(min(to_date(col("ts"))), max(to_date(col("ts"))))
+        .head() // 1-row bounded agg
+      val d0 = span.getDate(0)
+      val nDays = java.time.temporal.ChronoUnit.DAYS
+        .between(d0.toLocalDate, span.getDate(1).toLocalDate).toInt + 1
+      // 5-day event-time slices COVERING the measured span (a hardcoded
+      // count would silently drop events past its horizon if the corpus
+      // generator ever widens the 30-day window); batch k carries slice
+      // k PLUS a duplicate copy of slice k-1 (one trailing all-duplicate
+      // batch flushes the last slice's copies), so every duplicate
+      // arrives one trigger after its original — provably inside the
+      // live-state horizon (slice width 5 d < 2·delay = 6 d, see the
+      // scaladoc proof). One staged file per batch, not per (slice,
+      // copy): the staging writes and triggers are harness cost, not
+      // operator cost (a first cut with 30 files spent 12.6 s mostly
+      // staging + trigger cycles; 3-day slices still paid 11 triggers).
+      val staged = batch.localCheckpoint(true) // slice writes read blocks, not parquet
+      val sliceDays = 5
+      val nSlices = (nDays + sliceDays - 1) / sliceDays
+      def slice(i: Int) = staged.filter(
+        datediff(to_date(col("ts")), lit(d0)) >= i * sliceDays &&
+          datediff(to_date(col("ts")), lit(d0)) < (i + 1) * sliceDays)
+      val frames = (0 to nSlices).map { k =>
+        if (k == 0) slice(0)
+        else if (k < nSlices) slice(k).unionByName(slice(k - 1))
+        else slice(nSlices - 1)
+      }
+      stageReplay(frames)
     }
-    val staging = stageReplay(frames)
+    val staging = cacheKey.fold(buildStaging())(k =>
+      stageReplayCached(k)(buildStaging()))
     val stream = spark.readStream
       .schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
@@ -463,7 +545,11 @@ object EventStream {
     val v2 = v1.filter(col("event_id") % 3 === 0)
       .withColumn("version", lit(2L))
       .withColumn("value", col("value") + 1.0)
-    val staging = stageReplay(Seq(v1, v2))
+    // all three upsert forms (complete-mode, fMGWS, transformWithState)
+    // stage the IDENTICAL v1/v2 schedule — one shared cache key
+    val staging = stageReplayCached(s"upsert_v1v2:$dir") {
+      stageReplay(Seq(v1, v2))
+    }
     val stream = spark.readStream
       .schema(v1.schema)
       .option("maxFilesPerTrigger", "1")
@@ -508,7 +594,9 @@ object EventStream {
     val v2 = v1.filter(col("event_id") % 3 === 0)
       .withColumn("version", lit(2L))
       .withColumn("value", col("value") + 1.0)
-    val staging = stageReplay(Seq(v1, v2))
+    val staging = stageReplayCached(s"upsert_v1v2:$dir") {
+      stageReplay(Seq(v1, v2))
+    }
     val lww = Ordering.by[UpsertState, (Long, Double)](s => (s.version, s.value))
     val stream = spark.readStream
       .schema(v1.schema)
@@ -591,7 +679,9 @@ object EventStream {
       val v2 = v1.filter(col("event_id") % 3 === 0)
         .withColumn("version", lit(2L))
         .withColumn("value", col("value") + 1.0)
-      val staging = stageReplay(Seq(v1, v2))
+      val staging = stageReplayCached(s"upsert_v1v2:$dir") {
+        stageReplay(Seq(v1, v2))
+      }
       val stream = spark.readStream
         .schema(v1.schema)
         .option("maxFilesPerTrigger", "1")
@@ -675,15 +765,17 @@ object EventStream {
     try {
       val docs = Tables.load(spark, dir, "documents")
         .select(col("doc_id"), col("text"))
-      // 1-row bounded agg: replay cut points, not data, reach the driver
-      val mx = docs.agg(max("doc_id")).head().getLong(0)
-      val cuts = Seq(mx / 4, mx / 2, 3 * mx / 4)
-      val parts = Seq(
-        docs.filter(col("doc_id") <= cuts(0)),
-        docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
-        docs.filter(col("doc_id") > cuts(1) && col("doc_id") <= cuts(2)),
-        docs.filter(col("doc_id") > cuts(2)))
-      val staging = stageReplay(parts)
+      val staging = stageReplayCached(s"ndmh:$dir") {
+        // 1-row bounded agg: replay cut points, not data, reach the driver
+        val mx = docs.agg(max("doc_id")).head().getLong(0)
+        val cuts = Seq(mx / 4, mx / 2, 3 * mx / 4)
+        val parts = Seq(
+          docs.filter(col("doc_id") <= cuts(0)),
+          docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+          docs.filter(col("doc_id") > cuts(1) && col("doc_id") <= cuts(2)),
+          docs.filter(col("doc_id") > cuts(2)))
+        stageReplay(parts)
+      }
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
         .as[DocText]
@@ -807,7 +899,7 @@ object EventStream {
   def streamNearDupTtl(spark: SparkSession, dir: String): DataFrame =
     streamNearDupTtlOn(spark,
       Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
-      horizonOverride = None)
+      horizonOverride = None, cacheKey = Some(s"ndttl:$dir"))
 
   /** [[streamNearDupTtl]] over a caller-owned docs frame with an
     * optional FIXED horizon and an optional fixed id-width replay
@@ -825,7 +917,8 @@ object EventStream {
     * eviction-fires-mid-replay narrative are scale-free by mx/5.) */
   private[graft] def streamNearDupTtlOn(spark: SparkSession,
       docsIn: DataFrame, horizonOverride: Option[Long],
-      batchIdWidth: Option[Long] = None): DataFrame =
+      batchIdWidth: Option[Long] = None,
+      cacheKey: Option[String] = None): DataFrame =
     withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
@@ -846,7 +939,8 @@ object EventStream {
         .map { case (lo, hi) =>
           docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
         }
-      val staging = stageReplay(parts)
+      val staging = cacheKey.fold(stageReplay(parts))(k =>
+        stageReplayCached(k)(stageReplay(parts)))
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
         .withColumn("ts", timestamp_seconds(lit(nearDupEpoch0) + col("doc_id")))
@@ -903,7 +997,9 @@ object EventStream {
     import spark.implicits._
     val batch = Tables.load(spark, dir, "events")
       .select(col("event_type"), col("value"))
-    val staging = stageReplay(Seq(batch))
+    val staging = stageReplayCached(s"sjoin:$dir") {
+      stageReplay(Seq(batch))
+    }
     val dim = typeDim.toDF("event_type", "engagement")
     val stream = spark.readStream
       .schema(batch.schema)
@@ -976,9 +1072,11 @@ object EventStream {
     withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
     import graft.analytics.OlapQueries
     val ev = Tables.load(spark, dir, "events").select(col("user_id"))
-    val staging = stageReplay(Seq(
-      ev.filter(col("user_id") % 2 === 0),
-      ev.filter(col("user_id") % 2 =!= 0)))
+    val staging = stageReplayCached(s"cms:$dir") {
+      stageReplay(Seq(
+        ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 =!= 0)))
+    }
     def bucket(i: Int, c: Column): Column =
       pmod(pmod(lit(OlapQueries.cmsA(i)) * c + lit(OlapQueries.cmsB(i)),
         lit(OlapQueries.cmsP)), lit(OlapQueries.cmsWidth))

@@ -38,9 +38,11 @@ object ForeachBatchSink {
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
     val cut = lit(Sessionize.streamCut).cast("timestamp")
-    val staging = stageReplay(Seq(
-      purchases.filter(col("ts") < cut),
-      purchases.filter(col("ts") >= cut)))
+    val staging = EventStream.stageReplayCached(s"fbm:$dir") {
+      stageReplay(Seq(
+        purchases.filter(col("ts") < cut),
+        purchases.filter(col("ts") >= cut)))
+    }
     val table = java.nio.file.Files
       .createTempDirectory("graft_fbm").toString + "/serving"
     val mergeBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
@@ -98,9 +100,11 @@ object ForeachBatchSink {
     val purchases = Tables.load(spark, dir, "events")
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-    val staging = stageReplay(Seq(
-      purchases.filter(col("event_id") % 2 === 0),
-      purchases.filter(col("event_id") % 2 =!= 0)))
+    val staging = EventStream.stageReplayCached(s"scd2s:$dir") {
+      stageReplay(Seq(
+        purchases.filter(col("event_id") % 2 === 0),
+        purchases.filter(col("event_id") % 2 =!= 0)))
+    }
     val table = java.nio.file.Files
       .createTempDirectory("graft_scd").toString + "/state"
     val applyBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>

@@ -174,11 +174,12 @@ object Sessionize {
     * timestamp, so every session spanning the cut arrives as two
     * partial sessions that the state store must merge before emission.
     *
-    * Determinism harness: same two-sentinel flush as
-    * `stream_tumbling_append` — the first far-future file advances the
-    * watermark past every real session's end, the second triggers the
-    * append-mode flush; sentinel sessions themselves never flush and
-    * are filtered by user_id anyway. Output equals the batch
+    * Determinism harness: same single-sentinel raise as
+    * `stream_tumbling_append` — the far-future file advances the
+    * watermark past every real session's end and the engine's no-data
+    * micro-batch applies it, flushing every real session in append
+    * mode; sentinel sessions themselves never flush and are filtered
+    * by user_id anyway. Output equals the batch
     * sessionization minus the session_id ordinal (append mode emits
     * sessions as watermark order dictates; the per-user ordinal is a
     * trivial downstream rank, and the oracle drops it on both sides). */
@@ -193,11 +194,15 @@ object Sessionize {
     val cut = lit(streamCut).cast("timestamp")
     def sentinel(ts: String) =
       Seq((-1L, java.sql.Timestamp.valueOf(ts))).toDF("user_id", "tss")
-    val staging = EventStream.stageReplayKeyed(Seq(
-      batch.filter(col("tss") < cut) -> None,
-      batch.filter(col("tss") >= cut) -> None,
-      sentinel("2200-01-01 00:00:00") -> Some("sessionize_sent_1"),
-      sentinel("2200-01-02 00:00:00") -> Some("sessionize_sent_2")))
+    // the sentinel rides in the LAST data file (raise at the end of
+    // trigger 2, applied by the engine's no-data flush batch): the
+    // cross-cut session-merge evidence keeps its two data triggers
+    val staging = EventStream.stageReplayCached(s"sess:$dir") {
+      EventStream.stageReplay(Seq(
+        batch.filter(col("tss") < cut),
+        batch.filter(col("tss") >= cut)
+          .unionByName(sentinel("2200-01-01 00:00:00"))))
+    }
     val stream = spark.readStream
       .schema(batch.schema)
       .option("maxFilesPerTrigger", "1")

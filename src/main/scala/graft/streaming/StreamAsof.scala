@@ -68,7 +68,9 @@ object StreamAsof {
     val cut = lit(Sessionize.streamCut).cast("timestamp")
     val early = batch.filter(col("ts") < cut).drop("ts")
     val late = batch.filter(col("ts") >= cut).drop("ts")
-    val staging = stageReplay(Seq(early, late))
+    val staging = EventStream.stageReplayCached(s"sasof:$dir") {
+      stageReplay(Seq(early, late))
+    }
     val stream = spark.readStream
       .schema(early.schema)
       .option("maxFilesPerTrigger", "1")

@@ -58,8 +58,10 @@ object StreamEwma {
       .agg((sum(Tables.dec(col("value"))).cast(DecimalType(18, 4)) *
         lit(10000)).cast("long").as("x_q4"))
     val cut = lit(Sessionize.streamCut).cast("timestamp")
-    val staging = EventStream.stageReplay(Seq(
-      hourly.filter(col("h") < cut), hourly.filter(col("h") >= cut)))
+    val staging = EventStream.stageReplayCached(s"ewma:$dir") {
+      EventStream.stageReplay(Seq(
+        hourly.filter(col("h") < cut), hourly.filter(col("h") >= cut)))
+    }
     val stream = spark.readStream
       .schema(hourly.schema)
       .option("maxFilesPerTrigger", "1")

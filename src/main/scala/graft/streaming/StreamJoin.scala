@@ -41,10 +41,14 @@ object StreamJoin {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user"), col("ts").as("pts"))
-    val clickStaging = stageReplay(Seq(clicks))
-    val purchaseStaging = stageReplay(Seq(
-      purchases.filter(col("purchase_id") % 2 === 0),
-      purchases.filter(col("purchase_id") % 2 =!= 0)))
+    val clickStaging = EventStream.stageReplayCached(s"ssj_c:$dir") {
+      stageReplay(Seq(clicks))
+    }
+    val purchaseStaging = EventStream.stageReplayCached(s"ssj_p:$dir") {
+      stageReplay(Seq(
+        purchases.filter(col("purchase_id") % 2 === 0),
+        purchases.filter(col("purchase_id") % 2 =!= 0)))
+    }
     val cs = spark.readStream.schema(clicks.schema)
       .parquet(clickStaging)
       .withWatermark("cts", "90 days")
@@ -87,17 +91,20 @@ object StreamJoin {
     * that could have matched it (pts <= cts + interval < W + delay)
     * was already processed in an earlier-or-same batch — a click is
     * never declared unmatched while its match is still in flight.
-    * Sentinel files on BOTH sides push the global (min-of-sides)
-    * watermark past every real click's window, flushing the tail;
-    * the click side needs only ONE (raising its per-source watermark
-    * early is harmless — eviction rides the global MIN, which the
-    * purchase side's data files keep honest), and the purchase side
-    * carries two so a final trigger exists to APPLY the raised global
-    * watermark (the watermark set at the end of batch k only evicts
-    * during batch k+1). Minimal schedule: 4 triggers, 6 staged files,
-    * of which the three sentinels come from the once-per-JVM byte
-    * cache. The emitted set — matches plus exactly-once null rows —
-    * is then the batch left join, which is the oracle. */
+    * ONE sentinel row per side — riding IN the side's last data file,
+    * so its raise costs no extra trigger — pushes the global
+    * (min-of-sides) watermark past every real click's window; the
+    * raised watermark is then APPLIED by the engine's own no-data
+    * micro-batch. That flush is deterministic, not racy: the stateful
+    * join reports `shouldRunAnotherBatch` when the watermark advances,
+    * and `processAllAvailable` cannot return before that batch commits
+    * (noNewData only flips once no further batch is required).
+    * Minimal schedule: 2 data triggers + 1 no-data batch, 3 staged
+    * files (r11 ran 4 data triggers over 6 files). Mid-stream
+    * eviction stays exercised: the time-ordered purchase split means
+    * trigger 2 evicts clicks whose windows closed under trigger 1's
+    * watermark. The emitted set — matches plus exactly-once null
+    * rows — is then the batch left join, which is the oracle. */
   def streamStreamLeftOuter(spark: SparkSession, dir: String): DataFrame =
     withConf(spark, "spark.sql.shuffle.partitions", streamShufflePartitions) {
     import spark.implicits._
@@ -116,14 +123,21 @@ object StreamJoin {
     def sentP(ts: String) =
       Seq((-1L, -1L, java.sql.Timestamp.valueOf(ts)))
         .toDF("purchase_id", "p_user", "pts")
-    val clickStaging = EventStream.stageReplayKeyed(Seq(
-      clicks -> None,
-      sentC("2200-01-01 00:00:00") -> Some("ssj_sentC_1")))
-    val purchaseStaging = EventStream.stageReplayKeyed(Seq(
-      purchases.filter(col("pts") < cut) -> None,
-      purchases.filter(col("pts") >= cut) -> None,
-      sentP("2200-01-01 00:00:00") -> Some("ssj_sentP_1"),
-      sentP("2200-01-02 00:00:00") -> Some("ssj_sentP_2")))
+    // sentinels RIDE IN the last data file of each side: the raise
+    // lands at the end of that side's last data trigger, and the
+    // engine's no-data batch applies it — one fewer trigger cycle
+    // than a separate sentinel file, same emitted set (see scaladoc)
+    val clickStaging = EventStream.stageReplayCached(s"ssl_c:$dir") {
+      stageReplay(Seq(
+        clicks.unionByName(sentC("2200-01-01 00:00:00"))))
+    }
+    // identical purchase schedule to the full-outer gate's — shared key
+    val purchaseStaging = EventStream.stageReplayCached(s"sso_p:$dir") {
+      stageReplay(Seq(
+        purchases.filter(col("pts") < cut),
+        purchases.filter(col("pts") >= cut)
+          .unionByName(sentP("2200-01-01 00:00:00"))))
+    }
     val cs = spark.readStream.schema(clicks.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(clickStaging)
@@ -164,9 +178,9 @@ object StreamJoin {
     * BOTH sides are split into time-ordered files (early/late around
     * the same cut) — each side's eviction then only ever happens after
     * every event that could have matched the evicted row was processed
-    * — and both sides carry tail sentinels to flush the final state
-    * (one on the click side, two on the purchase side — same minimal
-    * raise-then-apply schedule as the left join).
+    * — and both sides carry ONE tail sentinel to raise the global
+    * watermark, applied by the engine's no-data micro-batch (same
+    * minimal raise-then-flush schedule as the left join).
     * Emitted set == the batch FULL JOIN on the same interval predicate
     * (the oracle); user_id coalesces across sides since either may be
     * null-padded. */
@@ -188,15 +202,21 @@ object StreamJoin {
     def sentP(ts: String) =
       Seq((-1L, -1L, java.sql.Timestamp.valueOf(ts)))
         .toDF("purchase_id", "p_user", "pts")
-    val clickStaging = EventStream.stageReplayKeyed(Seq(
-      clicks.filter(col("cts") < cut) -> None,
-      clicks.filter(col("cts") >= cut) -> None,
-      sentC("2200-01-01 00:00:00") -> Some("ssj_sentC_1")))
-    val purchaseStaging = EventStream.stageReplayKeyed(Seq(
-      purchases.filter(col("pts") < cut) -> None,
-      purchases.filter(col("pts") >= cut) -> None,
-      sentP("2200-01-01 00:00:00") -> Some("ssj_sentP_1"),
-      sentP("2200-01-02 00:00:00") -> Some("ssj_sentP_2")))
+    // sentinels ride in the last data file per side (see the left
+    // join's schedule note): 2 data triggers + the no-data flush
+    val clickStaging = EventStream.stageReplayCached(s"ssf_c:$dir") {
+      stageReplay(Seq(
+        clicks.filter(col("cts") < cut),
+        clicks.filter(col("cts") >= cut)
+          .unionByName(sentC("2200-01-01 00:00:00"))))
+    }
+    // identical purchase schedule to the left-outer gate's — shared key
+    val purchaseStaging = EventStream.stageReplayCached(s"sso_p:$dir") {
+      stageReplay(Seq(
+        purchases.filter(col("pts") < cut),
+        purchases.filter(col("pts") >= cut)
+          .unionByName(sentP("2200-01-01 00:00:00"))))
+    }
     val cs = spark.readStream.schema(clicks.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(clickStaging)

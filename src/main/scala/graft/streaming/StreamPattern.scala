@@ -83,7 +83,9 @@ object StreamPattern {
     val cut = lit(Sessionize.streamCut).cast("timestamp")
     val early = batch.filter(col("ts") < cut).select("user_id", "k", "c")
     val late = batch.filter(col("ts") >= cut).select("user_id", "k", "c")
-    val staging = stageReplay(Seq(early, late))
+    val staging = EventStream.stageReplayCached(s"pat:$dir") {
+      stageReplay(Seq(early, late))
+    }
     val stream = spark.readStream
       .schema(early.schema)
       .option("maxFilesPerTrigger", "1")

@@ -124,4 +124,22 @@ class OpsSpec extends AnyFunSuite {
       store.Catalog.dropDatePartitions(spark, "stock_data",
         Seq(java.sql.Date.valueOf("2025-03-01")))
   }
+
+  test("staging-report lists generations; staging-gc reports reclaim") {
+    // ensure at least one generation exists so the report is non-empty
+    operators.Dedup.ensureCanonicalStaging(spark, SparkTestSession.sf)
+    val (code, lines) = capture("staging-report")()
+    assert(code == 0)
+    assert(lines.exists(l => l.contains("staging canon") && l.contains("DONE")
+      && l.contains("size=")), s"no canon generation reported: $lines")
+    assert(lines.exists(_.contains("staging total:")))
+    // gc with keep-current must not delete the current generation
+    val (gcCode, gcLines) = capture("staging-gc", SparkTestSession.sf)()
+    assert(gcCode == 0)
+    assert(gcLines.exists(_.contains("reclaimed")))
+    val (code2, lines2) = capture("staging-report")()
+    assert(code2 == 0)
+    assert(lines2.exists(l => l.contains("staging canon") && l.contains("DONE")),
+      "staging-gc (keep-current) deleted the current canon generation")
+  }
 }

@@ -78,6 +78,47 @@ class CanonStagingSpec extends AnyFunSuite {
     }
   }
 
+  test("stagingReport sees both artifact families") {
+    // multi-family observability (r11 verdict #6): one root carries
+    // canon AND embpairs generations; the report must list both, with
+    // completeness, age, and non-zero sizes
+    Dedup.ensureCanonicalStaging(spark, graft.SparkTestSession.sf)
+    Similarity.ensureEmbedPairStaging(spark, graft.SparkTestSession.sf)
+    val gens = Dedup.stagingReport()
+    for (fam <- Seq("canon", "embpairs")) {
+      val fs = gens.filter(_.family == fam)
+      assert(fs.nonEmpty, s"no $fam generation in ${gens.map(_.name)}")
+      assert(fs.exists(g => g.done && g.bytes > 0 && g.ageMs >= 0),
+        s"$fam rows unusable: $fs")
+    }
+  }
+
+  test("generation key folds in the build-logic fingerprint") {
+    // the r11 advice hole: a code change to a staged pipeline without a
+    // manual params-version bump must not serve stale artifacts. The
+    // genKey therefore folds in a classfile-bytes fingerprint; assert
+    // it resolves (a broken classloader lookup would silently disable
+    // the invalidation — the require inside fails loudly) and that the
+    // key actually varies with it (same file, different logic version
+    // -> different generation).
+    val fp = Dedup.stagingLogicFingerprint
+    assert(fp.nonEmpty && fp.matches("[0-9a-f]+"), s"bad fingerprint: $fp")
+    val dir = freshCorpusDir()
+    try {
+      val corpus = new java.io.File(dir, "documents.parquet")
+      val k1 = Dedup.stagingGenKey(corpus, "params:vX")
+      // params change -> new generation (the hand-bump path still works)
+      assert(Dedup.stagingGenKey(corpus, "params:vY") != k1)
+      // stable within a JVM/build: the same inputs give the same key
+      assert(Dedup.stagingGenKey(corpus, "params:vX") == k1)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("generation key sees same-length same-mtime content rewrites") {
     // the (length, mtime) key alone is blind to a corpus regenerated
     // in place with identical byte length inside the FS mtime

@@ -96,4 +96,37 @@ class ReplayStagingSpec extends AnyFunSuite {
         .select("id").as[Long].head() == -1L)
     } finally EventStream.purgeStaging()
   }
+
+  test("replay dir cache: build once, byte-identical re-materialization " +
+      "with fresh ordered mtimes, surviving purgeStaging") {
+    import spark.implicits._
+    val key = s"replay_spec_dir_${System.nanoTime()}" // JVM-unique key
+    val base = spark.range(0, 120).select(col("id"), (col("id") % 5).as("v"))
+    var builds = 0
+    def build(): String = {
+      builds += 1
+      EventStream.stageReplay(Seq(
+        base.filter(col("id") < 60), base.filter(col("id") >= 60)))
+    }
+    val s1 = EventStream.stageReplayCached(key)(build())
+    // the per-gate staging dirs are purged between gates; the cache
+    // must survive that and re-materialize without rebuilding
+    EventStream.purgeStaging()
+    val s2 = EventStream.stageReplayCached(key)(build())
+    val s3 = EventStream.stageReplayCached(key)(build())
+    try {
+      assert(builds == 1, s"expected exactly one build, got $builds")
+      assert(s2 != s1 && s3 != s2, "cache hits must land fresh staging dirs")
+      for (s <- Seq(s2, s3)) {
+        val fs = files(s)
+        assert(fs.size == 2, s"expected 2 staged files, got ${fs.map(_.getName)}")
+        // replay order is re-applied on every materialization
+        assert(fs.map(_.lastModified).sliding(2).forall(w => w(0) < w(1)))
+        // slot contents are byte-identical to the cached build
+        val got = spark.read.parquet(s).select("id").as[Long].collect().sorted
+        assert(got.sameElements(Array.range(0, 120).map(_.toLong)))
+        assert(spark.read.parquet(fs.head.getAbsolutePath).count() == 60)
+      }
+    } finally EventStream.purgeStaging()
+  }
 }
