@@ -353,9 +353,21 @@ object Bench {
     // swallow-and-report like the artifact write above: a bad path must
     // not crash Bench AFTER the full run completed and lose the stdout
     // JSON line the driver reads.
+    // candidate-funnel census (scaling observability, r11 verdict #4):
+    // computed only for SPARK_GRAFT_CAND_STATS runs (tools/scaling.py),
+    // after every timed pass — extra jobs, never inside a timing window
+    val funnelJson: String =
+      if (!sys.env.get("SPARK_GRAFT_CAND_STATS").contains("1")) ""
+      else try {
+        val (cands, surv, ver) =
+          graft.operators.Dedup.containmentFunnel(spark, sfDir)
+        s""","containment_funnel":{"cand_pairs":$cands,"ub_survivors":$surv,"verified":$ver}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] containment funnel failed: $e"); ""
+      }
     try sys.env.get("SPARK_GRAFT_OUT").foreach { p =>
       val w = new java.io.PrintWriter(p)
-      try w.println(s"""{"metric":"total","value":${fmt(okResults.values.sum)},"unit":"sec","n":${okResults.size},"canary_version":$canaryVersion,"canary_sec":${fmt(canary)},"canary_rows":$canaryRows,"canary_shuffle_sec":${fmt(canaryShuffle)},"canary_shuffle_rows":$canaryShuffleRows,"staging_build_sec":$stagingJson,"errors":$errJson,"queries":$full,"sf":"${sfDir.split('/').last}"}""")
+      try w.println(s"""{"metric":"total","value":${fmt(okResults.values.sum)},"unit":"sec","n":${okResults.size},"canary_version":$canaryVersion,"canary_sec":${fmt(canary)},"canary_rows":$canaryRows,"canary_shuffle_sec":${fmt(canaryShuffle)},"canary_shuffle_rows":$canaryShuffleRows,"staging_build_sec":$stagingJson$funnelJson,"errors":$errJson,"queries":$full,"sf":"${sfDir.split('/').last}"}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] SPARK_GRAFT_OUT write failed: $e")

@@ -1945,25 +1945,9 @@ object Dedup {
   private def containmentJoinFromParts(ranked: DataFrame,
       docToks: DataFrame, num: Long, den: Long,
       probePred: Column): DataFrame = {
-    // A-side prefix: rn <= na - ceil(t*na) + 1  ⟺  den*(rn-1) <= (den-num)*na
-    val probe = ranked
-      .filter(probePred)
-      .filter(lit(den) * (col("rn") - 1) <= lit(den - num) * col("sz"))
-      .select(col("tid"), col("doc_id").as("da"), col("sz").as("na"),
-        col("rn").as("rna"))
-    val index = ranked
-      .select(col("tid").as("tid2"), col("doc_id").as("db"), col("sz").as("nb"),
-        col("rn").as("rnb"))
-    // position filter, containment form (see setSimJoin): overlap
-    // <= 1 + min(na-rna, nb-rnb) yet must reach ceil(num/den·na);
-    // prunes inside the join, before the candidate shuffle, and the
-    // earliest-shared-token argument keeps it lossless
-    val cand = probe.join(index, col("tid") === col("tid2")
-        && col("da") =!= col("db")
-        && lit(den) * col("nb") >= lit(num) * col("na")
-        && lit(den) * (lit(1L) + least(col("na") - col("rna"),
-          col("nb") - col("rnb"))) >= lit(num) * col("na"))
-      .select("da", "db").distinct()
+    // probe-prefix/index join + per-pair positional UB prune — see
+    // containmentCandidateFrames for the dataflow and the bound proof
+    val (_, cand) = containmentCandidateFrames(ranked, num, den, probePred)
     import graft.functions.SortedIntersectCount.sorted_intersect_count
     cand
       .join(docToks.select(col("doc_id").as("da"), col("toks").as("ta")), "da")
@@ -1973,6 +1957,79 @@ object Dedup {
       .select(col("da"), col("db"), col("inter_cnt"),
         size(col("ta")).cast("long").as("na"),
         size(col("tb")).cast("long").as("nb"))
+  }
+
+  /** Candidate funnel of the containment join: an EXTENDED rare-token
+    * probe prefix whose per-pair HIT COUNT refutes far-from-threshold
+    * candidates before the expensive array-fetch verify (the r11
+    * verdict's steepest-scaler item: residual growth was candidate
+    * volume reaching the verify).
+    *
+    * The minimal PPJoin prefix (na − ceil(t·na) + 1 rarest tokens)
+    * guarantees recall with a single hit, so hit counts over it prune
+    * nothing (every candidate has ≥ 1 hit by construction), and the
+    * classic positional upper bounds are vacuous in the containment
+    * direction — prefix tokens are globally RARE, so they sit early in
+    * B's rank order too and nb − max(rnb) almost never binds (measured
+    * at sf0.1: 1.56 M candidates, 0 pruned). Count filtering over a
+    * DOUBLED prefix is what works: probe with A's first
+    * P = min(na, 2·(na − ceil(t·na)) + 1) rarest tokens; a true pair
+    * misses at most slack = na − ceil(t·na) tokens of A ANYWHERE, so
+    * at least P − slack of the probed tokens must hit B — candidates
+    * sharing only a few rare tokens (the false bulk) fall short and
+    * never reach the verify. Lossless: the bound needs every shared
+    * probed token to produce a hit row, which is exactly why the
+    * per-hit positional condition (valid only for the earliest shared
+    * token) must NOT sit in this join — it would undercount hits and
+    * drop true pairs. The verify is unchanged, so output stays
+    * bit-identical; only its input shrinks. Returns (all aggregated
+    * candidates, count-filter survivors) so the funnel is countable
+    * ([[containmentFunnel]] publishes it per SF via tools/scaling.py). */
+  private def containmentCandidateFrames(ranked: DataFrame, num: Long,
+      den: Long, probePred: Column): (DataFrame, DataFrame) = {
+    // doubled A-side prefix: rn <= 2*(na - ceil(t*na)) + 1
+    //   ⟺  den*(rn-1) <= 2*(den-num)*na
+    val probe = ranked
+      .filter(probePred)
+      .filter(lit(den) * (col("rn") - 1) <= lit(2L * (den - num)) * col("sz"))
+      .select(col("tid"), col("doc_id").as("da"), col("sz").as("na"))
+    val index = ranked
+      .select(col("tid").as("tid2"), col("doc_id").as("db"), col("sz").as("nb"))
+    val hits = probe.join(index, col("tid") === col("tid2")
+        && col("da") =!= col("db")
+        && lit(den) * col("nb") >= lit(num) * col("na"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("hits"), first(col("na")).as("na0"))
+    // ceil(num·na/den) as exact integer arithmetic on longs (values
+    // stay far below 2^53, so the double division is exact)
+    val ceilTna = floor((lit(num) * col("na0") + lit(den - 1)) / lit(den))
+      .cast("long")
+    val slack = col("na0") - ceilTna
+    val pLen = least(col("na0"), lit(2L) * slack + lit(1L))
+    val survivors = hits.filter(col("hits") >= pLen - slack)
+    (hits, survivors.select("da", "db"))
+  }
+
+  /** Candidate-pair census per funnel stage for the containment gate:
+    * (aggregated candidate pairs, UB survivors entering the verify,
+    * verified contained pairs) at the gate's probe restriction.
+    * Driver-side scalars only; published per SF in SCALING.json by
+    * tools/scaling.py so the gate's scaling curve can be read against
+    * its candidate volume (r11 verdict #4). */
+  private[graft] def containmentFunnel(spark: SparkSession,
+      dir: String): (Long, Long, Long) = {
+    val st = ensureCanonicalStaging(spark, dir)
+    val ranked = spark.read.parquet(st.resolve("ranked.parquet").toString)
+    val (hits, cand) = containmentCandidateFrames(ranked, containNum,
+      containDen, probePred = col("doc_id") % 10 === 0)
+    val docToks = spark.read.parquet(st.resolve("doctoks.parquet").toString)
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+    val verified = cand
+      .join(docToks.select(col("doc_id").as("da"), col("toks").as("ta")), "da")
+      .join(docToks.select(col("doc_id").as("db"), col("toks").as("tb")), "db")
+      .filter(lit(containDen) * sorted_intersect_count(col("ta"), col("tb")) >=
+        lit(containNum) * size(col("ta")))
+    (hits.count(), cand.count(), verified.count())
   }
 
   /** Gate form: delta-batch containment census — docs with

@@ -54,6 +54,12 @@ def run_bench(sf: str, out: str) -> None:
         "SPARK_GRAFT_ONLY": ",".join(GATES),
         "SPARK_GRAFT_OUT": out,
         "SPARK_GRAFT_CPUS": env.get("SPARK_GRAFT_CPUS", "32"),
+        # a REAL from-scratch staging build per SF (Bench evicts first),
+        # timed and dumped as staging_build_sec — the recurring
+        # per-corpus-generation cost is a SCALING row of its own
+        "SPARK_GRAFT_STAGE_FRESH": "1",
+        # containment candidate-funnel census per SF (r11 verdict #4)
+        "SPARK_GRAFT_CAND_STATS": "1",
     })
     subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],
@@ -84,9 +90,30 @@ def main() -> None:
         b = math.log(t["sf0.1"] / t["sf0.01"]) / math.log(10.0)
         rows.append({"gate": g, "times": t, "exp_10x": round(b, 2)})
 
+    # staging build cost per SF as first-class SCALING rows (the staged
+    # consumers scale flat by construction; the honest recurring cost is
+    # the producers' build, which Bench times fresh per SF under
+    # SPARK_GRAFT_STAGE_FRESH)
+    extras = {}
+    for sf in SFS:
+        with open(f"/tmp/scaling_{sf}.json") as f:
+            extras[sf] = json.load(f)
+    for fam in ("canon", "embpairs"):
+        t = {sf: extras[sf].get("staging_build_sec", {}).get(fam)
+             for sf in SFS}
+        b = None
+        if all(v is not None and v > 0 for v in t.values()):
+            b = round(math.log(t["sf0.1"] / t["sf0.01"]) / math.log(10.0), 2)
+        rows.append({"gate": f"staging_build_{fam}", "times": t, "exp_10x": b})
+    funnel = {sf: extras[sf].get("containment_funnel") for sf in SFS
+              if extras[sf].get("containment_funnel")}
+
     rows.sort(key=lambda r: -(r["exp_10x"] or 0))
+    doc = {"sfs": SFS, "rows": rows}
+    if funnel:
+        doc["containment_funnel"] = funnel
     with open("/root/repo/SCALING.json", "w") as f:
-        json.dump({"sfs": SFS, "rows": rows}, f, indent=1)
+        json.dump(doc, f, indent=1)
 
     print(f"{'gate':28s} {'sf0.001':>8s} {'sf0.01':>8s} {'sf0.1':>8s} {'exp':>5s}")
     for r in rows:
