@@ -60,6 +60,10 @@ object PlanDump {
     "stats_bcast_decision",  // engine-profile broadcast decision
     "stats_spearman",        // ranks from bounded dictionaries, no sort
     "train_eval",            // margin-dictionary confusion + AUC
+                             // (perceptron round joins now visible:
+                             // lazyPlans threads the training loop)
+    "dedup_canonical_incremental", // staged-index delta fold: prefix
+                             // join + verify + contracted star solve
     "sketch_hll_distinct",   // register build: one partial-agg shuffle
     "sketch_kmv_union",      // flagged min-k via TakeOrderedAndProject
     "aqp_uniform_sum",       // one-scan HT estimate + truth eval

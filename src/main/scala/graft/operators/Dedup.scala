@@ -446,35 +446,7 @@ object Dedup {
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      // each star step needs "min over u's neighborhood" NEXT TO every
-      // edge of u — that is one window (min over partition by u), not a
-      // groupBy + self-join back: the window pays a single u-keyed
-      // exchange where the join form paid three (agg exchange + both
-      // join sides), halving the per-round shuffle count. The trade is
-      // losing map-side partial aggregation — irrelevant here because
-      // the join form colocated every edge of u in one task anyway
-      // (identical skew exposure), so the window removes exchanges
-      // without concentrating anything new. Intermediate duplicates
-      // (two sources proposing the same directed edge) are left in
-      // place mid-round — min() is duplicate-blind — and removed once
-      // by the final distinct.
-      val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
-      // large-star over the symmetric closure
-      val sym = edges
-        .union(edges.select(col("v").as("u"), col("u").as("v")))
-      val ls = sym
-        .withColumn("m", least(min(col("v")).over(wU), col("u")))
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
-      // small-star on the directed (big -> small) edges
-      val next = ls
-        .withColumn("m", min(col("v")).over(wU))
-        .select(explode(array(
-          struct(col("u").as("a"), col("m").as("b")),
-          struct(col("v").as("a"), col("m").as("b")))).as("e"))
-        .select(col("e.a").as("u"), col("e.b").as("v"))
-        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      val next = starRound(edges).localCheckpoint()
       // fixpoint: the directed edge set stopped changing (size and
       // commutative hash-sum both stable — see sig above)
       val nextSig = sig(next)
@@ -483,13 +455,55 @@ object Dedup {
       edgeSig = nextSig
       iter += 1
     }
-    val labels = nodes.select(col("doc_id"))
+    val labels = starLabels(nodes, edges)
+    (labels, iter)
+  }
+
+  /** One large-star + small-star alternation round — the loop body of
+    * [[dupClustersStar]], factored out so the lazyPlans audit path can
+    * present a single round's COMPUTING plan (the per-round plan is
+    * identical every iteration, so one declarative round is exactly
+    * the shape the banned-operator scan must see).
+    *
+    * Each star step needs "min over u's neighborhood" NEXT TO every
+    * edge of u — that is one window (min over partition by u), not a
+    * groupBy + self-join back: the window pays a single u-keyed
+    * exchange where the join form paid three (agg exchange + both
+    * join sides), halving the per-round shuffle count. The trade is
+    * losing map-side partial aggregation — irrelevant here because
+    * the join form colocated every edge of u in one task anyway
+    * (identical skew exposure), so the window removes exchanges
+    * without concentrating anything new. Intermediate duplicates
+    * (two sources proposing the same directed edge) are left in
+    * place mid-round — min() is duplicate-blind — and removed once
+    * by the final distinct. */
+  private def starRound(edges: DataFrame): DataFrame = {
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    // large-star over the symmetric closure
+    val sym = edges
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val ls = sym
+      .withColumn("m", least(min(col("v")).over(wU), col("u")))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+    // small-star on the directed (big -> small) edges
+    ls
+      .withColumn("m", min(col("v")).over(wU))
+      .select(explode(array(
+        struct(col("u").as("a"), col("m").as("b")),
+        struct(col("v").as("a"), col("m").as("b")))).as("e"))
+      .select(col("e.a").as("u"), col("e.b").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** Final label readout over a (converged) directed edge set. */
+  private def starLabels(nodes: DataFrame, edges: DataFrame): DataFrame =
+    nodes.select(col("doc_id"))
       .join(edges.groupBy("u").agg(min("v").as("root")),
         col("doc_id") === col("u"), "left")
       .select(col("doc_id"),
         coalesce(col("root"), col("doc_id")).as("cluster_id"))
-    (labels, iter)
-  }
 
   /** Edge-count gate below which [[componentsAdaptive]] solves
     * connected components driver-side. Honest arithmetic at the cap:
@@ -570,6 +584,24 @@ object Dedup {
   private[operators] def componentsAdaptive(nodes: DataFrame,
       pairs: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
+    // lazyPlans (PlanAuditSpec/PlanDump): the adaptive solve is a
+    // count-gated ITERATION — both branches execute (an edge count, then
+    // either a driver union-find or checkpointed star rounds), so an
+    // audited gate would both run a full workload and present its
+    // heaviest joins as `Scan ExistingRDD` (the r10/r11 audit blind
+    // spot). Under the introspection conf, return ONE declarative star
+    // round + label readout instead: no count, no checkpoint, and the
+    // per-round plan — identical across iterations at runtime — is
+    // exactly the join shape the banned-operator scan must cover.
+    // lazyPlans is for plan inspection only, never executing gates, so
+    // the unconverged labels are never observed as results.
+    if (graft.Conf.lazyPlans(spark)) {
+      val edges = pairs
+        .select(greatest(col("da"), col("db")).as("u"),
+          least(col("da"), col("db")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      return starLabels(nodes, starRound(edges))
+    }
     if (pairs.count() <= localSolveMaxEdges(spark)) {
       val parent = new LongLongMap(1 << 14)
       def find(x0: Long): Long = {
@@ -1386,6 +1418,14 @@ object Dedup {
       deltaPred: Column, pref: DataFrame, docToks: DataFrame, num: Long,
       den: Long): DataFrame = {
     val spark = docs.sparkSession
+      // lazyPlans (PlanAuditSpec/PlanDump): the fold's internal eager
+      // localCheckpoints exist to cut lineage between the solve stages
+      // at runtime; under the introspection conf they would hide the
+      // fold's heaviest joins behind `Scan ExistingRDD` AND execute
+      // them during a plan-only audit — keep every stage lazy instead
+      // (componentsAdaptive contributes its own declarative round).
+      def ck(df: DataFrame): DataFrame =
+        if (graft.Conf.lazyPlans(spark)) df else df.localCheckpoint()
       // delta-touching candidates: delta prefixes vs the union prefix
       // frame via the shared PPJoin kernel (one home for the
       // length-ratio/position bounds — a tuning fix to prefJoin
@@ -1408,7 +1448,7 @@ object Dedup {
           col("canonical_id").as(to))
         if (fit) broadcast(s) else s
       }
-      val contracted = ok
+      val contracted0 = ok
         .join(lab("da", "la"), Seq("da"), "left")
         .join(lab("db", "lb"), Seq("db"), "left")
         .select(coalesce(col("la"), col("da")).as("u"),
@@ -1417,11 +1457,11 @@ object Dedup {
           greatest(col("u"), col("v")).as("db"))
         .filter(col("da") =!= col("db"))
         .distinct()
-        .localCheckpoint()
+      val contractedCk = ck(contracted0)
       val deltaIds = docs.filter(deltaPred).select(col("doc_id"))
       val nodes = baseLabels.select(col("canonical_id").as("doc_id"))
         .distinct().union(deltaIds)
-      val roots = componentsAdaptive(nodes, contracted).localCheckpoint()
+      val roots = ck(componentsAdaptive(nodes, contractedCk))
       def rootSide(from: String) = {
         val s = roots.select(col("doc_id").as(from),
           col("cluster_id").as("root"))
@@ -1433,8 +1473,7 @@ object Dedup {
         .select(col("doc_id"), col("root").as("canonical_id"))
         .union(deltaIds.join(rootSide("doc_id"), "doc_id")
           .select(col("doc_id"), col("root").as("canonical_id")))
-        .localCheckpoint()
-      withMemberCounts(labels)
+      withMemberCounts(ck(labels))
   }
 
   /** STAGING LIFECYCLE operator — the stored-artifact convention every
@@ -1535,8 +1574,23 @@ object Dedup {
     val tmp = root.resolve(
       s"$family-$pathKey-$genKey.build-${java.util.UUID.randomUUID}")
     Files.createDirectories(tmp)
+    // A staging build MATERIALIZES persisted artifacts, so it must
+    // never run under the plan-introspection conf: lazyPlans reroutes
+    // iterative internals (componentsAdaptive's one-round audit shape,
+    // the perceptron's single lazy round) that are correct for plan
+    // inspection but WRONG as results. An audit that triggers a
+    // (re)build — PlanDump constructing a staged-consumer gate right
+    // after a recompile bumped the logic fingerprint — would otherwise
+    // persist unconverged labels into base_labels.parquet and poison
+    // every later runtime read of this generation.
+    def buildEager(dir: java.nio.file.Path): Unit =
+      org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(s) => graft.Conf.withConf(s,
+          "spark.graft.internal.lazyPlans", "false") { build(dir) }
+        case None => build(dir)
+      }
     try {
-      build(tmp)
+      buildEager(tmp)
       Files.createFile(tmp.resolve("_DONE"))
       try Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileSystemException =>

@@ -621,7 +621,15 @@ object TrainPrep {
         .agg(coalesce(sum(col("w")), lit(0L)).as("m"))
     }
     var w: Option[DataFrame] = None
-    for (_ <- 1 to perceptronRounds) {
+    // lazyPlans (PlanAuditSpec/PlanDump): one LAZY round instead of
+    // perceptronRounds checkpointed ones — the per-round plan (feats
+    // broadcast-join model, misfit agg, full-outer weight merge) is
+    // identical every round, so a single declarative round is exactly
+    // the join shape the audit must see, without executing the
+    // training loop or hiding it behind `Scan ExistingRDD`.
+    val lazyAudit = graft.Conf.lazyPlans(spark)
+    val rounds = if (lazyAudit) 1 else perceptronRounds
+    for (_ <- 1 to rounds) {
       val mis = margins(w).filter(col("y") * col("m") <= 0)
         .select("doc_id", "y")
       val delta = feats.join(mis.select("doc_id"), "doc_id")
@@ -634,7 +642,7 @@ object TrainPrep {
               .as("w"))
       }
       // bucket-bounded frame; checkpoint truncates the per-round plan
-      w = Some(next.localCheckpoint())
+      w = Some(if (lazyAudit) next else next.localCheckpoint())
     }
     // checkpoint-then-release (CacheHygieneSpec): one row per doc out;
     // the presence-pair frame must not outlive the call
