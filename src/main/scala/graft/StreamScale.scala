@@ -131,11 +131,33 @@ object StreamScale {
           graft.Tables.load(spark, big, "documents")
             .select(col("doc_id"), col("text")),
           Some(wFix), batchIdWidth = Some(wFix)))
+      // watermark/keyed-state gates (r11 verdict #2): same long frame —
+      // fixed rate, same user population, 10× span — through the
+      // fixed-width sliced-replay variants (HistorySweep scaladoc has
+      // the per-operator eviction arguments; HistorySweepSpec pins each
+      // variant's output equal to its gate's)
+      import graft.streaming.HistorySweep
+      def hist(tag: String)(f: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame) = Seq(
+        "short" -> measure(s"$tag short")(f(ev)),
+        "long" -> measure(s"$tag long")(f(longEv)))
       Seq(
         "stream_dedup_watermarked_history" ->
           Seq("short" -> wmShort, "long" -> wmLong),
         "stream_neardup_ttl_history" ->
-          Seq("short" -> ndShort, "long" -> ndLong))
+          Seq("short" -> ndShort, "long" -> ndLong),
+        "stream_sessionize_history" -> hist("stream_sessionize_history")(
+          HistorySweep.sessionizeHistoryOn(spark, _)),
+        "stream_stream_join_history" -> hist("stream_stream_join_history")(
+          HistorySweep.streamStreamHistoryOn(spark, _, "inner")),
+        "stream_stream_left_history" -> hist("stream_stream_left_history")(
+          HistorySweep.streamStreamHistoryOn(spark, _, "leftOuter")),
+        "stream_stream_full_history" -> hist("stream_stream_full_history")(
+          HistorySweep.streamStreamHistoryOn(spark, _, "fullOuter")),
+        "stream_pattern_match_history" -> hist("stream_pattern_match_history")(
+          HistorySweep.patternHistoryOn(spark, _)),
+        "stream_asof_history" -> hist("stream_asof_history")(
+          HistorySweep.asofHistoryOn(spark, _)))
     }
     StreamMetrics.enabled = false
     def fmt(v: Double): String = f"$v%.2f"
