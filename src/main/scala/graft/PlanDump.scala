@@ -55,7 +55,8 @@ object PlanDump {
     "ts_rolling_slope",      // five integer moments, one window pass
     "behavior_seq_support",  // min-ts pre-agg before alphabet fan-out
     "asof_join_nearest",     // two merge scans + row-wise argmin
-    "graph_pagerank",        // checkpointed edges, unrolled iteration
+    "graph_pagerank",        // edge build + unrolled iteration (edges
+                             // checkpointed at runtime, lazy in audit)
     "multimodal_phash_pairs", // real aHash + 16-bit band equi-join
     "stats_bcast_decision",  // engine-profile broadcast decision
     "stats_spearman",        // ranks from bounded dictionaries, no sort

@@ -130,14 +130,17 @@ object Sketches {
     * At 100 TB neither A nor B is ever shuffled whole, and the same
     * merged sketch answers any boolean combination of the flags. */
   def kmvUnion(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables.load(spark, dir, "lineitem")
+    val g0 = Tables.load(spark, dir, "lineitem")
       .filter(col("l_returnflag").isin("A", "N"))
       .selectExpr(s"${h2Expr("l_orderkey")} AS h2", "l_returnflag AS rf")
       .selectExpr(s"$finSpark AS hv", "rf")
       .groupBy("hv")
       .agg(max(when(col("rf") === "A", 1L).otherwise(0L)).as("in_a"),
         max(when(col("rf") === "N", 1L).otherwise(0L)).as("in_b"))
-      .localCheckpoint(true) // ndv(A∪B)-sized; sketch + truth both read it
+    // ndv(A∪B)-sized; sketch + truth both read it — checkpointed at
+    // runtime, lazy under the plan-introspection conf (the audit must
+    // see the register build, not `Scan ExistingRDD`, and not run it)
+    val g = if (graft.Conf.lazyPlans(spark)) g0 else g0.localCheckpoint(true)
     // same constant-key combine as kmvDistinct — hash join, no cartesian
     val s = g.orderBy("hv").limit(k)
       .agg(count(lit(1)).as("k_eff"), max("hv").as("kth_hash"),

@@ -100,7 +100,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * no `Scan ExistingRDD` anywhere, which is what an eager internal
     * checkpoint would leave behind. */
   private val deepAuditVisible = Seq(
-    "dedup_canonical_incremental", "train_eval", "train_perceptron")
+    "dedup_canonical_incremental", "train_eval", "train_perceptron",
+    "graph_pagerank", "sketch_kmv_union")
 
   for (name <- deepAuditVisible) {
     test(s"$name exposes its internal join stages to the audit") {
