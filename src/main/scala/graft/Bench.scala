@@ -373,9 +373,20 @@ object Bench {
       System.err.println(s"[bench] SPARK_GRAFT_OUT write failed: $e")
     }
     val qs = toJson(okResults.view.filterKeys(headline).toMap, identity)
+    // Spreads in the STDOUT line too: the driver's round artifact is
+    // built from this line under a bounded capture, so "spread < N s"
+    // done-criteria must be adjudicable from the DRIVER artifact, not
+    // only from the committed BENCH_FULL.json (r11 verdict #3 — three
+    // rounds of narration-based adjudication). Kept compact — the 16
+    // slowest headline gates, where every such criterion has lived —
+    // and placed BEFORE the queries map so a head-bounded capture
+    // cannot cut it; the full 313-gate map stays in BENCH_FULL.json.
+    val spreadWatch = okResults.view.filterKeys(headline).toSeq
+      .sortBy(-_._2).take(16).map(_._1)
+      .flatMap(k => spreads.get(k).map(k -> _)).toMap
     val total = if (okResults.nonEmpty) okResults.values.sum else 0.0
     val sfTag = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${okResults.size},"canary_version":$canaryVersion,"canary_sec":${fmt(canary)},"canary_rows":$canaryRows,"canary_shuffle_sec":${fmt(canaryShuffle)},"canary_shuffle_rows":$canaryShuffleRows,"staging_sec":$stagingJson,"errors":$errJson,"queries":$qs,"sf":"$sfTag"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${okResults.size},"canary_version":$canaryVersion,"canary_sec":${fmt(canary)},"canary_rows":$canaryRows,"canary_shuffle_sec":${fmt(canaryShuffle)},"canary_shuffle_rows":$canaryShuffleRows,"staging_sec":$stagingJson,"errors":$errJson,"spread":${toJson(spreadWatch, identity)},"queries":$qs,"sf":"$sfTag"}""")
     spark.stop()
   }
 }
