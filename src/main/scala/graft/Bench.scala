@@ -32,6 +32,7 @@ object Bench {
     // reads, broadcast machinery) so per-query numbers measure the
     // queries, not JVM warmup
     try {
+      spark.sparkContext.setJobDescription("warmup")
       spark.range(1000).selectExpr("sum(id)").collect()
       SparkEntry.queries.get("core_records_per_group")
         .foreach(q => materialize(q(spark, sfDir)))
@@ -54,7 +55,21 @@ object Bench {
     def timedSec(work: => Unit): Double = {
       val t0 = System.nanoTime(); work; (System.nanoTime() - t0) / 1e9
     }
-    val stageFresh = sys.env.get("SPARK_GRAFT_STAGE_FRESH").contains("1")
+    // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run (driver sets
+    // only SF_DIR/CPUS, so driver rounds always measure everything)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // FULL runs always evict first (r12 measurement rule): a staged
+    // artifact surviving from a PREVIOUS invocation would make this
+    // run's consumer gates read intermediates this run never computed
+    // — every bench invocation must derive everything it measures from
+    // the parquet inputs. The rebuild is timed and published
+    // (staging_build_sec). SPARK_GRAFT_ONLY dev-loop subsets keep
+    // cross-run reuse: their numbers are scratch, and a per-iteration
+    // rebuild would bury the gate being iterated on.
+    val stageFresh =
+      only.isEmpty || sys.env.get("SPARK_GRAFT_STAGE_FRESH").contains("1")
+    spark.sparkContext.setJobDescription("staging: canonical corpus artifacts")
     val stagingCanonSec =
       try {
         if (stageFresh)
@@ -65,6 +80,7 @@ object Bench {
           s"timed consumer gate will absorb a full rebuild: $e")
         -1.0
       }
+    spark.sparkContext.setJobDescription("staging: embedding pair table")
     val stagingEmbedSec =
       try {
         if (stageFresh)
@@ -75,12 +91,9 @@ object Bench {
           s"timed consumer gate will absorb a full rebuild: $e")
         -1.0
       }
+    spark.sparkContext.setJobDescription(null)
     val stagingJson =
       s"""{"canon":${f"$stagingCanonSec%.2f"},"embpairs":${f"$stagingEmbedSec%.2f"}}"""
-    // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run (driver sets
-    // only SF_DIR/CPUS, so driver rounds always measure everything)
-    val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Host-speed canaries (fixed microbenchmarks, min of 3 each):
     // published in both JSON artifacts so driver-vs-builder wall-clock
     // deltas can be NORMALIZED against measured host throughput instead
@@ -114,6 +127,7 @@ object Bench {
         work
         (System.nanoTime() - t0) / 1e9
       }.min
+    spark.sparkContext.setJobDescription("canary:cpu")
     val canary = minOf3 {
       spark.range(canaryRows).selectExpr("sum(id % 1000)").collect(); ()
     }
@@ -125,6 +139,7 @@ object Bench {
     // dirs and page cache the suite's wide exchanges use. Tracks
     // disk/FS contention; compare like-rows canaries only.
     val canaryShuffleRows = 100000000L
+    spark.sparkContext.setJobDescription("canary:shuffle")
     val canaryShuffle = minOf3 {
       spark.range(canaryShuffleRows)
         .select(col("id"),
@@ -145,6 +160,9 @@ object Bench {
     // the old catch timed the failure.
     def pass(names: Seq[String]): Map[String, Double] = names.iterator.map { name =>
       val fn = benched(name)
+      // UI/event-log attribution only (guide: label your jobs) — a
+      // thread-local string set outside the timed window's hot path
+      spark.sparkContext.setJobDescription(s"gate:$name")
       val t0 = System.nanoTime()
       val ok =
         try { materialize(fn(spark, sfDir)); true }
@@ -153,6 +171,7 @@ object Bench {
           false
         }
       val secs = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      spark.sparkContext.setJobDescription(null)
       // queries persist intermediates (shingles, tf) scoped to their own
       // run; drop them so later queries aren't timed under the memory
       // pressure of earlier ones

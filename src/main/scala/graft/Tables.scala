@@ -38,6 +38,62 @@ object Tables {
       s"events.ts has unsupported physical type $other; extend Tables.tsNormalizer")
   }
 
+  /** Adaptive scan fan-out (optimization guide §2.5, "input skew: one
+    * huge unsplittable file"): a parquet ROW GROUP is the split atom,
+    * and this corpus ships one single-row-group file per table — so a
+    * scan plans as ONE task and every per-row expression downstream
+    * (tokenize / shingle / sketch hashing / vector math) runs serially
+    * no matter how many cores the session has. Redistribute to the
+    * session's parallelism by a deterministic hash key BEFORE the
+    * expensive expressions. Guarded: a no-op whenever the scan already
+    * yields at least `defaultParallelism` splits — a real multi-file
+    * corpus at 100 TB takes the no-op branch, so this is never a
+    * constant exchange tax at scale. Hash (not round-robin) placement
+    * skips the sort-before-repartition pass and keeps row placement
+    * deterministic under task retry (SPARK-38388 discipline).
+    *
+    * Safe by construction: when the frame's logical plan already holds
+    * an exchange-introducing node (a prior repartition — fanout is
+    * idempotent — or a join/aggregate/window/sort), it no-ops WITHOUT
+    * touching `.rdd`, because probing the partition count of such a
+    * frame would eagerly execute its shuffle stages under AQE. The
+    * `.rdd` probe only ever runs on scan/filter/project-shaped frames,
+    * where it is pure planning. */
+  def fanout(df: DataFrame, key: Column): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val cp = df.queryExecution.logical
+    val hasExchangeish = cp.exists {
+      case _: RepartitionOperation | _: Join | _: Aggregate | _: Window |
+          _: Sort | _: Distinct | _: GlobalLimit => true
+      case _ => false
+    }
+    if (hasExchangeish) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
+      // Pushdown barrier — an always-TRUE predicate (partition ids are
+      // non-negative) whose nondeterministic flag stops
+      // PushPredicateThroughNonJoin from sinking consumer filters
+      // through the fan-out exchange back into the single-task scan:
+      // without it, Catalyst alias-substitutes derived-column filters
+      // (size(split(text))-style) below the repartition and the
+      // expensive expressions run serially again — observed on
+      // curate_joint, where the whole gain vanished into a 2.4 s
+      // one-task Filter(2) under Exchange(3). Scan-level pushdown
+      // loses nothing here: this branch runs only when the file is a
+      // single split, where row-group skipping cannot skip anything.
+      .where(spark_partition_id() >= 0)
+  }
+
+  // NOTE (r12): fanout is deliberately OPT-IN at the call site, not
+  // blanket here. A blanket documents/embeddings fan-out was measured
+  // and REVERTED: single-pass expression-heavy pipelines gained
+  // 30-50%, but ITERATIVE consumers (graph solves, adaptive label
+  // propagation) re-execute their input lineage once per round and
+  // paid the exchange + barrier each time — graph_label_prop /
+  // graph_modularity ran ~2x slower. Heavy single-pass pipelines call
+  // [[fanout]] explicitly; cheap projections and iterative vertex
+  // frames read the raw scan.
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // harmless when ts is already a timestamp; required to read the
@@ -47,6 +103,17 @@ object Tables {
       raw.withColumn("ts", tsNormalizer(raw.schema("ts").dataType))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Fanned documents load for single-pass expression-heavy pipelines
+    * (tokenize / shingle / sketch hashing): [[fanout]] applied at the
+    * scan. Iterative consumers (graph solves re-executing lineage per
+    * round) keep `load` — see the note there. */
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    fanout(load(spark, dir, "documents"), col("doc_id"))
+
+  /** Fanned embeddings load — the [[docs]] twin for vector math. */
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    fanout(load(spark, dir, "embeddings"), col("vec_id"))
 
   /** Events with a time filter applied on the RAW `ts` column, before
     * any conversion. Filtering after a conversion defeats parquet

@@ -41,7 +41,7 @@ object TextAnalysis {
   /** Token counting: total tokens, distinct tokens, chars. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
-    Tables.load(spark, dir, "documents").select(
+    Tables.docs(spark, dir).select(
       col("doc_id"),
       size(t).cast("long").as("n_tokens"),
       size(array_distinct(t)).cast("long").as("n_distinct"),
@@ -68,7 +68,7 @@ object TextAnalysis {
   def tokensBpe(spark: SparkSession, dir: String): DataFrame = {
     val matches = regexp_extract_all(col("text"), lit(bpeLikePattern), lit(0))
     val words = tokens(col("text"))
-    Tables.load(spark, dir, "documents").select(
+    Tables.docs(spark, dir).select(
       col("doc_id"),
       size(matches).cast("long").as("n_bpe"),
       size(words).cast("long").as("n_words"),
@@ -99,7 +99,7 @@ object TextAnalysis {
     * plan audit bans, and a separate count() action would re-scan the
     * corpus for one scalar. */
   def cooccurrence(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.docs(spark, dir)
     def d14(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(14, 0))
     val toks = docs.select(explode(tokens(col("text"))).as("w"))
     // total-token count rides the vocabulary-bounded global window
@@ -129,7 +129,7 @@ object TextAnalysis {
     val nTok = size(t).cast("long")
     val stopCnt = hits(t, stopEn)
     val charSum = aggregate(t, lit(0L), (acc, x) => acc + length(x))
-    Tables.load(spark, dir, "documents").select(
+    Tables.docs(spark, dir).select(
       col("doc_id"),
       nTok.as("n_tokens"),
       stopCnt.as("stop_cnt"),
@@ -145,7 +145,7 @@ object TextAnalysis {
     val t = tokens(col("text"))
     val (en, es, de, fr) =
       (hits(t, stopEn), hits(t, stopEs), hits(t, stopDe), hits(t, stopFr))
-    Tables.load(spark, dir, "documents").select(
+    Tables.docs(spark, dir).select(
       col("doc_id"), col("lang").as("lang_label"),
       en.as("s_en"), es.as("s_es"), de.as("s_de"), fr.as("s_fr"),
       when(en + es + de + fr === 0, "und")
@@ -167,7 +167,7 @@ object TextAnalysis {
     val t = tokens(col("text"))
     val fp = aggregate(transform(t, tokenTerm _), lit(0L),
       (acc, term) => (acc * 31 + term) % 1000000007L)
-    Tables.load(spark, dir, "documents")
+    Tables.docs(spark, dir)
       .select(col("doc_id"), fp.as("fingerprint"))
   }
 
@@ -251,7 +251,7 @@ object TextAnalysis {
   def winnowing(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (k, w) = (winnowK, winnowW)
-    Tables.load(spark, dir, "documents")
+    Tables.docs(spark, dir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -303,7 +303,7 @@ object TextAnalysis {
     * split array, aggregation is map-side-partial counts, and the
     * top-k is a TakeOrderedAndProject — no global sort. */
   def termFreq(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.docs(spark, dir)
       .select(explode(tokens(col("text"))).as("term"))
       .groupBy("term")
       .agg(count(lit(1)).as("cnt"))
@@ -322,7 +322,7 @@ object TextAnalysis {
   def tfIdf(spark: SparkSession, dir: String): DataFrame = {
     // tf feeds both the score join and the df aggregation; persist so
     // the token explode + (doc, term) aggregation runs once
-    val tf = Tables.load(spark, dir, "documents")
+    val tf = Tables.docs(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
@@ -357,7 +357,7 @@ object TextAnalysis {
       " +", " "))
 
   def textClean(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.docs(spark, dir)
       .select(col("doc_id"), cleanText(col("text")).as("clean_text"))
 
   /** Repetition detection (the duplicate-n-gram family of pretraining
@@ -367,7 +367,7 @@ object TextAnalysis {
     * ratio is a single division of exact counts — deterministic. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.shingleRows(
-        Tables.load(spark, dir, "documents"))
+        Tables.docs(spark, dir))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         countDistinct(col("g")).as("n_distinct"))
@@ -397,7 +397,7 @@ object TextAnalysis {
       when(rStop, 3L).otherwise(0L) +
       when(rDiv, 2L).otherwise(0L) +
       when(rTokLen, 1L).otherwise(0L)
-    Tables.load(spark, dir, "documents")
+    Tables.docs(spark, dir)
       .select(col("doc_id"), score.as("score"), (score >= 6L).as("keep"))
   }
 
@@ -441,7 +441,7 @@ object TextAnalysis {
     val rSymbol = symCnt * 10L <= nTok
     val rAlpha = alphaCnt * 5L >= nTok * 4L
     val rStops = stopDis >= gopherMinStops
-    Tables.load(spark, dir, "documents").select(
+    Tables.docs(spark, dir).select(
       col("doc_id"), nTok.as("n_tok"),
       rCount.as("r_count"), rWordLen.as("r_word_len"),
       rSymbol.as("r_symbol"), rAlpha.as("r_alpha"), rStops.as("r_stops"),
@@ -479,7 +479,7 @@ object TextAnalysis {
       lit(".net or 555-"),
       lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
       lit("-0199 from 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"))
-    Tables.load(spark, dir, "documents")
+    Tables.docs(spark, dir)
       .withColumn("pii_text", pii)
       .select(col("doc_id"),
         size(regexp_extract_all(col("pii_text"), lit(emailRe), lit(0)))
@@ -509,7 +509,7 @@ object TextAnalysis {
   def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("term")).orderBy(col("doc_id"))
-    Tables.load(spark, dir, "documents")
+    Tables.docs(spark, dir)
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("term"))
       .withColumn("rn", row_number().over(w))
@@ -539,7 +539,7 @@ object TextAnalysis {
     * 1-row broadcast, and every aggregate is algebraic — two shuffles
     * total regardless of corpus size. */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.load(spark, dir, "documents")
+    val tf = Tables.docs(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
@@ -580,7 +580,7 @@ object TextAnalysis {
     * (w1, w2) pairs — Zipf-skewed like all token keys; the salting
     * note on [[tfIdf]] applies identically. */
   def lmBigramScore(spark: SparkSession, dir: String): DataFrame = {
-    val bg = Tables.load(spark, dir, "documents")
+    val bg = Tables.docs(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -590,17 +590,27 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vocabV: Long = Tables.load(spark, dir, "documents")
+    // vocab size as a broadcast 1-row frame inside the ONE action
+    // (was a separate driver-collect pass scheduled before the scoring
+    // DAG; the tokenize work is identical, the extra action is not).
+    // NOT derivable from bg: single-token docs contribute vocabulary
+    // but no bigram rows.
+    val vocab = Tables.docs(spark, dir)
       .select(explode(tokens(col("text"))).as("w"))
-      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+      .agg(countDistinct(col("w")).as("vocab_v"))
+      // non-foldable always-zero key (pmod of a data column): a literal
+      // key would be constant-folded into a nested-loop cross join
+      .withColumn("_k", pmod(col("vocab_v"), lit(1L)))
     val cb = bg.groupBy("w1", "w2").agg(sum("tf").as("cb"))
     val cp = bg.groupBy("w1").agg(sum("tf").as("cp"))
     // checkpoint-then-release (CacheHygieneSpec)
     graft.Conf.checkpointThenRelease(
       bg.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
+        .withColumn("_k", pmod(col("tf"), lit(1L)))
+        .join(broadcast(vocab), "_k")
         .groupBy("doc_id")
         .agg(sum(col("tf")).as("n_bigrams"),
-          sum(col("tf") * (flog2(col("cp") + lit(vocabV))
+          sum(col("tf") * (flog2(col("cp") + col("vocab_v"))
             - flog2(col("cb") + 1))).as("bits"))
         .select(col("doc_id"), col("n_bigrams"), col("bits"),
           (col("bits").cast("double") / col("n_bigrams").cast("double"))
@@ -617,7 +627,7 @@ object TextAnalysis {
     * shuffle is the (doc, char) hash-agg — distinct chars per doc is
     * bounded by the alphabet, so the combine crushes the volume. */
   def charEntropy(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.docs(spark, dir)
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(text, '.', 0)")).as("ch"))
       .groupBy("doc_id", "ch")
@@ -662,7 +672,7 @@ object TextAnalysis {
     * [[bpeTrain]]). */
   private def bpeLoop(spark: SparkSession, dir: String)
       : (DataFrame, Seq[(Long, String, String, Long)]) = {
-    var vocab = Tables.load(spark, dir, "documents")
+    var vocab = Tables.docs(spark, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .withColumn("s", regexp_replace(col("w"), "(.)", "_$1_"))
@@ -720,7 +730,7 @@ object TextAnalysis {
     val (vocab, _) = bpeLoop(spark, dir)
     val sub = vocab.select(col("w"),
       size(split(expr("btrim(s, '_')"), "__")).cast("long").as("n_sub"))
-    Tables.load(spark, dir, "documents")
+    Tables.docs(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       .join(sub, "w")
@@ -748,7 +758,7 @@ object TextAnalysis {
     * single tokens. */
   def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
     val hit = col("tok").isin(blockedTerms: _*)
-    graft.Tables.load(spark, dir, "documents")
+    graft.Tables.docs(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id")
       .agg(
@@ -774,7 +784,7 @@ object TextAnalysis {
     * distinction of the Jaccard verifier — never a gram self-join). */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val g = graft.operators.Dedup
-      .shingleRows(graft.Tables.load(spark, dir, "documents"))
+      .shingleRows(graft.Tables.docs(spark, dir))
       .distinct()
     val owners = g.groupBy("g").agg(min(col("doc_id")).as("owner"))
     g.join(owners, "g")

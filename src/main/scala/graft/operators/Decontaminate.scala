@@ -36,7 +36,7 @@ object Decontaminate {
     * document itself (so benchmark members aren't self-contaminated),
     * and the keep/flag boolean a curation pipeline would act on. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
-    report(Tables.load(spark, dir, "documents"))
+    report(Tables.docs(spark, dir))
 
   def report(docs: DataFrame): DataFrame = {
     val grams = Dedup.shingleRows(docs, ngramN).distinct()

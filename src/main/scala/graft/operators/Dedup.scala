@@ -49,7 +49,7 @@ object Dedup {
     * + lead()-window formulation was also codegen'd but paid a
     * doc_id-keyed sort exchange just to see adjacent tokens. */
   def shingleRows(docs: DataFrame, n: Int = 3): DataFrame =
-    docs
+    Tables.fanout(docs, col("doc_id")) // parallel shingling off 1-split scans
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= n)
       .select(col("doc_id"), col("t"),
@@ -691,7 +691,7 @@ object Dedup {
     * each feed bits 0..23 / 24..47): xxhash64-derived in production,
     * or two independent rolling hashes on the reproducible gate path. */
   def simhashSigs(docs: DataFrame, reproducible: Boolean = false): DataFrame = {
-    val exploded = docs
+    val exploded = Tables.fanout(docs, col("doc_id")) // parallel tokenize+hash
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val hashed =
       if (reproducible)
@@ -1056,7 +1056,7 @@ object Dedup {
       den: Long): (DataFrame, DataFrame, DataFrame, () => Unit) = {
     // tok feeds ranking, both verify arms, and sizes; persist beats
     // re-tokenizing four times (same reasoning as jaccardVerify's g)
-    val tok = docs
+    val tok = Tables.fanout(docs, col("doc_id")) // parallel tokenize
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -1529,7 +1529,13 @@ object Dedup {
           .parquet(tmp.resolve("doctoks.parquet").toString)
         // the threshold-independent df-ordered rank index (see
         // setSimPartsFull) — the containment join cuts its asymmetric
-        // prefixes from this instead of re-ranking the corpus
+        // prefixes from this instead of re-ranking the corpus.
+        // (Write-side file splitting was tried for consumer scan
+        // parallelism and REVERTED: at these artifact sizes
+        // files-open-cost packing folds 32 files back into 1-2 splits,
+        // so readers gained nothing and the tiny-pair-table consumers
+        // paid per-file overhead; consumers that need parallel per-row
+        // work fan out after the read instead — see containmentQuery.)
         ranked.write.mode("overwrite")
           .parquet(tmp.resolve("ranked.parquet").toString)
         canonicalLabelsFromParts(
@@ -2073,7 +2079,9 @@ object Dedup {
   private[graft] def containmentFunnel(spark: SparkSession,
       dir: String): (Long, Long, Long) = {
     val st = ensureCanonicalStaging(spark, dir)
-    val ranked = spark.read.parquet(st.resolve("ranked.parquet").toString)
+    val ranked = Tables.fanout(
+      spark.read.parquet(st.resolve("ranked.parquet").toString),
+      col("doc_id")) // same fanned read as containmentQuery
     val (hits, cand) = containmentCandidateFrames(ranked, containNum,
       containDen, probePred = col("doc_id") % 10 === 0)
     val docToks = spark.read.parquet(st.resolve("doctoks.parquet").toString)
@@ -2103,8 +2111,17 @@ object Dedup {
     // tid arrays — see ensureCanonicalStaging): the gate times the
     // probe/index join + verify, not the corpus re-ranking
     val st = ensureCanonicalStaging(spark, dir)
+    // fan the rank-index read out (Tables.fanout): the staged artifact
+    // is 1-2 splits at this corpus size (file-open-cost packing), so
+    // without it the WHOLE candidate chain — prefix/index join, pair
+    // explosion, partial (da,db) agg — planned into one serial task
+    // downstream of the scan (2.3 s of this gate's 2.7 s, round-12
+    // profiling). Both the probe and index branches reuse ONE fanned
+    // exchange (ReusedExchange — identical subtrees).
     containmentJoinFromParts(
-      spark.read.parquet(st.resolve("ranked.parquet").toString),
+      Tables.fanout(
+        spark.read.parquet(st.resolve("ranked.parquet").toString),
+        col("doc_id")),
       spark.read.parquet(st.resolve("doctoks.parquet").toString),
       containNum, containDen, probePred = col("doc_id") % 10 === 0)
   }

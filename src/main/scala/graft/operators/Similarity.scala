@@ -945,7 +945,7 @@ object Similarity {
     * the tunable LSH trade). */
   def embedNearDupLsh(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorExpressions.{cosine_sim, dot_product}
-    val e = Tables.load(spark, dir, "embeddings")
+    val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asD(col("embedding")).as("v"))
     // loop-codegen'd dot against a literal hyperplane (an unrolled
     // per-element sum at 24 hyperplanes x 64 dims overflows Janino's

@@ -80,7 +80,7 @@ object TrainPrep {
           .otherwise("test"))
 
   def splitQuery(spark: SparkSession, dir: String): DataFrame =
-    splitAssign(Tables.load(spark, dir, "documents"), reproducible = true)
+    splitAssign(Tables.docs(spark, dir), reproducible = true)
 
   /** Cluster-safe split — the NEAR-dup upgrade of [[splitAssign]]'s
     * leakage guarantee: the content-keyed split keeps byte-identical
@@ -134,7 +134,7 @@ object TrainPrep {
   }
 
   def sampleQuery(spark: SparkSession, dir: String): DataFrame =
-    stratifiedSample(Tables.load(spark, dir, "documents"), "lang", sampleFrac)
+    stratifiedSample(Tables.docs(spark, dir), "lang", sampleFrac)
 
   // --- Weighted source mixture --------------------------------------------
 
@@ -158,7 +158,7 @@ object TrainPrep {
   }
 
   def mixQuery(spark: SparkSession, dir: String): DataFrame =
-    mixtureSample(Tables.load(spark, dir, "documents"), mixWeights, mixDefault)
+    mixtureSample(Tables.docs(spark, dir), mixWeights, mixDefault)
 
   // --- Token-budget sequence packing --------------------------------------
 
@@ -202,7 +202,7 @@ object TrainPrep {
   }
 
   def packQuery(spark: SparkSession, dir: String): DataFrame =
-    packSequences(Tables.load(spark, dir, "documents")).toDF()
+    packSequences(Tables.docs(spark, dir)).toDF()
 
   // --- Curation (the composed pipeline) -----------------------------------
 
@@ -226,7 +226,7 @@ object TrainPrep {
     val stopCnt = TextAnalysis.stopCount(t)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("content_hash")).orderBy(col("doc_id"))
-    Tables.load(spark, dir, "documents")
+    Tables.docs(spark, dir)
       .select(col("doc_id"), col("lang"),
         sha2(col("text"), 256).as("content_hash"),
         nTok.as("n_tokens"), stopCnt.as("stop_cnt"))
@@ -253,7 +253,7 @@ object TrainPrep {
     import graft.functions.TopK
     val topk = udaf(new TopK.TopKAgg(sourceCapK),
       org.apache.spark.sql.Encoders.product[TopK.Scored])
-    Tables.load(spark, dir, "documents")
+    Tables.docs(spark, dir)
       .select(col("source"), col("doc_id"),
         lcgRank(col("doc_id")).cast("double").as("pri"))
       .groupBy("source")
@@ -416,7 +416,7 @@ object TrainPrep {
       .limit(k)
 
   def weightedQuery(spark: SparkSession, dir: String): DataFrame =
-    weightedSample(Tables.load(spark, dir, "documents"))
+    weightedSample(Tables.docs(spark, dir))
 
   // --- Fixed-width stride chunking ----------------------------------------
 
@@ -452,7 +452,7 @@ object TrainPrep {
         array_join(col("chunk"), " ").as("chunk_text"))
 
   def chunkQuery(spark: SparkSession, dir: String): DataFrame =
-    chunkDocs(Tables.load(spark, dir, "documents"))
+    chunkDocs(Tables.docs(spark, dir))
 
   // --- DSIR importance scoring --------------------------------------------
 
@@ -495,7 +495,7 @@ object TrainPrep {
     * by tens of bits (the multimodal-decode pattern: deterministic
     * harness corpus for the behavior, real corpus for the plan). */
   def dsirScore(spark: SparkSession, dir: String): DataFrame =
-    dsirScoreDocs(Tables.load(spark, dir, "documents"))
+    dsirScoreDocs(Tables.docs(spark, dir))
 
   /** [[dsirScore]] over an explicit docs frame (doc_id, text, lang);
     * `targetLang` selects the target corpus. */
@@ -557,7 +557,7 @@ object TrainPrep {
     * a per-label rank window whose partitions are bounded by the class
     * count — corpus-linear with one shuffle pair. */
   def jointCurate(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+    val d = Tables.docs(spark, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_words"),
         length(regexp_replace(col("text"), " ", "")).cast("long")
@@ -604,7 +604,7 @@ object TrainPrep {
     * per-document final margin/prediction — it pins the whole weight
     * trajectory, not just the last argmax. */
   def perceptron(spark: SparkSession, dir: String): DataFrame = {
-    val feats = Tables.load(spark, dir, "documents")
+    val feats = Tables.docs(spark, dir)
       .select(col("doc_id"),
         when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
         explode(tokens(col("text"))).as("term"))
@@ -629,11 +629,23 @@ object TrainPrep {
     // training loop or hiding it behind `Scan ExistingRDD`.
     val lazyAudit = graft.Conf.lazyPlans(spark)
     val rounds = if (lazyAudit) 1 else perceptronRounds
-    for (_ <- 1 to rounds) {
-      val mis = margins(w).filter(col("y") * col("m") <= 0)
-        .select("doc_id", "y")
-      val delta = feats.join(mis.select("doc_id"), "doc_id")
-        .groupBy("b").agg(sum(col("y")).as("dw"))
+    for (round <- 1 to rounds) {
+      // Round 1 shortcut (algebraic, not approximate): with w = 0
+      // every margin is 0 and y·0 ≤ 0 marks EVERY document
+      // misclassified, so Δw = Σ_all-docs y per bucket — the margin
+      // join + doc-distinct pass computed only a constant. One full
+      // presence-pair pass removed from both perceptron gates. Kept
+      // under !lazyAudit so the audited single-round plan still shows
+      // the real per-round join shape.
+      val delta =
+        if (round == 1 && !lazyAudit)
+          feats.groupBy("b").agg(sum(col("y")).as("dw"))
+        else {
+          val mis = margins(w).filter(col("y") * col("m") <= 0)
+            .select("doc_id", "y")
+          feats.join(mis.select("doc_id"), "doc_id")
+            .groupBy("b").agg(sum(col("y")).as("dw"))
+        }
       val next = w match {
         case None => delta.select(col("b"), col("dw").as("w"))
         case Some(wf) => wf.join(delta, Seq("b"), "full_outer")
@@ -724,7 +736,7 @@ object TrainPrep {
     * `agg_percentiles` convention). Sources are few, so the group-by
     * is exchange-light; every other stat is algebraic. */
   def corpusReport(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.docs(spark, dir)
       .select(col("source"), col("lang"),
         size(tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy("source")
@@ -761,7 +773,7 @@ object TrainPrep {
     * one band-keyed exchange, one broadcast of the 101-row offsets. */
   def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
-    val d = Tables.load(spark, dir, "documents")
+    val d = Tables.docs(spark, dir)
       .select(col("doc_id"), size(t).cast("long").as("n_tokens"),
         TextAnalysis.stopCount(t).as("stop_cnt"))
       .withColumn("prio_q6", expr("1000000 * stop_cnt DIV n_tokens"))
@@ -807,7 +819,7 @@ object TrainPrep {
     * `sequence`/`explode` — output scales with the schedule, shuffles
     * scale with |sources|. */
   def upsample(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+    val d = Tables.docs(spark, dir)
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
     // |sources| rows — the global window below is bounded-frame
@@ -857,7 +869,7 @@ object TrainPrep {
     * filters are each linear-shuffle operators per their own SCALE.md
     * entries). */
   def pipelineQuery(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.docs(spark, dir)
     val survivors = Dedup.exactDedup(spark, dir)
       .select(col("keep_id").as("doc_id"))
     val clean = Decontaminate.report(docs)
@@ -891,7 +903,7 @@ object TrainPrep {
   def shuffleQuery(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
-    Tables.load(spark, dir, "documents")
+    Tables.docs(spark, dir)
       .select(col("doc_id"), lcgRank(col("doc_id")).as("skey"))
       // shard membership through lcgBucket, NOT skey % S: with the
       // 2^31 modulus, skey % 16 collapses to the affine (13·doc_id+9)

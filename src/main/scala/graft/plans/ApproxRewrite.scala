@@ -129,15 +129,20 @@ object ApproxRewrite extends Rule[LogicalPlan] {
         (q.head(), q.queryExecution.optimizedPlan.toString)
       }
     }
-    // exact references: one plain distinct+count per column (avoids the
-    // multi-distinct Expand plan), one exact percentile sweep at the
-    // rank-eps bounds; all bounded collects (single-row aggregates)
-    val exactPart = li.select(col("l_partkey")).distinct().count()
-    val exactSupp = li.select(col("l_suppkey")).distinct().count()
-    val bounds = li.agg(expr(
-      s"percentile(cents, array(${0.5 - PctlRankEps}, ${0.5 + PctlRankEps}, " +
-        s"${0.95 - PctlRankEps}, ${0.95 + PctlRankEps}))").as("b")).head()
-      .getSeq[Double](0)
+    // exact references: both NDVs in ONE job (two-distinct Expand —
+    // one corpus pass instead of the former two separate
+    // distinct+count actions), and the exact percentile sweep via the
+    // codegen sorted form (ExactPercentiles — the built-in Percentile
+    // aggregate was this gate's hot path: a ~2 s single-task boxed-map
+    // merge at sf0.1); all bounded collects (single-row aggregates)
+    val exactRow = li.agg(count_distinct(col("l_partkey")).as("dp"),
+      count_distinct(col("l_suppkey")).as("ds")).head()
+    val (exactPart, exactSupp) = (exactRow.getLong(0), exactRow.getLong(1))
+    val boundsRow = graft.analytics.ExactPercentiles.groupPercentiles(
+      li, Seq.empty, col("cents"),
+      Seq("b0" -> (0.5 - PctlRankEps), "b1" -> (0.5 + PctlRankEps),
+        "b2" -> (0.95 - PctlRankEps), "b3" -> (0.95 + PctlRankEps))).head()
+    val bounds = (0 to 3).map(boundsRow.getDouble)
     def hllRow(name: String, estV: Long, exactV: Long) = {
       val errPpm = math.abs(estV - exactV) * 1000000L / math.max(exactV, 1L)
       (name, exactV, errPpm <= HllBudgetPpm, errPpm / HllBudgetPpm)
